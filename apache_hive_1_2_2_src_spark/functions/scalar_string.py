@@ -1,0 +1,262 @@
+"""String function inventory (SURVEY.md §2.8 "String").
+
+Hive sources: ``ql/udf/UDFSubstr.java``, ``UDFTrim*.java``, ``UDFLpad/Rpad``,
+``GenericUDFConcatWS``, ``GenericUDFSplit``, ``GenericUDFInstr``,
+``GenericUDFLevenshtein`` (1.2), ``GenericUDFInitCap`` (1.2),
+``UDFRegExpExtract/Replace``, ``ql/udf/UDFJson.java`` (get_json_object),
+``UDFParseUrl``, ``GenericUDFStringToMap``, etc.
+
+All functions run JVM-side (whole-stage codegen) — no Python in the path.
+Oracles re-express each function in DuckDB's dialect where names differ
+(instr→strpos, split→string_split, find_in_set→list_position, ...).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from apache_hive_1_2_2_src_spark.registry import register
+from apache_hive_1_2_2_src_spark.tables import load_table
+
+
+@register(
+    "str_basic_suite",
+    oracle="""
+    SELECT c_custkey,
+           concat(c_name, '#', c_mktsegment) AS cat,
+           concat_ws('-', c_name, c_mktsegment, 'X') AS cat_ws,
+           substr(c_name, 1, 8) AS sub8,
+           upper(c_mktsegment) AS up, lower(c_mktsegment) AS lo,
+           trim('  ' || c_mktsegment || ' ') AS trimmed,
+           ltrim('  ' || c_mktsegment) AS ltrimmed,
+           rtrim(c_mktsegment || '  ') AS rtrimmed,
+           length(c_name) AS len_name,
+           reverse(c_mktsegment) AS rev,
+           repeat(c_mktsegment, 2) AS rep2,
+           ascii(c_mktsegment) AS asc1,
+           lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS lpadded,
+           rpad(c_mktsegment, 12, '.') AS rpadded,
+           CAST(strpos(c_name, '#') AS INT) AS pos_hash,
+           string_split(c_name, '#')[1] AS name_head,
+           string_split(c_name, '#')[2] AS name_tail
+    FROM customer WHERE c_custkey <= 200
+    """,
+    doc="concat/concat_ws/substr/upper/lower/trim*/length/reverse/repeat/"
+    "ascii/lpad/rpad/instr/split (UDF*.java, GenericUDFConcatWS/Split/Instr).",
+    tags=("functions", "string"),
+)
+def str_basic_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    return c.select(
+        "c_custkey",
+        F.concat(F.col("c_name"), F.lit("#"), F.col("c_mktsegment")).alias("cat"),
+        F.concat_ws("-", "c_name", "c_mktsegment", F.lit("X")).alias("cat_ws"),
+        F.substring("c_name", 1, 8).alias("sub8"),
+        F.upper("c_mktsegment").alias("up"),
+        F.lower("c_mktsegment").alias("lo"),
+        F.trim(F.concat(F.lit("  "), F.col("c_mktsegment"), F.lit(" "))).alias("trimmed"),
+        F.ltrim(F.concat(F.lit("  "), F.col("c_mktsegment"))).alias("ltrimmed"),
+        F.rtrim(F.concat(F.col("c_mktsegment"), F.lit("  "))).alias("rtrimmed"),
+        F.length("c_name").alias("len_name"),
+        F.reverse("c_mktsegment").alias("rev"),
+        F.repeat("c_mktsegment", 2).alias("rep2"),
+        F.ascii("c_mktsegment").alias("asc1"),
+        F.lpad(F.col("c_custkey").cast("string"), 12, "0").alias("lpadded"),
+        F.rpad("c_mktsegment", 12, ".").alias("rpadded"),
+        F.instr("c_name", "#").alias("pos_hash"),
+        F.split("c_name", "#").getItem(0).alias("name_head"),
+        F.split("c_name", "#").getItem(1).alias("name_tail"),
+    )
+
+
+@register(
+    "str_regex_suite",
+    oracle="""
+    SELECT c_custkey,
+           regexp_extract(c_name, 'Customer#(\\d+)', 1) AS cust_digits,
+           regexp_replace(c_name, '0+', '0') AS squeezed,
+           (c_name LIKE 'Customer#%') AS like_prefix,
+           regexp_matches(c_name, '^Customer#0*1?\\d*$') AS rlike_m,
+           CASE WHEN c_mktsegment = 'BUILDING' THEN 'b' ELSE 'x' END AS tag
+    FROM customer WHERE c_custkey <= 200
+    """,
+    doc="regexp_extract/regexp_replace/LIKE/RLIKE (UDFRegExpExtract/Replace, "
+    "UDFLike, UDFRegExp).",
+    tags=("functions", "string"),
+)
+def str_regex_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    return c.select(
+        "c_custkey",
+        F.regexp_extract("c_name", r"Customer#(\d+)", 1).alias("cust_digits"),
+        F.regexp_replace("c_name", "0+", "0").alias("squeezed"),
+        F.col("c_name").like("Customer#%").alias("like_prefix"),
+        F.col("c_name").rlike(r"^Customer#0*1?\d*$").alias("rlike_m"),
+        F.when(F.col("c_mktsegment") == "BUILDING", "b").otherwise("x").alias("tag"),
+    )
+
+
+@register(
+    "str_advanced_suite",
+    oracle="""
+    SELECT c_custkey,
+           levenshtein(c_mktsegment, 'BUILDING') AS lev,
+           translate(c_mktsegment, 'AEIOU', 'aeiou') AS transl,
+           concat(upper(substr(lower(c_mktsegment), 1, 1)),
+                  substr(lower(c_mktsegment), 2)) AS initcapped,
+           to_base64(encode(c_mktsegment)) AS b64,
+           md5(c_name) AS md5_hex,
+           sha256(c_name) AS sha2_hex,
+           COALESCE(list_position(string_split('AUTOMOBILE,BUILDING,FURNITURE,HOUSEHOLD,MACHINERY', ','),
+                                  c_mktsegment), 0) AS fis,
+           CASE 2 WHEN 1 THEN 'a' WHEN 2 THEN 'b' ELSE 'c' END AS elt2,
+           CASE c_mktsegment WHEN 'AUTOMOBILE' THEN 1 WHEN 'BUILDING' THEN 2
+                WHEN 'FURNITURE' THEN 3 WHEN 'HOUSEHOLD' THEN 4
+                WHEN 'MACHINERY' THEN 5 ELSE 0 END AS seg_field,
+           printf('%d-%s', c_custkey, c_mktsegment) AS fmt,
+           format('{:,.2f}', c_acctbal) AS fmt_num,
+           space(3) || c_mktsegment AS spaced
+    FROM customer WHERE c_custkey <= 200
+    """,
+    doc="levenshtein/translate/initcap/base64/md5/sha2/find_in_set/elt/field/"
+    "printf/format_number/space (GenericUDFLevenshtein/Translate/InitCap/"
+    "Base64, UDFFindInSet, GenericUDFElt/Field/Printf/FormatNumber).",
+    tags=("functions", "string"),
+)
+def str_advanced_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    segs = "AUTOMOBILE,BUILDING,FURNITURE,HOUSEHOLD,MACHINERY"
+    return c.select(
+        "c_custkey",
+        F.levenshtein("c_mktsegment", F.lit("BUILDING")).alias("lev"),
+        F.translate("c_mktsegment", "AEIOU", "aeiou").alias("transl"),
+        F.initcap(F.lower("c_mktsegment")).alias("initcapped"),
+        F.base64(F.encode("c_mktsegment", "UTF-8")).alias("b64"),
+        F.md5(F.col("c_name").cast("binary")).alias("md5_hex"),
+        F.sha2(F.col("c_name").cast("binary"), 256).alias("sha2_hex"),
+        F.expr(f"find_in_set(c_mktsegment, '{segs}')").alias("fis"),
+        F.expr("elt(2, 'a', 'b', 'c')").alias("elt2"),
+        F.expr(
+            "field(c_mktsegment, 'AUTOMOBILE', 'BUILDING', 'FURNITURE', "
+            "'HOUSEHOLD', 'MACHINERY')"
+        ).alias("seg_field"),
+        F.format_string("%d-%s", "c_custkey", "c_mktsegment").alias("fmt"),
+        F.format_number("c_acctbal", 2).alias("fmt_num"),
+        F.concat(F.lit("   "), F.col("c_mktsegment")).alias("spaced"),
+    )
+
+
+@register(
+    "str_json_suite",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int
+    FROM events WHERE event_id <= 500
+    """,
+    doc="get_json_object (ql/udf/UDFJson.java) over events.props JSON.",
+    tags=("functions", "json"),
+)
+def str_json_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") <= 500)
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_int"),
+    )
+
+
+@register(
+    "str_parse_url",
+    oracle="""
+    WITH u AS (
+      SELECT c_custkey,
+             'http://shop.example.com/c/' || CAST(c_custkey AS VARCHAR)
+             || '?seg=' || c_mktsegment || '&v=1' AS url
+      FROM customer WHERE c_custkey <= 100)
+    SELECT c_custkey,
+           regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+           regexp_extract(url, '\\?(.*)$', 1) AS query,
+           regexp_extract(url, '[?&]seg=([^&]*)', 1) AS seg
+    FROM u
+    """,
+    doc="parse_url HOST/PATH/QUERY/QUERY:key (UDFParseUrl) — oracle uses "
+    "the same regexes RFC-wise.",
+    tags=("functions", "string"),
+)
+def str_parse_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 100)
+    u = c.select(
+        "c_custkey",
+        F.concat(
+            F.lit("http://shop.example.com/c/"),
+            F.col("c_custkey").cast("string"),
+            F.lit("?seg="),
+            F.col("c_mktsegment"),
+            F.lit("&v=1"),
+        ).alias("url"),
+    )
+    return u.select(
+        "c_custkey",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("seg")).alias("seg"),
+    )
+
+
+@register(
+    "str_to_map_extract",
+    oracle="""
+    WITH m AS (
+      SELECT c_custkey,
+             'seg=' || c_mktsegment || '|bal=' || CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR) AS kv
+      FROM customer WHERE c_custkey <= 100)
+    SELECT c_custkey,
+           regexp_extract(kv, 'seg=([^|]*)', 1) AS seg,
+           regexp_extract(kv, 'bal=([^|]*)', 1) AS bal
+    FROM m
+    """,
+    doc="str_to_map (GenericUDFStringToMap) — map built Spark-side, values "
+    "extracted by key; oracle extracts the same via regex.",
+    tags=("functions", "string"),
+)
+def str_to_map_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 100)
+    kv = F.concat(
+        F.lit("seg="),
+        F.col("c_mktsegment"),
+        F.lit("|bal="),
+        F.col("c_acctbal").cast("decimal(18,2)").cast("string"),
+    )
+    m = F.str_to_map(kv, F.lit(r"\|"), F.lit("="))
+    return c.select(
+        "c_custkey",
+        m.getItem("seg").alias("seg"),
+        m.getItem("bal").alias("bal"),
+    )
+
+
+@register(
+    "str_misc_rows_only",
+    oracle=None,
+    doc="Rows-only remainder: soundex, sentences, crc32, sha1, hash, "
+    "encode/decode roundtrip, xpath_* equivalents (no clean DuckDB twin).",
+    tags=("functions", "string"),
+)
+def str_misc_rows_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 100)
+    return c.select(
+        "c_custkey",
+        F.soundex("c_mktsegment").alias("sndx"),
+        F.sentences(F.concat(F.col("c_name"), F.lit(" is here. Next one?"))).alias("sents"),
+        F.crc32(F.col("c_name").cast("binary")).alias("crc"),
+        F.sha1(F.col("c_name").cast("binary")).alias("sha1_hex"),
+        F.hash("c_name").alias("hive_hash_analogue"),
+        F.decode(F.encode("c_name", "UTF-8"), "UTF-8").alias("codec_roundtrip"),
+        F.expr("xpath_string('<a><b>bb</b></a>', 'a/b')").alias("xp_str"),
+        F.expr("xpath_int('<a><b>7</b></a>', 'a/b')").alias("xp_int"),
+        F.expr("xpath('<a><b>1</b><b>2</b></a>', 'a/b/text()')").alias("xp_list"),
+    )

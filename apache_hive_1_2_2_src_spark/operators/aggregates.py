@@ -1,0 +1,296 @@
+"""Aggregation surface (SURVEY.md §2.4).
+
+Hive parity targets: ``ql/exec/GroupByOperator.java`` (hash/sort agg,
+map-side partials — automatic in Spark's partial/final Aggregate planning),
+UDAF implementations under ``ql/udf/generic/GenericUDAF*.java``, grouping
+sets in ``SemanticAnalyzer.processGroupingSetReduceSinkOperator``.
+
+Scale notes: every query here is one shuffle wide (partial agg map-side,
+final agg post-shuffle). count(DISTINCT x) plans as a two-phase expand in
+Spark — same as Hive's ReduceSinkDeDuplication-optimized plan. Grouping
+sets use Catalyst's Expand operator: rows × |sets| before the shuffle,
+which is the same cost model as Hive's grouping-set ReduceSink fan-out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from apache_hive_1_2_2_src_spark.operators.helpers import davg, dsum, sql_davg, sql_dsum
+from apache_hive_1_2_2_src_spark.registry import register
+from apache_hive_1_2_2_src_spark.tables import load_table
+
+
+@register(
+    "agg_basic_counts",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_all,
+           COUNT(o_custkey) AS n_cust,
+           COUNT(DISTINCT o_custkey) AS n_cust_distinct,
+           COUNT(DISTINCT o_orderpriority) AS n_prio_distinct
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="count(*)/count(col)/multi-count(DISTINCT) (GenericUDAFCount; "
+    "getDistinctFuncExprs multi-distinct planning).",
+    tags=("agg",),
+)
+def agg_basic_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.count("o_custkey").alias("n_cust"),
+        F.countDistinct("o_custkey").alias("n_cust_distinct"),
+        F.countDistinct("o_orderpriority").alias("n_prio_distinct"),
+    )
+
+
+@register(
+    "agg_sum_avg_min_max",
+    oracle="""
+    SELECT l_returnflag,
+           {s}, {a},
+           CAST(MIN(l_extendedprice) AS DOUBLE) AS min_price,
+           CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price,
+           MIN(l_linenumber) AS min_ln, MAX(l_linenumber) AS max_ln
+    FROM lineitem GROUP BY l_returnflag
+    """.format(s=sql_dsum("l_extendedprice", "sum_price"), a=sql_davg("l_extendedprice", "avg_price")),
+    doc="sum/avg/min/max (GenericUDAFSum/Average/Min/Max).",
+    tags=("agg",),
+)
+def agg_sum_avg_min_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        dsum("l_extendedprice", "sum_price"),
+        davg("l_extendedprice", "avg_price"),
+        F.min("l_extendedprice").cast("double").alias("min_price"),
+        F.max("l_extendedprice").cast("double").alias("max_price"),
+        F.min("l_linenumber").alias("min_ln"),
+        F.max("l_linenumber").alias("max_ln"),
+    )
+
+
+@register(
+    "agg_global_no_groupby",
+    oracle="""
+    SELECT COUNT(*) AS n_rows, COUNT(DISTINCT l_orderkey) AS n_orders,
+           {s}
+    FROM lineitem
+    """.format(s=sql_dsum("l_quantity", "total_qty")),
+    doc="Global aggregate without GROUP BY.",
+    tags=("agg",),
+)
+def agg_global_no_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        dsum("l_quantity", "total_qty"),
+    )
+
+
+@register(
+    "agg_variance_stddev",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(ROUND(var_pop(l_discount), 10) AS DOUBLE) AS var_pop_disc,
+           CAST(ROUND(var_samp(l_discount), 10) AS DOUBLE) AS var_samp_disc,
+           CAST(ROUND(stddev_pop(l_discount), 10) AS DOUBLE) AS std_pop_disc,
+           CAST(ROUND(stddev_samp(l_discount), 10) AS DOUBLE) AS std_samp_disc
+    FROM lineitem GROUP BY l_linestatus
+    """,
+    doc="variance family (GenericUDAFVariance/Std*). Rounded to 1e-10: both "
+    "engines use single-pass covariance updates but different merge orders.",
+    tags=("agg", "stats"),
+)
+def agg_variance_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.var_pop("l_discount"), 10).cast("double").alias("var_pop_disc"),
+        F.round(F.var_samp("l_discount"), 10).cast("double").alias("var_samp_disc"),
+        F.round(F.stddev_pop("l_discount"), 10).cast("double").alias("std_pop_disc"),
+        F.round(F.stddev_samp("l_discount"), 10).cast("double").alias("std_samp_disc"),
+    )
+
+
+@register(
+    "agg_covar_corr",
+    oracle="""
+    SELECT CAST(ROUND(covar_pop(l_quantity, l_extendedprice), 6) AS DOUBLE) AS cov_pop,
+           CAST(ROUND(covar_samp(l_quantity, l_extendedprice), 6) AS DOUBLE) AS cov_samp,
+           CAST(ROUND(corr(l_quantity, l_extendedprice), 10) AS DOUBLE) AS correlation
+    FROM lineitem WHERE l_orderkey <= 10000
+    """,
+    doc="covar_pop/covar_samp/corr (GenericUDAFCovariance*/Correlation).",
+    tags=("agg", "stats"),
+)
+def agg_covar_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 10000)
+    return li.agg(
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 6).cast("double").alias("cov_pop"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 6).cast("double").alias("cov_samp"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 10).cast("double").alias("correlation"),
+    )
+
+
+@register(
+    "agg_percentile_exact",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(ROUND(quantile_cont(o_orderkey, 0.5), 6) AS DOUBLE) AS p50,
+           CAST(ROUND(quantile_cont(o_orderkey, 0.9), 6) AS DOUBLE) AS p90
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="Exact percentile over bigint (ql/udf/UDAFPercentile.java) — Spark "
+    "percentile() ≡ DuckDB quantile_cont (linear interpolation).",
+    tags=("agg", "stats"),
+)
+def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_orderkey", F.lit(0.5)), 6).cast("double").alias("p50"),
+        F.round(F.percentile("o_orderkey", F.lit(0.9)), 6).cast("double").alias("p90"),
+    )
+
+
+@register(
+    "agg_collect_list_set",
+    oracle="""
+    SELECT n_regionkey,
+           list_sort(list(n_name)) AS nations,
+           list_sort(list(DISTINCT n_regionkey + 0)) AS keys_set
+    FROM nation GROUP BY n_regionkey
+    """,
+    doc="collect_list/collect_set (GenericUDAFCollect*), sorted for "
+    "determinism (SURVEY §5 rule).",
+    tags=("agg", "collection"),
+)
+def agg_collect_list_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.sort_array(F.collect_list("n_name")).alias("nations"),
+        F.sort_array(F.collect_set(F.col("n_regionkey") + 0)).alias("keys_set"),
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus, o_orderpriority) AS gid,
+           COUNT(*) AS n, {s}
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    """.format(s=sql_dsum("o_totalprice", "total_price")),
+    doc="GROUPING SETS + GROUPING__ID (processGroupingSetReduceSinkOperator; "
+    "grouping_id() bit order is ANSI in both Spark ≥3 and DuckDB).",
+    tags=("agg", "groupingsets"),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               GROUPING_ID(o_orderstatus, o_orderpriority) AS gid,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    doc="ROLLUP (GroupByDesc.groupingSets).",
+    tags=("agg", "groupingsets"),
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n, {s}
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """.format(s=sql_dsum("l_quantity", "sum_qty")),
+    doc="CUBE (GroupByDesc.groupingSets).",
+    tags=("agg", "groupingsets"),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), dsum("l_quantity", "sum_qty")
+    )
+
+
+@register(
+    "agg_having",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS n_orders
+    FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15
+    """,
+    doc="HAVING (post-aggregation filter; FilterOperator above GroupBy).",
+    tags=("agg",),
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 15)
+    )
+
+
+@register(
+    "agg_approx_count_distinct",
+    oracle=None,  # HLL++ estimate is engine-specific → rows-only check
+    doc="compute_stats NDV (GenericUDAFComputeStats FM-sketch) → Spark "
+    "approx_count_distinct (HLL++). Estimates differ per engine: rows-only.",
+    tags=("agg", "approx"),
+)
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey").alias("ndv_orderkey"),
+        F.approx_count_distinct("l_partkey").alias("ndv_partkey"),
+    )
+
+
+@register(
+    "agg_percentile_approx",
+    oracle=None,  # adaptive-histogram vs GK-sketch: engine-specific
+    doc="percentile_approx (GenericUDAFPercentileApprox adaptive histogram "
+    "vs Spark's GK quantile sketch — algorithms differ): rows-only.",
+    tags=("agg", "approx"),
+)
+def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("p50_approx")
+    )
+
+
+@register(
+    "agg_histogram_numeric",
+    oracle=None,  # bin placement is heuristic per engine
+    doc="histogram_numeric (GenericUDAFHistogramNumeric / NumericHistogram "
+    "~250 LoC) — Spark ≥3.3 builtin; bins are heuristic: rows-only.",
+    tags=("agg", "approx"),
+)
+def agg_histogram_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem")
+    return spark.sql(
+        "SELECT histogram_numeric(l_extendedprice, 10) AS hist FROM lineitem"
+    )

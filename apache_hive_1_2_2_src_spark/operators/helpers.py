@@ -1,0 +1,31 @@
+"""Shared builder helpers enforcing the determinism rules of registry.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DEC = "decimal(18,2)"
+
+
+def dsum(col: Column | str, alias: str) -> Column:
+    """Cross-engine-exact SUM of a double column (via decimal)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(DEC)).cast("double").alias(alias)
+
+
+def davg(col: Column | str, alias: str, scale: int = 6) -> Column:
+    """Cross-engine-exact AVG of a double column: decimal sum / count, rounded."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(F.sum(c.cast(DEC)) / F.count(c), scale).cast("double").alias(alias)
+
+
+def sql_dsum(expr: str, alias: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,2))) AS DOUBLE) AS {alias}"
+
+
+def sql_davg(expr: str, alias: str, scale: int = 6) -> str:
+    return (
+        f"CAST(ROUND(SUM(CAST({expr} AS DECIMAL(18,2))) / COUNT({expr}), {scale})"
+        f" AS DOUBLE) AS {alias}"
+    )

@@ -1,0 +1,309 @@
+"""Join surface (SURVEY.md §2.3).
+
+Hive parity targets: ``ql/exec/CommonJoinOperator.java`` (join-type matrix,
+null padding), ``JoinOperator.java`` (reduce-side sort-merge),
+``MapJoinOperator.java`` + ``ql/optimizer/MapJoinProcessor.java`` (broadcast
+hash join), ``ql/parse/SemanticAnalyzer.genJoinTree`` (syntax/type matrix),
+``ql/parse/SubQueryUtils.java`` (IN/EXISTS → semi-join rewrite; NOT IN →
+left-outer + IS NULL rewrite — Hive 1.2 has no anti-join syntax).
+
+Scale notes:
+- dim tables (region/nation/supplier/part at TPC-H ratios) are broadcast —
+  explicitly hinted where the optimizer might not know sizes; fact⋈fact
+  (orders⋈lineitem) shuffles on the join key, which AQE rebalance/skew-split
+  keeps healthy at 100 TB.
+- Catalyst reorders the 3-way chain by size/stats — Hive needed Calcite CBO
+  (``ql/parse/CalcitePlanner.java``) for the same.
+- the theta join compiles to BroadcastNestedLoopJoin only because one side
+  is pre-filtered tiny; an unbounded theta join at 100 TB is a design error
+  in any engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from apache_hive_1_2_2_src_spark.operators.helpers import dsum, sql_dsum
+from apache_hive_1_2_2_src_spark.registry import register
+from apache_hive_1_2_2_src_spark.tables import load_table
+
+
+@register(
+    "join_inner",
+    oracle="""
+    SELECT n.n_name, COUNT(*) AS n_customers,
+           {bal}
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """.format(bal=sql_dsum("c.c_acctbal", "total_acctbal")),
+    doc="INNER equi-join + agg; nation is broadcast (MapJoinOperator parity).",
+    tags=("join",),
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(broadcast(n), c.c_nationkey == n.n_nationkey, "inner")
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"), dsum("c_acctbal", "total_acctbal"))
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+    SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    """,
+    doc="LEFT OUTER join null-padding (CommonJoinOperator.checkAndGenObject); "
+    "count(col) skips the padded NULLs, so customers without orders show 0.",
+    tags=("join",),
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@register(
+    "join_right_outer",
+    oracle="""
+    SELECT o.o_orderkey, c.c_name
+    FROM customer c RIGHT JOIN orders o ON c.c_custkey = o.o_custkey AND c.c_acctbal > 9000
+    WHERE o.o_orderkey <= 500
+    """,
+    doc="RIGHT OUTER with residual ON-predicate (AND-ed non-key condition "
+    "evaluated pre-padding, as in CommonJoinOperator residual filters).",
+    tags=("join",),
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, (c.c_custkey == o.o_custkey) & (c.c_acctbal > 9000), "right")
+        .filter(o.o_orderkey <= 500)
+        .select("o_orderkey", "c_name")
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    WITH cust_n AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust
+                    FROM customer GROUP BY c_nationkey),
+         supp_n AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp
+                    FROM supplier GROUP BY s_nationkey)
+    SELECT COALESCE(c.nk, s.nk) AS nationkey,
+           COALESCE(c.n_cust, 0) AS n_cust,
+           COALESCE(s.n_supp, 0) AS n_supp
+    FROM cust_n c FULL OUTER JOIN supp_n s ON c.nk = s.nk
+    """,
+    doc="FULL OUTER join with both-side padding.",
+    tags=("join",),
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return c.join(s, c.nk == s.nk, "full").select(
+        F.coalesce(c.nk, s.nk).alias("nationkey"),
+        F.coalesce(F.col("n_cust"), F.lit(0)).alias("n_cust"),
+        F.coalesce(F.col("n_supp"), F.lit(0)).alias("n_supp"),
+    )
+
+
+@register(
+    "join_left_semi",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE c.c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+    """,
+    doc="LEFT SEMI JOIN (KW_SEMI; dedups right side) ≡ IN-subquery form.",
+    tags=("join", "subquery"),
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "join_left_anti",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    WHERE o.o_custkey IS NULL
+    """,
+    doc="Anti join via Hive 1.2's rewrite pattern (SubQueryUtils: NOT IN → "
+    "left outer + IS NULL); Spark left_anti is the direct form.",
+    tags=("join", "subquery"),
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "join_cross",
+    oracle="""
+    SELECT r1.r_name AS from_region, r2.r_name AS to_region
+    FROM region r1 CROSS JOIN region r2
+    WHERE r1.r_regionkey <> r2.r_regionkey
+    """,
+    doc="CROSS JOIN cartesian (KW_CROSS; CrossProductCheck warns in Hive).",
+    tags=("join",),
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r1 = load_table(spark, sf_dir, "region").select(F.col("r_regionkey").alias("k1"), F.col("r_name").alias("from_region"))
+    r2 = load_table(spark, sf_dir, "region").select(F.col("r_regionkey").alias("k2"), F.col("r_name").alias("to_region"))
+    return r1.crossJoin(r2).filter(F.col("k1") != F.col("k2")).select("from_region", "to_region")
+
+
+@register(
+    "join_theta_range",
+    oracle="""
+    SELECT p.p_partkey, p.p_size, b.bucket_lo
+    FROM part p
+    JOIN (SELECT 1 AS bucket_lo, 10 AS bucket_hi
+          UNION ALL SELECT 11, 25 UNION ALL SELECT 26, 50) b
+      ON p.p_size >= b.bucket_lo AND p.p_size <= b.bucket_hi
+    WHERE p.p_partkey <= 200
+    """,
+    doc="Theta/range join (Hive 1.2: cross join + WHERE only; Spark BNLJ with "
+    "a broadcast tiny side is strictly more capable).",
+    tags=("join",),
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 200)
+    buckets = spark.createDataFrame(
+        [(1, 10), (11, 25), (26, 50)], ["bucket_lo", "bucket_hi"]
+    )
+    return p.join(
+        broadcast(buckets),
+        (p.p_size >= buckets.bucket_lo) & (p.p_size <= buckets.bucket_hi),
+    ).select("p_partkey", "p_size", "bucket_lo")
+
+
+@register(
+    "join_three_way",
+    oracle="""
+    SELECT n.n_name AS nation, COUNT(*) AS n_lineitems,
+           {rev}
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY n.n_name
+    """.format(rev=sql_dsum("l.l_extendedprice * (1 - l.l_discount)", "revenue")),
+    doc="N-way join chain (CommonJoinOperator multi-tag ≡ chained 2-way joins; "
+    "Catalyst/CBO reorders). Fact⋈fact shuffles; dims broadcast.",
+    tags=("join", "flagship"),
+)
+def join_three_way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp")
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        )
+    )
+
+
+@register(
+    "subquery_in_where",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      AND o_orderkey <= 2000
+    """,
+    doc="Uncorrelated IN subquery (QBSubQuery → semi-join at analysis time).",
+    tags=("subquery",),
+)
+def subquery_in_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark_tables(spark, sf_dir, "orders", "customer")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+          AND o_orderkey <= 2000
+        """
+    )
+
+
+@register(
+    "subquery_exists_correlated",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+    doc="Correlated EXISTS (QBSubQuery 0.13 semantics, one level).",
+    tags=("subquery",),
+)
+def subquery_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark_tables(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        """
+    )
+
+
+@register(
+    "subquery_not_in",
+    oracle="""
+    SELECT n_nationkey, n_name
+    FROM nation
+    WHERE n_nationkey NOT IN (SELECT c_nationkey FROM customer WHERE c_acctbal > 9990)
+    """,
+    doc="NOT IN (SubQueryUtils rewrite → left outer + null check in Hive; "
+    "native null-aware anti join in Spark).",
+    tags=("subquery",),
+)
+def subquery_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark_tables(spark, sf_dir, "nation", "customer")
+    return spark.sql(
+        """
+        SELECT n_nationkey, n_name
+        FROM nation
+        WHERE n_nationkey NOT IN (SELECT c_nationkey FROM customer WHERE c_acctbal > 9990)
+        """
+    )
+
+
+def spark_tables(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register the named testdata tables as temp views for spark.sql use."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,251 @@
+"""Core relational operators: scan, filter, project, sort, limit, distinct,
+set operations, sampling (SURVEY.md §2.1, §2.6, §2.7).
+
+Hive parity targets:
+- TableScan/Filter/Select: ``ql/exec/TableScanOperator.java``,
+  ``FilterOperator.java``, ``SelectOperator.java`` — pure DataFrame ops;
+  Catalyst pushes the filter and the projection into the parquet scan
+  (PushedFilters / ReadSchema in .explain), which Hive 1.2 only had for ORC
+  SARGs (``ql/io/sarg/SearchArgument.java``).
+- ORDER BY: ``SemanticAnalyzer.genOrderByPlan`` forced a single reducer in
+  Hive; Spark's range-partitioned global sort scales to any cluster width.
+- ORDER BY + LIMIT: Hive's top-k hash (``ql/exec/TopNHash.java``) ≡ Spark's
+  TakeOrderedAndProject — no full sort is executed.
+- UNION ALL / UNION: ``ql/exec/UnionOperator.java``; Hive 1.2 rewrites
+  UNION DISTINCT to UNION ALL + group-by-all-cols
+  (``SemanticAnalyzer.genUnionPlan``) — Spark `union().distinct()`.
+- SELECT DISTINCT: compiled to group-by in Hive; `df.distinct()` here.
+- TABLESAMPLE: ``ql/parse/SplitSample`` / ``SemanticAnalyzer
+  .genSamplePredicate``; deterministic bucket form expressed as a
+  hash-mod filter (pmod(hash(col), y) == x-1), which is exactly Hive's
+  bucket-sample semantics without requiring a bucketed layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from apache_hive_1_2_2_src_spark.operators.helpers import davg, dsum, sql_davg, sql_dsum
+from apache_hive_1_2_2_src_spark.registry import register
+from apache_hive_1_2_2_src_spark.tables import load_table
+
+# --------------------------------------------------------------------------
+# Flagship: TPC-H Q1-style pricing summary.
+# Exercises scan → pushed filter → project → partial/final hash agg → sort
+# in one plan. At 100 TB this is a single shuffle of ~|groups| rows per
+# partition thanks to map-side partial aggregation (Hive needed
+# hive.map.aggr for the same; GroupByOperator.java).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           {sum_qty}, {sum_base_price}, {sum_disc_price}, {sum_charge},
+           {avg_qty}, {avg_price}, {avg_disc},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """.format(
+        sum_qty=sql_dsum("l_quantity", "sum_qty"),
+        sum_base_price=sql_dsum("l_extendedprice", "sum_base_price"),
+        sum_disc_price=sql_dsum("l_extendedprice * (1 - l_discount)", "sum_disc_price"),
+        sum_charge=sql_dsum(
+            "l_extendedprice * (1 - l_discount) * (1 + l_tax)", "sum_charge"
+        ),
+        avg_qty=sql_davg("l_quantity", "avg_qty"),
+        avg_price=sql_davg("l_extendedprice", "avg_price"),
+        avg_disc=sql_davg("l_discount", "avg_disc"),
+    ),
+    doc="Filter + groupBy(2) + 7 aggregates + sort (TPC-H Q1 shape).",
+    tags=("flagship", "agg"),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "scan_filter_project",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderpriority,
+           CAST(o_totalprice * 1.1 AS DOUBLE) AS uplifted
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_totalprice > 100000.0
+    """,
+    doc="TableScan+Filter+Select (ql/exec/{TableScan,Filter,Select}Operator.java); "
+    "filter and 4-column projection both reach the parquet scan.",
+    tags=("scan",),
+)
+def scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 100000.0)).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderpriority",
+        (F.col("o_totalprice") * 1.1).cast("double").alias("uplifted"),
+    )
+
+
+@register(
+    "order_by_limit_topk",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 25
+    """,
+    doc="Top-k: Hive TopNHash ≡ Spark TakeOrderedAndProject (no global sort).",
+    tags=("sort", "limit"),
+)
+def order_by_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(25)
+    )
+
+
+@register(
+    "global_order_by",
+    oracle="""
+    SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+    FROM customer
+    ORDER BY c_acctbal DESC NULLS LAST, c_custkey
+    LIMIT 100
+    """,
+    doc="Global ORDER BY (genOrderByPlan) — range-partitioned sort in Spark.",
+    tags=("sort",),
+)
+def global_order_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.select("c_custkey", "c_name", F.col("c_acctbal").cast("double").alias("c_acctbal"))
+        .orderBy(F.col("c_acctbal").desc_nulls_last(), F.col("c_custkey"))
+        .limit(100)
+    )
+
+
+@register(
+    "select_distinct",
+    oracle="SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+    doc="SELECT DISTINCT compiled to group-by (SemanticAnalyzer.genSelectPlan).",
+    tags=("distinct",),
+)
+def select_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()
+
+
+@register(
+    "union_all",
+    oracle="""
+    SELECT c_custkey AS key, c_name AS name FROM customer WHERE c_custkey <= 100
+    UNION ALL
+    SELECT s_suppkey AS key, s_name AS name FROM supplier WHERE s_suppkey <= 100
+    """,
+    doc="UNION ALL bag union (ql/exec/UnionOperator.java).",
+    tags=("setop",),
+)
+def union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    a = c.filter(F.col("c_custkey") <= 100).select(
+        F.col("c_custkey").alias("key"), F.col("c_name").alias("name")
+    )
+    b = s.filter(F.col("s_suppkey") <= 100).select(
+        F.col("s_suppkey").alias("key"), F.col("s_name").alias("name")
+    )
+    return a.unionAll(b)
+
+
+@register(
+    "union_distinct",
+    oracle="""
+    SELECT c_nationkey AS nk FROM customer
+    UNION
+    SELECT s_nationkey AS nk FROM supplier
+    """,
+    doc="UNION [DISTINCT] (HIVE-9039: rewritten to UNION ALL + group-by-all).",
+    tags=("setop",),
+)
+def union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.union(s).distinct()
+
+
+@register(
+    "tablesample_bucket",
+    oracle="""
+    SELECT COUNT(*) AS n_sampled, COUNT(DISTINCT o_custkey) AS n_cust
+    FROM orders
+    WHERE o_orderkey % 16 = 3
+    """,
+    doc="TABLESAMPLE(BUCKET 4 OUT OF 16 ON o_orderkey) ≡ deterministic "
+    "hash-mod filter (SemanticAnalyzer.genSamplePredicate); modulo on the "
+    "key itself so Spark and the oracle agree (Hive/Spark hash fns differ).",
+    tags=("sample",),
+)
+def tablesample_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderkey") % 16 == 3).agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.countDistinct("o_custkey").alias("n_cust"),
+    )
+
+
+@register(
+    "sort_by_distribute_by",
+    oracle=None,  # per-partition ordering is partition-count dependent → rows-only
+    doc="DISTRIBUTE BY + SORT BY (genReduceSinkPlan): repartition(col)."
+    "sortWithinPartitions — Hive's per-reducer sort. Rows-only check.",
+    tags=("sort",),
+)
+def sort_by_distribute_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.repartition(8, "o_custkey")
+        .sortWithinPartitions("o_custkey", "o_orderdate")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+    )
+
+
+@register(
+    "multi_insert_fanout",
+    oracle=None,  # write-path demo: returns the re-read union of both sinks
+    doc="Multi-insert (FROM t INSERT ... INSERT ...; SemanticAnalyzer.genPlan "
+    "fan-out): one cached scan feeding N sinks; verified by re-reading both.",
+    tags=("sink",),
+)
+def multi_insert_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders").cache()
+    base = tempfile.mkdtemp(prefix="hive_spark_multiins_")
+    hi = o.filter(F.col("o_totalprice") > 200000).select("o_orderkey", "o_totalprice")
+    lo = o.filter(F.col("o_totalprice") <= 200000).select("o_orderkey", "o_totalprice")
+    hi.write.mode("overwrite").parquet(f"{base}/hi")
+    lo.write.mode("overwrite").parquet(f"{base}/lo")
+    out = spark.read.parquet(f"{base}/hi").unionAll(spark.read.parquet(f"{base}/lo"))
+    o.unpersist()
+    return out.agg(F.count(F.lit(1)).alias("n_rows"))

@@ -1,0 +1,214 @@
+"""Window / analytic function surface (SURVEY.md §2.5, Hive PTF).
+
+Hive parity targets: ``ql/parse/PTFTranslator.java`` + ``WindowingSpec.java``
+(translation), ``ql/exec/PTFOperator.java`` + ``ql/udf/ptf/
+WindowingTableFunction.java`` (runtime), per-function UDAFs
+``ql/udf/generic/GenericUDAF{RowNumber,Rank,DenseRank,NTile,LeadLag,...}``.
+
+Default frame with ORDER BY is RANGE UNBOUNDED PRECEDING → CURRENT ROW in
+both Hive 1.2 and Spark — declared explicitly anyway for oracle clarity.
+
+Scale note: a window partitioned by a key is one shuffle on that key; Hive
+buffered whole partitions in PTFRowContainer (spill to disk), Spark's
+WindowExec does the same with UnsafeExternalSorter. Skewed partition keys
+(one giant customer) are the risk at 100 TB — mitigate by pre-aggregating
+before windowing where semantics allow, as q window_topk_per_group does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from apache_hive_1_2_2_src_spark.operators.helpers import DEC
+from apache_hive_1_2_2_src_spark.registry import register
+from apache_hive_1_2_2_src_spark.tables import load_table
+
+
+@register(
+    "window_row_number_topk",
+    oracle="""
+    SELECT c_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice, rn
+    FROM (
+      SELECT c.c_custkey, o.o_orderkey, o.o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY c.c_custkey
+                                ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
+      FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    ) WHERE rn <= 3
+    """,
+    doc="row_number top-3 orders per customer (GenericUDAFRowNumber).",
+    tags=("window", "flagship"),
+)
+def window_row_number_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("c_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .select("c_custkey", "o_orderkey", F.col("o_totalprice").cast("double").alias("o_totalprice"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "window_rank_dense_rank",
+    oracle="""
+    SELECT p_partkey, p_brand, p_size,
+           RANK() OVER (PARTITION BY p_brand ORDER BY p_size) AS rnk,
+           DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_size) AS drnk
+    FROM part WHERE p_partkey <= 500
+    """,
+    doc="rank/dense_rank (GenericUDAFRank/DenseRank) — ties exercised via p_size.",
+    tags=("window",),
+)
+def window_rank_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)
+    w = Window.partitionBy("p_brand").orderBy("p_size")
+    return p.select(
+        "p_partkey",
+        "p_brand",
+        "p_size",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+@register(
+    "window_percent_rank_cume_dist",
+    oracle="""
+    SELECT s_suppkey,
+           CAST(ROUND(PERCENT_RANK() OVER (ORDER BY s_acctbal, s_suppkey), 10) AS DOUBLE) AS pr,
+           CAST(ROUND(CUME_DIST()   OVER (ORDER BY s_acctbal, s_suppkey), 10) AS DOUBLE) AS cd
+    FROM supplier
+    """,
+    doc="percent_rank/cume_dist (GenericUDAFPercentRank/CumeDist); ordering "
+    "made total with the key tiebreak.",
+    tags=("window",),
+)
+def window_percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    w = Window.orderBy("s_acctbal", "s_suppkey")
+    return s.select(
+        "s_suppkey",
+        F.round(F.percent_rank().over(w), 10).cast("double").alias("pr"),
+        F.round(F.cume_dist().over(w), 10).cast("double").alias("cd"),
+    )
+
+
+@register(
+    "window_ntile",
+    oracle="""
+    SELECT c_custkey, NTILE(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS quartile
+    FROM customer
+    """,
+    doc="ntile(4) (GenericUDAFNTile).",
+    tags=("window",),
+)
+def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return c.select("c_custkey", F.ntile(4).over(w).alias("quartile"))
+
+
+@register(
+    "window_lead_lag",
+    oracle="""
+    SELECT user_id, event_id,
+           LAG(event_id, 1, -1)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_event,
+           LEAD(event_id, 1, -1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_event
+    FROM events WHERE user_id <= 20
+    """,
+    doc="lead/lag with offset+default (GenericUDAFLeadLag).",
+    tags=("window",),
+)
+def window_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 20)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.lag("event_id", 1, -1).over(w).alias("prev_event"),
+        F.lead("event_id", 1, -1).over(w).alias("next_event"),
+    )
+
+
+@register(
+    "window_first_last_value",
+    oracle="""
+    SELECT user_id, event_id,
+           FIRST_VALUE(event_type) OVER w AS first_type,
+           LAST_VALUE(event_type)  OVER w AS last_type
+    FROM events WHERE user_id <= 20
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    doc="first_value/last_value (GenericUDAFFirst/LastValue) over an "
+    "unbounded frame + named WINDOW clause (WindowingSpec aliases).",
+    tags=("window",),
+)
+def window_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 20)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w).alias("last_type"),
+    )
+
+
+@register(
+    "window_running_sum_rows_frame",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum,
+           COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n
+    FROM events WHERE user_id <= 20
+    """,
+    doc="Aggregates over ROWS frames (WindowingTableFunction streaming mode): "
+    "3-row moving sum + running count.",
+    tags=("window",),
+)
+def window_running_sum_rows_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 20)
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w3 = order.rowsBetween(-2, Window.currentRow)
+    wrun = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return e.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast(DEC)).over(w3).cast("double").alias("moving_sum"),
+        F.count(F.lit(1)).over(wrun).alias("running_n"),
+    )
+
+
+@register(
+    "window_agg_default_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_spend
+    FROM orders WHERE o_custkey <= 50
+    """,
+    doc="Aggregate over the default ORDER BY frame (RANGE UNBOUNDED "
+    "PRECEDING → CURRENT ROW, same default in Hive 1.2 and Spark).",
+    tags=("window",),
+)
+def window_agg_default_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 50)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias("running_spend"),
+    )

@@ -1,0 +1,62 @@
+"""SparkSession factory with Hive-1.2.2-compatible semantics pinned.
+
+Hive's session/config layer is ``common/src/java/org/apache/hadoop/hive/conf/
+HiveConf.java`` (~1,800 knobs) + ``ql/session/SessionState.java``. We need a
+handful of Spark confs to (a) pin semantic parity (timezone, case rules) and
+(b) enable the optimizations Hive 1.2 had manual knobs for (map-join auto
+conversion → autoBroadcastJoinThreshold; skew join → AQE skew join; parallel
+reducers → AQE coalescing).
+
+Scale notes (100 TB / 1000-executor design intent):
+- AQE on: runtime shuffle-partition coalescing, skew-join splitting, and
+  broadcast-join demotion/promotion replace Hive's compile-time conditional
+  tasks (``ql/optimizer/physical/CommonJoinTaskDispatcher.java``).
+- ``spark.sql.shuffle.partitions`` is set high-ish and AQE coalesces down;
+  on a real cluster you would size it ~2-3× total cores and let AQE trim.
+- Arrow enabled so any pandas-UDF extension operator pays batch (not row)
+  Python transfer cost.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+APP_NAME = "apache_hive_1_2_2_src_spark"
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_session(app_name: str = APP_NAME, *, shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or reuse) the engine SparkSession.
+
+    Semantics pinned for Hive-1.2.2 / DuckDB-oracle parity:
+    - UTC session timezone (Hive TIMESTAMP is TZ-naive wall-clock;
+      ``serde2/io/TimestampWritable.java``): with UTC both Spark and the
+      oracle interpret parquet INT96/INT64 timestamps identically.
+    - ANSI off (Hive 1.2 returns NULL on bad casts / division by zero —
+      ``LazyPrimitive.parse`` NULL-on-mismatch semantics).
+    """
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.legacy.timeParserPolicy", "CORRECTED")
+    )
+    return builder.getOrCreate()
