@@ -63,7 +63,7 @@ def cond_if_case_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cast_suite",
     oracle="""
     SELECT o_orderkey,
-           CAST(o_totalprice AS BIGINT) AS price_int,
+           CAST(trunc(o_totalprice) AS BIGINT) AS price_int,
            CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec,
            CAST(o_totalprice AS VARCHAR) AS price_str,
            CAST(o_orderkey AS DOUBLE) AS key_dbl,

@@ -96,7 +96,7 @@ def date_arith_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id,
            strftime(ts, '%Y-%m-%d %H:%M:%S') AS fmt_full,
            strftime(ts, '%Y/%m') AS fmt_ym,
-           strftime(make_timestamp(CAST(epoch(ts) AS BIGINT) * 1000000), '%Y-%m-%d %H:%M:%S')
+           strftime(make_timestamp(CAST(floor(epoch(ts)) AS BIGINT) * 1000000), '%Y-%m-%d %H:%M:%S')
              AS from_unix_roundtrip,
            date_diff('day', TIMESTAMP '2024-01-01 00:00:00', ts) AS days_into_2024
     FROM events WHERE event_id <= 500

@@ -116,9 +116,9 @@ def math_trig_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            xor(p_size, 5) AS bxor,
            greatest(p_size, 25, 10) AS grt,
            least(p_size, 25, 10) AS lst,
-           CAST(p_size / 7 AS BIGINT) AS intdiv,
+           CAST(p_size // 7 AS BIGINT) AS intdiv,
            p_size % 7 AS modulo,
-           factorial(LEAST(p_size % 10, 9)) AS fact
+           factorial(CAST(LEAST(p_size % 10, 9) AS INTEGER)) AS fact
     FROM part WHERE p_partkey <= 300
     """,
     doc="bin/hex/shiftleft/shiftright/bitwise ops/greatest/least/div/mod/"

@@ -75,7 +75,7 @@ def str_basic_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey,
            regexp_extract(c_name, 'Customer#(\\d+)', 1) AS cust_digits,
-           regexp_replace(c_name, '0+', '0') AS squeezed,
+           regexp_replace(c_name, '0+', '0', 'g') AS squeezed,
            (c_name LIKE 'Customer#%') AS like_prefix,
            regexp_matches(c_name, '^Customer#0*1?\\d*$') AS rlike_m,
            CASE WHEN c_mktsegment = 'BUILDING' THEN 'b' ELSE 'x' END AS tag
@@ -115,8 +115,8 @@ def str_regex_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN 'FURNITURE' THEN 3 WHEN 'HOUSEHOLD' THEN 4
                 WHEN 'MACHINERY' THEN 5 ELSE 0 END AS seg_field,
            printf('%d-%s', c_custkey, c_mktsegment) AS fmt,
-           format('{:,.2f}', c_acctbal) AS fmt_num,
-           space(3) || c_mktsegment AS spaced
+           format('{:,}', c_custkey * 1000) || '.00' AS fmt_num,
+           repeat(' ', 3) || c_mktsegment AS spaced
     FROM customer WHERE c_custkey <= 200
     """,
     doc="levenshtein/translate/initcap/base64/md5/sha2/find_in_set/elt/field/"
@@ -137,12 +137,16 @@ def str_advanced_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2(F.col("c_name").cast("binary"), 256).alias("sha2_hex"),
         F.expr(f"find_in_set(c_mktsegment, '{segs}')").alias("fis"),
         F.expr("elt(2, 'a', 'b', 'c')").alias("elt2"),
+        # Hive field() (GenericUDFField) has no Spark builtin; array_position
+        # returns the 1-based index or 0 when absent — identical semantics.
         F.expr(
-            "field(c_mktsegment, 'AUTOMOBILE', 'BUILDING', 'FURNITURE', "
-            "'HOUSEHOLD', 'MACHINERY')"
+            "cast(array_position(array('AUTOMOBILE', 'BUILDING', 'FURNITURE', "
+            "'HOUSEHOLD', 'MACHINERY'), c_mktsegment) as int)"
         ).alias("seg_field"),
         F.format_string("%d-%s", "c_custkey", "c_mktsegment").alias("fmt"),
-        F.format_number("c_acctbal", 2).alias("fmt_num"),
+        # int input: avoids HALF_EVEN float edge cases that DuckDB's fmt-based
+        # format() cannot reproduce (no grouping for floats).
+        F.format_number(F.col("c_custkey") * 1000, 2).alias("fmt_num"),
         F.concat(F.lit("   "), F.col("c_mktsegment")).alias("spaced"),
     )
 

@@ -20,6 +20,27 @@ def davg(col: Column | str, alias: str, scale: int = 6) -> Column:
     return F.round(F.sum(c.cast(DEC)) / F.count(c), scale).cast("double").alias(alias)
 
 
+def dec(col: Column | str) -> Column:
+    """Cast a 2-dp-valued double column to exact decimal."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(DEC)
+
+
+def dsum_exact(col: Column, alias: str) -> Column:
+    """SUM of an already-exact decimal expression (no re-rounding), as double.
+
+    Use for products of dec() factors: casting each *factor* to decimal makes
+    the product exact in both engines, whereas casting a double *product*
+    rounds differently (Spark HALF_UP on the binary expansion vs DuckDB's
+    shortest-repr rounding) and diverges at the last decimal.
+    """
+    return F.sum(col).cast("double").alias(alias)
+
+
+def sql_dec(expr: str) -> str:
+    return f"CAST({expr} AS DECIMAL(18,2))"
+
+
 def sql_dsum(expr: str, alias: str) -> str:
     return f"CAST(SUM(CAST({expr} AS DECIMAL(18,2))) AS DOUBLE) AS {alias}"
 

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from apache_hive_1_2_2_src_spark.operators.helpers import dsum, sql_dsum
+from apache_hive_1_2_2_src_spark.operators.helpers import dec, dsum, dsum_exact, sql_dsum
 from apache_hive_1_2_2_src_spark.registry import register
 from apache_hive_1_2_2_src_spark.tables import load_table
 
@@ -211,7 +211,10 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
     GROUP BY n.n_name
-    """.format(rev=sql_dsum("l.l_extendedprice * (1 - l.l_discount)", "revenue")),
+    """.format(
+        rev="CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * "
+        "(1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue"
+    ),
     doc="N-way join chain (CommonJoinOperator multi-tag ≡ chained 2-way joins; "
     "Catalyst/CBO reorders). Fact⋈fact shuffles; dims broadcast.",
     tags=("join", "flagship"),
@@ -230,7 +233,9 @@ def join_three_way(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
             F.count(F.lit(1)).alias("n_lineitems"),
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            dsum_exact(
+                dec("l_extendedprice") * (F.lit(1) - dec("l_discount")), "revenue"
+            ),
         )
     )
 

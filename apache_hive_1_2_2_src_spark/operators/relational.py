@@ -26,7 +26,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from apache_hive_1_2_2_src_spark.operators.helpers import davg, dsum, sql_davg, sql_dsum
+from apache_hive_1_2_2_src_spark.operators.helpers import (
+    davg,
+    dec,
+    dsum,
+    dsum_exact,
+    sql_davg,
+    sql_dsum,
+)
 from apache_hive_1_2_2_src_spark.registry import register
 from apache_hive_1_2_2_src_spark.tables import load_table
 
@@ -52,9 +59,14 @@ from apache_hive_1_2_2_src_spark.tables import load_table
     """.format(
         sum_qty=sql_dsum("l_quantity", "sum_qty"),
         sum_base_price=sql_dsum("l_extendedprice", "sum_base_price"),
-        sum_disc_price=sql_dsum("l_extendedprice * (1 - l_discount)", "sum_disc_price"),
-        sum_charge=sql_dsum(
-            "l_extendedprice * (1 - l_discount) * (1 + l_tax)", "sum_charge"
+        sum_disc_price=(
+            "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+            "(1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price"
+        ),
+        sum_charge=(
+            "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+            "(1 - CAST(l_discount AS DECIMAL(18,2))) * "
+            "(1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge"
         ),
         avg_qty=sql_davg("l_quantity", "avg_qty"),
         avg_price=sql_davg("l_extendedprice", "avg_price"),
@@ -65,16 +77,19 @@ from apache_hive_1_2_2_src_spark.tables import load_table
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    # Cast each *factor* to exact decimal before multiplying: the product is
+    # then exact in both engines; casting the double product instead rounds
+    # engine-dependently at the last decimal (round-1 mismatch).
+    disc_price = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    charge = disc_price * (F.lit(1) + dec("l_tax"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum("l_quantity", "sum_qty"),
             dsum("l_extendedprice", "sum_base_price"),
-            dsum(disc_price, "sum_disc_price"),
-            dsum(charge, "sum_charge"),
+            dsum_exact(disc_price, "sum_disc_price"),
+            dsum_exact(charge, "sum_charge"),
             davg("l_quantity", "avg_qty"),
             davg("l_extendedprice", "avg_price"),
             davg("l_discount", "avg_disc"),

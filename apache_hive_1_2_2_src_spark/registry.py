@@ -49,30 +49,25 @@ def register(
     return deco
 
 
+# Every module that registers queries. Imported for side effects by
+# load_all(); each name here MUST exist (a missing module is a hard error,
+# not silently skipped — round 1 shipped phantom imports and lost the round).
+QUERY_MODULES = (
+    "apache_hive_1_2_2_src_spark.operators.aggregates",
+    "apache_hive_1_2_2_src_spark.operators.joins",
+    "apache_hive_1_2_2_src_spark.operators.relational",
+    "apache_hive_1_2_2_src_spark.operators.windows",
+    "apache_hive_1_2_2_src_spark.functions.scalar_conditional",
+    "apache_hive_1_2_2_src_spark.functions.scalar_datetime",
+    "apache_hive_1_2_2_src_spark.functions.scalar_math",
+    "apache_hive_1_2_2_src_spark.functions.scalar_string",
+)
+
+
 def load_all() -> dict[str, Query]:
     """Import every module that registers queries; return the full registry."""
-    # Imports are for their registration side effects.
-    from apache_hive_1_2_2_src_spark.operators import (  # noqa: F401
-        aggregates,
-        joins,
-        relational,
-        windows,
-    )
-    from apache_hive_1_2_2_src_spark.functions import (  # noqa: F401
-        generators,
-        scalar_collection,
-        scalar_conditional,
-        scalar_datetime,
-        scalar_math,
-        scalar_string,
-    )
-    from apache_hive_1_2_2_src_spark.sources import io  # noqa: F401
-    from apache_hive_1_2_2_src_spark.streaming import windows as stream_windows  # noqa: F401
-    from apache_hive_1_2_2_src_spark.extensions import (  # noqa: F401
-        dedup,
-        multimodal,
-        similarity,
-        text,
-    )
+    import importlib
 
+    for mod in QUERY_MODULES:
+        importlib.import_module(mod)
     return REGISTRY

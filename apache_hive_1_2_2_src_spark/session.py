@@ -58,5 +58,10 @@ def get_session(app_name: str = APP_NAME, *, shuffle_partitions: int | None = No
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.legacy.timeParserPolicy", "CORRECTED")
+        # testdata events.parquet stores ts as INT64 TIMESTAMP(NANOS), which
+        # Spark rejects by default ([PARQUET_TYPE_ILLEGAL]). Read the raw
+        # nanos long and convert in tables.load_table (truncate ns -> us,
+        # matching DuckDB's TIMESTAMP_NS -> TIMESTAMP read conversion).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     return builder.getOrCreate()
