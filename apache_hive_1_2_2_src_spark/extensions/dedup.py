@@ -1,0 +1,261 @@
+"""Deduplication operators for large-scale training-data pipelines
+(SURVEY.md §2.11 — BASELINE.json mandate; no reference analogue).
+
+Four strategies over the ``documents`` table, each expressed as pure
+DataFrame ops (no driver collects, no per-row Python UDFs):
+
+- **Exact** — group-by-content keep-first: one shuffle keyed by the content
+  hash. At 100 TB you group by ``xxhash64(text)`` (8-byte keys), not the
+  text itself, to keep shuffle volume ~|rows|×8B; here we group by text so
+  the DuckDB oracle is trivially expressible.
+- **N-gram Jaccard** — exact near-dup mining: distinct word-3-gram shingles
+  per doc → self-join on shingle → |A∩B| per pair → Jaccard. The join is
+  shuffle-on-shingle (inverted-index shape); frequent shingles are capped
+  (DF filter) to bound the worst key — the classic skew guard for this op.
+- **MinHash-LSH** — the scale path: k=16 min-hashes from seeded xxhash64,
+  grouped into 4 bands × 4 rows; docs sharing any band signature become
+  candidates; candidates are verified with exact Jaccard. No all-pairs
+  stage exists: cost is ~|docs|×k hashing + |bucket|² only within
+  collided buckets.
+- **SimHash** — 64-bit fingerprints from per-token hash bit votes;
+  near-dups = pairs within Hamming distance ≤ 12, blocked on 16-bit bands
+  (a pair at distance ≤ 12 must agree on ≥1 of 4 bands by pigeonhole).
+
+Spark hash fns (xxhash64) have no DuckDB twin, so the LSH/SimHash rows are
+[R] (rows-only); exact + Jaccard rows are [Q] with full oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from apache_hive_1_2_2_src_spark.registry import register
+from apache_hive_1_2_2_src_spark.tables import load_table
+
+_SQL_WORDS = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+
+def _words(col: str = "text") -> Column:
+    return F.filter(F.split(F.col(col), " "), lambda x: x != "")
+
+
+def _shingles(w: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a token array (codegen-side)."""
+    # sequence(a, b) with a > b counts DOWN in Spark — guard short docs.
+    idx = F.when(F.size(w) >= n, F.sequence(F.lit(0), F.size(w) - n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(w, i + F.lit(k + 1)) for k in range(n)]
+    )
+    return F.array_distinct(F.transform(idx, gram))
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    WITH amplified AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+    FROM amplified
+    GROUP BY text
+    """,
+    doc="Exact dedup, keep-lowest-id: group by content, min(doc_id) + copy "
+    "count. Input is amplified with a 10% duplicate overlay so the dedup "
+    "actually removes rows (testdata texts are all distinct). At 100 TB: "
+    "group by xxhash64(text) instead of text (8-byte shuffle keys).",
+    tags=("extension", "dedup"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return (
+        d.unionAll(dup)
+        .groupBy("text")
+        .agg(F.min("doc_id").alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("keeper_id", "n_copies")
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_SQL_WORDS} AS w FROM documents),
+    s AS (
+      SELECT doc_id, unnest(list_distinct(
+               list_transform(range(1, len(w) - 1),
+                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh
+      FROM d
+    ),
+    n AS (SELECT doc_id, COUNT(*) AS n_sh FROM s GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(n_common * 1.0 / (na.n_sh + nb.n_sh - n_common), 6) AS jaccard
+    FROM common
+    JOIN n na ON na.doc_id = doc_a
+    JOIN n nb ON nb.doc_id = doc_b
+    WHERE n_common * 1.0 / (na.n_sh + nb.n_sh - n_common) >= 0.8
+    """,
+    doc="Exact near-dup mining via word-3-gram Jaccard >= 0.8: inverted "
+    "index (explode distinct shingles) → self-join on shingle → "
+    "|A∩B| → Jaccard. The only shuffles are the explode-side groupBys "
+    "and the shingle join; no cartesian stage exists.",
+    tags=("extension", "dedup"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", _words().alias("w"))
+    s = d.select("doc_id", F.explode(_shingles(F.col("w"))).alias("sh"))
+    n = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = s.alias("a"), s.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    na, nb = n.alias("na"), n.alias("nb")
+    jac = F.col("n_common") / (F.col("na.n_sh") + F.col("nb.n_sh") - F.col("n_common"))
+    return (
+        common.join(na, F.col("doc_a") == F.col("na.doc_id"))
+        .join(nb, F.col("doc_b") == F.col("nb.doc_id"))
+        .filter(jac >= 0.8)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=None,  # xxhash64 has no DuckDB twin → rows-only
+    doc="MinHash-LSH near-dup candidates, verified: k=16 seeded-xxhash64 "
+    "min-hashes per doc → 4 bands × 4 hashes → groupBy(band, signature) "
+    "→ within-bucket pairs → exact-Jaccard verify >= 0.7. No all-pairs "
+    "join: complexity is |docs|·k + Σ|bucket|². The band groupBy is the "
+    "only wide shuffle; buckets are bounded by banding probability.",
+    tags=("extension", "dedup", "lsh"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k, bands = 16, 4
+    rows_per_band = k // bands
+    d = load_table(spark, sf_dir, "documents").select("doc_id", _words().alias("w"))
+    sh = d.select("doc_id", F.explode(_shingles(F.col("w"))).alias("sh"))
+    # k min-hashes per doc: min over xxhash64(shingle, seed_i).
+    minh = sh.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}") for i in range(k)]
+    )
+    # Band signatures: concat the band's hashes; explode (band_id, sig).
+    band_sigs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ":", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("sig"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = minh.select("doc_id", F.explode(band_sigs).alias("bs")).select(
+        "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
+    ba, bb = buckets.alias("ba"), buckets.alias("bb")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("ba.band") == F.col("bb.band"))
+            & (F.col("ba.sig") == F.col("bb.sig"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # Verify candidates with exact Jaccard (join back to shingle sets).
+    n = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa, sb = sh.alias("sa"), sh.alias("sb")
+    common = (
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            sb,
+            (F.col("doc_b") == F.col("sb.doc_id")) & (F.col("sa.sh") == F.col("sb.sh")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    na, nb = n.alias("na"), n.alias("nb")
+    jac = F.col("n_common") / (F.col("na.n_sh") + F.col("nb.n_sh") - F.col("n_common"))
+    return (
+        common.join(na, F.col("doc_a") == F.col("na.doc_id"))
+        .join(nb, F.col("doc_b") == F.col("nb.doc_id"))
+        .filter(jac >= 0.7)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,  # xxhash64-based fingerprint → rows-only
+    doc="SimHash near-dup: 64-bit fingerprint = sign of per-bit votes from "
+    "token xxhash64s; candidate pairs blocked on 4×16-bit bands "
+    "(Hamming ≤ 12 guarantees ≥ 1 identical band), verified with "
+    "bit_count(xor) ≤ 12. All bit math stays in codegen.",
+    tags=("extension", "dedup", "simhash"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", _words().alias("w"))
+    tok = d.select("doc_id", F.explode("w").alias("t")).withColumn("h", F.xxhash64("t"))
+    # Per-bit votes: +1 if bit set else -1; simhash bit b = majority vote.
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(64)
+        ]
+    )
+    bit = lambda b: F.when(F.col(f"v{b}") > 0, F.lit(1).cast("bigint")).otherwise(  # noqa: E731
+        F.lit(0).cast("bigint")
+    )
+    sim = votes.select(
+        "doc_id",
+        sum([F.shiftleft(bit(b), b) for b in range(1, 64)], bit(0)).alias("simhash"),
+    )
+    # Block on 16-bit bands of the fingerprint.
+    band = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+            )
+            for i in range(4)
+        ]
+    )
+    blocked = sim.select("doc_id", "simhash", F.explode(band).alias("b")).select(
+        "doc_id", "simhash", F.col("b.band").alias("band"), F.col("b.key").alias("key")
+    )
+    x, y = blocked.alias("x"), blocked.alias("y")
+    ham = F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash")))
+    return (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= 12)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1,0 +1,182 @@
+"""Similarity search over the ``embeddings`` table (SURVEY.md §2.11 —
+BASELINE.json mandate; no reference analogue).
+
+- **Brute-force cosine top-k** — the correctness baseline: a small query set
+  is broadcast against all candidates; cosine is computed entirely with
+  higher-order functions (zip_with product + aggregate sum — JVM codegen,
+  no Python in the loop); top-k per query via a window partitioned by
+  query id. At 100 TB the broadcast side stays small (queries), the
+  candidate scan is embarrassingly parallel, and the window shuffle is
+  keyed by query id — no skew (each query has exactly |candidates| rows).
+- **Sign-bit LSH ANN** — the scale path: an 8-bit bucket from the signs of
+  the first 8 dimensions (a fixed, data-independent hyperplane family);
+  candidates are compared only within their bucket, cutting the pair count
+  ~2^8 at the cost of recall. Same cosine kernel.
+- **Cosine near-dup threshold** — all-pairs ≥ τ via the same kernel; on the
+  synthetic data max pairwise cosine ≈ 0.51, so τ=0.4 yields a small,
+  verifiable set (the oracle computes identical double-precision math).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from apache_hive_1_2_2_src_spark.registry import register
+from apache_hive_1_2_2_src_spark.tables import load_table
+
+# Double-precision cosine between two array<float> cols, fully JVM-side.
+# Cast each element to double BEFORE multiplying so Spark and DuckDB run the
+# identical float32→float64 widening and left-to-right summation.
+
+
+def _dot(a: Column, b: Column) -> Column:
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _cos(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+_SQL_DOT = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+)
+
+
+def _sql_cos(a: str, b: str) -> str:
+    dot = _SQL_DOT.format(a=a, b=b)
+    na = _SQL_DOT.format(a=a, b=a)
+    nb = _SQL_DOT.format(a=b, b=b)
+    return f"({dot} / (sqrt({na}) * sqrt({nb})))"
+
+
+@register(
+    "similarity_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id, embedding FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             {_sql_cos("q.embedding", "c.embedding")} AS cos,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_sql_cos("q.embedding", "c.embedding")} DESC, c.vec_id
+             ) AS rk
+      FROM q JOIN c ON q.vec_id <> c.vec_id
+    )
+    SELECT query_id, cand_id, ROUND(cos, 6) AS cosine, rk
+    FROM scored WHERE rk <= 5
+    """,
+    doc="Brute-force cosine top-5 per query vector: broadcast query set × "
+    "candidate scan; zip_with/aggregate dot product (whole-stage codegen, "
+    "no UDF); row_number window per query id. The ANN baseline every "
+    "approximate method is measured against.",
+    tags=("extension", "similarity"),
+)
+def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = e.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce"))
+    from pyspark.sql.window import Window
+
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", _cos(F.col("qe"), F.col("ce")).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "cand_id", F.round("cos", 6).alias("cosine"), "rk")
+    )
+
+
+@register(
+    "similarity_cosine_threshold",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND({_sql_cos("a.embedding", "b.embedding")}, 6) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE {_sql_cos("a.embedding", "b.embedding")} >= 0.4
+    """,
+    doc="Embedding-cosine near-dup pairs (cos ≥ 0.4): the all-pairs exact "
+    "form — quadratic by construction, kept as the verification oracle for "
+    "the LSH path; at scale you run similarity_ann_lsh_signbits instead.",
+    tags=("extension", "similarity", "dedup"),
+)
+def similarity_cosine_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    cos = _cos(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .filter(cos >= 0.4)
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
+    )
+
+
+@register(
+    "similarity_ann_lsh_signbits",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding,
+             list_transform(embedding[1:8],
+                            x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END) AS bits
+      FROM embeddings
+    ),
+    b AS (SELECT vec_id, embedding, array_to_string(bits, '') AS bucket FROM e),
+    scored AS (
+      SELECT x.bucket AS bucket, x.vec_id AS vec_a, y.vec_id AS vec_b,
+             {_sql_cos("x.embedding", "y.embedding")} AS cos
+      FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+    ),
+    ranked AS (
+      SELECT bucket, vec_a, vec_b, ROUND(cos, 6) AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY cos DESC, vec_a, vec_b) AS rk
+      FROM scored
+    )
+    SELECT bucket, vec_a, vec_b, cosine, rk FROM ranked WHERE rk <= 3
+    """,
+    doc="LSH-bucketed ANN: 8-bit sign bucket from the first 8 dims (fixed "
+    "axis-aligned hyperplanes — deterministic, data-independent), pairwise "
+    "cosine only within buckets, top-3 per bucket. ~2^8 fewer pairs than "
+    "all-pairs; the bucket groupBy is the only shuffle.",
+    tags=("extension", "similarity", "lsh"),
+)
+def similarity_ann_lsh_signbits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    bucket = F.array_join(
+        F.transform(
+            F.slice("embedding", 1, 8), lambda x: F.when(x >= 0, F.lit("1")).otherwise(F.lit("0"))
+        ),
+        "",
+    )
+    b = e.select("vec_id", "embedding", bucket.alias("bucket"))
+    x = b.select(
+        F.col("bucket"), F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
+    )
+    y = b.select(
+        F.col("bucket").alias("bucket_y"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+    )
+    cos = _cos(F.col("ea"), F.col("eb"))
+    scored = (
+        x.join(y, (F.col("bucket") == F.col("bucket_y")) & (F.col("vec_a") < F.col("vec_b")))
+        .select("bucket", "vec_a", "vec_b", cos.alias("cos"))
+    )
+    w = Window.partitionBy("bucket").orderBy(F.col("cos").desc(), F.col("vec_a"), F.col("vec_b"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("bucket", "vec_a", "vec_b", F.round("cos", 6).alias("cosine"), "rk")
+    )

@@ -1,0 +1,310 @@
+"""Text analysis for training-data pipelines over ``documents``
+(SURVEY.md §2.11 — BASELINE.json mandate; plus the one Hive aggregate family
+that needs custom DataFrame code: ngrams/context_ngrams,
+``ql/udf/generic/GenericUDAFnGrams.java`` / ``GenericUDAFContextNGrams.java``).
+
+Everything is built-in-function DataFrame code (split / regexp / higher-order
+fns — whole-stage codegen); there is no Python in any hot path. Each op is a
+per-row map (no shuffle) except the corpus-level aggs, which shuffle only
+~|vocab| or ~|groups| rows after map-side partials — the shapes that survive
+a 100 TB corpus unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from apache_hive_1_2_2_src_spark.registry import register
+from apache_hive_1_2_2_src_spark.tables import load_table
+
+_SQL_WORDS = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+# Tiny per-language stopword lists for the n-gram-heuristic language id.
+# (The testdata vocabulary is synthetic English-ish; the heuristic's value is
+# the *query shape* — per-language token-hit scoring + argmax — not the lists.)
+_STOP = {
+    "en": ("the", "a", "and", "of", "to"),
+    "fr": ("le", "la", "et", "de", "un"),
+    "es": ("el", "la", "y", "de", "un"),
+    "de": ("der", "die", "und", "das", "ein"),
+}
+
+
+def _words(col: str = "text") -> Column:
+    return F.filter(F.split(F.col(col), " "), lambda x: x != "")
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, lang, n_chars, {_SQL_WORDS} AS w FROM documents)
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(len(w)) AS total_tokens,
+           CAST(ROUND(SUM(len(w)) * 1.0 / COUNT(*), 6) AS DOUBLE) AS avg_tokens,
+           CAST(ROUND(SUM(list_sum(list_transform(w, x -> len(x))) * 1.0 / len(w))
+                      / COUNT(*), 6) AS DOUBLE) AS avg_token_len,
+           MAX(n_chars) AS max_chars
+    FROM d
+    GROUP BY lang
+    """,
+    doc="Corpus token statistics per language: token counting (whitespace "
+    "tokenizer), mean tokens/doc, mean token length. One groupBy(lang) "
+    "shuffle of ~|langs| rows after map-side partials.",
+    tags=("extension", "text"),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", _words().alias("w")
+    )
+    tok_len_sum = F.aggregate(
+        F.transform("w", lambda x: F.length(x).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    d = d.withColumn("n_tok", F.size("w")).withColumn(
+        "mean_tok_len", tok_len_sum * 1.0 / F.col("n_tok")
+    )
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.round(F.sum("n_tok") * 1.0 / F.count(F.lit(1)), 6).alias("avg_tokens"),
+        F.round(F.sum("mean_tok_len") / F.count(F.lit(1)), 6).alias("avg_token_len"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, n_chars, {_SQL_WORDS} AS w,
+             len(regexp_extract_all(text, '[a-z]+')) AS n_alpha_runs,
+             len(list_filter({_SQL_WORDS},
+                             x -> list_contains(['the','a','and','of','to'], x)))
+               AS n_stop
+      FROM documents
+    )
+    SELECT doc_id,
+           len(w) AS n_tokens,
+           n_stop,
+           CAST(ROUND(n_stop * 1.0 / len(w), 6) AS DOUBLE) AS stopword_ratio,
+           CAST(ROUND(n_chars * 1.0 / len(w), 6) AS DOUBLE) AS chars_per_token,
+           CASE WHEN len(w) >= 20 AND n_stop * 1.0 / len(w) BETWEEN 0.05 AND 0.6
+                THEN 1 ELSE 0 END AS quality_keep
+    FROM d
+    """,
+    doc="Per-document quality scoring: length, stopword ratio, chars/token, "
+    "and a keep/drop gate — the C4/Gopher-style heuristic filter shape. "
+    "Pure per-row map; scales linearly, no shuffle.",
+    tags=("extension", "text"),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", "text", _words().alias("w")
+    )
+    stop = list(_STOP["en"])
+    n_stop = F.size(F.filter("w", lambda x: x.isin(stop)))
+    n_tok = F.size("w")
+    ratio = n_stop * 1.0 / n_tok
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_stop.alias("n_stop"),
+        F.round(ratio, 6).alias("stopword_ratio"),
+        F.round(F.col("n_chars") * 1.0 / n_tok, 6).alias("chars_per_token"),
+        F.when((n_tok >= 20) & ratio.between(0.05, 0.6), 1).otherwise(0).alias("quality_keep"),
+    )
+
+
+def _sql_lang_score(lang: str) -> str:
+    lits = ",".join(f"'{s}'" for s in _STOP[lang])
+    return f"len(list_filter({_SQL_WORDS}, x -> list_contains([{lits}], x)))"
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang AS actual_lang,
+             {_sql_lang_score("en")} AS s_en,
+             {_sql_lang_score("fr")} AS s_fr,
+             {_sql_lang_score("es")} AS s_es,
+             {_sql_lang_score("de")} AS s_de
+      FROM documents
+    )
+    SELECT doc_id, actual_lang,
+           CASE WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de THEN 'en'
+                WHEN s_fr >= s_es AND s_fr >= s_de THEN 'fr'
+                WHEN s_es >= s_de THEN 'es'
+                ELSE 'de' END AS predicted_lang,
+           s_en, s_fr, s_es, s_de
+    FROM scored
+    """,
+    doc="Language id via stopword-hit scoring + deterministic argmax "
+    "(ties break toward en>fr>es>de). The n-gram-heuristic shape: per-row "
+    "token-set intersection against per-language lexicons, no shuffle.",
+    tags=("extension", "text"),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("lang").alias("actual_lang"), _words().alias("w")
+    )
+    def _hits(stops: tuple[str, ...]):
+        # NB: the element lambda must be unary — a second (defaulted) param
+        # makes PySpark pass the positional index column into it.
+        return F.size(F.filter("w", lambda x: x.isin(*stops)))
+
+    score = {lang: _hits(stops) for lang, stops in _STOP.items()}
+    d = d.select(
+        "doc_id",
+        "actual_lang",
+        score["en"].alias("s_en"),
+        score["fr"].alias("s_fr"),
+        score["es"].alias("s_es"),
+        score["de"].alias("s_de"),
+    )
+    pred = (
+        F.when(
+            (F.col("s_en") >= F.col("s_fr"))
+            & (F.col("s_en") >= F.col("s_es"))
+            & (F.col("s_en") >= F.col("s_de")),
+            "en",
+        )
+        .when((F.col("s_fr") >= F.col("s_es")) & (F.col("s_fr") >= F.col("s_de")), "fr")
+        .when(F.col("s_es") >= F.col("s_de"), "es")
+        .otherwise("de")
+    )
+    return d.select(
+        "doc_id", "actual_lang", pred.alias("predicted_lang"), "s_en", "s_fr", "s_es", "s_de"
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+           length(text) AS raw_len
+    FROM documents
+    """,
+    doc="Document fingerprinting: md5 over whitespace-normalized lowercased "
+    "text — the canonical content-addressable dedup key (cheaper than "
+    "storing text; the 100 TB exact-dedup groupBy key).",
+    tags=("extension", "text"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    return d.select(
+        "doc_id", F.md5(norm).alias("fp"), F.length("text").alias("raw_len")
+    )
+
+
+@register(
+    "text_ngrams_top",
+    oracle=f"""
+    WITH d AS (SELECT {_SQL_WORDS} AS w FROM documents),
+    grams AS (
+      SELECT unnest(list_transform(range(1, len(w)),
+                                   i -> w[i] || ' ' || w[i+1])) AS bigram
+      FROM d
+    )
+    SELECT bigram, COUNT(*) AS n
+    FROM grams
+    GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 25
+    """,
+    doc="ngrams(tokens, 2, k): corpus top-25 bigrams — the Hive UDAF "
+    "(GenericUDAFnGrams.java) re-expressed as transform+explode+groupBy+"
+    "top-k; partial aggregation caps the shuffle at ~|distinct bigrams|.",
+    tags=("extension", "text", "ngrams"),
+)
+def text_ngrams_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(_words().alias("w"))
+    idx = F.when(F.size("w") >= 2, F.sequence(F.lit(0), F.size("w") - 2)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.element_at(F.col("w"), i + F.lit(1)), F.element_at(F.col("w"), i + F.lit(2))
+        ),
+    )
+    return (
+        d.select(F.explode(grams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram"))
+        .limit(25)
+    )
+
+
+@register(
+    "text_context_ngrams",
+    oracle=f"""
+    WITH d AS (SELECT {_SQL_WORDS} AS w FROM documents),
+    grams AS (
+      SELECT unnest(list_transform(range(1, len(w)),
+                                   i -> CASE WHEN w[i] = 'data' THEN w[i+1] END)) AS nxt
+      FROM d
+    )
+    SELECT nxt AS follower, COUNT(*) AS n
+    FROM grams
+    WHERE nxt IS NOT NULL
+    GROUP BY nxt
+    ORDER BY n DESC, follower
+    LIMIT 15
+    """,
+    doc="context_ngrams(tokens, ['data', NULL], k): top followers of a "
+    "context word (GenericUDAFContextNGrams.java) — the NULL slot becomes "
+    "a conditional transform + explode + top-k.",
+    tags=("extension", "text", "ngrams"),
+)
+def text_context_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(_words().alias("w"))
+    idx = F.when(F.size("w") >= 2, F.sequence(F.lit(0), F.size("w") - 2)).otherwise(
+        F.array().cast("array<int>")
+    )
+    nxt = F.transform(
+        idx,
+        lambda i: F.when(
+            F.element_at(F.col("w"), i + F.lit(1)) == "data",
+            F.element_at(F.col("w"), i + F.lit(2)),
+        ),
+    )
+    return (
+        d.select(F.explode(nxt).alias("follower"))
+        .filter(F.col("follower").isNotNull())
+        .groupBy("follower")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("follower"))
+        .limit(15)
+    )
+
+
+@register(
+    "text_token_count_regex",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))
+             AS n_bpe_ish_tokens,
+           len(regexp_extract_all(text, '[0-9]+')) AS n_numbers
+    FROM documents
+    WHERE doc_id < 250
+    """,
+    doc="BPE-ish regex token counting (alpha runs | digit runs | single "
+    "punctuation) — the pre-tokenizer count used for corpus budgeting; "
+    "regexp_extract_all stays JVM-side.",
+    tags=("extension", "text"),
+)
+def text_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+    pat = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(pat), 0)).alias("n_bpe_ish_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[0-9]+"), 0)).alias("n_numbers"),
+    )

@@ -1,0 +1,262 @@
+"""Sources & sinks: CSV/text, ORC, JSON, partitioned / dynamic-partition /
+bucketed writes (SURVEY.md §2.2).
+
+Hive parity targets:
+- Text/CSV: ``serde2/lazy/LazySimpleSerDe.java`` (delimited text, the Hive
+  default STORED AS TEXTFILE) → ``spark.read.csv`` with explicit schema
+  (schema-on-read; badly-typed cells → NULL, PERMISSIVE mode = Hive's
+  LazyPrimitive.parse NULL-on-mismatch).
+- ORC: ``ql/io/orc/`` (WriterImpl.java, RecordReaderImpl.java, SARG pushdown
+  via ql/io/sarg/SearchArgumentImpl.java) → ``spark.read.orc`` — Spark's
+  native vectorized ORC reader with predicate pushdown.
+- JSON: ``hcatalog/.../JsonSerDe.java`` → ``spark.read.json``.
+- Partitioned write + pruning: ``FileSinkOperator.getDynOutPaths`` +
+  ``ql/optimizer/ppr/PartitionPruner.java`` → ``df.write.partitionBy`` and
+  Spark partition discovery/pruning (directory-per-value layout is
+  identical to Hive's).
+- Dynamic partition overwrite: ``hive.exec.dynamic.partition.mode`` →
+  ``spark.sql.sources.partitionOverwriteMode=dynamic``.
+- Bucketed sorted output: ``SemanticAnalyzer.genBucketingSortingDest`` →
+  ``bucketBy(N, c).sortBy(c)`` (Spark hash ≠ Hive hash; layouts must not be
+  mixed — SURVEY.md §1.1).
+
+Roundtrips write to a session temp dir and re-read; the declared oracle runs
+against the ORIGINAL parquet table, so a roundtrip is only green when the
+format preserves values exactly (timestamps pinned UTC, doubles at full
+precision via Spark's default round-trip formatting).
+
+Scale notes: every writer here partitions by a column a 100 TB pipeline
+would really partition by (status/date); reads prune to a single partition
+directory (PartitionFilters in .explain), which is the Hive partition-pruner
+behavior Catalyst gives for free.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from apache_hive_1_2_2_src_spark.operators.helpers import dsum, sql_dsum
+from apache_hive_1_2_2_src_spark.registry import register
+from apache_hive_1_2_2_src_spark.tables import load_table
+
+_TMP_ROOT: str | None = None
+
+
+def _tmp(sub: str) -> str:
+    """Session-stable temp dir (one mkdtemp per process, subdir per query)."""
+    global _TMP_ROOT
+    if _TMP_ROOT is None:
+        _TMP_ROOT = tempfile.mkdtemp(prefix="hive_spark_io_")
+    path = os.path.join(_TMP_ROOT, sub)
+    return path
+
+
+_ORDERS_AGG_ORACLE = """
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           {sum_price},
+           MIN(o_orderkey) AS min_key,
+           MAX(o_orderkey) AS max_key
+    FROM orders
+    GROUP BY o_orderstatus
+""".format(sum_price=sql_dsum("o_totalprice", "sum_price"))
+
+
+def _orders_agg(df: DataFrame) -> DataFrame:
+    return df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("o_totalprice", "sum_price"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+@register(
+    "csv_roundtrip_agg",
+    oracle=_ORDERS_AGG_ORACLE,
+    doc="CSV write + schema-on-read back (LazySimpleSerDe.java / STORED AS "
+    "TEXTFILE): values must survive the text roundtrip exactly; dates as "
+    "ISO strings, doubles at full precision.",
+    tags=("source", "csv"),
+)
+def csv_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    path = _tmp("csv_orders")
+    o.write.mode("overwrite").option("header", "true").csv(path)
+    back = spark.read.csv(
+        path,
+        header=True,
+        schema="o_orderkey bigint, o_custkey bigint, o_orderstatus string, o_totalprice double",
+    )
+    return _orders_agg(back)
+
+
+@register(
+    "orc_roundtrip_agg",
+    oracle=_ORDERS_AGG_ORACLE,
+    doc="ORC write + vectorized read with SARG pushdown (ql/io/orc/ "
+    "WriterImpl.java / RecordReaderImpl.java — ORC was Hive 1.2's flagship "
+    "format; Spark's native orc reader replaces ~30k LoC).",
+    tags=("source", "orc"),
+)
+def orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    path = _tmp("orc_orders")
+    o.write.mode("overwrite").orc(path)
+    return _orders_agg(spark.read.orc(path))
+
+
+@register(
+    "json_roundtrip_agg",
+    oracle=_ORDERS_AGG_ORACLE,
+    doc="JSON-lines write + read with explicit schema (hcatalog JsonSerDe.java "
+    "→ spark.read.json; schema given to skip inference scan at scale).",
+    tags=("source", "json"),
+)
+def json_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    path = _tmp("json_orders")
+    o.write.mode("overwrite").json(path)
+    back = spark.read.json(
+        path,
+        schema="o_orderkey bigint, o_custkey bigint, o_orderstatus string, o_totalprice double",
+    )
+    return _orders_agg(back)
+
+
+@register(
+    "text_delimited_read",
+    oracle="""
+    SELECT n_nationkey, upper(n_name) AS name_up, n_regionkey
+    FROM nation
+    """,
+    doc="Delimited-text read: the LazySimpleSerDe '|'-delimited path — write "
+    "as single text column, read back with sep + schema (schema-on-read).",
+    tags=("source", "csv"),
+)
+def text_delimited_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    path = _tmp("txt_nation")
+    n.select(
+        F.concat_ws("|", F.col("n_nationkey"), F.col("n_name"), F.col("n_regionkey")).alias("value")
+    ).write.mode("overwrite").text(path)
+    back = spark.read.csv(
+        path, sep="|", schema="n_nationkey bigint, n_name string, n_regionkey bigint"
+    )
+    return back.select("n_nationkey", F.upper("n_name").alias("name_up"), "n_regionkey")
+
+
+@register(
+    "partitioned_write_prune",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           {sum_price}
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """.format(sum_price=sql_dsum("o_totalprice", "sum_price")),
+    doc="partitionBy(o_orderstatus) write + pruned read-back: the filter hits "
+    "PartitionFilters (directory pruning), reading only the F partition — "
+    "Hive's PartitionPruner.java semantics on the identical dir layout.",
+    tags=("sink", "partition"),
+)
+def partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    path = _tmp("part_orders")
+    o.select("o_orderkey", "o_totalprice", "o_orderpriority", "o_orderstatus").write.mode(
+        "overwrite"
+    ).partitionBy("o_orderstatus").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "sum_price")
+    )
+
+
+@register(
+    "dynamic_partition_overwrite",
+    oracle=None,  # multi-step write-path state; rows-only
+    doc="Dynamic-partition INSERT OVERWRITE (FileSinkOperator.getDynOutPaths, "
+    "hive.exec.dynamic.partition.mode=nonstrict): overwrite only the "
+    "partitions present in the incoming data, leave others intact. "
+    "Verified by re-reading: the O partition is replaced (halved), F/P "
+    "retain original counts.",
+    tags=("sink", "partition"),
+)
+def dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    path = _tmp("dynpart_orders")
+    cols = ["o_orderkey", "o_totalprice", "o_orderstatus"]
+    o.select(*cols).write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        # Overwrite ONLY the 'O' partition with its even-keyed half.
+        (
+            o.filter((F.col("o_orderstatus") == "O") & (F.col("o_orderkey") % 2 == 0))
+            .select(*cols)
+            .write.mode("overwrite")
+            .partitionBy("o_orderstatus")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    back = spark.read.parquet(path)
+    return back.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n")).orderBy("o_orderstatus")
+
+
+@register(
+    "bucketed_smb_join",
+    oracle="""
+    SELECT c.c_nationkey AS nk,
+           COUNT(*) AS n_orders,
+           {sum_price}
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_nationkey
+    """.format(sum_price=sql_dsum("o_totalprice", "sum_price")),
+    doc="Bucketed-sorted tables + shuffle-free sort-merge join "
+    "(genBucketingSortingDest + SMBMapJoinOperator.java): both sides "
+    "bucketBy(8, key).sortBy(key) into the warehouse; the join plan has NO "
+    "Exchange on the bucketed keys — at 100 TB this is the difference "
+    "between reshuffling both fact tables per query and none.",
+    tags=("sink", "bucket", "join"),
+)
+def bucketed_smb_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").removeprefix("file:")
+    for tbl in ("bkt_orders", "bkt_customer"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(os.path.join(warehouse, tbl), ignore_errors=True)
+    (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.mode("overwrite")
+        .bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .saveAsTable("bkt_orders")
+    )
+    (
+        c.select("c_custkey", "c_nationkey")
+        .write.mode("overwrite")
+        .bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .saveAsTable("bkt_customer")
+    )
+    bo, bc = spark.table("bkt_orders"), spark.table("bkt_customer")
+    return (
+        bo.join(bc, bo.o_custkey == bc.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "sum_price"))
+    )

@@ -1,0 +1,182 @@
+"""Time-window aggregation over the events table + Structured Streaming
+ingest (SURVEY.md §2.10).
+
+The reference has NO streaming query engine — its only streaming artifact is
+transactional micro-batch ingest (``hcatalog/streaming/.../HiveEndPoint.java``,
+``TransactionBatch.java``: open txn batch → write rows → commit → rows visible
+to later batch queries). Parity = Structured Streaming file source →
+``writeStream`` parquet sink with checkpointing (streaming_ingest_demo below).
+
+Tumbling/sliding/session windows are net-new Spark capability beyond the
+reference (clearly labeled as such), declared [Q] because their batch forms
+are SQL-expressible for the DuckDB oracle via date_trunc arithmetic.
+
+Scale notes: window(ts, ...) is an ordinary groupBy on a derived column —
+one shuffle of ~|windows × event_types| rows after map-side partial agg. The
+session window uses Spark's built-in session_window (state-store-backed when
+streaming; a sort-based agg in batch). Nothing here collects to the driver.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from apache_hive_1_2_2_src_spark.operators.helpers import dsum, sql_dsum
+from apache_hive_1_2_2_src_spark.registry import register
+from apache_hive_1_2_2_src_spark.tables import load_table
+
+
+@register(
+    "window_tumbling_agg",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS win_start,
+           event_type,
+           COUNT(*) AS n,
+           {sum_value}
+    FROM events
+    GROUP BY 1, 2
+    """.format(sum_value=sql_dsum("value", "sum_value")),
+    doc="Tumbling 1-hour window agg over events.ts — window() is a derived "
+    "groupBy column; Hive 1.2 users hand-wrote the same with "
+    "floor(unix_timestamp/3600) (no window syntax existed).",
+    tags=("streaming", "window"),
+)
+def window_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
+        .select(
+            F.col("w.start").cast("string").alias("win_start"), "event_type", "n", "sum_value"
+        )
+    )
+
+
+@register(
+    "window_sliding_agg",
+    oracle="""
+    WITH contrib AS (
+      SELECT unnest([date_trunc('hour', ts),
+                     date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws,
+             value
+      FROM events
+    )
+    SELECT CAST(ws AS VARCHAR) AS win_start, COUNT(*) AS n, {sum_value}
+    FROM contrib
+    GROUP BY win_start
+    """.format(sum_value=sql_dsum("value", "sum_value")),
+    doc="Sliding window (2h length, 1h slide): each event contributes to 2 "
+    "windows; Spark's window() expands rows exactly like the oracle's "
+    "2-element unnest.",
+    tags=("streaming", "window"),
+)
+def window_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
+        .select(F.col("w.start").cast("string").alias("win_start"), "n", "sum_value")
+    )
+
+
+@register(
+    "window_session_agg",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gaps
+    )
+    SELECT user_id,
+           CAST(MIN(ts) AS VARCHAR) AS session_start,
+           COUNT(*) AS n_events,
+           {sum_value}
+    FROM sessions
+    GROUP BY user_id, session_id
+    """.format(sum_value=sql_dsum("value", "sum_value")),
+    doc="Session window (30-min gap) per user — Spark session_window() merges "
+    "events closer than the gap; the oracle rebuilds sessions with the "
+    "classic lag+cumsum idiom. session_window.start == MIN(ts).",
+    tags=("streaming", "window", "session"),
+)
+def window_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("string").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "streaming_ingest_demo",
+    oracle=None,  # streaming write-path state; rows-only check
+    doc="Structured Streaming ingest parity with hcatalog-streaming "
+    "(HiveEndPoint.java / TransactionBatch.java): file-source readStream "
+    "over the events parquet → writeStream parquet sink + checkpoint "
+    "(trigger=availableNow processes all data then stops, like draining "
+    "txn batches); the sink is then queried as an ordinary batch table — "
+    "exactly Hive's ingest-then-query model with exactly-once semantics "
+    "from the checkpoint instead of ACID txn ids.",
+    tags=("streaming", "ingest"),
+)
+def streaming_ingest_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    base = tempfile.mkdtemp(prefix="hive_spark_stream_")
+    sink, ckpt = os.path.join(base, "sink"), os.path.join(base, "ckpt")
+    # File streams need a DIRECTORY of arriving files; stage the events
+    # parquet into one (the micro-batch "txn batch" being committed).
+    inbox = os.path.join(base, "inbox")
+    os.makedirs(inbox)
+    src = f"{sf_dir}/events.parquet"
+    if os.path.isdir(src):
+        for f in os.listdir(src):
+            if f.endswith(".parquet"):
+                shutil.copy(os.path.join(src, f), inbox)
+    else:
+        shutil.copy(src, inbox)
+    # File streams need an explicit schema; with nanosAsLong (session.py) the
+    # raw parquet ts column arrives as a nanos bigint — convert like
+    # tables.load_table does.
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts bigint, user_id bigint, "
+            "event_type string, value double, props string"
+        )
+        .parquet(inbox)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withColumn("ingest_batch", F.spark_partition_id())
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    back = spark.read.parquet(sink)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("ts").cast("date").alias("first_day"),
+    )

@@ -1,0 +1,72 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+
+    {"metric": "headline_suite_sec", "value": N, "unit": "sec",
+     "queries": {"q1_pricing_summary": s, ...}, "sf": 0.1}
+
+Each query is executed to completion with a count() action (no driver
+collect of payload rows). q1 runs twice — cold (first Spark action of the
+session, includes scan+codegen warmup) and warm — mirroring BASELINE.md's
+cold/warm rows.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from apache_hive_1_2_2_src_spark.registry import load_all
+from apache_hive_1_2_2_src_spark.session import get_session
+
+HEADLINE = (
+    "q1_pricing_summary",  # flagship: filter+groupBy+7 aggs+sort
+    "join_three_way",  # customer ⋈ orders ⋈ lineitem + agg
+    "window_row_number_topk",  # top-3 orders per customer
+    "similarity_cosine_topk",  # brute-force cosine 5×N (extension)
+    "dedup_minhash_lsh",  # MinHash-LSH near-dup (extension)
+    "window_tumbling_agg",  # 1h tumbling window over events
+    "lateral_view_word_count",  # explode + top-k agg over documents
+)
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    spark = get_session("bench")
+    reg = load_all()
+
+    times: dict[str, float] = {}
+
+    def run(name: str, label: str | None = None) -> None:
+        t0 = time.time()
+        reg[name].build(spark, sf_dir).count()
+        times[label or name] = round(time.time() - t0, 3)
+
+    run("q1_pricing_summary")  # cold: includes session/scan warmup
+    run("q1_pricing_summary", "q1_pricing_summary_warm")
+    for name in HEADLINE[1:]:
+        run(name)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_sec",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

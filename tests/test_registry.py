@@ -1,0 +1,40 @@
+"""Registry + driver-contract invariants (would have caught round 1's
+phantom-import failure)."""
+
+from __future__ import annotations
+
+import importlib
+
+from apache_hive_1_2_2_src_spark.registry import QUERY_MODULES
+
+
+def test_all_query_modules_import():
+    for mod in QUERY_MODULES:
+        importlib.import_module(mod)
+
+
+def test_registry_nonempty_and_named(registry):
+    assert len(registry) >= 100
+    for name, q in registry.items():
+        assert q.name == name
+        assert callable(q.build)
+        assert q.oracle is None or isinstance(q.oracle, str)
+
+
+def test_driver_contract_views(registry):
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    assert set(qs) == set(registry)
+    assert set(oracles) == {n for n, q in registry.items() if q.oracle is not None}
+    # The correctness gate: a healthy majority of queries must be oracled.
+    assert len(oracles) >= 0.7 * len(qs)
+
+
+def test_entry_returns_rows(spark):
+    import __spark_entry__ as entry
+
+    df = entry.entry(spark)
+    assert df.count() > 0
+    assert len(df.schema) > 0
