@@ -1,0 +1,210 @@
+"""UDF/UDTF/script extensibility surface + leftover misc functions
+(SURVEY.md §2.9, §2.8 type/misc).
+
+Hive parity targets:
+- Custom scalar UDF (``ql/exec/UDF.java`` / ``GenericUDF.java`` +
+  ``CREATE TEMPORARY FUNCTION``, ``FunctionTask.java``) → a registered
+  ``pandas_udf``: Arrow-vectorized batches, the Spark-native answer to
+  Hive's row-at-a-time ``evaluate()`` calls (~10-100× less Python overhead
+  than plain ``udf``).
+- ``TRANSFORM ... USING 'script'`` (``ql/exec/ScriptOperator.java``, ~700
+  LoC of subprocess piping) → ``mapInPandas``: the rows-through-user-code
+  contract without process-per-task overhead.
+- Named windows (``WINDOW w AS (...)``, ``ql/parse/WindowingSpec`` aliases)
+  → Spark SQL WINDOW clause, verbatim syntax.
+- ``sentences()`` (``GenericUDFSentences.java``) — text → array<array<
+  string>>; no DuckDB twin → rows-only.
+- xpath family (``ql/udf/xml/*.java``) — Spark keeps the same names;
+  no DuckDB twin → rows-only.
+- ``hash()`` (``GenericUDFHash`` — Hive's Java hash ≠ Spark murmur3) and
+  ``crc32`` — engine-specific values → rows-only.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from apache_hive_1_2_2_src_spark.registry import register
+from apache_hive_1_2_2_src_spark.tables import load_table
+
+
+@register(
+    "udf_pandas_scalar_demo",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(floor((o_totalprice * 0.07 +
+                       CASE WHEN o_orderpriority LIKE '1%' THEN 5.0 ELSE 0.0 END)
+                      * 100 + 0.5) / 100 AS DOUBLE) AS fee
+    FROM orders
+    WHERE o_orderkey < 2000
+    """,
+    doc="CREATE TEMPORARY FUNCTION parity: a custom scalar fn as an Arrow-"
+    "vectorized pandas_udf (UDF.java / GenericUDF.evaluate → batched "
+    "numpy math). Deterministic, so fully oracled — the [Q] proof that "
+    "custom Python kernels can still be verified.",
+    tags=("udf", "pandas_udf"),
+)
+def udf_pandas_scalar_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @pandas_udf("double")
+    def fee(price: pd.Series, priority: pd.Series) -> pd.Series:
+        import numpy as np
+
+        raw = price * 0.07 + priority.str.startswith("1") * 5.0
+        # Half-up on the identical double math as the oracle (pandas .round
+        # is banker's rounding — diverges on exact .xx5 values).
+        return np.floor(raw * 100 + 0.5) / 100
+
+    spark.udf.register("order_fee", fee)  # CREATE TEMPORARY FUNCTION analogue
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    return o.select("o_orderkey", fee("o_totalprice", "o_orderpriority").alias("fee"))
+
+
+@register(
+    "script_transform_mapinpandas",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_mktsegment) AS seg,
+           CAST(ROUND(c_acctbal * 2.0, 2) AS DOUBLE) AS doubled
+    FROM customer
+    WHERE c_custkey <= 500
+    """,
+    doc="TRANSFORM ... USING 'script' (ScriptOperator.java) re-expressed as "
+    "mapInPandas: rows stream through user Python per Arrow batch — same "
+    "contract as Hive's stdin/stdout script piping, minus the subprocess. "
+    "Deterministic transform → fully oracled.",
+    tags=("udf", "transform"),
+)
+def script_transform_mapinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 500)
+    c = c.select("c_custkey", "c_mktsegment", "c_acctbal")
+
+    def transform(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "c_custkey": pdf["c_custkey"],
+                    "seg": pdf["c_mktsegment"].str.upper(),
+                    "doubled": (pdf["c_acctbal"] * 2.0).round(2),
+                }
+            )
+
+    return c.mapInPandas(transform, "c_custkey bigint, seg string, doubled double")
+
+
+@register(
+    "window_named_sql",
+    oracle="""
+    SELECT s_suppkey,
+           RANK() OVER w AS rk,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) OVER w AS DOUBLE) AS run_bal
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+    """,
+    doc="Named windows (WINDOW w AS ...; WindowingSpec aliases) — Spark SQL "
+    "keeps the exact HiveQL syntax; one window definition shared by "
+    "multiple functions compiles to a single Window exec.",
+    tags=("window", "sql"),
+)
+def window_named_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier_v")
+    return spark.sql(
+        """
+        SELECT s_suppkey,
+               RANK() OVER w AS rk,
+               CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) OVER w AS DOUBLE) AS run_bal
+        FROM supplier_v
+        WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+        """
+    )
+
+
+@register(
+    "regex_serde_read",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM nation
+    """,
+    doc="RegexSerDe (contrib/.../RegexSerDe.java): raw text lines parsed "
+    "into columns with regexp_extract at read time — write '|'-delimited "
+    "lines, read as text, extract the three fields by pattern.",
+    tags=("source", "serde"),
+)
+def regex_serde_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    n = load_table(spark, sf_dir, "nation")
+    path = tempfile.mkdtemp(prefix="hive_spark_regexserde_") + "/nation_txt"
+    n.select(
+        F.concat_ws("|", F.col("n_nationkey"), F.col("n_name"), F.col("n_regionkey")).alias("value")
+    ).write.mode("overwrite").text(path)
+    raw = spark.read.text(path)
+    pat = r"^([^|]*)\|([^|]*)\|([^|]*)$"
+    return raw.select(
+        F.regexp_extract("value", pat, 1).cast("bigint").alias("n_nationkey"),
+        F.regexp_extract("value", pat, 2).alias("n_name"),
+        F.regexp_extract("value", pat, 3).cast("bigint").alias("n_regionkey"),
+    )
+
+
+@register(
+    "sentences_tokenize",
+    oracle=None,  # no DuckDB equivalent of sentences() → rows-only
+    doc="sentences(text) (GenericUDFSentences.java): locale-aware sentence/"
+    "word segmentation to array<array<string>>; flattened token count "
+    "compared row-wise against the whitespace tokenizer.",
+    tags=("functions", "text"),
+)
+def sentences_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id",
+        F.size(F.flatten(F.sentences("text"))).alias("n_sentence_tokens"),
+        F.size(F.filter(F.split("text", " "), lambda x: x != "")).alias("n_ws_tokens"),
+    )
+
+
+@register(
+    "xpath_suite",
+    oracle=None,  # DuckDB has no xpath functions → rows-only
+    doc="xpath family (ql/udf/xml/*.java): xpath_string/xpath_int/"
+    "xpath_boolean/xpath(list) over XML synthesized from columns — Spark "
+    "kept Hive's exact function names.",
+    tags=("functions", "xml"),
+)
+def xpath_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    xml = (
+        "concat('<n><k>', n_nationkey, '</k><name>', n_name, "
+        "'</name><r>', n_regionkey, '</r></n>')"
+    )
+    return n.withColumn("xml", F.expr(xml)).select(
+        "n_nationkey",
+        F.expr("xpath_string(xml, '/n/name')").alias("x_name"),
+        F.expr("xpath_int(xml, '/n/k')").alias("x_key"),
+        F.expr("xpath_boolean(xml, '/n/r')").alias("has_r"),
+        F.expr("xpath(xml, '/n/*/text()')").alias("all_texts"),
+    )
+
+
+@register(
+    "hash_misc_rows_only",
+    oracle=None,  # Hive Java hash ≠ Spark murmur3 ≠ DuckDB hash → rows-only
+    doc="hash()/crc32/xxhash64 (GenericUDFHash, UDFCrc32): engine-specific "
+    "values by design (Hive used Java's hashCode, Spark uses murmur3), so "
+    "parity is shape-only: deterministic within-engine, stable schema.",
+    tags=("functions", "misc"),
+)
+def hash_misc_rows_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 100)
+    return c.select(
+        "c_custkey",
+        F.hash("c_name", "c_mktsegment").alias("h_murmur3"),
+        F.crc32(F.col("c_name").cast("binary")).alias("h_crc32"),
+        F.xxhash64("c_name").alias("h_xx64"),
+    )

@@ -61,6 +61,7 @@ QUERY_MODULES = (
     "apache_hive_1_2_2_src_spark.functions.scalar_datetime",
     "apache_hive_1_2_2_src_spark.functions.scalar_math",
     "apache_hive_1_2_2_src_spark.functions.scalar_string",
+    "apache_hive_1_2_2_src_spark.functions.extensibility",
     "apache_hive_1_2_2_src_spark.functions.generators",
     "apache_hive_1_2_2_src_spark.functions.scalar_collection",
     "apache_hive_1_2_2_src_spark.sources.io",
