@@ -208,3 +208,30 @@ def hash_misc_rows_only(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.crc32(F.col("c_name").cast("binary")).alias("h_crc32"),
         F.xxhash64("c_name").alias("h_xx64"),
     )
+
+
+@register(
+    "str_leftover_fns",
+    oracle="""
+    SELECT c_custkey,
+           strpos(c_name, 'er') AS pos_er,
+           decode(from_base64(to_base64(encode(c_mktsegment)))) AS seg_rt,
+           c_custkey >> 2 AS srlu,
+           c_name IS NOT NULL AS nn
+    FROM customer
+    WHERE c_custkey <= 200
+    """,
+    doc="Inventory stragglers: locate (GenericUDFLocate), unbase64 "
+    "(GenericUDFUnbase64) via a base64 roundtrip, shiftrightunsigned "
+    "(UDFOPBitShift; == >> on non-negative keys), isnotnull.",
+    tags=("functions", "string"),
+)
+def str_leftover_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    return c.select(
+        "c_custkey",
+        F.locate("er", "c_name").alias("pos_er"),
+        F.expr("CAST(unbase64(base64(CAST(c_mktsegment AS BINARY))) AS STRING)").alias("seg_rt"),
+        F.expr("shiftrightunsigned(c_custkey, 2)").alias("srlu"),
+        F.expr("isnotnull(c_name)").alias("nn"),
+    )
