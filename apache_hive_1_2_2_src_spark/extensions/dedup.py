@@ -146,7 +146,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     k, bands = 16, 4
     rows_per_band = k // bands
     d = load_table(spark, sf_dir, "documents").select("doc_id", _words().alias("w"))
-    sh = d.select("doc_id", F.explode(_shingles(F.col("w"))).alias("sh"))
+    # The shingle inverted index feeds three consumers (minhash build,
+    # candidate verify ×2) — persist it so the explode+split runs once, not
+    # three times. At cluster scale this is the checkpointed intermediate
+    # every LSH pipeline materializes anyway.
+    sh = d.select("doc_id", F.explode(_shingles(F.col("w"))).alias("sh")).persist()
     # k min-hashes per doc: min over xxhash64(shingle, seed_i).
     minh = sh.groupBy("doc_id").agg(
         *[F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}") for i in range(k)]

@@ -312,3 +312,42 @@ def spark_tables(spark: SparkSession, sf_dir: str, *names: str) -> None:
     """Register the named testdata tables as temp views for spark.sql use."""
     for name in names:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+@register(
+    "join_salted_skew",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    """,
+    doc="Skew-mitigation by salting (Hive compile-time skew join: "
+    "ql/optimizer/SkewJoinOptimizer.java; runtime: GenMRSkewJoinProcessor)."
+    " The big side adds a per-ROW salt that varies within a join key "
+    "(linenumber-derived — deterministic, so the oracle stays exact; "
+    "production uses rand()); the small side explodes 8 salt replicas; "
+    "the join key becomes "
+    "(key, salt), splitting any hot key across 8 reducers. Result is "
+    "IDENTICAL to the plain join — verified by the unsalted oracle. On "
+    "real skew you'd use AQE's skew split first; salting is the manual "
+    "fallback for aggregation-free pipelines.",
+    tags=("join", "skew"),
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_salt = 8
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "salt", (F.col("l_linenumber") % n_salt).cast("int")
+    )
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    )
+    return (
+        li.join(o, (F.col("l_orderkey") == F.col("o_orderkey")) & (li.salt == o.salt))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        )
+    )

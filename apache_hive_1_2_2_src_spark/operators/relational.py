@@ -264,3 +264,51 @@ def multi_insert_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = spark.read.parquet(f"{base}/hi").unionAll(spark.read.parquet(f"{base}/lo"))
     o.unpersist()
     return out.agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+@register(
+    "virtual_columns_rows_only",
+    oracle=None,  # file paths / partition ids are engine-specific
+    doc="Virtual columns (ql/metadata/VirtualColumn.java): INPUT__FILE__NAME "
+    "→ input_file_name(), plus spark_partition_id + monotonically_"
+    "increasing_id as the Spark-native row-address analogues of "
+    "BLOCK__OFFSET__INSIDE__FILE / ROW__ID. Aggregated to stable shape.",
+    tags=("scan", "virtual"),
+)
+def virtual_columns_rows_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.input_file_name().alias("fname"),
+            F.spark_partition_id().alias("pid"),
+            F.monotonically_increasing_id().alias("rid"),
+        )
+        .agg(
+            F.countDistinct("fname").alias("n_files"),
+            F.countDistinct("pid").alias("n_partitions"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("rid").alias("n_unique_rids"),
+        )
+    )
+
+
+@register(
+    "insert_overwrite_directory",
+    oracle=None,  # write-path demo; rows-only
+    doc="INSERT OVERWRITE [LOCAL] DIRECTORY (SemanticAnalyzer."
+    "genFileSinkPlan): overwrite-mode write of a query result to a plain "
+    "directory, verified by re-read. Second overwrite replaces (not "
+    "appends) — the Hive overwrite contract.",
+    tags=("sink",),
+)
+def insert_overwrite_directory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="hive_spark_iod_") + "/out"
+    n = load_table(spark, sf_dir, "nation")
+    n.filter(F.col("n_regionkey") <= 2).write.mode("overwrite").parquet(path)
+    n.filter(F.col("n_regionkey") > 2).write.mode("overwrite").parquet(path)  # replaces
+    back = spark.read.parquet(path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"), F.min("n_regionkey").alias("min_rk")
+    )

@@ -180,3 +180,56 @@ def streaming_ingest_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         F.min("ts").cast("date").alias("first_day"),
     )
+
+
+@register(
+    "streaming_watermark_window",
+    oracle=None,  # streaming sink state; rows-only check
+    doc="Streaming tumbling-window agg with late-data watermark: readStream "
+    "over staged event files → withWatermark('ts', '2 hours') → 1h "
+    "window counts → append-mode parquet sink (only windows the watermark "
+    "has closed are emitted), availableNow trigger. This is the stateful-"
+    "streaming capability Hive 1.2 never had (its hcatalog-streaming was "
+    "ingest-only); state is bounded by the watermark — the 100 TB/day "
+    "design constraint.",
+    tags=("streaming", "window", "watermark"),
+)
+def streaming_watermark_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    base = tempfile.mkdtemp(prefix="hive_spark_wm_")
+    inbox, sink, ckpt = (os.path.join(base, d) for d in ("inbox", "sink", "ckpt"))
+    os.makedirs(inbox)
+    src = f"{sf_dir}/events.parquet"
+    if os.path.isdir(src):
+        for f in os.listdir(src):
+            if f.endswith(".parquet"):
+                shutil.copy(os.path.join(src, f), inbox)
+    else:
+        shutil.copy(src, inbox)
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts bigint, user_id bigint, "
+            "event_type string, value double, props string"
+        )
+        .parquet(inbox)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").cast("string").alias("win_start"), "event_type", "n")
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    back = spark.read.parquet(sink)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_closed_windows"),
+        F.sum("n").alias("n_events_emitted"),
+    )
