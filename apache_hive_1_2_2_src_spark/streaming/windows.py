@@ -233,3 +233,74 @@ def streaming_watermark_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_closed_windows"),
         F.sum("n").alias("n_events_emitted"),
     )
+
+
+@register(
+    "streaming_stateful_user_agg",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(MAX(value) AS DOUBLE) AS max_value
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="Custom stateful streaming operator (applyInPandasWithState): "
+    "per-user running state (count + max) maintained in the state store, "
+    "emitted when the availableNow run drains the single staged batch — "
+    "the Spark-native form of a custom GenericUDAF over a stream, a "
+    "capability with no Hive 1.2 analogue. Deterministic on a one-batch "
+    "stage, so fully oracled against the batch GROUP BY.",
+    tags=("streaming", "stateful", "pandas_udf"),
+)
+def streaming_stateful_user_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    base = tempfile.mkdtemp(prefix="hive_spark_state_")
+    inbox, sink, ckpt = (os.path.join(base, d) for d in ("inbox", "sink", "ckpt"))
+    os.makedirs(inbox)
+    src = f"{sf_dir}/events.parquet"
+    if os.path.isdir(src):
+        for f in os.listdir(src):
+            if f.endswith(".parquet"):
+                shutil.copy(os.path.join(src, f), inbox)
+    else:
+        shutil.copy(src, inbox)
+
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        n, mx = state.get if state.exists else (0, float("-inf"))
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                mx = max(mx, float(pdf["value"].max()))
+        state.update((n, mx))
+        yield pd.DataFrame({"user_id": [user_id], "n_events": [n], "max_value": [mx]})
+
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts bigint, user_id bigint, "
+            "event_type string, value double, props string"
+        )
+        .parquet(inbox)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id bigint, n_events bigint, max_value double",
+            stateStructType="n bigint, mx double",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.read.parquet(sink)
