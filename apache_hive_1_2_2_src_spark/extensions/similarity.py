@@ -180,3 +180,75 @@ def similarity_ann_lsh_signbits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("bucket", "vec_a", "vec_b", F.round("cos", 6).alias("cosine"), "rk")
     )
+
+
+@register(
+    "similarity_ann_ivf",
+    oracle=f"""
+    WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+    assign AS (
+      SELECT vec_id, embedding, cid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY {_sql_cos("embedding", "ce")} DESC, cid) AS rnk
+      FROM embeddings CROSS JOIN cent
+    ),
+    clustered AS (SELECT vec_id, embedding, cid FROM assign WHERE rnk = 1),
+    q AS (SELECT vec_id AS query_id, embedding AS qe, cid AS qcid
+          FROM clustered WHERE vec_id >= 490),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS cand_id,
+             ROUND({_sql_cos("qe", "c.embedding")}, 6) AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                ORDER BY {_sql_cos("qe", "c.embedding")} DESC, c.vec_id) AS rk
+      FROM q JOIN clustered c ON c.cid = q.qcid AND c.vec_id <> q.query_id
+    )
+    SELECT query_id, cand_id, cosine, rk FROM scored WHERE rk <= 3
+    """,
+    doc="IVF-style ANN: the first 8 vectors act as deterministic coarse "
+    "centroids; every vector is assigned to its nearest centroid (one "
+    "broadcast pass — |N|·k comparisons); queries then search ONLY their "
+    "own cell (nprobe=1), top-3 per query. The real IVF shape: replace "
+    "the seed centroids with k-means output and raise nprobe for recall; "
+    "the partition-by-cell join is what keeps 100 TB of vectors from "
+    "going all-pairs.",
+    tags=("extension", "similarity", "ivf"),
+)
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    assign_w = Window.partitionBy("vec_id").orderBy(
+        _cos(F.col("embedding"), F.col("ce")).desc(), F.col("cid")
+    )
+    clustered = (
+        e.crossJoin(F.broadcast(cent))
+        .withColumn("rnk", F.row_number().over(assign_w))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", "embedding", "cid")
+    )
+    q = clustered.filter(F.col("vec_id") >= 490).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("cid").alias("qcid"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(
+            clustered,
+            (F.col("cid") == F.col("qcid")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            _cos(F.col("qe"), F.col("embedding")).alias("cos"),
+        )
+    )
+    rank_w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(rank_w))
+        .filter(F.col("rk") <= 3)
+        .select("query_id", "cand_id", F.round("cos", 6).alias("cosine"), "rk")
+    )

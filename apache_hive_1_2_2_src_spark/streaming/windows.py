@@ -304,3 +304,39 @@ def streaming_stateful_user_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(120)
     return spark.read.parquet(sink)
+
+
+@register(
+    "window_multires_rollup",
+    oracle="""
+    SELECT CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS VARCHAR) AS day,
+           CASE WHEN GROUPING(hour(ts)) = 0 THEN hour(ts) END AS hr,
+           GROUPING(hour(ts)) AS is_day_total,
+           COUNT(*) AS n,
+           {sum_value}
+    FROM events
+    GROUP BY GROUPING SETS ((date_trunc('day', ts), hour(ts)),
+                            (date_trunc('day', ts)))
+    """.format(sum_value=sql_dsum("value", "sum_value")),
+    doc="Hypertable-style multi-resolution rollup: hourly AND daily "
+    "aggregates of the events stream in ONE pass via GROUPING SETS over "
+    "derived time buckets (grouping() flag marks the day totals) — one "
+    "expand + one shuffle instead of two jobs over 100 TB of events.",
+    tags=("streaming", "window", "rollup"),
+)
+def window_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("d"), F.hour("ts").alias("h"), "value"
+    )
+    e.createOrReplaceTempView("events_buckets")
+    return spark.sql(
+        """
+        SELECT CAST(d AS STRING) AS day,
+               h AS hr,
+               GROUPING(h) AS is_day_total,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events_buckets
+        GROUP BY GROUPING SETS ((d, h), (d))
+        """
+    )
