@@ -1,0 +1,65 @@
+"""Physical-plan regression tests: the scale properties claimed in SCALE.md
+must survive future edits. We assert on `.explain`-level plan text — filter
+pushdown reaching the parquet scan, dimension broadcasts, no cartesian
+products in the LSH path, partition pruning on partitioned reads, and top-k
+compiling to TakeOrderedAndProject instead of a global sort."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+def plan_text(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture(scope="module")
+def plans(spark, registry):
+    def build(name):
+        return plan_text(registry[name].build(spark, SF_DIR))
+
+    return build
+
+
+def test_q1_filter_pushdown(plans):
+    p = plans("q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+
+
+def test_q1_column_pruning(plans):
+    p = plans("q1_pricing_summary")
+    # ReadSchema must not include unused lineitem columns.
+    assert "l_partkey" not in p and "l_suppkey" not in p
+
+
+def test_three_way_join_broadcasts_dims(plans):
+    p = plans("join_three_way")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_minhash_lsh_no_cartesian(plans):
+    p = plans("dedup_minhash_lsh")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_topk_uses_take_ordered(plans):
+    p = plans("order_by_limit_topk")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_cosine_topk_broadcasts_queries(plans):
+    p = plans("similarity_cosine_topk")
+    assert "BroadcastNestedLoopJoin" in p  # inequality join, build side = queries
+    assert "PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,5)]" in p
+
+
+def test_partitioned_windows_have_partitioning(spark, registry):
+    # The scale-safe window variants must not fall into a single partition.
+    p = plan_text(registry["window_ntile_partitioned"].build(spark, SF_DIR))
+    assert "o_orderstatus" in p and "Window" in p
