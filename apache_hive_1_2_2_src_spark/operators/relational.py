@@ -312,3 +312,64 @@ def insert_overwrite_directory(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.agg(
         F.count(F.lit(1)).alias("n_rows"), F.min("n_regionkey").alias("min_rk")
     )
+
+
+@register(
+    "intersect_emulated",
+    oracle="""
+    SELECT DISTINCT c.c_nationkey AS nk
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM supplier s WHERE s.s_nationkey = c.c_nationkey)
+    """,
+    doc="INTERSECT emulation (absent in Hive 1.2.2 — arrives 2.2; users "
+    "wrote the semi-join form): DISTINCT + LEFT SEMI JOIN. Declared as the "
+    "join-emulation surface per SURVEY §2.7; Spark's native intersect() "
+    "compiles to the same plan.",
+    tags=("setop",),
+)
+def intersect_emulated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.join(s, "nk", "left_semi").distinct()
+
+
+@register(
+    "except_emulated",
+    oracle="""
+    SELECT DISTINCT o.o_custkey AS ck
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 0)
+    """,
+    doc="EXCEPT/MINUS emulation (absent in 1.2.2): DISTINCT + LEFT ANTI "
+    "JOIN — customers with orders whose account balance is not positive.",
+    tags=("setop",),
+)
+def except_emulated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("ck"))
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 0)
+        .select(F.col("c_custkey").alias("ck"))
+    )
+    return o.join(c, "ck", "left_anti").distinct()
+
+
+@register(
+    "tablesample_percent_rows",
+    oracle="""
+    SELECT COUNT(*) AS n_rows_form,
+           (SELECT COUNT(*) FROM (SELECT * FROM orders LIMIT 500)) AS n_limited
+    FROM orders
+    WHERE o_orderkey % 100 < 10
+    """,
+    doc="TABLESAMPLE(n PERCENT) as a deterministic 10%% key-mod filter plus "
+    "TABLESAMPLE(n ROWS) as LIMIT (SplitSample percent/row forms). The "
+    "random df.sample() exists but is excluded from [Q] (nondeterministic).",
+    tags=("sample",),
+)
+def tablesample_percent_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    pct = o.filter(F.col("o_orderkey") % 100 < 10).agg(F.count(F.lit(1)).alias("n_rows_form"))
+    lim = o.limit(500).agg(F.count(F.lit(1)).alias("n_limited"))
+    return pct.crossJoin(lim)
