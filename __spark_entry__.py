@@ -8,11 +8,16 @@ SURVEY.md §2 registers a (Spark builder, DuckDB oracle) pair there.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from apache_hive_1_2_2_src_spark.registry import load_all
+# Import must work regardless of the driver's cwd.
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from apache_hive_1_2_2_src_spark.registry import load_all  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
