@@ -8,13 +8,8 @@ from __future__ import annotations
 
 import pytest
 
+from apache_hive_1_2_2_src_spark.plans import plan_text
 from tests.conftest import SF_DIR
-
-
-def plan_text(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
-        df._jdf.queryExecution(), "formatted"
-    )
 
 
 @pytest.fixture(scope="module")
