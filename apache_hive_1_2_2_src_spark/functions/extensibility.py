@@ -235,3 +235,27 @@ def str_leftover_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("shiftrightunsigned(c_custkey, 2)").alias("srlu"),
         F.expr("isnotnull(c_name)").alias("nn"),
     )
+
+
+@register(
+    "script_transform_sql",
+    oracle="""
+    SELECT CAST(n_nationkey AS VARCHAR) AS k, n_name AS name
+    FROM nation
+    """,
+    doc="Literal TRANSFORM ... USING 'cat' (ScriptOperator.java + grammar "
+    "trfmClause): Spark SQL runs the exact HiveQL script-transform syntax "
+    "— rows serialized to the child process stdin, stdout parsed back by "
+    "the declared AS schema. 'cat' is the identity script, so the result "
+    "is the string-typed projection and fully oracled.",
+    tags=("udf", "transform", "sql"),
+)
+def script_transform_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation_scr")
+    return spark.sql(
+        """
+        SELECT TRANSFORM(n_nationkey, n_name)
+               USING 'cat' AS (k STRING, name STRING)
+        FROM nation_scr
+        """
+    )
