@@ -193,3 +193,28 @@ def lateral_view_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("word"))
         .limit(20)
     )
+
+
+@register(
+    "lateral_view_sql",
+    oracle=f"""
+    SELECT doc_id, unnest({_SQL_WORDS}) AS word
+    FROM documents
+    WHERE doc_id < 20
+    """,
+    doc="Literal LATERAL VIEW syntax (grammar lateralView; q-test "
+    "lateral_view.q): Spark SQL parses the exact HiveQL text — proof the "
+    "SQL entry point (SURVEY §3 Entry B ≡ spark.sql) accepts the dialect, "
+    "not just the DataFrame DSL.",
+    tags=("udtf", "sql"),
+)
+def lateral_view_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents_lv")
+    return spark.sql(
+        """
+        SELECT doc_id, word
+        FROM documents_lv
+        LATERAL VIEW explode(filter(split(text, ' '), x -> x != '')) t AS word
+        WHERE doc_id < 20
+        """
+    )

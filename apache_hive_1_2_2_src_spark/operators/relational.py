@@ -373,3 +373,53 @@ def tablesample_percent_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     pct = o.filter(F.col("o_orderkey") % 100 < 10).agg(F.count(F.lit(1)).alias("n_rows_form"))
     lim = o.limit(500).agg(F.count(F.lit(1)).alias("n_limited"))
     return pct.crossJoin(lim)
+
+
+@register(
+    "flagship_sql_text",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="The flagship executed as pure SQL TEXT through spark.sql — the "
+    "HiveServer2/CLI entry-point parity path (SURVEY §3 Entries A/B: "
+    "Driver.run(sql) ≡ spark.sql(sql)); same Catalyst plan as the "
+    "DataFrame form of q1_pricing_summary.",
+    tags=("flagship", "sql"),
+)
+def flagship_sql_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_sqltext")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS count_order
+        FROM lineitem_sqltext
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+        """
+    )
+
+
+@register(
+    "cluster_by_sql",
+    oracle=None,  # per-partition ordering is partition-count dependent
+    doc="Literal DISTRIBUTE BY / SORT BY / CLUSTER BY SQL (genReduceSinkPlan "
+    "grammar forms) — Spark SQL accepts all three HiveQL clauses verbatim.",
+    tags=("sort", "sql"),
+)
+def cluster_by_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_cb")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_orderstatus
+        FROM orders_cb
+        CLUSTER BY o_custkey
+        """
+    )
