@@ -259,3 +259,36 @@ def script_transform_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM nation_scr
         """
     )
+
+
+@register(
+    "udaf_pandas_grouped_demo",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(floor(SUM(o_totalprice * (o_orderkey % 7 + 1)) /
+                      SUM(o_orderkey % 7 + 1) * 100 + 0.5) / 100 AS DOUBLE)
+             AS wmean_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    doc="Custom aggregate (GenericUDAFEvaluator / UDAF protocol) as an "
+    "Arrow-vectorized GROUPED_AGG pandas_udf: a weighted mean no builtin "
+    "provides, computed per group from numpy batches. Hive's "
+    "PARTIAL1/PARTIAL2/FINAL evaluator modes map onto Spark's "
+    "partial/merge/final aggregate planning automatically. Half-up "
+    "rounding pinned as in the scalar UDF demo.",
+    tags=("udf", "pandas_udf", "agg"),
+)
+def udaf_pandas_grouped_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    @pandas_udf("double")
+    def wmean(price: pd.Series, weight: pd.Series) -> float:
+        return float(np.floor((price * weight).sum() / weight.sum() * 100 + 0.5) / 100)
+
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "wt", (F.col("o_orderkey") % 7 + 1).cast("double")
+    )
+    return o.groupBy("o_orderstatus").agg(
+        wmean("o_totalprice", "wt").alias("wmean_price")
+    )
