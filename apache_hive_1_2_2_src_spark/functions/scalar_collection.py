@@ -29,7 +29,7 @@ _SQL_WORDS = "list_filter(string_split(text, ' '), x -> x <> '')"
     WITH d AS (SELECT doc_id, {_SQL_WORDS} AS w FROM documents WHERE doc_id < 200)
     SELECT doc_id,
            len(w) AS n_tokens,
-           list_sort(w[1:5]) AS first5_sorted,
+           array_to_string(list_sort(w[1:5]), ',') AS first5_sorted,
            list_contains(w, 'spark') AS has_spark,
            w[1] AS first_word,
            len(list_distinct(w)) AS n_distinct,
@@ -48,7 +48,7 @@ def collection_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         F.size("w").alias("n_tokens"),
-        F.sort_array(F.slice("w", 1, 5)).alias("first5_sorted"),
+        F.array_join(F.sort_array(F.slice("w", 1, 5)), ",").alias("first5_sorted"),
         F.array_contains("w", "spark").alias("has_spark"),
         F.element_at("w", 1).alias("first_word"),
         F.size(F.array_distinct("w")).alias("n_distinct"),
@@ -66,8 +66,8 @@ def collection_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_id,
            cardinality(m) AS m_size,
-           list_sort(map_keys(m)) AS keys_sorted,
-           list_sort(map_values(m)) AS vals_sorted,
+           array_to_string(list_sort(map_keys(m)), ',') AS keys_sorted,
+           array_to_string(list_sort(map_values(m)), ',') AS vals_sorted,
            map_extract(m, 'type')[1] AS type_val
     FROM e
     """,
@@ -84,8 +84,8 @@ def collection_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "event_id",
         F.size("m").alias("m_size"),
-        F.sort_array(F.map_keys("m")).alias("keys_sorted"),
-        F.sort_array(F.map_values("m")).alias("vals_sorted"),
+        F.array_join(F.sort_array(F.map_keys("m")), ",").alias("keys_sorted"),
+        F.array_join(F.sort_array(F.map_values("m")), ",").alias("vals_sorted"),
         F.element_at("m", F.lit("type")).alias("type_val"),
     )
 
@@ -126,7 +126,7 @@ def collection_struct_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH d AS (SELECT doc_id, {_SQL_WORDS} AS w FROM documents WHERE doc_id < 150)
     SELECT doc_id,
            len(list_filter(w, x -> len(x) > 4)) AS n_long,
-           list_transform(w[1:4], x -> upper(x)) AS up4,
+           array_to_string(list_transform(w[1:4], x -> upper(x)), ',') AS up4,
            list_sum(list_transform(w, x -> len(x))) AS total_chars
     FROM d
     """,
@@ -142,7 +142,7 @@ def collection_array_hof_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         F.size(F.filter("w", lambda x: F.length(x) > 4)).alias("n_long"),
-        F.transform(F.slice("w", 1, 4), lambda x: F.upper(x)).alias("up4"),
+        F.array_join(F.transform(F.slice("w", 1, 4), lambda x: F.upper(x)), ",").alias("up4"),
         F.aggregate(
             F.transform("w", lambda x: F.length(x).cast("bigint")),
             F.lit(0).cast("bigint"),

@@ -158,19 +158,23 @@ def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_list_set",
     oracle="""
     SELECT n_regionkey,
-           list_sort(list(n_name)) AS nations,
-           list_sort(list(DISTINCT n_regionkey + 0)) AS keys_set
+           array_to_string(list_sort(list(n_name)), ',') AS nations,
+           array_to_string(list_sort(list(DISTINCT CAST(n_regionkey + 0 AS VARCHAR))), ',')
+               AS keys_set
     FROM nation GROUP BY n_regionkey
     """,
     doc="collect_list/collect_set (GenericUDAFCollect*), sorted for "
-    "determinism (SURVEY §5 rule).",
+    "determinism (SURVEY §5 rule) and joined to a scalar string so any "
+    "order-insensitive canonicalizer can hash the row.",
     tags=("agg", "collection"),
 )
 def agg_collect_list_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     return n.groupBy("n_regionkey").agg(
-        F.sort_array(F.collect_list("n_name")).alias("nations"),
-        F.sort_array(F.collect_set(F.col("n_regionkey") + 0)).alias("keys_set"),
+        F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations"),
+        F.array_join(
+            F.sort_array(F.collect_set((F.col("n_regionkey") + 0).cast("string"))), ","
+        ).alias("keys_set"),
     )
 
 

@@ -32,8 +32,37 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Semantic confs every query depends on. session.get_session() sets these at
+# build time, but an EXTERNAL caller (the correctness driver, a notebook, a
+# cluster job) hands us its own SparkSession — so pin them at runtime too.
+# All four are runtime-settable (verified: spark.conf.set then read works).
+#   - nanosAsLong: testdata events.parquet stores ts as INT64 TIMESTAMP(NANOS)
+#     which Spark rejects by default ([PARQUET_TYPE_ILLEGAL]).
+#   - UTC + ANSI-off + CORRECTED parser: Hive 1.2.2 semantic parity
+#     (TimestampWritable wall-clock reads; NULL-on-bad-cast).
+_RUNTIME_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.ansi.enabled": "false",
+    "spark.sql.legacy.timeParserPolicy": "CORRECTED",
+}
+
+
+def ensure_confs(spark: SparkSession) -> SparkSession:
+    """Idempotently pin semantic confs on any SparkSession (driver-safe)."""
+    for key, want in _RUNTIME_CONFS.items():
+        try:
+            if spark.conf.get(key, None) != want:
+                spark.conf.set(key, want)
+        except Exception:
+            # Non-runtime-settable on some builds → best effort; the session
+            # factory (session.py) still sets it at build time.
+            pass
+    return spark
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # With spark.sql.legacy.parquet.nanosAsLong the TIMESTAMP(NANOS)
