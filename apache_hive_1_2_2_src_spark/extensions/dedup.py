@@ -139,13 +139,39 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "min-hashes per doc → 4 bands × 4 hashes → groupBy(band, signature) "
     "→ within-bucket pairs → exact-Jaccard verify >= 0.7. No all-pairs "
     "join: complexity is |docs|·k + Σ|bucket|². The band groupBy is the "
-    "only wide shuffle; buckets are bounded by banding probability.",
+    "only wide shuffle; buckets are bounded by banding probability AND a "
+    "hard bucket-size cap (boilerplate-heavy corpora produce mega-buckets "
+    "whose |bucket|² pair blow-up the cap routes out of the exact path).",
     tags=("extension", "dedup", "lsh"),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    k, bands = 16, 4
-    rows_per_band = k // bands
     d = load_table(spark, sf_dir, "documents").select("doc_id", _words().alias("w"))
+    return minhash_lsh_pairs(d)
+
+
+def minhash_lsh_pairs(
+    d: DataFrame,
+    *,
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.7,
+    bucket_cap: int = 64,
+) -> DataFrame:
+    """Banded MinHash-LSH near-dup pairs over (doc_id, w: array<string>).
+
+    ``bucket_cap`` bounds the quadratic within-bucket pair stage: a band
+    bucket holding more than ``bucket_cap`` docs (near-identical boilerplate)
+    is dropped before the self-join, keeping Σ|bucket|² ≤ |docs|·cap. True
+    near-dup pairs inside a dropped mega-bucket are still found when any of
+    their other ``bands-1`` band signatures lands in a small bucket; corpora
+    dominated by one identical document are exactly the case where emitting
+    the |bucket|²/2 pair list is useless — the scale answer is 'this bucket
+    IS one duplicate cluster', which exact dedup (dedup_exact) reports in
+    O(|bucket|).
+    """
+    from pyspark.sql import Window
+
+    rows_per_band = k // bands
     # The shingle inverted index feeds three consumers (minhash build,
     # candidate verify ×2) — persist it so the explode+split runs once, not
     # three times. At cluster scale this is the checkpointed intermediate
@@ -169,6 +195,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     buckets = minh.select("doc_id", F.explode(band_sigs).alias("bs")).select(
         "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
+    # Hot-bucket cap: count per (band, sig) rides the same shuffle key as
+    # the candidate self-join, so this adds no extra exchange.
+    buckets = (
+        buckets.withColumn(
+            "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("band", "sig"))
+        )
+        .filter(F.col("bucket_n") <= bucket_cap)
+        .drop("bucket_n")
     )
     ba, bb = buckets.alias("ba"), buckets.alias("bb")
     cand = (
@@ -198,7 +233,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         common.join(na, F.col("doc_a") == F.col("na.doc_id"))
         .join(nb, F.col("doc_b") == F.col("nb.doc_id"))
-        .filter(jac >= 0.7)
+        .filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )

@@ -218,3 +218,46 @@ def lateral_view_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE doc_id < 20
         """
     )
+
+
+@register(
+    "parse_url_tuple",
+    oracle="""
+    WITH u AS (
+      SELECT c_custkey,
+             'http://shop.example.com/c/' || CAST(c_custkey AS VARCHAR)
+             || '?seg=' || c_mktsegment || '&v=1' AS url
+      FROM customer WHERE c_custkey <= 100)
+    SELECT c_custkey,
+           regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+           regexp_extract(url, '\\?(.*)$', 1) AS query,
+           regexp_extract(url, '[?&]seg=([^&]*)', 1) AS seg
+    FROM u
+    """,
+    doc="parse_url_tuple(url, 'HOST','PATH','QUERY','QUERY:seg') — the UDTF "
+    "form (GenericUDTFParseUrlTuple.java: one pass over the URL emitting N "
+    "columns; q-test udtf_parse_url_tuple.q). Spark-first: a single struct "
+    "projection expanded with s.* — one codegen pass, N columns, the same "
+    "single-parse contract as the Hive UDTF (vs N scalar parse_url calls).",
+    tags=("udtf", "string"),
+)
+def parse_url_tuple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 100)
+    u = c.select(
+        "c_custkey",
+        F.concat(
+            F.lit("http://shop.example.com/c/"),
+            F.col("c_custkey").cast("string"),
+            F.lit("?seg="),
+            F.col("c_mktsegment"),
+            F.lit("&v=1"),
+        ).alias("url"),
+    )
+    parts = F.struct(
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("seg")).alias("seg"),
+    )
+    return u.select("c_custkey", parts.alias("t")).select("c_custkey", "t.*")

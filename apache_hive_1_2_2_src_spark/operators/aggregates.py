@@ -258,43 +258,92 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx_count_distinct",
-    oracle=None,  # HLL++ estimate is engine-specific → rows-only check
+    oracle="""
+    SELECT COUNT(DISTINCT l_orderkey) AS exact_orderkey,
+           COUNT(DISTINCT l_partkey) AS exact_partkey,
+           TRUE AS ndv_orderkey_ok, TRUE AS ndv_partkey_ok
+    FROM lineitem
+    """,
     doc="compute_stats NDV (GenericUDAFComputeStats FM-sketch) → Spark "
-    "approx_count_distinct (HLL++). Estimates differ per engine: rows-only.",
+    "approx_count_distinct (HLL++). The raw estimate is engine-specific, so "
+    "the query outputs a bounds check instead: HLL++ at default rsd=0.05 "
+    "must land within ±15%% of the exact NDV (3σ).",
     tags=("agg", "approx"),
 )
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_orderkey").alias("ndv_orderkey"),
-        F.approx_count_distinct("l_partkey").alias("ndv_partkey"),
+    est = li.agg(
+        F.approx_count_distinct("l_orderkey").alias("ndv_ok_est"),
+        F.approx_count_distinct("l_partkey").alias("ndv_pk_est"),
+        F.countDistinct("l_orderkey").alias("exact_orderkey"),
+        F.countDistinct("l_partkey").alias("exact_partkey"),
+    )
+    def _within(estc: str, exactc: str):
+        lo = F.col(exactc) * 0.85
+        hi = F.col(exactc) * 1.15
+        return (F.col(estc) >= lo) & (F.col(estc) <= hi)
+    return est.select(
+        "exact_orderkey",
+        "exact_partkey",
+        _within("ndv_ok_est", "exact_orderkey").alias("ndv_orderkey_ok"),
+        _within("ndv_pk_est", "exact_partkey").alias("ndv_partkey_ok"),
     )
 
 
 @register(
     "agg_percentile_approx",
-    oracle=None,  # adaptive-histogram vs GK-sketch: engine-specific
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n, TRUE AS approx_in_bounds
+    FROM lineitem GROUP BY l_returnflag
+    """,
     doc="percentile_approx (GenericUDAFPercentileApprox adaptive histogram "
-    "vs Spark's GK quantile sketch — algorithms differ): rows-only.",
+    "vs Spark's GK quantile sketch — algorithms differ, so the query "
+    "outputs a sandwich check: the approx p50 must lie between the exact "
+    "p40 and p60 — far looser than the sketch's 1/accuracy rank guarantee.",
     tags=("agg", "approx"),
 )
 def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("p50_approx")
+    g = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("p50_est"),
+        F.percentile("l_extendedprice", F.lit(0.4)).alias("p40"),
+        F.percentile("l_extendedprice", F.lit(0.6)).alias("p60"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return g.select(
+        "l_returnflag",
+        "n",
+        ((F.col("p50_est") >= F.col("p40")) & (F.col("p50_est") <= F.col("p60"))).alias(
+            "approx_in_bounds"
+        ),
     )
 
 
 @register(
     "agg_histogram_numeric",
-    oracle=None,  # bin placement is heuristic per engine
+    oracle="""
+    SELECT 10 AS n_bins, COUNT(*) AS total_weight, TRUE AS centroids_in_range
+    FROM lineitem
+    """,
     doc="histogram_numeric (GenericUDAFHistogramNumeric / NumericHistogram "
-    "~250 LoC) — Spark ≥3.3 builtin; bins are heuristic: rows-only.",
+    "~250 LoC) — Spark ≥3.3 builtin. Bin PLACEMENT is heuristic per engine, "
+    "but the histogram invariants are not: exactly 10 bins, bin weights sum "
+    "to the row count, every centroid inside [min, max] of the column.",
     tags=("agg", "approx"),
 )
 def agg_histogram_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    li.createOrReplaceTempView("lineitem")
+    li.createOrReplaceTempView("lineitem_hist")
     return spark.sql(
-        "SELECT histogram_numeric(l_extendedprice, 10) AS hist FROM lineitem"
+        """
+        SELECT size(hist) AS n_bins,
+               CAST(round(aggregate(hist, 0D, (a, b) -> a + b.y)) AS BIGINT)
+                   AS total_weight,
+               forall(hist, b -> b.x >= lo AND b.x <= hi) AS centroids_in_range
+        FROM (
+          SELECT histogram_numeric(l_extendedprice, 10) AS hist,
+                 MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+          FROM lineitem_hist
+        )
+        """
     )

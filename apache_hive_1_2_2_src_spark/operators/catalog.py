@@ -1,0 +1,149 @@
+"""Catalog / DDL / statistics surface (SURVEY.md §1.1, §1.4, §4).
+
+Hive parity targets: the Metastore object lifecycle
+(``metastore/src/java/.../ObjectStore.java`` — createDatabase/createTable/
+dropTable, Table + StorageDescriptor persistence), DDLTask
+(``ql/exec/DDLTask.java``) executing CREATE/DROP/ALTER, and the stats
+backbone: ``ANALYZE TABLE ... COMPUTE STATISTICS [FOR COLUMNS]``
+(``ql/optimizer/StatsOptimizer.java`` answer-from-stats,
+``GenericUDAFComputeStats.java`` column NDV/min/max sketches) feeding the
+CBO's broadcast-join decisions (``CommonJoinTaskDispatcher.java`` map-join
+auto conversion ≡ Spark stats-based autoBroadcastJoinThreshold).
+
+Spark-first answer: ``spark.sql("CREATE/INSERT/ANALYZE/DROP ...")`` against
+the session catalog (in-memory here; on a cluster the same statements run
+against a real Hive metastore via ``enableHiveSupport()`` — identical code).
+
+Scale note: DDL and ANALYZE are metadata-plane operations — O(1) in data
+size except the ANALYZE scan itself, which is a single column-pruned pass.
+The lifecycle queries below intentionally materialize a one-row summary on
+the driver (the ONLY ``collect`` in the package): the result of a DDL
+lifecycle is metadata, not data, and the table must be dropped *before* the
+result is returned, which a lazy plan over the dropped table cannot express.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F  # noqa: F401  (kept for parity with sibling modules)
+
+from apache_hive_1_2_2_src_spark.registry import register
+from apache_hive_1_2_2_src_spark.tables import load_table
+
+
+def _scratch_db(spark: SparkSession) -> str:
+    """Per-process scratch database name (concurrent runs don't collide)."""
+    return f"hive_parity_scratch_{os.getpid()}"
+
+
+def _drop_db(spark: SparkSession, db: str) -> None:
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    # saveAsTable/DROP leaves the managed dir behind in some Spark builds;
+    # mirror Hive's warehouse cleanup explicitly.
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    path = wh.removeprefix("file:") + f"/{db}.db"
+    shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
+    "ddl_lifecycle",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT n_regionkey) AS n_regions,
+           SUM(n_nationkey) AS key_sum,
+           TRUE AS table_visible, TRUE AS dropped_ok
+    FROM nation
+    """,
+    doc="Managed-table lifecycle (ObjectStore.createDatabase/createTable, "
+    "DDLTask, SemanticAnalyzer INSERT path): CREATE DATABASE → CREATE TABLE "
+    "USING PARQUET AS SELECT → INSERT INTO → catalog-verified read → DROP "
+    "TABLE → DROP DATABASE + warehouse-dir cleanup. The returned row is the "
+    "post-insert aggregate plus catalog-visibility/drop flags; the oracle is "
+    "the same aggregate over the source table (CTAS half + INSERT half = "
+    "whole nation).",
+    tags=("catalog", "ddl"),
+)
+def ddl_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    db = _scratch_db(spark)
+    _drop_db(spark, db)  # idempotent: clear any previous run's leftovers
+    spark.sql(f"CREATE DATABASE {db}")
+    try:
+        load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation_ddl_src")
+        tbl = f"{db}.nation_managed"
+        spark.sql(
+            f"CREATE TABLE {tbl} USING PARQUET AS "
+            "SELECT * FROM nation_ddl_src WHERE n_regionkey <= 2"
+        )
+        spark.sql(f"INSERT INTO {tbl} SELECT * FROM nation_ddl_src WHERE n_regionkey > 2")
+        table_visible = any(
+            t.name == "nation_managed" for t in spark.catalog.listTables(db)
+        )
+        # one-row lifecycle summary (see module docstring for why collect)
+        row = spark.sql(
+            f"SELECT COUNT(*) AS n_rows, COUNT(DISTINCT n_regionkey) AS n_regions, "
+            f"SUM(n_nationkey) AS key_sum FROM {tbl}"
+        ).collect()[0]
+        spark.sql(f"DROP TABLE {tbl}")
+        dropped_ok = not any(
+            t.name == "nation_managed" for t in spark.catalog.listTables(db)
+        )
+    finally:
+        _drop_db(spark, db)
+    return spark.createDataFrame(
+        [(row.n_rows, row.n_regions, row.key_sum, table_visible, dropped_ok)],
+        "n_rows long, n_regions long, key_sum long, table_visible boolean, dropped_ok boolean",
+    )
+
+
+@register(
+    "analyze_table_stats",
+    oracle="""
+    SELECT COUNT(*) AS n_rows, TRUE AS stats_rows_match,
+           TRUE AS col_stats_present
+    FROM supplier
+    """,
+    doc="ANALYZE TABLE ... COMPUTE STATISTICS [FOR COLUMNS] "
+    "(StatsOptimizer.java answer-from-stats; GenericUDAFComputeStats NDV/"
+    "min/max). Creates a managed copy of supplier, ANALYZEs it, reads the "
+    "catalog's rowCount/sizeInBytes back via DESCRIBE EXTENDED, and checks "
+    "the stats row count equals the true count and column stats exist "
+    "(DESCRIBE EXTENDED col shows non-NULL distinct_count). The stats are "
+    "what flip joins to broadcast at plan time — asserted separately in "
+    "tests/test_catalog.py.",
+    tags=("catalog", "stats"),
+)
+def analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    db = _scratch_db(spark) + "_stats"
+    _drop_db(spark, db)
+    spark.sql(f"CREATE DATABASE {db}")
+    try:
+        load_table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier_stats_src")
+        tbl = f"{db}.supplier_managed"
+        spark.sql(
+            f"CREATE TABLE {tbl} USING PARQUET AS SELECT * FROM supplier_stats_src"
+        )
+        spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS")
+        spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS FOR COLUMNS s_suppkey, s_nationkey")
+        true_n = spark.table(tbl).count()
+        # catalog-reported statistics (metadata read, tiny)
+        desc = {
+            r.col_name: r.data_type
+            for r in spark.sql(f"DESCRIBE TABLE EXTENDED {tbl}").collect()
+        }
+        stats_line = desc.get("Statistics", "")
+        stats_rows_match = f"{true_n} rows" in stats_line
+        coldesc = {
+            r.info_name: r.info_value
+            for r in spark.sql(f"DESCRIBE TABLE EXTENDED {tbl} s_suppkey").collect()
+        }
+        ndv = coldesc.get("distinct_count", "NULL")
+        col_stats_present = ndv not in ("NULL", None, "")
+    finally:
+        _drop_db(spark, db)
+    return spark.createDataFrame(
+        [(true_n, stats_rows_match, col_stats_present)],
+        "n_rows long, stats_rows_match boolean, col_stats_present boolean",
+    )

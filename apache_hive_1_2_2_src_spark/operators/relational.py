@@ -231,25 +231,73 @@ def tablesample_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sort_by_distribute_by",
-    oracle=None,  # per-partition ordering is partition-count dependent → rows-only
+    oracle="""
+    SELECT COUNT(*) AS n_rows, TRUE AS all_sorted, TRUE AS dist_ok
+    FROM orders
+    """,
     doc="DISTRIBUTE BY + SORT BY (genReduceSinkPlan): repartition(col)."
-    "sortWithinPartitions — Hive's per-reducer sort. Rows-only check.",
+    "sortWithinPartitions — Hive's per-reducer sort. The raw row order is "
+    "partition-dependent, so the query PROJECTS the contract instead: "
+    "all_sorted = every partition is internally ordered by (custkey, date) "
+    "(lag comparison along the physical row order captured by "
+    "monotonically_increasing_id), dist_ok = no custkey spans two "
+    "partitions. Both are order-insensitive and oracle-checkable.",
     tags=("sort",),
 )
 def sort_by_distribute_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     o = load_table(spark, sf_dir, "orders")
-    return (
+    sorted_df = (
         o.repartition(8, "o_custkey")
         .sortWithinPartitions("o_custkey", "o_orderdate")
-        .select("o_orderkey", "o_custkey", "o_orderstatus")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderdate",
+            F.spark_partition_id().alias("pid"),
+            # encodes (partition, physical row order) at the instant after
+            # the per-partition sort — survives the later window shuffle
+            F.monotonically_increasing_id().alias("mid"),
+        )
+    )
+    w = Window.partitionBy("pid").orderBy("mid")
+    flags = sorted_df.select(
+        "pid",
+        "o_custkey",
+        (
+            F.lag("o_custkey").over(w).isNull()
+            | (F.col("o_custkey") > F.lag("o_custkey").over(w))
+            | (
+                (F.col("o_custkey") == F.lag("o_custkey").over(w))
+                & (F.col("o_orderdate") >= F.lag("o_orderdate").over(w))
+            )
+        ).alias("ok"),
+    )
+    per_key = flags.groupBy("o_custkey").agg(
+        F.countDistinct("pid").alias("n_pids"), F.count(F.lit(1)).alias("n"),
+        F.min(F.col("ok").cast("int")).alias("min_ok"),
+    )
+    return per_key.agg(
+        F.sum("n").alias("n_rows"),
+        (F.min("min_ok") == 1).alias("all_sorted"),
+        (F.max("n_pids") == 1).alias("dist_ok"),
     )
 
 
 @register(
     "multi_insert_fanout",
-    oracle=None,  # write-path demo: returns the re-read union of both sinks
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_hi,
+           COUNT(*) FILTER (WHERE o_totalprice <= 200000) AS n_lo,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    """,
     doc="Multi-insert (FROM t INSERT ... INSERT ...; SemanticAnalyzer.genPlan "
-    "fan-out): one cached scan feeding N sinks; verified by re-reading both.",
+    "fan-out): one cached scan feeding N sinks; oracled by re-reading both "
+    "sinks and reconciling counts + an exact-decimal price sum against the "
+    "source table.",
     tags=("sink",),
 )
 def multi_insert_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -261,9 +309,16 @@ def multi_insert_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo = o.filter(F.col("o_totalprice") <= 200000).select("o_orderkey", "o_totalprice")
     hi.write.mode("overwrite").parquet(f"{base}/hi")
     lo.write.mode("overwrite").parquet(f"{base}/lo")
-    out = spark.read.parquet(f"{base}/hi").unionAll(spark.read.parquet(f"{base}/lo"))
+    hi_back = spark.read.parquet(f"{base}/hi").withColumn("sink", F.lit("hi"))
+    lo_back = spark.read.parquet(f"{base}/lo").withColumn("sink", F.lit("lo"))
+    out = hi_back.unionAll(lo_back)
     o.unpersist()
-    return out.agg(F.count(F.lit(1)).alias("n_rows"))
+    return out.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("sink") == "hi", 1)).alias("n_hi"),
+        F.count(F.when(F.col("sink") == "lo", 1)).alias("n_lo"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+    )
 
 
 @register(
@@ -294,11 +349,15 @@ def virtual_columns_rows_only(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "insert_overwrite_directory",
-    oracle=None,  # write-path demo; rows-only
+    oracle="""
+    SELECT COUNT(*) AS n_rows, MIN(n_regionkey) AS min_rk
+    FROM nation WHERE n_regionkey > 2
+    """,
     doc="INSERT OVERWRITE [LOCAL] DIRECTORY (SemanticAnalyzer."
     "genFileSinkPlan): overwrite-mode write of a query result to a plain "
     "directory, verified by re-read. Second overwrite replaces (not "
-    "appends) — the Hive overwrite contract.",
+    "appends) — the Hive overwrite contract; the oracle sees only the "
+    "second write's predicate.",
     tags=("sink",),
 )
 def insert_overwrite_directory(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -409,17 +468,39 @@ def flagship_sql_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "cluster_by_sql",
-    oracle=None,  # per-partition ordering is partition-count dependent
-    doc="Literal DISTRIBUTE BY / SORT BY / CLUSTER BY SQL (genReduceSinkPlan "
-    "grammar forms) — Spark SQL accepts all three HiveQL clauses verbatim.",
+    oracle="""
+    SELECT COUNT(*) AS n_rows, TRUE AS all_sorted
+    FROM orders
+    """,
+    doc="Literal CLUSTER BY SQL (genReduceSinkPlan grammar forms — Spark SQL "
+    "accepts DISTRIBUTE BY / SORT BY / CLUSTER BY verbatim), then projects "
+    "the clustering contract as an order-insensitive flag: within every "
+    "physical partition the custkey sequence is non-decreasing.",
     tags=("sort", "sql"),
 )
 def cluster_by_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_cb")
     return spark.sql(
         """
-        SELECT o_orderkey, o_custkey, o_orderstatus
-        FROM orders_cb
-        CLUSTER BY o_custkey
+        WITH clustered AS (
+          SELECT o_orderkey, o_custkey, o_orderstatus
+          FROM orders_cb
+          CLUSTER BY o_custkey
+        ),
+        addressed AS (
+          SELECT o_custkey,
+                 spark_partition_id() AS pid,
+                 monotonically_increasing_id() AS mid
+          FROM clustered
+        ),
+        flagged AS (
+          SELECT CASE WHEN lag(o_custkey) OVER (PARTITION BY pid ORDER BY mid)
+                           IS NULL THEN 1
+                      WHEN o_custkey >= lag(o_custkey)
+                           OVER (PARTITION BY pid ORDER BY mid) THEN 1
+                      ELSE 0 END AS ok
+          FROM addressed
+        )
+        SELECT COUNT(*) AS n_rows, MIN(ok) = 1 AS all_sorted FROM flagged
         """
     )

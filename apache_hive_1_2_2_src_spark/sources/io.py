@@ -237,7 +237,10 @@ def bucketed_smb_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").removeprefix("file:")
-    for tbl in ("bkt_orders", "bkt_customer"):
+    # per-process table names: concurrent runs sharing one warehouse dir
+    # must not race on fixed names (DROP + rmtree of each other's tables)
+    t_orders, t_customer = f"bkt_orders_{os.getpid()}", f"bkt_customer_{os.getpid()}"
+    for tbl in (t_orders, t_customer):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         shutil.rmtree(os.path.join(warehouse, tbl), ignore_errors=True)
     (
@@ -245,16 +248,16 @@ def bucketed_smb_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .write.mode("overwrite")
         .bucketBy(8, "o_custkey")
         .sortBy("o_custkey")
-        .saveAsTable("bkt_orders")
+        .saveAsTable(t_orders)
     )
     (
         c.select("c_custkey", "c_nationkey")
         .write.mode("overwrite")
         .bucketBy(8, "c_custkey")
         .sortBy("c_custkey")
-        .saveAsTable("bkt_customer")
+        .saveAsTable(t_customer)
     )
-    bo, bc = spark.table("bkt_orders"), spark.table("bkt_customer")
+    bo, bc = spark.table(t_orders), spark.table(t_customer)
     return (
         bo.join(bc, bo.o_custkey == bc.c_custkey)
         .groupBy(F.col("c_nationkey").alias("nk"))

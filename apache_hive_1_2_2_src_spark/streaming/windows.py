@@ -88,8 +88,10 @@ def window_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH gaps AS (
       SELECT user_id, ts, value,
+             -- >= : session_window is half-open [start, start+gap), so an
+             -- event landing exactly on start+gap opens a NEW session
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                       > INTERVAL 30 MINUTE
+                       >= INTERVAL 30 MINUTE
                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM events
