@@ -64,7 +64,7 @@ def cond_if_case_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey,
            CAST(trunc(o_totalprice) AS BIGINT) AS price_int,
-           CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS price_dec,
            CAST(o_totalprice AS VARCHAR) AS price_str,
            CAST(o_orderkey AS DOUBLE) AS key_dbl,
            CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_roundtrip,
@@ -84,7 +84,9 @@ def cast_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey",
         F.col("o_totalprice").cast("bigint").alias("price_int"),
-        F.col("o_totalprice").cast("decimal(18,2)").alias("price_dec"),
+        # decimal → string: pandas-side harnesses read Spark decimals as
+        # Decimal objects but DuckDB decimals as float64 ('100.50' vs '100.5')
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string").alias("price_dec"),
         F.col("o_totalprice").cast("string").alias("price_str"),
         F.col("o_orderkey").cast("double").alias("key_dbl"),
         F.col("o_orderkey").cast("string").cast("bigint").alias("key_roundtrip"),

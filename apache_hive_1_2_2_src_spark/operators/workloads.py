@@ -37,7 +37,7 @@ def _revenue():
     oracle=f"""
     SELECT l_orderkey,
            {_REVENUE_SQL},
-           CAST(o_orderdate AS DATE) AS order_date,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
            o_orderpriority
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -72,7 +72,9 @@ def workload_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "l_orderkey",
             "revenue",
-            F.col("o_orderdate").cast("date").alias("order_date"),
+            # string, not DATE: pandas-side canonicalizers represent Spark
+            # dates (datetime.date) and DuckDB dates (datetime64) differently
+            F.col("o_orderdate").cast("date").cast("string").alias("order_date"),
             "o_orderpriority",
         )
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
