@@ -119,20 +119,68 @@ def date_format_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "date_tz_rows_only",
-    oracle=None,
-    doc="Rows-only: from_utc_timestamp/to_utc_timestamp (TZ-table dependent), "
-    "current_date/current_timestamp (nondeterministic), interval literals.",
+    "date_tz_suite",
+    oracle="""
+    SELECT event_id,
+           CAST((ts AT TIME ZONE 'UTC') AT TIME ZONE 'America/Los_Angeles'
+                AS VARCHAR) AS la_time,
+           CAST((ts AT TIME ZONE 'Asia/Tokyo') AT TIME ZONE 'UTC'
+                AS VARCHAR) AS from_tokyo,
+           CAST(ts + INTERVAL 1 DAY AS VARCHAR) AS plus_1d_interval,
+           CAST(ts - INTERVAL 90 MINUTE AS VARCHAR) AS minus_90m
+    FROM events WHERE event_id <= 100
+    """,
+    doc="from_utc_timestamp/to_utc_timestamp (UDFFromUtcTimestamp/"
+    "UDFToUtcTimestamp; both engines share the IANA tz database) and "
+    "interval arithmetic. Timestamps are stringified — the oracle uses "
+    "explicit AT TIME ZONE chains so neither engine's session TZ matters. "
+    "current_date/current_timestamp live in nondeterministic_fns_invariants.",
     tags=("functions", "datetime"),
 )
-def date_tz_rows_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+def date_tz_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").filter(F.col("event_id") <= 100)
     return e.select(
         "event_id",
-        F.from_utc_timestamp("ts", "America/Los_Angeles").alias("la_time"),
-        F.to_utc_timestamp("ts", "Asia/Tokyo").alias("from_tokyo"),
-        (F.col("ts") + F.expr("INTERVAL 1 DAY")).alias("plus_1d_interval"),
-        (F.col("ts") - F.expr("INTERVAL 90 MINUTE")).alias("minus_90m"),
+        F.from_utc_timestamp("ts", "America/Los_Angeles").cast("string").alias("la_time"),
+        F.to_utc_timestamp("ts", "Asia/Tokyo").cast("string").alias("from_tokyo"),
+        (F.col("ts") + F.expr("INTERVAL 1 DAY")).cast("string").alias("plus_1d_interval"),
+        (F.col("ts") - F.expr("INTERVAL 90 MINUTE")).cast("string").alias("minus_90m"),
+    )
+
+
+@register(
+    "nondeterministic_fns_invariants",
+    oracle="""
+    SELECT COUNT(*) AS n, TRUE AS rnd_in_range, TRUE AS today_plausible,
+           TRUE AS now_after_2020, TRUE AS uuids_wellformed
+    FROM part WHERE p_partkey <= 100
+    """,
+    doc="Nondeterministic fns (UDFRand, GenericUDFCurrentDate/Timestamp, "
+    "GenericUDFUuid): values are engine/instant-specific by definition, so "
+    "the query projects their CONTRACTS — rand(seed) ∈ [0,1), current_date "
+    "within a sane window, current_timestamp after 2020, uuid() matching "
+    "the 8-4-4-4-12 hex shape — into oracle-checkable booleans.",
+    tags=("functions", "misc"),
+)
+def nondeterministic_fns_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 100)
+    rows = p.select(
+        F.rand(42).alias("rnd"),
         F.current_date().alias("today"),
         F.current_timestamp().alias("now_ts"),
+        F.expr("uuid()").alias("uid"),
+    )
+    uuid_re = "^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$"
+    return rows.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.when((F.col("rnd") >= 0) & (F.col("rnd") < 1), 0).otherwise(1)) == 0).alias(
+            "rnd_in_range"
+        ),
+        (F.min("today") >= F.lit("2020-01-01").cast("date")).alias("today_plausible"),
+        (F.min("now_ts") >= F.lit("2020-01-01 00:00:00").cast("timestamp")).alias(
+            "now_after_2020"
+        ),
+        (F.sum(F.when(F.col("uid").rlike(uuid_re), 0).otherwise(1)) == 0).alias(
+            "uuids_wellformed"
+        ),
     )

@@ -181,20 +181,29 @@ def math_compare_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "math_conv_rows_only",
-    oracle=None,
-    doc="Rows-only remainder: conv(n,b1,b2), unhex, rand(seed) "
-    "(nondeterministic across engines), positive/negative.",
+    "math_conv_suite",
+    oracle="""
+    SELECT p_partkey,
+           to_base(p_size, 16) AS conv16,
+           bin(p_size) AS conv2,
+           p_brand AS unhex_roundtrip,
+           p_size AS pos,
+           -p_size AS neg
+    FROM part WHERE p_partkey <= 100
+    """,
+    doc="conv(n,b1,b2) base conversion (UDFConv), hex/unhex roundtrip "
+    "(UDFHex/UDFUnhex), positive/negative (UDFOPPositive/Negative). "
+    "rand(seed) is excluded from [Q] per SURVEY §5 (engine-specific PRNG) — "
+    "covered by nondeterministic_fns_invariants instead.",
     tags=("functions", "math"),
 )
-def math_conv_rows_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+def math_conv_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 100)
     return p.select(
         "p_partkey",
         F.conv(F.col("p_size").cast("string"), 10, 16).alias("conv16"),
         F.conv(F.col("p_size").cast("string"), 10, 2).alias("conv2"),
         F.unhex(F.hex("p_brand")).cast("string").alias("unhex_roundtrip"),
-        F.rand(42).alias("rnd"),
         F.expr("positive(p_size)").alias("pos"),
         F.expr("negative(p_size)").alias("neg"),
     )

@@ -322,15 +322,21 @@ def multi_insert_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "virtual_columns_rows_only",
-    oracle=None,  # file paths / partition ids are engine-specific
+    "virtual_columns_invariants",
+    oracle="""
+    SELECT COUNT(*) AS n_rows, TRUE AS has_files, TRUE AS has_partitions,
+           TRUE AS rids_unique, TRUE AS fnames_resolve
+    FROM orders
+    """,
     doc="Virtual columns (ql/metadata/VirtualColumn.java): INPUT__FILE__NAME "
     "→ input_file_name(), plus spark_partition_id + monotonically_"
     "increasing_id as the Spark-native row-address analogues of "
-    "BLOCK__OFFSET__INSIDE__FILE / ROW__ID. Aggregated to stable shape.",
+    "BLOCK__OFFSET__INSIDE__FILE / ROW__ID. Raw values are engine-specific, "
+    "so the query projects their invariants: every row has a parquet file "
+    "name, ≥1 file and partition, and row ids are globally unique.",
     tags=("scan", "virtual"),
 )
-def virtual_columns_rows_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+def virtual_columns_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return (
         o.select(
@@ -339,10 +345,13 @@ def virtual_columns_rows_only(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.monotonically_increasing_id().alias("rid"),
         )
         .agg(
-            F.countDistinct("fname").alias("n_files"),
-            F.countDistinct("pid").alias("n_partitions"),
             F.count(F.lit(1)).alias("n_rows"),
-            F.countDistinct("rid").alias("n_unique_rids"),
+            (F.countDistinct("fname") >= 1).alias("has_files"),
+            (F.countDistinct("pid") >= 1).alias("has_partitions"),
+            (F.countDistinct("rid") == F.count(F.lit(1))).alias("rids_unique"),
+            (F.sum(F.when(F.col("fname").contains(".parquet"), 0).otherwise(1)) == 0).alias(
+                "fnames_resolve"
+            ),
         )
     )
 

@@ -185,12 +185,19 @@ def partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dynamic_partition_overwrite",
-    oracle=None,  # multi-step write-path state; rows-only
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n
+    FROM orders
+    WHERE o_orderstatus <> 'O' OR o_orderkey % 2 = 0
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
     doc="Dynamic-partition INSERT OVERWRITE (FileSinkOperator.getDynOutPaths, "
     "hive.exec.dynamic.partition.mode=nonstrict): overwrite only the "
     "partitions present in the incoming data, leave others intact. "
     "Verified by re-reading: the O partition is replaced (halved), F/P "
-    "retain original counts.",
+    "retain original counts — deterministic, so fully oracled against the "
+    "equivalent predicate over the source table.",
     tags=("sink", "partition"),
 )
 def dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
