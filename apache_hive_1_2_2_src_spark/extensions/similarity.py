@@ -252,3 +252,79 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("query_id", "cand_id", F.round("cos", 6).alias("cosine"), "rk")
     )
+
+
+def _nearest_cid(e: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Assign each (vec_id, embedding) to its nearest centroid by cosine."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("vec_id").orderBy(
+        _cos(F.col("embedding"), F.col("ce")).desc(), F.col("cid")
+    )
+    return (
+        e.crossJoin(F.broadcast(centroids))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", "embedding", "cid", _cos(F.col("embedding"), F.col("ce")).alias("cos"))
+    )
+
+
+def kmeans_iterate(e: DataFrame, k: int = 8, iters: int = 3) -> DataFrame:
+    """Distributed Lloyd's k-means over an embedding column — the iterative-
+    algorithm pattern done Spark-first: the driver loops over LAZY plans; no
+    vector ever reaches the driver (centroids stay a broadcast DataFrame,
+    unlike collect-based implementations). Per iteration:
+
+      assign:   crossJoin(broadcast(centroids)) + per-vec argmax cosine
+                (|N|·k comparisons, embarrassingly parallel)
+      update:   posexplode to (cid, dim, value) → groupBy(cid, dim) avg →
+                re-assemble arrays via sorted collect_list
+                (one shuffle of |N|·d rows, then k·d)
+
+    At 100 TB you add .persist() on the assignment and raise k; the plan
+    shape is unchanged. Seeded with the first k vectors (deterministic).
+    Returns the final per-cluster summary (cid, n_members, avg_cos).
+    """
+    centroids = e.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    for _ in range(iters):
+        assigned = _nearest_cid(e, centroids)
+        dims = assigned.select(
+            "cid", F.posexplode("embedding").alias("pos", "val")
+        )
+        centroids = (
+            dims.groupBy("cid", "pos")
+            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+                ).alias("ce")
+            )
+        )
+    final = _nearest_cid(e, centroids)
+    return (
+        final.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(F.avg("cos"), 4).alias("avg_cos"),
+        )
+        .orderBy("cid")
+    )
+
+
+@register(
+    "similarity_kmeans_train",
+    oracle=None,  # iterative algorithm — exempt from SQL oracle by design
+    doc="K-means training loop (k=8, 3 Lloyd iterations) over embeddings — "
+    "the iterative-algorithm pattern: driver-side loop over lazy DataFrame "
+    "plans, centroid update as posexplode + groupBy(cid,dim) avg, no "
+    "driver-side vectors. Produces the trained centroids the IVF index "
+    "(similarity_ann_ivf) would use in production; convergence asserted in "
+    "tests/test_kmeans.py (inertia non-increasing, all clusters populated).",
+    tags=("extension", "similarity", "iterative"),
+)
+def similarity_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return kmeans_iterate(e, k=8, iters=3)

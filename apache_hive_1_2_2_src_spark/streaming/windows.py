@@ -342,3 +342,59 @@ def window_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((d, h), (d))
         """
     )
+
+
+@register(
+    "streaming_dedup_exact",
+    oracle="""
+    SELECT COUNT(*) AS n_after_dedup, TRUE AS all_unique
+    FROM events
+    """,
+    doc="Streaming exact dedup — dropDuplicatesWithinWatermark (Spark 3.5+): "
+    "the streaming half of the dedup surface (batch half: dedup_exact). "
+    "Input is the events stream with every 5th event duplicated (an "
+    "at-least-once ingest, exactly what hcatalog-streaming retries "
+    "produce); state is bounded by the 2h watermark instead of growing "
+    "forever — the property that makes streaming dedup runnable on a "
+    "100 TB/day feed. Deterministic: duplicates share their original's "
+    "event time, so they always fall inside the watermark and the surviving "
+    "row count equals the distinct-event count, which the oracle checks.",
+    tags=("streaming", "dedup", "watermark"),
+)
+def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    base = tempfile.mkdtemp(prefix="hive_spark_sdedup_")
+    sink, ckpt = os.path.join(base, "sink"), os.path.join(base, "ckpt")
+    inbox = os.path.join(base, "inbox")
+    os.makedirs(inbox)
+    # Stage events + an every-5th-event duplicate overlay (same payload,
+    # same event time — an at-least-once redelivery).
+    e = load_table(spark, sf_dir, "events")
+    dup = e.filter(F.col("event_id") % 5 == 0)
+    staged = e.unionAll(dup).withColumn("ts_us", F.unix_micros("ts"))
+    staged.drop("ts").write.mode("overwrite").parquet(inbox)
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, user_id bigint, event_type string, "
+            "value double, props string, ts_us bigint"
+        )
+        .parquet(inbox)
+        .withColumn("ts", F.timestamp_micros("ts_us"))
+        .drop("ts_us")
+    )
+    q = (
+        stream.withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    back = spark.read.parquet(sink)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_after_dedup"),
+        (F.countDistinct("event_id") == F.count(F.lit(1))).alias("all_unique"),
+    )

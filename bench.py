@@ -32,6 +32,8 @@ HEADLINE = (
     "dedup_minhash_lsh",  # MinHash-LSH near-dup (extension)
     "window_tumbling_agg",  # 1h tumbling window over events
     "lateral_view_word_count",  # explode + top-k agg over documents
+    "workload_local_supplier_volume",  # TPC-H Q5: 6-table snowflake, broadcast chain
+    "bucketed_smb_join",  # bucketed write + shuffle-free sort-merge join
 )
 
 

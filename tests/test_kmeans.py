@@ -1,0 +1,34 @@
+"""K-means (Lloyd) convergence properties: mean within-cluster cosine must
+not decrease across iterations, every cluster stays populated, and the
+membership counts always sum to the corpus size."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from apache_hive_1_2_2_src_spark.extensions.similarity import kmeans_iterate
+from apache_hive_1_2_2_src_spark.tables import load_table
+from tests.conftest import SF_DIR
+
+
+def _mean_cos(spark, iters):
+    e = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    out = kmeans_iterate(e, k=4, iters=iters)
+    rows = out.collect()
+    n = sum(r.n_members for r in rows)
+    mean = sum(r.avg_cos * r.n_members for r in rows) / n
+    return rows, n, mean
+
+def test_kmeans_improves_over_seed(spark):
+    total = load_table(spark, SF_DIR, "embeddings").count()
+    rows0, n0, cos0 = _mean_cos(spark, iters=0)   # seed centroids only
+    rows3, n3, cos3 = _mean_cos(spark, iters=3)
+    assert n0 == n3 == total                       # every vector assigned once
+    assert len(rows3) == 4 and all(r.n_members > 0 for r in rows3)
+    assert cos3 >= cos0 - 1e-9                     # Lloyd never degrades
+
+
+def test_kmeans_monotone_iterations(spark):
+    _, _, c1 = _mean_cos(spark, iters=1)
+    _, _, c2 = _mean_cos(spark, iters=2)
+    assert c2 >= c1 - 1e-9
