@@ -351,3 +351,75 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
         )
     )
+
+
+@register(
+    "join_asof",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, ts, event_id AS view_event_id, value AS view_value
+      FROM (
+        SELECT user_id, ts, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'view'
+      ) WHERE rn = 1
+    ),
+    p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT p.event_id, p.user_id, CAST(p.ts AS VARCHAR) AS purchase_ts,
+           v.view_event_id,
+           CAST(ROUND(v.view_value, 6) AS DOUBLE) AS view_value
+    FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+    doc="AS-OF join (no Hive or stock-Spark operator — the canonical "
+    "time-series/training-pipeline op: each purchase event picks up the "
+    "most recent prior-or-equal view event of the same user). Spark-first "
+    "implementation is the single-shuffle union+window pattern: tag both "
+    "sides, union, window per user ordered by (ts, side), "
+    "last(right-struct, ignorenulls) — O(n log n) per user, NO range "
+    "cross-join, no per-key explosion. The oracle is DuckDB's native "
+    "ASOF LEFT JOIN; right-side (user, ts) duplicates are pre-reduced so "
+    "both engines pick the identical match.",
+    tags=("join", "asof", "window"),
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    dedup_w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .withColumn("rn", F.row_number().over(dedup_w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "ts",
+            F.struct(
+                F.col("event_id").alias("vid"), F.col("value").alias("vval")
+            ).alias("vrec"),
+            F.lit(0).alias("side"),
+            F.lit(None).cast("bigint").alias("event_id"),
+        )
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("struct<vid:bigint,vval:double>").alias("vrec"),
+        F.lit(1).alias("side"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = v.unionByName(p).withColumn(
+        "matched", F.last("vrec", ignorenulls=True).over(w)
+    )
+    return merged.filter(F.col("side") == 1).select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("string").alias("purchase_ts"),
+        F.col("matched.vid").alias("view_event_id"),
+        F.round(F.col("matched.vval"), 6).cast("double").alias("view_value"),
+    )

@@ -270,3 +270,49 @@ def bucketed_smb_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_nationkey").alias("nk"))
         .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "sum_price"))
     )
+
+
+@register(
+    "compact_small_files",
+    oracle="""
+    SELECT COUNT(*) AS n_rows, 16 AS files_small, 4 AS files_compacted,
+           TRUE AS rows_preserved
+    FROM documents
+    """,
+    doc="Small-files compaction — the operational backbone of every "
+    "large-scale ingest pipeline (Hive's ALTER TABLE ... CONCATENATE / "
+    "merge-files post-hooks; ql/exec/DDLTask.mergeFiles): a 16-way "
+    "fragmented write is compacted to 4 right-sized files with "
+    "repartition(4) (a real shuffle — coalesce(4) would also narrow the "
+    "UPSTREAM write's parallelism; at 100 TB you compact with repartition "
+    "sized to files×maxPartitionBytes). File counts are read back lazily "
+    "via input_file_name(), row fidelity via count reconciliation.",
+    tags=("sink", "compaction"),
+)
+def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    small, compacted = _tmp("compact_small"), _tmp("compact_big")
+    d.repartition(16).write.mode("overwrite").parquet(small)
+    spark.read.parquet(small).repartition(4).write.mode("overwrite").parquet(compacted)
+    s = (
+        spark.read.parquet(small)
+        .select(F.input_file_name().alias("f"))
+        .agg(
+            F.countDistinct("f").alias("files_small"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+    c = (
+        spark.read.parquet(compacted)
+        .select(F.input_file_name().alias("f"))
+        .agg(
+            F.countDistinct("f").alias("files_compacted"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    return c.crossJoin(s).select(
+        "n_rows",
+        "files_small",
+        "files_compacted",
+        (F.col("n_rows") == F.col("n_small")).alias("rows_preserved"),
+    )
