@@ -423,3 +423,66 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("matched.vid").alias("view_event_id"),
         F.round(F.col("matched.vval"), 6).cast("double").alias("view_value"),
     )
+
+
+@register(
+    "mapjoin_hint_sql",
+    oracle="""
+    SELECT r_name, COUNT(*) AS n_nations, COUNT(DISTINCT n_nationkey) AS n_keys
+    FROM region JOIN nation ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+    doc="Literal HiveQL /*+ MAPJOIN(t) */ hint (SemanticAnalyzer hint token "
+    "MAPJOIN → MapJoinOperator.java): Spark SQL accepts Hive's hint NAME "
+    "verbatim as a broadcast-join hint — the dialect-parity point — and the "
+    "plan gets a BroadcastHashJoin (asserted in tests/test_plan_shapes.py).",
+    tags=("join", "sql", "hint"),
+)
+def mapjoin_hint_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for name in ("region", "nation"):
+        load_table(spark, sf_dir, name).createOrReplaceTempView(f"{name}_mj")
+    return spark.sql(
+        """
+        SELECT /*+ MAPJOIN(region_mj) */ r_name,
+               COUNT(*) AS n_nations,
+               COUNT(DISTINCT n_nationkey) AS n_keys
+        FROM region_mj JOIN nation_mj ON n_regionkey = r_regionkey
+        GROUP BY r_name
+        """
+    )
+
+
+@register(
+    "pivot_case_when",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                         THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+                AS DOUBLE) AS sum_f
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="Manual pivot via sum(CASE WHEN ...) — THE Hive 1.2 idiom for "
+    "pivoting (no PIVOT syntax until much later; q-tests groupby_ppd.q "
+    "family). Spark's native df.groupBy().pivot() compiles to the same "
+    "conditional-aggregate plan; the case-when form is written here so the "
+    "SQL is portable to both engines verbatim.",
+    tags=("agg", "pivot"),
+)
+def pivot_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_f"),
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_o"),
+        F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("n_p"),
+        F.sum(
+            F.when(
+                F.col("o_orderstatus") == "F",
+                F.col("o_totalprice").cast("decimal(18,2)"),
+            )
+        )
+        .cast("double")
+        .alias("sum_f"),
+    )

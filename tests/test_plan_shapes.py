@@ -58,3 +58,17 @@ def test_partitioned_windows_have_partitioning(spark, registry):
     # The scale-safe window variants must not fall into a single partition.
     p = plan_text(registry["window_ntile_partitioned"].build(spark, SF_DIR))
     assert "o_orderstatus" in p and "Window" in p
+
+
+def test_asof_join_single_shuffle_no_range_join(plans):
+    # union+window form: one hash partitioning on user_id, never a range
+    # cross-join (BroadcastNestedLoopJoin/CartesianProduct would be the
+    # naive per-pair formulations).
+    p = plans("join_asof")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "Window" in p
+
+
+def test_mapjoin_hint_broadcasts(plans):
+    p = plans("mapjoin_hint_sql")
+    assert "BroadcastHashJoin" in p
