@@ -72,3 +72,19 @@ def test_asof_join_single_shuffle_no_range_join(plans):
 def test_mapjoin_hint_broadcasts(plans):
     p = plans("mapjoin_hint_sql")
     assert "BroadcastHashJoin" in p
+
+
+def test_bucketed_smb_join_no_exchange_on_bucket_keys(spark, registry):
+    # With broadcast disabled the bucketed layout must carry the join alone:
+    # SortMergeJoin whose inputs come straight from the bucketed scans — no
+    # Exchange on the bucket keys (the only allowed exchange is the
+    # post-join groupBy on c_nationkey).
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = plan_text(registry["bucketed_smb_join"].build(spark, SF_DIR))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    assert "SortMergeJoin" in p
+    for line in p.splitlines():
+        if "Exchange" in line:
+            assert "custkey" not in line, f"bucket key reshuffled: {line.strip()}"
