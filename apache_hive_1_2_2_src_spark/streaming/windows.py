@@ -130,7 +130,11 @@ def window_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_ingest_demo",
-    oracle=None,  # streaming write-path state; rows-only check
+    oracle="""
+    SELECT COUNT(*) AS n_rows, COUNT(DISTINCT user_id) AS n_users,
+           CAST(CAST(MIN(ts) AS DATE) AS VARCHAR) AS first_day
+    FROM events
+    """,
     doc="Structured Streaming ingest parity with hcatalog-streaming "
     "(HiveEndPoint.java / TransactionBatch.java): file-source readStream "
     "over the events parquet → writeStream parquet sink + checkpoint "
@@ -180,7 +184,7 @@ def streaming_ingest_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("user_id").alias("n_users"),
-        F.min("ts").cast("date").alias("first_day"),
+        F.min("ts").cast("date").cast("string").alias("first_day"),
     )
 
 
