@@ -88,3 +88,11 @@ def test_bucketed_smb_join_no_exchange_on_bucket_keys(spark, registry):
     for line in p.splitlines():
         if "Exchange" in line:
             assert "custkey" not in line, f"bucket key reshuffled: {line.strip()}"
+
+
+def test_partitioned_write_prune_hits_partition_filters(plans):
+    # The status filter must prune DIRECTORIES (PartitionFilters on the
+    # partitioned layout), not scan-and-filter every partition.
+    p = plans("partitioned_write_prune")
+    assert "PartitionFilters" in p
+    assert "o_orderstatus" in p.split("PartitionFilters", 1)[1][:200]

@@ -64,3 +64,60 @@ def test_random_filter_agg_equivalence(spark, orders_con, lo, width, status, use
         """
     ).fetchone()
     assert (got["n"], got["s"], got["mn"], got["mx"]) == want
+
+
+@pytest.fixture(scope="module")
+def join_con():
+    con = duckdb.connect()
+    for t in ("orders", "customer", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    bal=st.integers(min_value=-1000, max_value=9000),
+    status=st.sampled_from(STATUSES),
+    join_type=st.sampled_from(["inner", "left", "left_semi", "left_anti"]),
+)
+def test_random_join_equivalence(spark, join_con, bal, status, join_type):
+    """Randomized join: orders(status filter) ⋈ customer(acctbal filter) must
+    agree with DuckDB across join types — exercises Catalyst's join-type
+    rewrites (semi/anti pushdowns) against an independent engine."""
+    o = load_table(spark, SF_DIR, "orders").filter(F.col("o_orderstatus") == status)
+    c = load_table(spark, SF_DIR, "customer").filter(F.col("c_acctbal") > bal)
+    j = o.join(c, o.o_custkey == c.c_custkey, join_type)
+    got = j.agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("o_custkey").alias("d")
+    ).collect()[0]
+
+    exists = (
+        f"EXISTS (SELECT 1 FROM customer c "
+        f"WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > {bal})"
+    )
+    from_clause, has_where = {
+        "inner": (
+            f"orders o JOIN customer c "
+            f"ON o.o_custkey = c.c_custkey AND c.c_acctbal > {bal}",
+            False,
+        ),
+        "left": (
+            f"orders o LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > {bal}) c "
+            f"ON o.o_custkey = c.c_custkey",
+            False,
+        ),
+        "left_semi": (f"orders o WHERE {exists}", True),
+        "left_anti": (f"orders o WHERE NOT {exists}", True),
+    }[join_type]
+    conj = "AND" if has_where else "WHERE"
+    want = join_con.execute(
+        f"SELECT COUNT(*), COUNT(DISTINCT o_custkey) FROM {from_clause} "
+        f"{conj} o.o_orderstatus = '{status}'"
+    ).fetchone()
+    assert (got["n"], got["d"]) == want
