@@ -30,7 +30,12 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
-def get_session(app_name: str = APP_NAME, *, shuffle_partitions: int | None = None) -> SparkSession:
+def get_session(
+    app_name: str = APP_NAME,
+    *,
+    shuffle_partitions: int | None = None,
+    hive: bool = False,
+) -> SparkSession:
     """Build (or reuse) the engine SparkSession.
 
     Semantics pinned for Hive-1.2.2 / DuckDB-oracle parity:
@@ -39,6 +44,14 @@ def get_session(app_name: str = APP_NAME, *, shuffle_partitions: int | None = No
       oracle interpret parquet INT96/INT64 timestamps identically.
     - ANSI off (Hive 1.2 returns NULL on bad casts / division by zero —
       ``LazyPrimitive.parse`` NULL-on-mismatch semantics).
+
+    ``hive=True`` builds with ``enableHiveSupport()`` (Spark ships the Hive
+    2.3 client jars): CREATE TEMPORARY FUNCTION then loads REAL Hive
+    UDF/UDAF/UDTF classes (``ql/udf/**``) verbatim — a reference user's
+    custom-UDF jars run unchanged (verified in tests/test_hive_udf_compat).
+    The catalog implementation is fixed at JVM startup, so this must be the
+    FIRST session built in the process; the default stays in-memory because
+    the external correctness driver supplies its own vanilla session.
     """
     cpus = default_parallelism()
     builder = (
@@ -64,4 +77,6 @@ def get_session(app_name: str = APP_NAME, *, shuffle_partitions: int | None = No
         # matching DuckDB's TIMESTAMP_NS -> TIMESTAMP read conversion).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
+    if hive:
+        builder = builder.enableHiveSupport()
     return builder.getOrCreate()
