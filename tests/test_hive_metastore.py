@@ -1,0 +1,50 @@
+"""Real-metastore parity: the same DDL/stats statements the engine runs
+against the in-memory catalog (operators/catalog.py) must also run against
+an actual Hive metastore (embedded Derby via enableHiveSupport) — the
+literal ObjectStore.java code path a cluster deployment uses.
+
+Runs in a subprocess with its own JVM (catalog impl is a startup conf) and
+a temp cwd (Derby writes metastore_db/ + derby.log in the working dir).
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+import tempfile
+
+PROBE = r"""
+import sys
+sys.path.insert(0, %(repo)r)
+from apache_hive_1_2_2_src_spark.session import get_session
+
+spark = get_session("hms_test", shuffle_partitions=2, hive=True)
+assert spark.conf.get("spark.sql.catalogImplementation") == "hive"
+spark.sql("CREATE DATABASE hms_db")
+spark.sql("CREATE TABLE hms_db.t (k INT, v STRING) USING PARQUET")
+spark.sql("INSERT INTO hms_db.t VALUES (1, 'a'), (2, 'b')")
+spark.sql("ANALYZE TABLE hms_db.t COMPUTE STATISTICS")
+assert spark.table("hms_db.t").count() == 2
+stats = [r.data_type for r in spark.sql("DESCRIBE TABLE EXTENDED hms_db.t").collect()
+         if r.col_name == "Statistics"]
+assert stats and "2 rows" in stats[0], stats
+assert any(t.name == "t" for t in spark.catalog.listTables("hms_db"))
+spark.sql("DROP DATABASE hms_db CASCADE")
+assert not any(db.name == "hms_db" for db in spark.catalog.listDatabases())
+print("HIVE_METASTORE_OK")
+"""
+
+
+def test_ddl_and_stats_against_real_metastore():
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with tempfile.TemporaryDirectory(prefix="hms_test_") as cwd:
+        out = subprocess.run(
+            [sys.executable, "-c", PROBE % {"repo": repo}],
+            capture_output=True,
+            text=True,
+            timeout=300,
+            cwd=cwd,
+        )
+        assert "HIVE_METASTORE_OK" in out.stdout, out.stderr[-2000:]
