@@ -147,3 +147,60 @@ def analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(true_n, stats_rows_match, col_stats_present)],
         "n_rows long, stats_rows_match boolean, col_stats_present boolean",
     )
+
+
+@register(
+    "ddl_partitioned_insert",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT o_orderstatus) AS n_partitions,
+           TRUE AS alter_ok
+    FROM orders
+    """,
+    doc="Partitioned-table DDL dialect (SemanticAnalyzer partition spec "
+    "grammar; FileSinkOperator.getDynOutPaths; DDLTask ALTER): CREATE TABLE "
+    "... PARTITIONED BY, static INSERT OVERWRITE TABLE ... PARTITION "
+    "(st='F'), dynamic INSERT INTO ... PARTITION (st), SHOW PARTITIONS, "
+    "ALTER TABLE ADD COLUMNS — all literal HiveQL accepted by Spark SQL. "
+    "Result row = post-insert count + SHOW PARTITIONS count + a flag that "
+    "the added column is visible; one-row lifecycle collect as in "
+    "ddl_lifecycle (module docstring).",
+    tags=("catalog", "ddl", "partition", "sql"),
+)
+def ddl_partitioned_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    db = _scratch_db(spark) + "_part"
+    _drop_db(spark, db)
+    spark.sql(f"CREATE DATABASE {db}")
+    try:
+        load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_ddlp_src")
+        tbl = f"{db}.orders_part"
+        # Spark datasource form: partition column in the schema, USING before
+        # PARTITIONED BY. (The Hive-format `PARTITIONED BY (st STRING) STORED
+        # AS PARQUET` order needs a hive-enabled catalog — covered by
+        # tests/test_hive_metastore.py.)
+        spark.sql(
+            f"CREATE TABLE {tbl} "
+            "(o_orderkey BIGINT, o_totalprice DOUBLE, st STRING) "
+            "USING PARQUET PARTITIONED BY (st)"
+        )
+        spark.sql(
+            f"INSERT OVERWRITE TABLE {tbl} PARTITION (st='F') "
+            "SELECT o_orderkey, o_totalprice FROM orders_ddlp_src "
+            "WHERE o_orderstatus = 'F'"
+        )
+        spark.sql(
+            f"INSERT INTO TABLE {tbl} PARTITION (st) "
+            "SELECT o_orderkey, o_totalprice, o_orderstatus AS st "
+            "FROM orders_ddlp_src WHERE o_orderstatus <> 'F'"
+        )
+        n_partitions = spark.sql(f"SHOW PARTITIONS {tbl}").count()
+        spark.sql(f"ALTER TABLE {tbl} ADD COLUMNS (ingest_note STRING)")
+        cols = [f.name for f in spark.table(tbl).schema.fields]
+        alter_ok = "ingest_note" in cols
+        n_rows = spark.table(tbl).count()
+    finally:
+        _drop_db(spark, db)
+    return spark.createDataFrame(
+        [(n_rows, n_partitions, alter_ok)],
+        "n_rows long, n_partitions long, alter_ok boolean",
+    )
