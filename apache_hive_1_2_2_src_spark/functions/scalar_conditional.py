@@ -95,3 +95,53 @@ def cast_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("date_str"),
         F.col("o_orderdate").cast("date").cast("string").alias("date_cast_str"),
     )
+
+
+@register(
+    "null_semantics_suite",
+    oracle="""
+    WITH t AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_acctbal END AS b
+      FROM customer WHERE c_custkey <= 300
+    )
+    SELECT c_custkey,
+           b IS NULL AS is_n,
+           b IS NOT DISTINCT FROM NULL AS nse_null,
+           b IS NOT DISTINCT FROM b AS nse_self,
+           CAST(NULL = 1 AS BOOLEAN) AS cmp_null,
+           COALESCE(CAST(b AS DOUBLE), -1) AS coalesced,
+           CASE WHEN b IS NULL THEN 'missing' ELSE 'present' END AS tagged,
+           (CAST(b AS DOUBLE) > 0 AND NULL) IS NULL AS threeval_and
+    FROM t
+    """,
+    doc="NULL semantics (Hive three-valued logic; GenericUDFOPEqualNS "
+    "null-safe <=>, udf_isnull.q, udf_coalesce.q): IS NULL, the null-safe "
+    "equality operator <=> (literal HiveQL token, Spark parses it "
+    "verbatim; ≡ DuckDB IS NOT DISTINCT FROM), NULL-propagating "
+    "comparisons, COALESCE defaults, CASE-on-null, and three-valued AND "
+    "(x AND NULL is NULL unless x is FALSE — checked where x is TRUE).",
+    tags=("functions", "conditional", "null", "sql"),
+)
+def null_semantics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") <= 300
+    ).createOrReplaceTempView("customer_nulls")
+    return spark.sql(
+        """
+        WITH t AS (
+          SELECT c_custkey,
+                 CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_acctbal END AS b
+          FROM customer_nulls
+        )
+        SELECT c_custkey,
+               b IS NULL AS is_n,
+               b <=> NULL AS nse_null,
+               b <=> b AS nse_self,
+               CAST(NULL = 1 AS BOOLEAN) AS cmp_null,
+               COALESCE(CAST(b AS DOUBLE), -1) AS coalesced,
+               CASE WHEN b IS NULL THEN 'missing' ELSE 'present' END AS tagged,
+               (CAST(b AS DOUBLE) > 0 AND NULL) IS NULL AS threeval_and
+        FROM t
+        """
+    )

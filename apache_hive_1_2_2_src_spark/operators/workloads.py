@@ -210,3 +210,83 @@ def workload_part_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum_exact(rev, "revenue"), F.count(F.lit(1)).alias("n_items"))
         .orderBy(F.col("revenue").desc())
     )
+
+
+@register(
+    "workload_order_priority_check",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00')
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape (order priority checking): date-windowed orders "
+    "semi-joined to late-shipping lineitems (EXISTS → LeftSemi in "
+    "Catalyst, Hive's genPlan LEFT SEMI JOIN rewrite; TPC-H's "
+    "commitdate<receiptdate lateness re-expressed on the testdata schema "
+    "as shipdate past a cutoff), grouped by priority. Exercises the "
+    "EXISTS decorrelation path on a fact-fact semi-join: one shuffle on "
+    "orderkey, map-side partial agg after.",
+    tags=("workload", "join", "subquery", "agg"),
+)
+def workload_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
+    )
+    late = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        o.join(late, o.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "workload_shipmode_priority",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+               AS high_line_count,
+           COUNT(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+               AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_returnflag IN ('R', 'A')
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="TPC-H Q12 shape (shipping modes / order priority — the testdata "
+    "schema has no l_shipmode, so returnflag plays the mode column; plan "
+    "shape is identical): fact-fact join with an IN-list + date-window "
+    "filter pushed to the lineitem scan, conditional (pivot-style) "
+    "aggregation per group — Hive's hive.map.aggr conditional-sum idiom "
+    "(SemanticAnalyzer genGroupByPlan).",
+    tags=("workload", "join", "agg"),
+)
+def workload_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("R", "A")
+        & (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.when(hi, 1)).alias("high_line_count"),
+            F.count(F.when(~hi, 1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
