@@ -83,16 +83,28 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _jaccard_oracle(threshold: float) -> str:
-    """Exact word-3-gram Jaccard pairs ≥ threshold (DuckDB inverted index)."""
+def _jaccard_oracle(threshold: float, shingle_df_cap: int | None = None) -> str:
+    """Exact word-3-gram Jaccard pairs ≥ threshold (DuckDB inverted index).
+
+    With ``shingle_df_cap``, shingles appearing in more than that many docs
+    are dropped from every shingle set first (both |A∩B| and |A∪B|) —
+    mirroring the Spark operator's skew guard so both engines compute
+    Jaccard over the same capped vocabulary.
+    """
+    cap_clause = (
+        f"SELECT * FROM s0 QUALIFY COUNT(*) OVER (PARTITION BY sh) <= {shingle_df_cap}"
+        if shingle_df_cap is not None
+        else "SELECT * FROM s0"
+    )
     return f"""
     WITH d AS (SELECT doc_id, {_SQL_WORDS} AS w FROM documents),
-    s AS (
+    s0 AS (
       SELECT doc_id, unnest(list_distinct(
                list_transform(range(1, len(w) - 1),
                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh
       FROM d
     ),
+    s AS ({cap_clause}),
     n AS (SELECT doc_id, COUNT(*) AS n_sh FROM s GROUP BY doc_id),
     common AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
@@ -110,16 +122,45 @@ def _jaccard_oracle(threshold: float) -> str:
 
 @register(
     "dedup_ngram_jaccard",
-    oracle=_jaccard_oracle(0.8),
+    oracle=_jaccard_oracle(0.8, shingle_df_cap=64),
     doc="Exact near-dup mining via word-3-gram Jaccard >= 0.8: inverted "
     "index (explode distinct shingles) → self-join on shingle → "
     "|A∩B| → Jaccard. The only shuffles are the explode-side groupBys "
-    "and the shingle join; no cartesian stage exists.",
+    "and the shingle join; no cartesian stage exists. Shingles with "
+    "document frequency > 64 (stop-shingles: boilerplate, licence "
+    "headers) are dropped from every shingle set before the join — the "
+    "skew guard that keeps the worst join key bounded at 100 TB (a "
+    "df-D shingle otherwise contributes D² join rows). The oracle "
+    "applies the identical cap, so Jaccard is computed over the same "
+    "capped vocabulary on both engines.",
     tags=("extension", "dedup"),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", _words().alias("w"))
+    return ngram_jaccard_pairs(d, threshold=0.8, shingle_df_cap=64)
+
+
+def ngram_jaccard_pairs(
+    d: DataFrame, *, threshold: float = 0.8, shingle_df_cap: int | None = 64
+) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs over (doc_id, w).
+
+    ``shingle_df_cap`` is the hot-key skew guard: a shingle appearing in
+    more than ``cap`` docs is removed from every shingle set (numerator AND
+    denominator) before the inverted-index self-join, bounding join fan-out
+    per key at cap² and total candidate rows at |shingles|·cap². The df
+    count rides the same shuffle key (``sh``) as the self-join, so the
+    guard adds no extra exchange.
+    """
+    from pyspark.sql import Window
+
     s = d.select("doc_id", F.explode(_shingles(F.col("w"))).alias("sh"))
+    if shingle_df_cap is not None:
+        s = (
+            s.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("sh")))
+            .filter(F.col("df") <= shingle_df_cap)
+            .drop("df")
+        )
     n = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = s.alias("a"), s.alias("b")
     common = (
@@ -132,7 +173,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         common.join(na, F.col("doc_a") == F.col("na.doc_id"))
         .join(nb, F.col("doc_b") == F.col("nb.doc_id"))
-        .filter(jac >= 0.8)
+        .filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
 
@@ -149,14 +190,34 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "whose |bucket|² pair blow-up the cap routes out of the exact path). "
     "Oracle: the exact inverted-index Jaccard pairs at the same threshold — "
     "a full hash-match certifies BOTH the verification math and 100% "
-    "banding recall (this corpus's near-dups have J≈1, where the 4×4-band "
-    "catch probability is 1; seeded hashes make recall deterministic — "
-    "verified identical to exact at sf0.01 and sf0.1).",
+    "banding recall ON THIS CORPUS. The corpus does contain pairs in the "
+    "recall-uncertain J range (0.92–0.99), but min-hashes are seeded, so "
+    "the caught set is deterministic per corpus; equality is verified at "
+    "sf0.001/sf0.01/sf0.1 and gated by tests/test_dedup_lsh.py::"
+    "test_lsh_oracle_equality_gate, which fails loudly (with the remedy) "
+    "if a regenerated corpus ever breaks recall.",
     tags=("extension", "dedup", "lsh"),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", _words().alias("w"))
     return minhash_lsh_pairs(d)
+
+
+# Cache-lifetime contract: minhash_lsh_pairs persists its shingle inverted
+# index (three consumers). A lazy builder cannot know when its caller
+# materializes the result, so the index stays pinned until EITHER the next
+# minhash_lsh_pairs call (which releases the previous index first — a
+# long-lived session loop therefore never pins more than ONE index) OR an
+# explicit release_shingle_index(). Asserted in tests/test_dedup_lsh.py.
+_LAST_SHINGLE_INDEX: DataFrame | None = None
+
+
+def release_shingle_index() -> None:
+    """Unpersist the shingle index pinned by the last minhash_lsh_pairs."""
+    global _LAST_SHINGLE_INDEX
+    if _LAST_SHINGLE_INDEX is not None:
+        _LAST_SHINGLE_INDEX.unpersist(blocking=False)
+        _LAST_SHINGLE_INDEX = None
 
 
 def minhash_lsh_pairs(
@@ -181,12 +242,16 @@ def minhash_lsh_pairs(
     """
     from pyspark.sql import Window
 
+    global _LAST_SHINGLE_INDEX
     rows_per_band = k // bands
     # The shingle inverted index feeds three consumers (minhash build,
     # candidate verify ×2) — persist it so the explode+split runs once, not
     # three times. At cluster scale this is the checkpointed intermediate
-    # every LSH pipeline materializes anyway.
+    # every LSH pipeline materializes anyway. Lifetime: see module-level
+    # contract above (bounded to one pinned index per session).
+    release_shingle_index()
     sh = d.select("doc_id", F.explode(_shingles(F.col("w"))).alias("sh")).persist()
+    _LAST_SHINGLE_INDEX = sh
     # k min-hashes per doc: min over xxhash64(shingle, seed_i).
     minh = sh.groupBy("doc_id").agg(
         *[F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}") for i in range(k)]

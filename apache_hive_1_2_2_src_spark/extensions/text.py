@@ -41,17 +41,21 @@ def _words(col: str = "text") -> Column:
     WITH d AS (SELECT doc_id, lang, n_chars, {_SQL_WORDS} AS w FROM documents)
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(len(w)) AS total_tokens,
+           CAST(SUM(len(w)) AS BIGINT) AS total_tokens,
            CAST(ROUND(SUM(len(w)) * 1.0 / COUNT(*), 6) AS DOUBLE) AS avg_tokens,
-           CAST(ROUND(SUM(list_sum(list_transform(w, x -> len(x))) * 1.0 / len(w))
-                      / COUNT(*), 6) AS DOUBLE) AS avg_token_len,
+           CAST(ROUND(CAST(SUM(list_sum(list_transform(w, x -> len(x)))) AS BIGINT)
+                      * 1.0 / SUM(len(w)), 6) AS DOUBLE) AS avg_token_len,
            MAX(n_chars) AS max_chars
     FROM d
     GROUP BY lang
     """,
     doc="Corpus token statistics per language: token counting (whitespace "
-    "tokenizer), mean tokens/doc, mean token length. One groupBy(lang) "
-    "shuffle of ~|langs| rows after map-side partials.",
+    "tokenizer), mean tokens/doc, corpus mean token length. One groupBy(lang) "
+    "shuffle of ~|langs| rows after map-side partials. Determinism: every "
+    "aggregate is an exact integer SUM (cast BIGINT oracle-side — DuckDB "
+    "returns HUGEINT→float64 otherwise); the two ratio columns are a single "
+    "double division of integer sums, so Spark's parallel partials and "
+    "DuckDB's serial sum are bit-identical.",
     tags=("extension", "text"),
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -63,14 +67,12 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("bigint"),
         lambda acc, x: acc + x,
     )
-    d = d.withColumn("n_tok", F.size("w")).withColumn(
-        "mean_tok_len", tok_len_sum * 1.0 / F.col("n_tok")
-    )
+    d = d.withColumn("n_tok", F.size("w")).withColumn("tok_len_sum", tok_len_sum)
     return d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").alias("total_tokens"),
         F.round(F.sum("n_tok") * 1.0 / F.count(F.lit(1)), 6).alias("avg_tokens"),
-        F.round(F.sum("mean_tok_len") / F.count(F.lit(1)), 6).alias("avg_token_len"),
+        F.round(F.sum("tok_len_sum") * 1.0 / F.sum("n_tok"), 6).alias("avg_token_len"),
         F.max("n_chars").alias("max_chars"),
     )
 

@@ -127,7 +127,7 @@ def collection_struct_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            len(list_filter(w, x -> len(x) > 4)) AS n_long,
            array_to_string(list_transform(w[1:4], x -> upper(x)), ',') AS up4,
-           list_sum(list_transform(w, x -> len(x))) AS total_chars
+           CAST(list_sum(list_transform(w, x -> len(x))) AS BIGINT) AS total_chars
     FROM d
     """,
     doc="Higher-order array fns (filter/transform/aggregate) — the Spark-"

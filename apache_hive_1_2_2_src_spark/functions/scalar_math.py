@@ -118,7 +118,7 @@ def math_trig_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            least(p_size, 25, 10) AS lst,
            CAST(p_size // 7 AS BIGINT) AS intdiv,
            p_size % 7 AS modulo,
-           factorial(CAST(LEAST(p_size % 10, 9) AS INTEGER)) AS fact
+           CAST(factorial(CAST(LEAST(p_size % 10, 9) AS INTEGER)) AS BIGINT) AS fact
     FROM part WHERE p_partkey <= 300
     """,
     doc="bin/hex/shiftleft/shiftright/bitwise ops/greatest/least/div/mod/"

@@ -53,7 +53,7 @@ def _drop_db(spark: SparkSession, db: str) -> None:
     oracle="""
     SELECT COUNT(*) AS n_rows,
            COUNT(DISTINCT n_regionkey) AS n_regions,
-           SUM(n_nationkey) AS key_sum,
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
            TRUE AS table_visible, TRUE AS dropped_ok
     FROM nation
     """,

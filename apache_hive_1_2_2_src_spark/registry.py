@@ -9,6 +9,12 @@ Determinism rules (SURVEY.md §5):
 - alias every computed column identically in builder and oracle;
 - aggregate DOUBLE columns through DECIMAL(18,2) so Spark's parallel sum and
   DuckDB's serial sum are bit-identical after the final cast back to DOUBLE;
+- CAST every integer SUM (and list_sum) to BIGINT oracle-side: DuckDB
+  returns SUM(BIGINT) as HUGEINT, which pandas materializes as float64
+  (``300.0``) while Spark returns int64 (``300``) — the driver's
+  canonicalizer distinguishes them (round-3 ddl_lifecycle/text_token_stats
+  hash failures); never average parallel-summed doubles — express means as
+  a single division of exact integer (or DECIMAL) sums;
 - no raw TIMESTAMP output columns (cast to DATE or format to string);
 - sort any collected array; never use rand()/current_* in a [Q] query.
 """
