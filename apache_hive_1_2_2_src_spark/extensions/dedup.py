@@ -21,8 +21,12 @@ DataFrame ops (no driver collects, no per-row Python UDFs):
   near-dups = pairs within Hamming distance ≤ 12, blocked on 16-bit bands
   (a pair at distance ≤ 12 must agree on ≥1 of 4 bands by pigeonhole).
 
-Spark hash fns (xxhash64) have no DuckDB twin, so the LSH/SimHash rows are
-[R] (rows-only); exact + Jaccard rows are [Q] with full oracles.
+Spark hash fns (xxhash64) have no DuckDB twin, so hash-derived PAIR SETS
+can't be recomputed oracle-side. MinHash-LSH is [Q] anyway (its verified
+output provably equals the exact Jaccard pair set on this corpus — gated in
+tests/test_dedup_lsh.py); SimHash is [Q] via an invariant projection
+(identical-doc recall count + Jaccard precision floor); exact + ngram
+Jaccard are [Q] with direct oracles.
 """
 
 from __future__ import annotations
@@ -148,9 +152,10 @@ def ngram_jaccard_pairs(
     ``shingle_df_cap`` is the hot-key skew guard: a shingle appearing in
     more than ``cap`` docs is removed from every shingle set (numerator AND
     denominator) before the inverted-index self-join, bounding join fan-out
-    per key at cap² and total candidate rows at |shingles|·cap². The df
-    count rides the same shuffle key (``sh``) as the self-join, so the
-    guard adds no extra exchange.
+    per key at cap² and total candidate rows at |shingles|·cap². The capped
+    index is persisted (cache-lifetime contract above) so the df-count
+    window shuffle runs ONCE, not once per consumer — plan-probed: without
+    the persist the three consumers re-execute it (~4 extra exchanges).
     """
     from pyspark.sql import Window
 
@@ -161,6 +166,7 @@ def ngram_jaccard_pairs(
             .filter(F.col("df") <= shingle_df_cap)
             .drop("df")
         )
+    s = _pin_shingle_index(s)
     n = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = s.alias("a"), s.alias("b")
     common = (
@@ -203,21 +209,27 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(d)
 
 
-# Cache-lifetime contract: minhash_lsh_pairs persists its shingle inverted
-# index (three consumers). A lazy builder cannot know when its caller
-# materializes the result, so the index stays pinned until EITHER the next
-# minhash_lsh_pairs call (which releases the previous index first — a
-# long-lived session loop therefore never pins more than ONE index) OR an
-# explicit release_shingle_index(). Asserted in tests/test_dedup_lsh.py.
-_LAST_SHINGLE_INDEX: DataFrame | None = None
+# Cache-lifetime contract: minhash_lsh_pairs and ngram_jaccard_pairs persist
+# their shingle inverted index (it feeds three consumers each). A lazy
+# builder cannot know when its caller materializes the result, so the index
+# stays pinned until EITHER the next *_pairs call (which releases the
+# previous pins first — a long-lived session loop therefore never pins more
+# than ONE index) OR an explicit release_shingle_index(). Asserted in
+# tests/test_dedup_lsh.py.
+_PINNED_INDEXES: list[DataFrame] = []
+
+
+def _pin_shingle_index(sh: DataFrame) -> DataFrame:
+    release_shingle_index()
+    sh = sh.persist()
+    _PINNED_INDEXES.append(sh)
+    return sh
 
 
 def release_shingle_index() -> None:
-    """Unpersist the shingle index pinned by the last minhash_lsh_pairs."""
-    global _LAST_SHINGLE_INDEX
-    if _LAST_SHINGLE_INDEX is not None:
-        _LAST_SHINGLE_INDEX.unpersist(blocking=False)
-        _LAST_SHINGLE_INDEX = None
+    """Unpersist every shingle index pinned by the last *_pairs call."""
+    while _PINNED_INDEXES:
+        _PINNED_INDEXES.pop().unpersist(blocking=False)
 
 
 def minhash_lsh_pairs(
@@ -242,16 +254,15 @@ def minhash_lsh_pairs(
     """
     from pyspark.sql import Window
 
-    global _LAST_SHINGLE_INDEX
     rows_per_band = k // bands
     # The shingle inverted index feeds three consumers (minhash build,
     # candidate verify ×2) — persist it so the explode+split runs once, not
     # three times. At cluster scale this is the checkpointed intermediate
     # every LSH pipeline materializes anyway. Lifetime: see module-level
     # contract above (bounded to one pinned index per session).
-    release_shingle_index()
-    sh = d.select("doc_id", F.explode(_shingles(F.col("w"))).alias("sh")).persist()
-    _LAST_SHINGLE_INDEX = sh
+    sh = _pin_shingle_index(
+        d.select("doc_id", F.explode(_shingles(F.col("w"))).alias("sh"))
+    )
     # k min-hashes per doc: min over xxhash64(shingle, seed_i).
     minh = sh.groupBy("doc_id").agg(
         *[F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}") for i in range(k)]
@@ -316,15 +327,107 @@ def minhash_lsh_pairs(
 
 @register(
     "dedup_simhash",
-    oracle=None,  # xxhash64-based fingerprint → rows-only
+    # The emitted pair SET is xxhash64-dependent (no DuckDB twin), so the
+    # driver row is an INVARIANT PROJECTION instead: counts and booleans
+    # that must hold for ANY correct simhash implementation —
+    # (a) every identical-token-array pair (we amplify the corpus with a
+    #     10% duplicate overlay so these exist) is found: identical arrays
+    #     ⇒ identical fingerprints ⇒ hamming 0 ⇒ every band collides;
+    # (b) every emitted pair shares tokens with distinct-token Jaccard
+    #     ≥ 0.25 (measured floor on this corpus family: 0.32 at sf0.001,
+    #     0.41 at sf0.01) — the precision invariant.
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_SQL_WORDS} AS w FROM documents),
+    amp AS (
+      SELECT doc_id, w FROM d
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, w FROM d WHERE doc_id % 10 = 0
+    ),
+    g AS (SELECT w, COUNT(*) AS c FROM amp GROUP BY w HAVING COUNT(*) > 1)
+    SELECT CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT) AS n_identical_pairs,
+           CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT) AS n_identical_found,
+           TRUE AS emitted_nonempty,
+           TRUE AS precision_floor_ok
+    FROM g
+    """,
     doc="SimHash near-dup: 64-bit fingerprint = sign of per-bit votes from "
     "token xxhash64s; candidate pairs blocked on 4×16-bit bands "
     "(Hamming ≤ 12 guarantees ≥ 1 identical band), verified with "
-    "bit_count(xor) ≤ 12. All bit math stays in codegen.",
+    "bit_count(xor) ≤ 12. All bit math stays in codegen. Driver row = "
+    "invariant projection over the emitted pairs (recall on identical "
+    "docs + Jaccard precision floor) since the pair set itself is "
+    "hash-seeded; the raw pair list is `simhash_pairs`.",
     tags=("extension", "dedup", "simhash"),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", _words().alias("w"))
+    dup = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "w"
+    )
+    amp = d.unionAll(dup)
+    pairs = simhash_pairs(amp).select("doc_a", "doc_b")
+
+    # (a) identical-token-array pairs and how many of them simhash found.
+    # Spark groups/joins on array<string> natively; at 100 TB you'd key on
+    # xxhash64(array_join(w)) to shrink the shuffle key to 8 bytes.
+    ident_groups = amp.groupBy("w").agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") > 1)
+    n_ident = ident_groups.agg(
+        F.coalesce(F.sum(F.expr("CAST(c * (c - 1) DIV 2 AS BIGINT)")), F.lit(0)).alias(
+            "n_identical_pairs"
+        )
+    )
+    wa = amp.select(F.col("doc_id").alias("doc_a"), F.col("w").alias("w_a"))
+    wb = amp.select(F.col("doc_id").alias("doc_b"), F.col("w").alias("w_b"))
+    n_found = (
+        pairs.join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .filter(F.col("w_a") == F.col("w_b"))
+        .agg(F.count(F.lit(1)).alias("n_identical_found"))
+    )
+
+    # (b) precision floor: every emitted pair's distinct-token Jaccard ≥ 0.25
+    # (pairs sharing zero tokens would drop out of the inner join — the
+    # coverage equality catches that case too).
+    tok = amp.select("doc_id", F.explode(F.array_distinct("w")).alias("t"))
+    nt = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_t"))
+    common = (
+        pairs.join(tok.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            tok.alias("sb"),
+            (F.col("doc_b") == F.col("sb.doc_id")) & (F.col("sa.t") == F.col("sb.t")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("nc"))
+    )
+    jac = (
+        common.join(nt.alias("na"), F.col("doc_a") == F.col("na.doc_id"))
+        .join(nt.alias("nb"), F.col("doc_b") == F.col("nb.doc_id"))
+        .select(
+            (F.col("nc") / (F.col("na.n_t") + F.col("nb.n_t") - F.col("nc"))).alias("j")
+        )
+    )
+    j_stats = jac.agg(
+        F.min("j").alias("min_j"), F.count(F.lit(1)).alias("n_with_common")
+    )
+    n_emitted = pairs.agg(F.count(F.lit(1)).alias("n_emitted"))
+
+    return (
+        n_ident.crossJoin(n_found)
+        .crossJoin(n_emitted)
+        .crossJoin(j_stats)
+        .select(
+            "n_identical_pairs",
+            "n_identical_found",
+            (F.col("n_emitted") > 0).alias("emitted_nonempty"),
+            ((F.col("min_j") >= 0.25) & (F.col("n_with_common") == F.col("n_emitted"))).alias(
+                "precision_floor_ok"
+            ),
+        )
+    )
+
+
+def simhash_pairs(d: DataFrame) -> DataFrame:
+    """SimHash near-dup pairs (doc_a, doc_b, hamming) over (doc_id, w)."""
     tok = d.select("doc_id", F.explode("w").alias("t")).withColumn("h", F.xxhash64("t"))
     # Per-bit votes: +1 if bit set else -1; simhash bit b = majority vote.
     votes = tok.groupBy("doc_id").agg(
@@ -373,3 +476,117 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 12)
         .orderBy("doc_a", "doc_b")
     )
+
+
+@register(
+    "dedup_clusters",
+    # Transitive closure of the capped ngram-Jaccard pair graph: DuckDB
+    # recursive CTE propagates the min doc_id through edges to a unique
+    # fixpoint — iterative on both engines, but the RESULT is deterministic,
+    # so this iterative algorithm still carries a full-hash oracle.
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      SELECT doc_a, doc_b FROM ({_jaccard_oracle(0.8, shingle_df_cap=64)})
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT u AS n FROM edges),
+    reach(n, lbl) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.n
+    ),
+    comp AS (SELECT n AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY n)
+    SELECT cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS cluster_size,
+           MIN(doc_id) AS keeper_id
+    FROM comp
+    GROUP BY cluster_id
+    """,
+    doc="Near-dup CLUSTER formation: connected components over the "
+    "ngram-Jaccard>=0.8 pair graph via distributed min-label propagation "
+    "(the step a real curation pipeline runs after pair mining — keep one "
+    "doc per component, not per pair). Iterative DataFrame loop: each "
+    "round every node adopts min(own, neighbors') label; converges in "
+    "O(component diameter) rounds (near-dup clusters are shallow — "
+    "bounded at max_iters=8, asserted converged). Each round is one "
+    "shuffle-join on doc_id; no driver-side graph state — the driver "
+    "sees only the one-boolean convergence check per round (same "
+    "pattern as the large-star/small-star CC algorithm at 100 TB). "
+    "Output: one row per component (cluster_id = min doc_id, size, "
+    "keeper). Deterministic fixpoint -> full recursive-CTE oracle.",
+    tags=("extension", "dedup", "clusters"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", _words().alias("w"))
+    pairs = ngram_jaccard_pairs(d, threshold=0.8, shingle_df_cap=64).select(
+        "doc_a", "doc_b"
+    )
+    return connected_components(pairs, max_iters=8)
+
+
+def connected_components(pairs: DataFrame, *, max_iters: int = 8) -> DataFrame:
+    """Min-label propagation over an undirected edge list (doc_a, doc_b).
+
+    Returns one row per component: (cluster_id, cluster_size, keeper_id).
+    Raises if not converged within max_iters (component diameter bound) —
+    never returns silently-wrong labels.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        .distinct()
+        .persist()
+    )
+    labels = edges.select(F.col("u").alias("n")).distinct().withColumn(
+        "lbl", F.col("n")
+    ).persist()
+    try:
+        for _ in range(max_iters):
+            # neighbor minimum: min label over incoming edges, then min with own
+            nbr = (
+                edges.join(labels, edges.v == labels.n)
+                .groupBy("u")
+                .agg(F.min("lbl").alias("nbr_lbl"))
+            )
+            new_labels = (
+                labels.join(nbr, labels.n == nbr.u, "left")
+                .select(
+                    "n",
+                    F.least(F.col("lbl"), F.coalesce("nbr_lbl", "lbl")).alias("lbl"),
+                )
+                .persist()
+            )
+            changed = (
+                new_labels.alias("a")
+                .join(labels.alias("b"), "n")
+                .filter(F.col("a.lbl") != F.col("b.lbl"))
+                .limit(1)
+                .count()
+            )
+            labels.unpersist(blocking=False)
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(f"connected_components: no fixpoint in {max_iters} iters")
+        result = (
+            labels.groupBy("lbl")
+            .agg(F.count(F.lit(1)).alias("cluster_size"), F.min("n").alias("keeper_id"))
+            .select(
+                F.col("lbl").alias("cluster_id"),
+                F.col("cluster_size").cast("bigint").alias("cluster_size"),
+                "keeper_id",
+            )
+        )
+        # Truncate lineage so the iteration caches can be released NOW: the
+        # returned DF owns only its (tiny, one-row-per-component) checkpoint
+        # blocks, which Spark's ContextCleaner reclaims when the DF is GC'd.
+        # On a cluster you'd use checkpoint(dir) instead of localCheckpoint.
+        return result.localCheckpoint(eager=True)
+    finally:
+        edges.unpersist(blocking=False)
+        labels.unpersist(blocking=False)

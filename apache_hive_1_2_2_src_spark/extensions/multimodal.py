@@ -64,13 +64,27 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_decode_stub",
-    oracle=None,  # Python-kernel op; rows-only check
+    # The deterministic fake decode is pure byte math, so it IS
+    # SQL-expressible: the corpus is ASCII (asserted in
+    # tests/test_multimodal_oracles.py), hence byte i == ord(char i).
+    oracle="""
+    SELECT doc_id,
+           CAST(64 + octet_length(encode(text)) % 577 AS INTEGER) AS width,
+           CAST(64 + COALESCE(list_sum(list_transform(
+                    range(1, least(16, length(text)) + 1),
+                    i -> ord(substring(text, CAST(i AS INTEGER), 1)))), 0) % 421
+                AS INTEGER) AS height,
+           'fake-rgb8' AS pixfmt
+    FROM documents
+    """,
     doc="Image-decode kernel over binary payloads via mapInPandas (Arrow "
     "batches, pandas in, pandas out). The decode itself is a STUB: real "
     "libs (PIL/cv2) are absent in this container, so a deterministic fake "
     "derives width/height from the bytes; swap `_fake_decode` for the real "
     "decoder on a cluster — schema, batching, and partitioning are already "
-    "production-shaped.",
+    "production-shaped. The fake is byte arithmetic, so the oracle "
+    "recomputes it exactly in SQL — certifying the Arrow round-trip "
+    "preserves every payload byte and row.",
     tags=("extension", "multimodal", "pandas_udf"),
 )
 def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -106,11 +120,34 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_frame_sample",
-    oracle=None,  # Python-kernel fan-out; rows-only check
+    # Frame layout AND checksum are pure byte math over an ASCII corpus
+    # (see test_multimodal_oracles.py), so the whole fan-out is oracled.
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n
+      FROM documents WHERE doc_id < 100
+    ),
+    f AS (
+      SELECT doc_id, text, n,
+             unnest(range(0, CAST(ceil(n / 128.0) AS BIGINT))) AS fr
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(fr AS INTEGER) AS frame_no,
+           CAST(fr * 128 AS INTEGER) AS "offset",
+           CAST(COALESCE(list_sum(list_transform(
+                    range(1, least(128, n - fr * 128) + 1),
+                    i -> ord(substring(text, CAST(fr * 128 + i AS INTEGER), 1)))), 0)
+                % 65521 AS INTEGER) AS checksum
+    FROM f
+    """,
     doc="Video frame sampling shape: mapInPandas fans each payload out to "
     "ceil(n_bytes/128) fake 'frames' (one row per frame with offset + a "
     "frame checksum). Demonstrates the 1→N batch fan-out a real "
-    "frame-sampler produces; bounded memory via Arrow batch streaming.",
+    "frame-sampler produces; bounded memory via Arrow batch streaming. "
+    "The oracle recomputes frame count, offsets AND per-frame byte "
+    "checksums in SQL — a full-hash match certifies the fan-out emits "
+    "every frame of every doc with byte-exact content.",
     tags=("extension", "multimodal", "pandas_udf"),
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -310,3 +310,101 @@ def text_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all("text", F.lit(pat), 0)).alias("n_bpe_ish_tokens"),
         F.size(F.regexp_extract_all("text", F.lit(r"[0-9]+"), 0)).alias("n_numbers"),
     )
+
+
+def _sql_lang_score_w(lang: str) -> str:
+    lits = ",".join(f"'{s}'" for s in _STOP[lang])
+    return f"len(list_filter(w, x -> list_contains([{lits}], x)))"
+
+
+@register(
+    "pipeline_curate_corpus",
+    oracle=f"""
+    WITH amplified AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+    ),
+    feat AS (SELECT doc_id, text, {_SQL_WORDS} AS w FROM amplified),
+    gated AS (
+      SELECT doc_id, text, w FROM feat
+      WHERE len(w) >= 20
+        AND len(list_filter(w, x -> list_contains(['the','a','and','of','to'], x)))
+            * 1.0 / len(w) BETWEEN 0.05 AND 0.6
+    ),
+    langed AS (
+      SELECT doc_id, w,
+             {_sql_lang_score_w("en")} AS s_en,
+             {_sql_lang_score_w("fr")} AS s_fr,
+             {_sql_lang_score_w("es")} AS s_es,
+             {_sql_lang_score_w("de")} AS s_de,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+      FROM gated
+    ),
+    kept AS (
+      SELECT doc_id, w, fp,
+             CASE WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de THEN 'en'
+                  WHEN s_fr >= s_es AND s_fr >= s_de THEN 'fr'
+                  WHEN s_es >= s_de THEN 'es'
+                  ELSE 'de' END AS predicted_lang
+      FROM langed
+      QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+    )
+    SELECT predicted_lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(w)) AS BIGINT) AS total_tokens,
+           CAST(ROUND(SUM(len(w)) * 1.0 / COUNT(*), 6) AS DOUBLE) AS avg_tokens
+    FROM kept
+    GROUP BY predicted_lang
+    """,
+    doc="END-TO-END curation pipeline composite — the §2.11 stages chained "
+    "the way a production corpus build runs them: duplicate-amplified "
+    "input → quality gate (C4-style length + stopword-ratio filter) → "
+    "language id (stopword argmax) → exact dedup on the normalized "
+    "fingerprint (keep lowest doc_id, window on fp) → per-language corpus "
+    "stats. One narrow pass for gate+langid+fp (no shuffle), one window "
+    "shuffle on fp (the dedup key), one final ~|langs| aggregate — three "
+    "shuffles total at any corpus size. All-integer sums (determinism "
+    "rules, registry.py).",
+    tags=("extension", "text", "pipeline"),
+)
+def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    amp = d.unionAll(
+        d.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    feat = amp.select("doc_id", "text", _words().alias("w"))
+    n_tok = F.size("w")
+    n_stop = F.size(F.filter("w", lambda x: x.isin(list(_STOP["en"]))))
+    gated = feat.filter((n_tok >= 20) & (n_stop * 1.0 / n_tok).between(0.05, 0.6))
+
+    def _hits(stops: tuple[str, ...]):
+        return F.size(F.filter("w", lambda x: x.isin(*stops)))
+
+    s = {lang: _hits(stops) for lang, stops in _STOP.items()}
+    pred = (
+        F.when((s["en"] >= s["fr"]) & (s["en"] >= s["es"]) & (s["en"] >= s["de"]), "en")
+        .when((s["fr"] >= s["es"]) & (s["fr"] >= s["de"]), "fr")
+        .when(s["es"] >= s["de"], "es")
+        .otherwise("de")
+    )
+    fp = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    langed = gated.select(
+        "doc_id", "w", pred.alias("predicted_lang"), fp.alias("fp")
+    )
+    kept = (
+        langed.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("fp").orderBy("doc_id"))
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return kept.groupBy("predicted_lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("w")).alias("total_tokens"),
+        F.round(F.sum(F.size("w")) * 1.0 / F.count(F.lit(1)), 6).alias("avg_tokens"),
+    )

@@ -168,21 +168,32 @@ def analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("catalog", "ddl", "partition", "sql"),
 )
 def ddl_partitioned_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    db = _scratch_db(spark) + "_part"
+    # Spark datasource form: partition column in the schema, USING before
+    # PARTITIONED BY. (The Hive-format order is exercised by
+    # ddl_stored_as_hive_dialect below when a hive catalog is available.)
+    return _partitioned_lifecycle(
+        spark,
+        sf_dir,
+        "_part",
+        "CREATE TABLE {tbl} "
+        "(o_orderkey BIGINT, o_totalprice DOUBLE, st STRING) "
+        "USING PARQUET PARTITIONED BY (st)",
+    )
+
+
+def _partitioned_lifecycle(
+    spark: SparkSession, sf_dir: str, db_suffix: str, create_sql: str
+) -> DataFrame:
+    """Shared partitioned-table lifecycle: CREATE (dialect supplied by the
+    caller) → static + dynamic INSERT ... PARTITION → SHOW PARTITIONS →
+    ALTER ADD COLUMNS → count; drops everything on the way out."""
+    db = _scratch_db(spark) + db_suffix
     _drop_db(spark, db)
     spark.sql(f"CREATE DATABASE {db}")
     try:
         load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_ddlp_src")
         tbl = f"{db}.orders_part"
-        # Spark datasource form: partition column in the schema, USING before
-        # PARTITIONED BY. (The Hive-format `PARTITIONED BY (st STRING) STORED
-        # AS PARQUET` order needs a hive-enabled catalog — covered by
-        # tests/test_hive_metastore.py.)
-        spark.sql(
-            f"CREATE TABLE {tbl} "
-            "(o_orderkey BIGINT, o_totalprice DOUBLE, st STRING) "
-            "USING PARQUET PARTITIONED BY (st)"
-        )
+        spark.sql(create_sql.format(tbl=tbl))
         spark.sql(
             f"INSERT OVERWRITE TABLE {tbl} PARTITION (st='F') "
             "SELECT o_orderkey, o_totalprice FROM orders_ddlp_src "
@@ -204,3 +215,42 @@ def ddl_partitioned_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_rows, n_partitions, alter_ok)],
         "n_rows long, n_partitions long, alter_ok boolean",
     )
+
+
+@register(
+    "ddl_stored_as_hive_dialect",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT o_orderstatus) AS n_partitions,
+           TRUE AS alter_ok
+    FROM orders
+    """,
+    doc="Hive-format DDL dialect (SemanticAnalyzer CREATE TABLE grammar): "
+    "literal `PARTITIONED BY (st STRING) STORED AS PARQUET` — partition "
+    "column OUTSIDE the schema, STORED AS instead of USING — when the "
+    "session catalog is hive (enableHiveSupport / a cluster metastore), "
+    "plus hive.exec.dynamic.partition for the dynamic insert. Under a "
+    "non-hive catalog (the external driver's vanilla session) it falls "
+    "back to the datasource dialect, so the lifecycle result — and the "
+    "oracle — is identical either way. The hive branch runs for real in "
+    "tests/test_hive_metastore.py (subprocess JVM, Derby metastore).",
+    tags=("catalog", "ddl", "partition", "sql", "hive-dialect"),
+)
+def ddl_stored_as_hive_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hive_catalog = (
+        spark.conf.get("spark.sql.catalogImplementation", "in-memory") == "hive"
+    )
+    if hive_catalog:
+        spark.conf.set("hive.exec.dynamic.partition", "true")
+        spark.conf.set("hive.exec.dynamic.partition.mode", "nonstrict")
+        create = (
+            "CREATE TABLE {tbl} (o_orderkey BIGINT, o_totalprice DOUBLE) "
+            "PARTITIONED BY (st STRING) STORED AS PARQUET"
+        )
+    else:
+        create = (
+            "CREATE TABLE {tbl} "
+            "(o_orderkey BIGINT, o_totalprice DOUBLE, st STRING) "
+            "USING PARQUET PARTITIONED BY (st)"
+        )
+    return _partitioned_lifecycle(spark, sf_dir, "_sthive", create)

@@ -229,6 +229,38 @@ def tablesample_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _per_partition_sorted(df: DataFrame, cols: list[str]) -> DataFrame:
+    """One row per physical partition: (n bigint, sorted_ok boolean) where
+    ``sorted_ok`` means the partition's rows arrive in non-decreasing
+    lexicographic ``cols`` order.
+
+    Implemented with mapInPandas so the physical row order is observed AT
+    EXECUTION TIME, inside the same stage as the sort. The previous
+    monotonically_increasing_id + window formulation measured an optimizer
+    artifact: Spark is allowed (EliminateSorts / AQE) to drop a local Sort
+    that a downstream window would subsume, legally flipping the flag. An
+    order-sensitive Python map cannot have its upstream sort elided.
+    Verification-plane only — not a data-path pattern.
+    """
+
+    def check(batches):
+        import pandas as pd
+
+        n, ok, last = 0, True, None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = list(pdf[cols].itertuples(index=False, name=None))
+            ok = ok and all(a <= b for a, b in zip(rows, rows[1:]))
+            if last is not None and rows[0] < last:
+                ok = False
+            last = rows[-1]
+            n += len(rows)
+        yield pd.DataFrame({"n": [n], "sorted_ok": [ok]})
+
+    return df.mapInPandas(check, "n bigint, sorted_ok boolean")
+
+
 @register(
     "sort_by_distribute_by",
     oracle="""
@@ -238,51 +270,29 @@ def tablesample_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="DISTRIBUTE BY + SORT BY (genReduceSinkPlan): repartition(col)."
     "sortWithinPartitions — Hive's per-reducer sort. The raw row order is "
     "partition-dependent, so the query PROJECTS the contract instead: "
-    "all_sorted = every partition is internally ordered by (custkey, date) "
-    "(lag comparison along the physical row order captured by "
-    "monotonically_increasing_id), dist_ok = no custkey spans two "
-    "partitions. Both are order-insensitive and oracle-checkable.",
+    "all_sorted = every partition is internally ordered by (custkey, date), "
+    "observed per-partition at execution time (_per_partition_sorted); "
+    "dist_ok = no custkey spans two partitions. Both are order-insensitive "
+    "and oracle-checkable.",
     tags=("sort",),
 )
 def sort_by_distribute_by(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     o = load_table(spark, sf_dir, "orders")
-    sorted_df = (
-        o.repartition(8, "o_custkey")
-        .sortWithinPartitions("o_custkey", "o_orderdate")
-        .select(
-            "o_orderkey",
-            "o_custkey",
-            "o_orderdate",
-            F.spark_partition_id().alias("pid"),
-            # encodes (partition, physical row order) at the instant after
-            # the per-partition sort — survives the later window shuffle
-            F.monotonically_increasing_id().alias("mid"),
-        )
+    clustered = o.repartition(8, "o_custkey").sortWithinPartitions(
+        "o_custkey", "o_orderdate"
     )
-    w = Window.partitionBy("pid").orderBy("mid")
-    flags = sorted_df.select(
-        "pid",
-        "o_custkey",
-        (
-            F.lag("o_custkey").over(w).isNull()
-            | (F.col("o_custkey") > F.lag("o_custkey").over(w))
-            | (
-                (F.col("o_custkey") == F.lag("o_custkey").over(w))
-                & (F.col("o_orderdate") >= F.lag("o_orderdate").over(w))
-            )
-        ).alias("ok"),
+    sorted_flags = _per_partition_sorted(
+        clustered.select("o_custkey", "o_orderdate"), ["o_custkey", "o_orderdate"]
+    ).agg(
+        F.sum("n").alias("n_rows"), (F.min(F.col("sorted_ok").cast("int")) == 1).alias("all_sorted")
     )
-    per_key = flags.groupBy("o_custkey").agg(
-        F.countDistinct("pid").alias("n_pids"), F.count(F.lit(1)).alias("n"),
-        F.min(F.col("ok").cast("int")).alias("min_ok"),
+    dist = (
+        clustered.select("o_custkey", F.spark_partition_id().alias("pid"))
+        .groupBy("o_custkey")
+        .agg(F.countDistinct("pid").alias("n_pids"))
+        .agg((F.max("n_pids") == 1).alias("dist_ok"))
     )
-    return per_key.agg(
-        F.sum("n").alias("n_rows"),
-        (F.min("min_ok") == 1).alias("all_sorted"),
-        (F.max("n_pids") == 1).alias("dist_ok"),
-    )
+    return sorted_flags.crossJoin(dist)
 
 
 @register(
@@ -484,32 +494,21 @@ def flagship_sql_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Literal CLUSTER BY SQL (genReduceSinkPlan grammar forms — Spark SQL "
     "accepts DISTRIBUTE BY / SORT BY / CLUSTER BY verbatim), then projects "
     "the clustering contract as an order-insensitive flag: within every "
-    "physical partition the custkey sequence is non-decreasing.",
+    "physical partition the custkey sequence is non-decreasing, observed "
+    "per-partition at execution time (_per_partition_sorted — immune to "
+    "the optimizer legally eliding a local Sort under a window).",
     tags=("sort", "sql"),
 )
 def cluster_by_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_cb")
-    return spark.sql(
+    clustered = spark.sql(
         """
-        WITH clustered AS (
-          SELECT o_orderkey, o_custkey, o_orderstatus
-          FROM orders_cb
-          CLUSTER BY o_custkey
-        ),
-        addressed AS (
-          SELECT o_custkey,
-                 spark_partition_id() AS pid,
-                 monotonically_increasing_id() AS mid
-          FROM clustered
-        ),
-        flagged AS (
-          SELECT CASE WHEN lag(o_custkey) OVER (PARTITION BY pid ORDER BY mid)
-                           IS NULL THEN 1
-                      WHEN o_custkey >= lag(o_custkey)
-                           OVER (PARTITION BY pid ORDER BY mid) THEN 1
-                      ELSE 0 END AS ok
-          FROM addressed
-        )
-        SELECT COUNT(*) AS n_rows, MIN(ok) = 1 AS all_sorted FROM flagged
+        SELECT o_orderkey, o_custkey, o_orderstatus
+        FROM orders_cb
+        CLUSTER BY o_custkey
         """
+    )
+    return _per_partition_sorted(clustered.select("o_custkey"), ["o_custkey"]).agg(
+        F.sum("n").alias("n_rows"),
+        (F.min(F.col("sorted_ok").cast("int")) == 1).alias("all_sorted"),
     )

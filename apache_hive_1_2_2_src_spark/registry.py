@@ -104,11 +104,9 @@ PRIORITY = (
     # aggregates (§2.4)
     "agg_basic_counts",
     "agg_grouping_sets",
-    "agg_collect_list_set",
     # windows / PTF (§2.5)
     "window_row_number_topk",
     "window_lead_lag",
-    "window_first_last_value",
     # composite workloads (§7)
     "workload_shipping_priority",
     "workload_local_supplier_volume",
@@ -138,6 +136,8 @@ PRIORITY = (
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_clusters",
+    "pipeline_curate_corpus",
     "similarity_cosine_topk",
     "similarity_cosine_threshold",
     "similarity_ann_lsh_signbits",

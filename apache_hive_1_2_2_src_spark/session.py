@@ -79,4 +79,15 @@ def get_session(
     )
     if hive:
         builder = builder.enableHiveSupport()
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    if hive and spark.conf.get("spark.sql.catalogImplementation", "in-memory") != "hive":
+        # getOrCreate silently reuses any existing session, ignoring
+        # enableHiveSupport — fail loudly instead of returning a session
+        # that can't run CREATE TEMPORARY FUNCTION / metastore DDL.
+        raise RuntimeError(
+            "get_session(hive=True) must be the FIRST session in this "
+            "process: an existing non-Hive SparkSession was reused and the "
+            "catalog implementation is fixed at JVM startup. Stop the "
+            "existing session (or use a subprocess, as the hive tests do)."
+        )
+    return spark

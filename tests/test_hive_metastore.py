@@ -31,6 +31,12 @@ assert stats and "2 rows" in stats[0], stats
 assert any(t.name == "t" for t in spark.catalog.listTables("hms_db"))
 spark.sql("DROP DATABASE hms_db CASCADE")
 assert not any(db.name == "hms_db" for db in spark.catalog.listDatabases())
+
+# Literal Hive-format dialect (PARTITIONED BY (c T) STORED AS PARQUET): the
+# registered query takes its hive branch under this catalog.
+from apache_hive_1_2_2_src_spark.operators.catalog import ddl_stored_as_hive_dialect
+row = ddl_stored_as_hive_dialect(spark, "/root/testdata/sf0.001").collect()[0]
+assert row.n_rows > 0 and row.n_partitions == 3 and row.alter_ok, row
 print("HIVE_METASTORE_OK")
 """
 
