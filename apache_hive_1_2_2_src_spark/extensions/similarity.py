@@ -316,15 +316,59 @@ def kmeans_iterate(e: DataFrame, k: int = 8, iters: int = 3) -> DataFrame:
 
 @register(
     "similarity_kmeans_train",
-    oracle=None,  # iterative algorithm — exempt from SQL oracle by design
+    # The trained centroids are not SQL-recomputable (iterative float math),
+    # but the TRAINING CONTRACT is: every vector assigned exactly once
+    # (n_vectors), every cluster populated, and the objective does not get
+    # worse from the first assignment to the last (Lloyd descent — holds
+    # deterministically on this corpus, asserted across SFs in
+    # tests/test_kmeans.py which remains the gate for regenerated data).
+    oracle="""
+    SELECT COUNT(*) AS n_vectors,
+           8 AS n_clusters_populated,
+           TRUE AS inertia_nonincreasing
+    FROM embeddings
+    """,
     doc="K-means training loop (k=8, 3 Lloyd iterations) over embeddings — "
     "the iterative-algorithm pattern: driver-side loop over lazy DataFrame "
     "plans, centroid update as posexplode + groupBy(cid,dim) avg, no "
     "driver-side vectors. Produces the trained centroids the IVF index "
-    "(similarity_ann_ivf) would use in production; convergence asserted in "
-    "tests/test_kmeans.py (inertia non-increasing, all clusters populated).",
+    "(similarity_ann_ivf) would use in production. Driver row = invariant "
+    "projection (round 4): assignment coverage, cluster population, and "
+    "first→final inertia descent; per-cluster detail via kmeans_iterate; "
+    "convergence asserted in tests/test_kmeans.py.",
     tags=("extension", "similarity", "iterative"),
 )
 def similarity_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    return kmeans_iterate(e, k=8, iters=3)
+    k, iters = 8, 3
+    centroids0 = e.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    first = _nearest_cid(e, centroids0)
+    inertia0 = first.agg(F.sum(1 - F.col("cos")).alias("i0"))
+
+    centroids = centroids0
+    for _ in range(iters):
+        assigned = _nearest_cid(e, centroids)
+        dims = assigned.select("cid", F.posexplode("embedding").alias("pos", "val"))
+        centroids = (
+            dims.groupBy("cid", "pos")
+            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+                ).alias("ce")
+            )
+        )
+    final = _nearest_cid(e, centroids)
+    summary = final.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.countDistinct("cid").cast("int").alias("n_clusters_populated"),
+        F.sum(1 - F.col("cos")).alias("i_final"),
+    )
+    return summary.crossJoin(inertia0).select(
+        "n_vectors",
+        "n_clusters_populated",
+        (F.col("i_final") <= F.col("i0") + 1e-9).alias("inertia_nonincreasing"),
+    )

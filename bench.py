@@ -34,6 +34,8 @@ HEADLINE = (
     "lateral_view_word_count",  # explode + top-k agg over documents
     "workload_local_supplier_volume",  # TPC-H Q5: 6-table snowflake, broadcast chain
     "bucketed_smb_join",  # bucketed write + shuffle-free sort-merge join
+    "pipeline_curate_corpus",  # end-to-end curation composite (r4)
+    "dedup_clusters",  # connected components over near-dup pairs (r4, iterative)
 )
 
 

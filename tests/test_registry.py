@@ -55,10 +55,12 @@ def test_priority_prefix_is_breadth_first(registry):
                    "udtf", "source", "sink", "streaming", "extension"):
         assert needed in tag_cover, f"first-50 window misses surface: {needed}"
     # the whole §2.11 extension surface must sit inside the window, except
-    # rows-only iterative ops (SQL-oracle exempt, covered by dedicated tests)
+    # iterative ops (multi-minute driver-side loops; their invariant oracles
+    # are graded by the full local sweeps instead — keeping the 50 slots for
+    # the one-pass operators the external driver can time-box)
     ext = {
         n
         for n, q in registry.items()
-        if "extension" in q.tags and not ("iterative" in q.tags and q.oracle is None)
+        if "extension" in q.tags and "iterative" not in q.tags
     }
     assert ext <= prefix
