@@ -595,3 +595,86 @@ def connected_components(pairs: DataFrame, *, max_iters: int = 8) -> DataFrame:
     finally:
         edges.unpersist(blocking=False)
         labels.unpersist(blocking=False)
+
+
+def _embedding_pairs_sql(threshold: float) -> str:
+    """Sign-bit-bucketed embedding pairs with cosine ≥ threshold (DuckDB).
+
+    Mirrors the Spark operator exactly: the 8-bit sign bucket is a fixed,
+    data-independent hyperplane family, so (unlike the hash-seeded text-LSH
+    paths) the BUCKETING ITSELF is SQL-expressible and the oracle replicates
+    candidate generation, not just verification.
+    """
+    from apache_hive_1_2_2_src_spark.extensions.similarity import _sql_cos
+
+    return f"""
+      WITH eb AS (
+        SELECT vec_id, embedding,
+               array_to_string(list_transform(embedding[1:8],
+                 x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+        FROM embeddings
+      )
+      SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
+      FROM eb x JOIN eb y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+      WHERE {_sql_cos("x.embedding", "y.embedding")} >= {threshold}
+    """
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_embedding_pairs_sql(0.4)}),
+    edges AS (
+      SELECT vec_a AS u, vec_b AS v FROM pairs
+      UNION
+      SELECT vec_b AS u, vec_a AS v FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT u AS n FROM edges),
+    reach(n, lbl) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.n
+    ),
+    comp AS (SELECT n AS vec_id, MIN(lbl) AS cluster_id FROM reach GROUP BY n)
+    SELECT cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS cluster_size,
+           MIN(vec_id) AS keeper_id
+    FROM comp
+    GROUP BY cluster_id
+    """,
+    doc="Embedding-cosine near-dup dedup, end to end: sign-bit LSH buckets "
+    "(8 fixed hyperplanes — candidates only within buckets, never "
+    "all-pairs) → within-bucket cosine ≥ 0.4 pairs → connected components "
+    "(min-label propagation) → one keeper per cluster. The full semantic-"
+    "dedup recipe a pretraining pipeline runs over document embeddings. "
+    "Unlike the seeded text-LSH paths, the bucketing is SQL-expressible, "
+    "so the oracle replicates candidate generation AND clustering "
+    "(recursive CTE) — full hash-match, no invariant projection needed.",
+    tags=("extension", "dedup", "similarity"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_hive_1_2_2_src_spark.extensions.similarity import _cos
+
+    e = load_table(spark, sf_dir, "embeddings")
+    bucket = F.array_join(
+        F.transform(
+            F.slice("embedding", 1, 8),
+            lambda x: F.when(x >= 0, F.lit("1")).otherwise(F.lit("0")),
+        ),
+        "",
+    )
+    b = e.select("vec_id", "embedding", bucket.alias("bucket"))
+    x = b.select("bucket", F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    y = b.select(
+        F.col("bucket").alias("bucket_y"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+    )
+    pairs = (
+        x.join(y, (F.col("bucket") == F.col("bucket_y")) & (F.col("vec_a") < F.col("vec_b")))
+        .filter(_cos(F.col("ea"), F.col("eb")) >= 0.4)
+        .select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+    )
+    return connected_components(pairs, max_iters=8).select(
+        "cluster_id", "cluster_size", "keeper_id"
+    )

@@ -78,6 +78,7 @@ QUERY_MODULES = (
     "apache_hive_1_2_2_src_spark.extensions.similarity",
     "apache_hive_1_2_2_src_spark.extensions.text",
     "apache_hive_1_2_2_src_spark.extensions.multimodal",
+    "apache_hive_1_2_2_src_spark.extensions.sampling",
 )
 
 
@@ -115,7 +116,6 @@ PRIORITY = (
     # scalar functions (§2.8, one suite per family)
     "cond_if_case_coalesce",
     "date_extract_suite",
-    "math_basic_suite",
     "str_basic_suite",
     # generators / extensibility (§2.9)
     "explode_words",
@@ -138,6 +138,7 @@ PRIORITY = (
     "dedup_simhash",
     "dedup_clusters",
     "pipeline_curate_corpus",
+    "pipeline_pack_sequences",
     "similarity_cosine_topk",
     "similarity_cosine_threshold",
     "similarity_ann_lsh_signbits",
