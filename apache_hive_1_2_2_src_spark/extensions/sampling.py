@@ -120,3 +120,145 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "bin_id")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("bin_tokens"))
     )
+
+
+@register(
+    "sample_temperature_mix",
+    oracle="""
+    WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+    s AS (
+      SELECT lang, n_docs,
+             CAST(FLOOR(SQRT(n_docs * 1000000.0)) AS BIGINT) AS w_scaled
+      FROM c
+    )
+    SELECT lang, n_docs,
+           CAST(ROUND(n_docs * 1.0 / SUM(n_docs) OVER (), 6) AS DOUBLE)
+             AS raw_share,
+           w_scaled,
+           CAST(ROUND(w_scaled * 1.0 / SUM(w_scaled) OVER (), 6) AS DOUBLE)
+             AS temp_share
+    FROM s
+    """,
+    doc="Temperature-based language rebalancing (the multilingual-pretraining "
+    "mix rule: sample language l with probability ∝ n_l^α, α=0.5): per-lang "
+    "doc counts → sqrt-temperature weights → normalized shares, so "
+    "low-resource languages are up-sampled. Determinism: SQRT is "
+    "IEEE-exact-rounded (bit-identical cross-engine), and the weight is "
+    "floored to a scaled BIGINT before normalization, so every share is a "
+    "single division of exact integers. The groupBy shuffles |langs| rows; "
+    "the unpartitioned share window runs over those few rows only — at "
+    "100 TB this stays a metadata-sized result driving a broadcast-joined "
+    "per-row sampling predicate (see sample_stratified_by_source).",
+    tags=("extension", "sampling"),
+)
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    c = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    s = c.withColumn(
+        "w_scaled",
+        F.floor(F.sqrt(F.col("n_docs") * 1000000.0)).cast("bigint"),
+    )
+    w = Window.partitionBy()
+    return s.select(
+        "lang",
+        "n_docs",
+        F.round(F.col("n_docs") * 1.0 / F.sum("n_docs").over(w), 6).alias("raw_share"),
+        "w_scaled",
+        F.round(F.col("w_scaled") * 1.0 / F.sum("w_scaled").over(w), 6).alias(
+            "temp_share"
+        ),
+    )
+
+
+@register(
+    "sample_reservoir_per_source",
+    oracle="""
+    SELECT source, doc_id, rk FROM (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY md5(text), doc_id) AS rk
+      FROM documents
+    ) WHERE rk <= 5
+    """,
+    doc="Deterministic fixed-size per-stratum sample (reservoir sampling "
+    "without the reservoir): rank docs within each source by a content "
+    "hash — md5 is uniform, so the 5 lowest-hash docs are a uniform "
+    "5-sample, yet exactly reproducible run-over-run (no RNG, the "
+    "registry's nondeterminism rule). One shuffle keyed by source; at "
+    "100 TB a hot stratum is handled by the two-level form — per-partition "
+    "top-5 (map-side sort-limit) then merge — which AQE's skew split "
+    "approximates; the hash order also makes the sample STABLE under "
+    "corpus append (a new doc evicts at most one row).",
+    tags=("extension", "sampling"),
+)
+def sample_reservoir_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.md5("text"), F.col("doc_id"))
+    return (
+        d.select("source", "doc_id", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 5)
+    )
+
+
+@register(
+    "pipeline_shard_assign",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, lang, md5(text) AS hx,
+             len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, lang, n_tok,
+             ((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+              + strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) % 32
+               AS shard_id
+      FROM h
+    )
+    SELECT shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS shard_tokens,
+           COUNT(DISTINCT lang) AS n_langs,
+           MIN(doc_id) AS min_doc,
+           MAX(doc_id) AS max_doc
+    FROM s GROUP BY shard_id
+    """,
+    doc="Content-hash shard assignment for training-data output (the step "
+    "that writes the final webdataset/tfrecord shards): shard = first byte "
+    "of md5(text) mod 32, computed portably via hex-digit position math "
+    "(md5 hex is identical cross-engine; no engine-specific hash()). The "
+    "returned audit — per-shard doc count, token sum, language spread, id "
+    "range — is what a pipeline asserts on before publishing: hash "
+    "uniformity bounds shard imbalance regardless of corpus order or skew "
+    "(unlike doc_id range sharding). Per-row map + one groupBy(shard_id) "
+    "of 32 groups; at 100 TB the same column feeds "
+    "df.write.partitionBy('shard_id') so assignment and layout share one "
+    "shuffle.",
+    tags=("extension", "pipeline", "sampling"),
+)
+def pipeline_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    hx = F.md5("text")
+    # Spark spells hex→int as conv(,16,10); the oracle uses hex-digit
+    # position math — different expressions, same value by construction.
+    shard = F.conv(F.substring(hx, 1, 2), 16, 10).cast("int") % 32
+    s = d.select(
+        "doc_id",
+        "lang",
+        F.size(_words()).alias("n_tok"),
+        shard.alias("shard_id"),
+    )
+    return s.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("shard_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )

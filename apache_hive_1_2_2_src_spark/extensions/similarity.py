@@ -372,3 +372,77 @@ def similarity_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_clusters_populated",
         (F.col("i_final") <= F.col("i0") + 1e-9).alias("inertia_nonincreasing"),
     )
+
+
+@register(
+    "embedding_quantize_audit",
+    oracle="""
+    WITH m AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+               AS mx
+      FROM embeddings
+    )
+    SELECT vec_id,
+           ROUND(sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm,
+           ROUND(mx, 6) AS max_abs,
+           CAST(list_sum(list_transform(embedding, x -> CASE WHEN
+             abs(FLOOR(CAST(x AS DOUBLE) * (127.0 / mx) + 0.5)) >= 127
+             THEN 1 ELSE 0 END)) AS BIGINT) AS n_sat,
+           ROUND(list_sum(list_transform(embedding, x ->
+             abs(CAST(x AS DOUBLE)
+                 - FLOOR(CAST(x AS DOUBLE) * (127.0 / mx) + 0.5)
+                   / (127.0 / mx)))) / len(embedding), 6) AS mean_abs_qerr
+    FROM m
+    """,
+    doc="Int8 embedding quantization audit (the step before shipping "
+    "embeddings to an ANN index or a feature store): per-vector absmax "
+    "scaling q = floor(x·127/absmax + 0.5), reporting L2 norm, the scale "
+    "anchor, saturation count, and mean absolute dequantization error. "
+    "Quantization itself is a per-row map over the array — no shuffle at "
+    "all, the embarrassingly-parallel shape that saturates a 1000-executor "
+    "scan. Determinism: floor(x+0.5) replaces round() (Spark HALF_UP vs "
+    "DuckDB banker's rounding diverge at exact .5); all array folds are "
+    "serial left-to-right in both engines (same class the cosine oracles "
+    "certify); final ROUND(,6) on bit-identical doubles.",
+    tags=("extension", "similarity"),
+)
+def embedding_quantize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    xd = F.transform("embedding", lambda x: x.cast("double"))
+    m = e.select(
+        "vec_id",
+        xd.alias("xd"),
+        F.array_max(F.transform(xd, lambda x: F.abs(x))).alias("mx"),
+    )
+    scale = F.lit(127.0) / F.col("mx")
+    zero = F.lit(0).cast("bigint")
+    q = lambda x: F.floor(x * scale + 0.5)  # noqa: E731
+    return m.select(
+        "vec_id",
+        F.round(
+            F.sqrt(
+                F.aggregate("xd", F.lit(0.0), lambda a, x: a + x * x)
+            ),
+            6,
+        ).alias("l2_norm"),
+        F.round("mx", 6).alias("max_abs"),
+        F.aggregate(
+            F.transform(
+                "xd",
+                lambda x: F.when(F.abs(q(x)) >= 127, F.lit(1)).otherwise(F.lit(0)),
+            ),
+            zero,
+            lambda a, x: a + x,
+        ).alias("n_sat"),
+        F.round(
+            F.aggregate(
+                F.transform("xd", lambda x: F.abs(x - q(x) / scale)),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            / F.size("xd"),
+            6,
+        ).alias("mean_abs_qerr"),
+    )

@@ -408,3 +408,72 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.size("w")).alias("total_tokens"),
         F.round(F.sum(F.size("w")) * 1.0 / F.count(F.lit(1)), 6).alias("avg_tokens"),
     )
+
+
+@register(
+    "text_contamination_check",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_SQL_WORDS} AS w FROM documents),
+    g AS (
+      SELECT doc_id,
+             UNNEST(list_distinct(list_transform(
+               generate_series(1, len(w) - 3),
+               i -> array_to_string(w[i:i+3], ' ')))) AS gram
+      FROM d
+    ),
+    eg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+    tg AS (SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 0)
+    SELECT t.doc_id,
+           COUNT(*) AS n_grams,
+           COUNT(e.gram) AS n_contaminated,
+           CAST(ROUND(COUNT(e.gram) * 1.0 / COUNT(*), 6) AS DOUBLE)
+             AS contamination_ratio
+    FROM tg t LEFT JOIN eg e ON t.gram = e.gram
+    GROUP BY t.doc_id
+    HAVING COUNT(e.gram) > 0
+    """,
+    doc="Benchmark-contamination detection (the GPT-3/Pile 13-gram method, "
+    "4-grams here so the short synthetic docs actually collide): a held-out "
+    "eval split (doc_id % 97 = 0 stands in for the benchmark suite) "
+    "contributes its distinct word 4-grams; every training doc reports how "
+    "many of its own distinct 4-grams collide. Per-doc grams are deduped MAP-SIDE "
+    "(array_distinct before explode), the eval gram set is tiny by "
+    "construction (real benchmark suites are ~MBs) so the probe join is a "
+    "BROADCAST — the only shuffle is the final groupBy(doc_id), keyed by "
+    "the same column the explode preserved. At 100 TB: identical plan; the "
+    "eval set is a static broadcast artifact rebuilt only when benchmarks "
+    "change. All counts are exact BIGINTs; the ratio is one division of "
+    "two ints, rounded — bit-stable cross-engine.",
+    tags=("extension", "text", "ngrams"),
+)
+def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", _words().alias("w"))
+    grams8 = F.when(
+        F.size("w") >= 4,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - 3),
+                lambda i: F.array_join(F.slice(F.col("w"), i, F.lit(4)), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = d.select("doc_id", F.explode(grams8).alias("gram"))
+    eg = (
+        g.filter(F.col("doc_id") % 97 == 0)
+        .select("gram")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    tg = g.filter(F.col("doc_id") % 97 != 0)
+    return (
+        tg.join(F.broadcast(eg), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("hit").alias("n_contaminated"),
+            F.round(F.count("hit") * 1.0 / F.count(F.lit(1)), 6).alias(
+                "contamination_ratio"
+            ),
+        )
+        .filter(F.col("n_contaminated") > 0)
+    )
