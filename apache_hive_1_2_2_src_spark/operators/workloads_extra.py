@@ -1,0 +1,456 @@
+"""Composite analytical workloads, part 2: the remaining TPC-H query shapes
+expressible over this star schema (no ``partsupp`` table ships in testdata,
+so Q2/Q11/Q16/Q20 are out of reach; Q21 needs commit/receipt dates).
+
+Shapes covered here (Hive 1.2.2 ran these plan families through
+SemanticAnalyzer join trees + map-side aggregation; reference layout anchors
+``ql/src/test/queries/clientpositive/``):
+
+- Q6  revenue forecast        — pure scan + pushed filters + global agg
+- Q7  volume shipping         — fact ⋈ fact with two nation dimensions
+- Q8  national market share   — 6-table star + conditional-sum ratio
+- Q13 customer order counts   — LEFT OUTER fact join + double aggregation
+- Q15 top supplier            — agg view + scalar-max semi join
+- Q17 small-quantity revenue  — per-part avg threshold (windowed correlate)
+- Q18 large-volume customers  — HAVING-filtered fact agg joined back to dims
+- Q19 disjunctive revenue     — OR-of-ANDs predicate across join
+- Q22 idle customers          — global-avg threshold + anti join
+
+Determinism: money maths through DECIMAL(18,2) factor casts (registry.py
+rules); ratio columns are a single IEEE division of two exact-decimal sums
+cast to double (no ROUND on parallel-summed doubles); integer thresholds are
+compared multiplicatively (``5*qty*cnt < qsum``) so no engine ever divides.
+
+Scale notes (100 TB): nation/region ride explicit broadcasts; customer /
+supplier / part scale with the fact tables, so their joins stay shuffle
+hash/SMJ and are left to Catalyst+AQE; every agg is partial/final; top-k is
+TakeOrderedAndProject. Q15's scalar max is a 1-row broadcast join, and Q22's
+corpus average is a 1-row broadcast — neither collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from apache_hive_1_2_2_src_spark.operators.helpers import dec, dsum_exact, sql_dec
+from apache_hive_1_2_2_src_spark.registry import register
+from apache_hive_1_2_2_src_spark.tables import load_table
+
+_REVENUE_SQL = (
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+    "(1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue"
+)
+
+
+def _revenue():
+    return dsum_exact(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")), "revenue")
+
+
+@register(
+    "workload_revenue_forecast",
+    oracle=f"""
+    SELECT CAST(SUM({sql_dec('l_extendedprice')} * {sql_dec('l_discount')}) AS DOUBLE)
+             AS revenue_delta,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape (forecast revenue change): the purest pushdown "
+    "benchmark — every predicate reaches the parquet scan (range on "
+    "l_shipdate, band on l_discount, bound on l_quantity), then one global "
+    "partial/final agg. At 100 TB this is scan-bound by design; no shuffle "
+    "beyond the 1-row final combine.",
+    tags=("workload", "agg"),
+)
+def workload_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        dsum_exact(dec("l_extendedprice") * dec("l_discount"), "revenue_delta"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "workload_nation_volume_shipping",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year, {_REVENUE_SQL}
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS l_year,
+             l_extendedprice, l_discount
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    doc="TPC-H Q7 shape (volume shipping between two nations): "
+    "lineitem ⋈ orders fact-fact shuffle join, supplier/customer carrier "
+    "joins, nation broadcast twice under different aliases, disjunctive "
+    "nation-pair filter, per-year revenue. Exercises self-join aliasing of "
+    "one dimension — Hive's QBJoinTree handled n1/n2 as distinct vertices.",
+    tags=("workload", "join", "agg"),
+)
+def workload_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2") | (
+        F.col("supp_nation") == "NATION_2"
+    ) & (F.col("cust_nation") == "NATION_1")
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .withColumn("l_year", F.year("l_shipdate"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(_revenue())
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "workload_market_share",
+    oracle="""
+    WITH vol AS (
+      SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(18,2)) *
+               (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume,
+             n2.n_name AS supp_nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region    ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'EUROPE' AND p_type = 'PROMO'
+    )
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE) AS mkt_share,
+           CAST(SUM(volume) AS DOUBLE) AS total_volume
+    FROM vol
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+    doc="TPC-H Q8 shape (national market share): 7-table star — part filter, "
+    "customer-side region restriction, supplier-side nation attribution, "
+    "conditional-sum ratio per year. Determinism: the share is ONE IEEE "
+    "division of two exact decimal sums cast to double (never ROUND of a "
+    "parallel double sum). Scale: region/nation broadcast; part filter "
+    "prunes the fact join ahead of the orders shuffle.",
+    tags=("workload", "join", "agg"),
+)
+def workload_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    vol = (
+        li.join(p.select("p_partkey"), F.col("p_partkey") == F.col("l_partkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r.select("r_regionkey")), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            (dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).alias("volume"),
+            "supp_nation",
+        )
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    return (
+        vol.groupBy("o_year")
+        .agg(
+            (
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(zero))
+                .cast("double")
+                / F.sum("volume").cast("double")
+            ).alias("mkt_share"),
+            F.sum("volume").cast("double").alias("total_volume"),
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "workload_customer_order_counts",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    doc="TPC-H Q13 shape (customer order-count distribution): LEFT OUTER "
+    "join so zero-order customers survive with c_count=0, then a second "
+    "aggregation over the first's output — the classic double-agg plan "
+    "(Hive ran it as two MR stages; Spark as two exchanges, the second "
+    "tiny). COUNT(col) null-skipping semantics are the point.",
+    tags=("workload", "join", "agg"),
+)
+def workload_customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
+    "workload_top_supplier",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_suppkey, {_REVENUE_SQL}
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, revenue AS total_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE revenue = (SELECT MAX(revenue) FROM rev)
+    ORDER BY s_suppkey
+    """,
+    doc="TPC-H Q15 shape (top supplier): quarterly per-supplier revenue "
+    "view, then select the max-revenue supplier(s) — the scalar subquery "
+    "becomes a 1-row broadcast equi-join, never a driver collect, so ties "
+    "are preserved and the plan survives any supplier count.",
+    tags=("workload", "join", "agg", "subquery"),
+)
+def workload_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(_revenue())
+    top = rev.agg(F.max("revenue").alias("max_rev"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(top), F.col("revenue") == F.col("max_rev"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", F.col("revenue").alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "workload_small_qty_revenue",
+    oracle="""
+    WITH li AS (
+      SELECT l_partkey, l_quantity, l_extendedprice
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_brand = 'Brand#3'
+    ), w AS (
+      SELECT l_extendedprice,
+             CAST(l_quantity AS DECIMAL(18,2)) AS q,
+             SUM(CAST(l_quantity AS DECIMAL(18,2)))
+               OVER (PARTITION BY l_partkey) AS qsum,
+             COUNT(*) OVER (PARTITION BY l_partkey) AS cnt
+      FROM li
+    )
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS small_qty_revenue,
+           COUNT(*) AS n_small_lines
+    FROM w
+    WHERE q * 5 * cnt < qsum
+    """,
+    doc="TPC-H Q17 shape (small-quantity-order revenue): lines whose "
+    "quantity is below 20% of their part's average. The correlated "
+    "per-part average is a window sum+count over the part key, and the "
+    "threshold is compared multiplicatively (5·q·cnt < Σq) so neither "
+    "engine ever divides — exact decimal arithmetic end to end. One "
+    "shuffle on l_partkey serves both the window and the brand join.",
+    tags=("workload", "join", "agg", "window"),
+)
+def workload_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    w = Window.partitionBy("l_partkey")
+    joined = li.join(F.broadcast(p.select("p_partkey")), F.col("p_partkey") == F.col("l_partkey"))
+    flagged = joined.select(
+        "l_extendedprice",
+        dec("l_quantity").alias("q"),
+        F.sum(dec("l_quantity")).over(w).alias("qsum"),
+        F.count(F.lit(1)).over(w).alias("cnt"),
+    )
+    return flagged.filter(F.col("q") * 5 * F.col("cnt") < F.col("qsum")).agg(
+        F.sum(dec("l_extendedprice")).cast("double").alias("small_qty_revenue"),
+        F.count(F.lit(1)).alias("n_small_lines"),
+    )
+
+
+@register(
+    "workload_large_volume_customer",
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
+           o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+    doc="TPC-H Q18 shape (large-volume customers): orders whose total line "
+    "quantity exceeds 300, joined back to customer. Spark plan aggregates "
+    "lineitem by orderkey FIRST (HAVING as a post-agg filter cuts the fact "
+    "early), then joins the surviving ~0.1% of orders to dims — the "
+    "agg-before-join rewrite Hive's correlation optimizer did by hand.",
+    tags=("workload", "join", "agg"),
+)
+def workload_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("qsum"))
+        .filter(F.col("qsum") > 300)
+        .select("l_orderkey", F.col("qsum").cast("double").alias("sum_qty"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").cast("string").alias("order_date"),
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+@register(
+    "workload_disjunctive_revenue",
+    oracle=f"""
+    SELECT {_REVENUE_SQL}, COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+    doc="TPC-H Q19 shape (discounted revenue, disjunctive predicates): an "
+    "OR-of-ANDs spanning both join sides. Catalyst factors the common "
+    "per-table conjuncts out of the disjunction (brand/size IN-bounds push "
+    "to the part scan, quantity bounds to lineitem) while the residual OR "
+    "evaluates post-join — the predicate shape Hive's PPD walked by hand.",
+    tags=("workload", "join", "agg"),
+)
+def workload_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+    cond = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+        | (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 20)
+        | (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 35)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return j.filter(cond).agg(_revenue(), F.count(F.lit(1)).alias("n_lines"))
+
+
+@register(
+    "workload_idle_customers",
+    oracle="""
+    WITH pos AS (
+      SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS s, COUNT(*) AS n
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_nationkey,
+           COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer, pos
+    WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n > s
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+    doc="TPC-H Q22 shape (idle high-balance customers): customers above the "
+    "positive-balance average with no orders, grouped by nation. The global "
+    "average is a 1-row broadcast compared multiplicatively (bal·n > Σbal — "
+    "no division, exact decimals); the no-orders test is a left_anti join, "
+    "Spark's native NOT EXISTS physical form.",
+    tags=("workload", "join", "agg", "subquery"),
+)
+def workload_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    pos = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.sum(dec("c_acctbal")).alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    rich = c.crossJoin(F.broadcast(pos)).filter(dec("c_acctbal") * F.col("n") > F.col("s"))
+    idle = rich.join(o, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+    return (
+        idle.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
