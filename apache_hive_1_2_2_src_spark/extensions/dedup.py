@@ -31,7 +31,7 @@ Jaccard are [Q] with direct oracles.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from apache_hive_1_2_2_src_spark.registry import register
@@ -356,7 +356,10 @@ def minhash_lsh_pairs(
     doc="SimHash near-dup: 64-bit fingerprint = sign of per-bit votes from "
     "token xxhash64s; candidate pairs blocked on 4×16-bit bands "
     "(Hamming ≤ 12 guarantees ≥ 1 identical band), verified with "
-    "bit_count(xor) ≤ 12. All bit math stays in codegen. Driver row = "
+    "bit_count(xor) ≤ 12; each (band,key) bucket capped at its first 256 "
+    "doc_ids so a hot bucket (65,536 keys/band → ~N/65k docs each at "
+    "billions of docs) can never go quadratic — the same skew guard as the "
+    "ngram path's df-cap. All bit math stays in codegen. Driver row = "
     "invariant projection over the emitted pairs (recall on identical "
     "docs + median-Jaccard precision invariant) since the pair set itself is "
     "hash-seeded; the raw pair list is `simhash_pairs`.",
@@ -431,8 +434,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def simhash_pairs(d: DataFrame) -> DataFrame:
-    """SimHash near-dup pairs (doc_a, doc_b, hamming) over (doc_id, w)."""
+def simhash_pairs(d: DataFrame, bucket_cap: int = 256) -> DataFrame:
+    """SimHash near-dup pairs (doc_a, doc_b, hamming) over (doc_id, w).
+
+    ``bucket_cap`` bounds each (band, key) block to its first ``bucket_cap``
+    doc_ids (deterministic row_number) before the self-join. A 16-bit band
+    has only 65,536 key values, so at billions of docs every bucket holds
+    ~N/65k docs and an uncapped within-bucket join is quadratic — the same
+    skew guard the ngram-Jaccard path applies via its shingle df-cap.
+    Identical/near-identical docs land in the SAME bucket, so groups up to
+    the cap keep full recall; beyond it recall degrades gracefully instead
+    of the join blowing up (documented 100 TB trade-off).
+    """
     tok = d.select("doc_id", F.explode("w").alias("t")).withColumn("h", F.xxhash64("t"))
     # Per-bit votes: +1 if bit set else -1; simhash bit b = majority vote.
     votes = tok.groupBy("doc_id").agg(
@@ -462,6 +475,12 @@ def simhash_pairs(d: DataFrame) -> DataFrame:
     )
     blocked = sim.select("doc_id", "simhash", F.explode(band).alias("b")).select(
         "doc_id", "simhash", F.col("b.band").alias("band"), F.col("b.key").alias("key")
+    )
+    cap_w = Window.partitionBy("band", "key").orderBy("doc_id")
+    blocked = (
+        blocked.withColumn("rk", F.row_number().over(cap_w))
+        .filter(F.col("rk") <= bucket_cap)
+        .drop("rk")
     )
     x, y = blocked.alias("x"), blocked.alias("y")
     ham = F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash")))

@@ -93,8 +93,10 @@ def workload_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN customer ON c_custkey = o_custkey
       JOIN nation n1 ON s_nationkey = n1.n_nationkey
       JOIN nation n2 ON c_nationkey = n2.n_nationkey
-      WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+      WHERE (n1.n_name IN ('NATION_1','NATION_2','NATION_3','NATION_4')
+               AND n2.n_name IN ('NATION_5','NATION_6','NATION_7','NATION_8'))
+         OR (n1.n_name IN ('NATION_5','NATION_6','NATION_7','NATION_8')
+               AND n2.n_name IN ('NATION_1','NATION_2','NATION_3','NATION_4'))
     )
     GROUP BY supp_nation, cust_nation, l_year
     ORDER BY supp_nation, cust_nation, l_year
@@ -102,8 +104,10 @@ def workload_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-H Q7 shape (volume shipping between two nations): "
     "lineitem ⋈ orders fact-fact shuffle join, supplier/customer carrier "
     "joins, nation broadcast twice under different aliases, disjunctive "
-    "nation-pair filter, per-year revenue. Exercises self-join aliasing of "
-    "one dimension — Hive's QBJoinTree handled n1/n2 as distinct vertices.",
+    "nation-group filter (4x4 nation blocs instead of TPC-H's single pair "
+    "so the query is non-vacuous at smoke-test SF), per-year revenue. "
+    "Exercises self-join aliasing of one dimension — Hive's QBJoinTree "
+    "handled n1/n2 as distinct vertices.",
     tags=("workload", "join", "agg"),
 )
 def workload_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -117,9 +121,11 @@ def workload_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFra
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2") | (
-        F.col("supp_nation") == "NATION_2"
-    ) & (F.col("cust_nation") == "NATION_1")
+    bloc_a = ["NATION_1", "NATION_2", "NATION_3", "NATION_4"]
+    bloc_b = ["NATION_5", "NATION_6", "NATION_7", "NATION_8"]
+    pair = (
+        F.col("supp_nation").isin(bloc_a) & F.col("cust_nation").isin(bloc_b)
+    ) | (F.col("supp_nation").isin(bloc_b) & F.col("cust_nation").isin(bloc_a))
     return (
         li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
@@ -427,20 +433,29 @@ def workload_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
     FROM customer, pos
     WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n > s
-      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
     GROUP BY c_nationkey
     ORDER BY c_nationkey
     """,
     doc="TPC-H Q22 shape (idle high-balance customers): customers above the "
-    "positive-balance average with no orders, grouped by nation. The global "
-    "average is a 1-row broadcast compared multiplicatively (bal·n > Σbal — "
-    "no division, exact decimals); the no-orders test is a left_anti join, "
+    "positive-balance average with no RECENT (post-1999) orders, grouped by "
+    "nation. TPC-H's literal 'no orders at all' is vacuous on this testdata "
+    "(every customer has orders), so the anti-join carries a date predicate "
+    "— same plan shape, non-empty at smoke SF. The global average is a "
+    "1-row broadcast compared multiplicatively (bal·n > Σbal — no division, "
+    "exact decimals); the no-recent-orders test is a left_anti join, "
     "Spark's native NOT EXISTS physical form.",
     tags=("workload", "join", "agg", "subquery"),
 )
 def workload_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp"))
+        .select("o_custkey")
+    )
     pos = c.filter(F.col("c_acctbal") > 0.0).agg(
         F.sum(dec("c_acctbal")).alias("s"), F.count(F.lit(1)).alias("n")
     )

@@ -30,6 +30,46 @@ from apache_hive_1_2_2_src_spark.registry import register
 from apache_hive_1_2_2_src_spark.tables import load_table
 
 
+# Explicit schema for the staged events inbox written by _stage_events_inbox.
+# File streams require an explicit schema; we stage through load_table (which
+# normalizes ts to TimestampType whatever the physical testdata format) and
+# carry the timestamp as micros-since-epoch so this schema can NEVER drift
+# from the generator's physical layout — the round-4 regression was exactly
+# such a drift (events.ts changed INT64-nanos -> timestamp[us] and hard-coded
+# readStream schemas kept the old assumption).
+_EVENTS_STREAM_SCHEMA = (
+    "event_id bigint, user_id bigint, event_type string, "
+    "value double, props string, ts_us bigint"
+)
+
+
+def _stage_events_inbox(spark: SparkSession, sf_dir: str, inbox: str) -> str:
+    """Stage the events table into a file-stream inbox directory.
+
+    The inbox simulates an arriving micro-batch ("txn batch" in
+    hcatalog-streaming terms). ts is written as unix micros (bigint) so the
+    stream-side schema is owned by this module, not the testdata generator.
+    """
+    e = load_table(spark, sf_dir, "events")
+    (
+        e.withColumn("ts_us", F.unix_micros("ts"))
+        .drop("ts")
+        .write.mode("overwrite")
+        .parquet(inbox)
+    )
+    return inbox
+
+
+def _read_events_stream(spark: SparkSession, inbox: str) -> DataFrame:
+    """readStream over a staged inbox, restoring ts to TimestampType."""
+    return (
+        spark.readStream.schema(_EVENTS_STREAM_SCHEMA)
+        .parquet(inbox)
+        .withColumn("ts", F.timestamp_micros("ts_us"))
+        .drop("ts_us")
+    )
+
+
 @register(
     "window_tumbling_agg",
     oracle="""
@@ -145,32 +185,16 @@ def window_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "ingest"),
 )
 def streaming_ingest_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-
     base = tempfile.mkdtemp(prefix="hive_spark_stream_")
     sink, ckpt = os.path.join(base, "sink"), os.path.join(base, "ckpt")
     # File streams need a DIRECTORY of arriving files; stage the events
-    # parquet into one (the micro-batch "txn batch" being committed).
-    inbox = os.path.join(base, "inbox")
-    os.makedirs(inbox)
-    src = f"{sf_dir}/events.parquet"
-    if os.path.isdir(src):
-        for f in os.listdir(src):
-            if f.endswith(".parquet"):
-                shutil.copy(os.path.join(src, f), inbox)
-    else:
-        shutil.copy(src, inbox)
-    # File streams need an explicit schema; with nanosAsLong (session.py) the
-    # raw parquet ts column arrives as a nanos bigint — convert like
-    # tables.load_table does.
-    stream = (
-        spark.readStream.schema(
-            "event_id bigint, ts bigint, user_id bigint, "
-            "event_type string, value double, props string"
-        )
-        .parquet(inbox)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .withColumn("ingest_batch", F.spark_partition_id())
+    # table into one (the micro-batch "txn batch" being committed). Staging
+    # goes through load_table so ts is already normalized to TimestampType
+    # whatever the physical testdata format — the readStream schema below is
+    # ours, not the generator's, and can never drift from it.
+    inbox = _stage_events_inbox(spark, sf_dir, os.path.join(base, "inbox"))
+    stream = _read_events_stream(spark, inbox).withColumn(
+        "ingest_batch", F.spark_partition_id()
     )
     q = (
         stream.writeStream.format("parquet")
@@ -190,36 +214,37 @@ def streaming_ingest_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_watermark_window",
-    oracle=None,  # streaming sink state; rows-only check
+    oracle="""
+    WITH mx AS (SELECT MAX(ts) AS mts FROM events),
+    wins AS (
+      SELECT date_trunc('hour', ts) AS ws, event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT COUNT(*) AS n_closed_windows,
+           CAST(SUM(n) AS BIGINT) AS n_events_emitted,
+           CAST(MIN(ws) AS VARCHAR) AS min_win_start,
+           CAST(MAX(ws) AS VARCHAR) AS max_win_start
+    FROM wins, mx
+    WHERE ws + INTERVAL 1 HOUR <= mts - INTERVAL 2 HOUR
+    """,
     doc="Streaming tumbling-window agg with late-data watermark: readStream "
     "over staged event files → withWatermark('ts', '2 hours') → 1h "
     "window counts → append-mode parquet sink (only windows the watermark "
     "has closed are emitted), availableNow trigger. This is the stateful-"
     "streaming capability Hive 1.2 never had (its hcatalog-streaming was "
     "ingest-only); state is bounded by the watermark — the 100 TB/day "
-    "design constraint.",
+    "design constraint. Oracled (round-5 [R]->[Q] flip): on a drained "
+    "availableNow run the final watermark is max(ts) - 2h and append mode "
+    "emits exactly the windows whose end <= that watermark, which the "
+    "oracle recomputes in batch SQL (count, event sum, min/max win_start).",
     tags=("streaming", "window", "watermark"),
 )
 def streaming_watermark_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-
     base = tempfile.mkdtemp(prefix="hive_spark_wm_")
-    inbox, sink, ckpt = (os.path.join(base, d) for d in ("inbox", "sink", "ckpt"))
-    os.makedirs(inbox)
-    src = f"{sf_dir}/events.parquet"
-    if os.path.isdir(src):
-        for f in os.listdir(src):
-            if f.endswith(".parquet"):
-                shutil.copy(os.path.join(src, f), inbox)
-    else:
-        shutil.copy(src, inbox)
+    sink, ckpt = os.path.join(base, "sink"), os.path.join(base, "ckpt")
+    inbox = _stage_events_inbox(spark, sf_dir, os.path.join(base, "inbox"))
     stream = (
-        spark.readStream.schema(
-            "event_id bigint, ts bigint, user_id bigint, "
-            "event_type string, value double, props string"
-        )
-        .parquet(inbox)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        _read_events_stream(spark, inbox)
         .withWatermark("ts", "2 hours")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -238,6 +263,8 @@ def streaming_watermark_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.agg(
         F.count(F.lit(1)).alias("n_closed_windows"),
         F.sum("n").alias("n_events_emitted"),
+        F.min("win_start").alias("min_win_start"),
+        F.max("win_start").alias("max_win_start"),
     )
 
 
@@ -259,21 +286,12 @@ def streaming_watermark_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "stateful", "pandas_udf"),
 )
 def streaming_stateful_user_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     base = tempfile.mkdtemp(prefix="hive_spark_state_")
-    inbox, sink, ckpt = (os.path.join(base, d) for d in ("inbox", "sink", "ckpt"))
-    os.makedirs(inbox)
-    src = f"{sf_dir}/events.parquet"
-    if os.path.isdir(src):
-        for f in os.listdir(src):
-            if f.endswith(".parquet"):
-                shutil.copy(os.path.join(src, f), inbox)
-    else:
-        shutil.copy(src, inbox)
+    sink, ckpt = os.path.join(base, "sink"), os.path.join(base, "ckpt")
+    inbox = _stage_events_inbox(spark, sf_dir, os.path.join(base, "inbox"))
 
     def update(key, pdfs, state: GroupState):
         (user_id,) = key
@@ -286,11 +304,7 @@ def streaming_stateful_user_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         yield pd.DataFrame({"user_id": [user_id], "n_events": [n], "max_value": [mx]})
 
     stream = (
-        spark.readStream.schema(
-            "event_id bigint, ts bigint, user_id bigint, "
-            "event_type string, value double, props string"
-        )
-        .parquet(inbox)
+        _read_events_stream(spark, inbox)
         .groupBy("user_id")
         .applyInPandasWithState(
             update,
@@ -366,27 +380,17 @@ def window_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "dedup", "watermark"),
 )
 def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-
     base = tempfile.mkdtemp(prefix="hive_spark_sdedup_")
     sink, ckpt = os.path.join(base, "sink"), os.path.join(base, "ckpt")
     inbox = os.path.join(base, "inbox")
-    os.makedirs(inbox)
     # Stage events + an every-5th-event duplicate overlay (same payload,
-    # same event time — an at-least-once redelivery).
+    # same event time — an at-least-once redelivery). Same inbox layout as
+    # _stage_events_inbox (ts carried as micros bigint).
     e = load_table(spark, sf_dir, "events")
     dup = e.filter(F.col("event_id") % 5 == 0)
     staged = e.unionAll(dup).withColumn("ts_us", F.unix_micros("ts"))
     staged.drop("ts").write.mode("overwrite").parquet(inbox)
-    stream = (
-        spark.readStream.schema(
-            "event_id bigint, user_id bigint, event_type string, "
-            "value double, props string, ts_us bigint"
-        )
-        .parquet(inbox)
-        .withColumn("ts", F.timestamp_micros("ts_us"))
-        .drop("ts_us")
-    )
+    stream = _read_events_stream(spark, inbox)
     q = (
         stream.withWatermark("ts", "2 hours")
         .dropDuplicatesWithinWatermark(["event_id"])

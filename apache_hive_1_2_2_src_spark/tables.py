@@ -64,12 +64,21 @@ def ensure_confs(spark: SparkSession) -> SparkSession:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # With spark.sql.legacy.parquet.nanosAsLong the TIMESTAMP(NANOS)
-        # column arrives as a nanos-since-epoch long; truncate to micros
-        # exactly like DuckDB's TIMESTAMP_NS -> TIMESTAMP read path so the
-        # oracle sees identical values.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        # Normalize ts to TimestampType regardless of the physical parquet
+        # type — the testdata generator has shipped both INT64 TIMESTAMP(NANOS)
+        # (arrives as a nanos bigint under nanosAsLong) and plain
+        # timestamp[us] (arrives as TIMESTAMP_NTZ). All downstream consumers,
+        # including the streaming readers, depend on this single guard.
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # nanos-since-epoch long; truncate to micros exactly like
+            # DuckDB's TIMESTAMP_NS -> TIMESTAMP read path.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type is not None and ts_type != "timestamp":
+            # TIMESTAMP_NTZ (or any future variant): wall-clock cast under the
+            # pinned UTC session zone — identical values to DuckDB's read.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

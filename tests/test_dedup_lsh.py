@@ -14,6 +14,7 @@ from apache_hive_1_2_2_src_spark.extensions.dedup import (
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     release_shingle_index,
+    simhash_pairs,
 )
 
 
@@ -132,3 +133,31 @@ def test_lsh_oracle_equality_gate(spark, oracle_con):
         f"exact-equality oracle is no longer sound; weaken it to a "
         f"recall-bound invariant. Missed: {sorted(missed)[:5]}"
     )
+
+
+def test_simhash_degenerate_corpus_stays_bounded(spark):
+    """300 identical docs → identical fingerprints → one mega-bucket per
+    band. Without the per-(band,key) cap the self-join emits C(300,2) =
+    44,850 candidates; with cap=32 it is bounded by C(32,2) = 496 (every
+    band keeps the SAME first-32 doc_ids, so distinct() collapses the four
+    bands to one set)."""
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, boiler) for i in range(300)]
+    out = simhash_pairs(_docs_df(spark, rows), bucket_cap=32)
+    n = out.count()
+    assert 0 < n <= 32 * 31 // 2, n
+
+
+def test_simhash_recall_unaffected_by_cap(spark):
+    """Buckets under the cap pass through untouched: an identical pair among
+    distinct filler docs is still found at the default cap, and every
+    emitted pair is hamming<=12 by construction."""
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    rows = [(0, a), (1, a)] + [
+        (i, f"filler doc number {i} talks about topic {i * 7} and item {i * 13} only")
+        for i in range(2, 60)
+    ]
+    out = simhash_pairs(_docs_df(spark, rows))
+    got = {(r.doc_a, r.doc_b): r.hamming for r in out.collect()}
+    assert got.get((0, 1)) == 0
+    assert all(h <= 12 for h in got.values())
