@@ -531,15 +531,13 @@ def simhash_pairs(d: DataFrame, bucket_cap: int = 256) -> DataFrame:
     GROUP BY cluster_id
     """,
     doc="Near-dup CLUSTER formation: connected components over the "
-    "ngram-Jaccard>=0.8 pair graph via distributed min-label propagation "
-    "(the step a real curation pipeline runs after pair mining — keep one "
-    "doc per component, not per pair). Iterative DataFrame loop: each "
-    "round every node adopts min(own, neighbors') label; converges in "
-    "O(component diameter) rounds (near-dup clusters are shallow — "
-    "bounded at max_iters=8, asserted converged). Each round is one "
-    "shuffle-join on doc_id; no driver-side graph state — the driver "
-    "sees only the one-boolean convergence check per round (same "
-    "pattern as the large-star/small-star CC algorithm at 100 TB). "
+    "ngram-Jaccard>=0.8 pair graph via alternating large-star/small-star "
+    "(Kiveris et al. SoCC'14 — the step a real curation pipeline runs "
+    "after pair mining: keep one doc per component, not per pair). "
+    "Iterative DataFrame loop, two groupBy+join shuffles per round, "
+    "O(log^2 n) rounds on ANY component shape including chains (bounded "
+    "at max_iters=8, asserted converged — never silently wrong); no "
+    "driver-side graph state, only a per-round emptiness check. "
     "Output: one row per component (cluster_id = min doc_id, size, "
     "keeper). Deterministic fixpoint -> full recursive-CTE oracle.",
     tags=("extension", "dedup", "clusters"),
@@ -553,67 +551,96 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def connected_components(pairs: DataFrame, *, max_iters: int = 8) -> DataFrame:
-    """Min-label propagation over an undirected edge list (doc_a, doc_b).
+    """Alternating large-star/small-star connected components over an
+    undirected edge list (doc_a, doc_b) — the round-5 upgrade from plain
+    min-label propagation (public algorithm: Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14).
 
-    Returns one row per component: (cluster_id, cluster_size, keeper_id).
-    Raises if not converged within max_iters (component diameter bound) —
-    never returns silently-wrong labels.
+    Each round runs one large-star step (every node hangs its LARGER
+    neighbors off its neighborhood minimum) and one small-star step (every
+    node re-hangs its SMALLER neighbors plus itself off that minimum) —
+    two groupBy+join shuffles — and the edge set converges to one star per
+    component, centered at the component's minimum id, in O(log^2 n) rounds
+    on ANY graph shape. Plain propagation needs O(diameter) rounds: on a
+    1M-node chain that is ~1M shuffles vs ~20 here; near-dup graphs are
+    usually shallow, but a boilerplate-chain corpus is exactly the shape
+    that used to blow the iteration budget (see
+    tests/test_cc_star.py::test_chain_converges_fast).
+
+    Returns one row per component: (cluster_id = component min id,
+    cluster_size, keeper_id). Raises if not converged within max_iters —
+    never returns silently-wrong labels. Each round's edge set is
+    localCheckpoint-ed (lineage truncation; use checkpoint(dir) on a
+    cluster) and replaces its predecessor, so peak storage is ~2 edge sets.
     """
+    # Canonical (min, max) edges, self-loops dropped.
     edges = (
-        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-        .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
-        .distinct()
-        .persist()
-    )
-    labels = edges.select(F.col("u").alias("n")).distinct().withColumn(
-        "lbl", F.col("n")
-    ).persist()
-    try:
-        for _ in range(max_iters):
-            # neighbor minimum: min label over incoming edges, then min with own
-            nbr = (
-                edges.join(labels, edges.v == labels.n)
-                .groupBy("u")
-                .agg(F.min("lbl").alias("nbr_lbl"))
-            )
-            new_labels = (
-                labels.join(nbr, labels.n == nbr.u, "left")
-                .select(
-                    "n",
-                    F.least(F.col("lbl"), F.coalesce("nbr_lbl", "lbl")).alias("lbl"),
-                )
-                .persist()
-            )
-            changed = (
-                new_labels.alias("a")
-                .join(labels.alias("b"), "n")
-                .filter(F.col("a.lbl") != F.col("b.lbl"))
-                .limit(1)
-                .count()
-            )
-            labels.unpersist(blocking=False)
-            labels = new_labels
-            if changed == 0:
-                break
-        else:
-            raise RuntimeError(f"connected_components: no fixpoint in {max_iters} iters")
-        result = (
-            labels.groupBy("lbl")
-            .agg(F.count(F.lit(1)).alias("cluster_size"), F.min("n").alias("keeper_id"))
-            .select(
-                F.col("lbl").alias("cluster_id"),
-                F.col("cluster_size").cast("bigint").alias("cluster_size"),
-                "keeper_id",
-            )
+        pairs.select(
+            F.least("doc_a", "doc_b").alias("u"), F.greatest("doc_a", "doc_b").alias("v")
         )
-        # Truncate lineage so the iteration caches can be released NOW: the
-        # returned DF owns only its (tiny, one-row-per-component) checkpoint
-        # blocks, which Spark's ContextCleaner reclaims when the DF is GC'd.
-        # On a cluster you'd use checkpoint(dir) instead of localCheckpoint.
-        return result.localCheckpoint(eager=True)
-    finally:
-        edges.unpersist(blocking=False)
-        labels.unpersist(blocking=False)
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = edges.count()
+    for _ in range(max_iters):
+        bidir = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        # Large-star: m(u) = min(N(u) ∪ {u}); emit (m, v) for v ∈ N(u), v > u.
+        mins = bidir.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        large = (
+            bidir.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("m").alias("u"), "v")  # m <= u < v: already canonical
+            .distinct()
+        )
+        # Small-star over the large-star output: for each node u with smaller
+        # neighbors S = {v ∈ N(u): v < u}, m = min(S); emit (m, v) for
+        # v ∈ S \ {m} and (m, u).
+        bidir2 = large.union(large.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        small_nbrs = bidir2.filter(F.col("v") < F.col("u"))
+        small_min = small_nbrs.groupBy("u").agg(F.min("v").alias("m"))
+        new_edges = (
+            small_nbrs.join(small_min, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("m").alias("u"), "v")  # m < v: canonical
+            .unionByName(small_min.select(F.col("m").alias("u"), F.col("u").alias("v")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # Equality of the two DISTINCT edge sets without a full symmetric
+        # difference: equal counts + empty (new \ old) ⟹ new ⊆ old with
+        # |new| = |old| ⟹ equal. Counts over localCheckpoint-ed data are
+        # cheap; the anti-join only runs when the counts already agree.
+        n_new = new_edges.count()
+        converged = (
+            n_new == n_edges
+            and new_edges.join(edges, ["u", "v"], "left_anti").limit(1).count() == 0
+        )
+        edges, n_edges = new_edges, n_new
+        if converged:
+            break
+    else:
+        raise RuntimeError(f"connected_components: no fixpoint in {max_iters} iters")
+    # Fixpoint = one star per component: every edge is (root, member) with
+    # root = component min, so labels read straight off the edge list.
+    labels = (
+        edges.select(F.col("v").alias("n"), F.col("u").alias("lbl"))
+        .union(edges.select(F.col("u").alias("n"), F.col("u").alias("lbl")))
+        .distinct()
+    )
+    result = (
+        labels.groupBy("lbl")
+        .agg(F.count(F.lit(1)).alias("cluster_size"), F.min("n").alias("keeper_id"))
+        .select(
+            F.col("lbl").alias("cluster_id"),
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+            "keeper_id",
+        )
+    )
+    # Truncate lineage so the iteration checkpoints can be released NOW: the
+    # returned DF owns only its (tiny, one-row-per-component) checkpoint
+    # blocks, which Spark's ContextCleaner reclaims when the DF is GC'd.
+    return result.localCheckpoint(eager=True)
 
 
 def _embedding_pairs_sql(threshold: float) -> str:

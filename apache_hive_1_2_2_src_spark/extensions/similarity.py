@@ -8,10 +8,11 @@ BASELINE.json mandate; no reference analogue).
   query id. At 100 TB the broadcast side stays small (queries), the
   candidate scan is embarrassingly parallel, and the window shuffle is
   keyed by query id — no skew (each query has exactly |candidates| rows).
-- **Sign-bit LSH ANN** — the scale path: an 8-bit bucket from the signs of
-  the first 8 dimensions (a fixed, data-independent hyperplane family);
-  candidates are compared only within their bucket, cutting the pair count
-  ~2^8 at the cost of recall. Same cosine kernel.
+- **Sign-bit LSH ANN** — the scale path: a 16-bit bucket from the signs of
+  the first 16 dimensions (a fixed, data-independent hyperplane family)
+  with Hamming-1 multi-probe (each vector also probes the 16 single-bit
+  flips of its bucket) and a 128-vector per-bucket cap; candidates are
+  compared only across probed buckets. Same cosine kernel.
 - **Cosine near-dup threshold** — all-pairs ≥ τ via the same kernel; on the
   synthetic data max pairwise cosine ≈ 0.51, so τ=0.4 yields a small,
   verifiable set (the oracle computes identical double-precision math).
@@ -122,63 +123,105 @@ def similarity_cosine_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# 16-bit sign signature from the first 16 dims, as an integer. Built from the
+# SAME per-dim CASE in both engines so the values are bit-identical.
+_N_SIGN_BITS = 16
+_SIG_SQL = " + ".join(
+    f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+    for i in range(_N_SIGN_BITS)
+)
+_PROBE_SQL = "list_value(sig, " + ", ".join(
+    f"xor(sig, {1 << i})" for i in range(_N_SIGN_BITS)
+) + ")"
+_LSH_BUCKET_CAP = 128
+
+
 @register(
     "similarity_ann_lsh_signbits",
     oracle=f"""
     WITH e AS (
-      SELECT vec_id, embedding,
-             list_transform(embedding[1:8],
-                            x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END) AS bits
-      FROM embeddings
+      SELECT vec_id, embedding, CAST({_SIG_SQL} AS INT) AS sig FROM embeddings
     ),
-    b AS (SELECT vec_id, embedding, array_to_string(bits, '') AS bucket FROM e),
-    scored AS (
-      SELECT x.bucket AS bucket, x.vec_id AS vec_a, y.vec_id AS vec_b,
-             {_sql_cos("x.embedding", "y.embedding")} AS cos
-      FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+    capped AS (
+      SELECT vec_id, embedding, sig
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY sig ORDER BY vec_id) AS rk
+            FROM e)
+      WHERE rk <= {_LSH_BUCKET_CAP}
     ),
-    ranked AS (
-      SELECT bucket, vec_a, vec_b, ROUND(cos, 6) AS cosine,
-             ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY cos DESC, vec_a, vec_b) AS rk
-      FROM scored
+    probes AS (
+      SELECT vec_id, embedding, sig, unnest({_PROBE_SQL}) AS probe FROM capped
     )
-    SELECT bucket, vec_a, vec_b, cosine, rk FROM ranked WHERE rk <= 3
+    SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+           CAST(bit_count(xor(x.sig, y.sig)) AS INT) AS hamming,
+           ROUND({_sql_cos("x.embedding", "y.embedding")}, 6) AS cosine
+    FROM probes x JOIN capped y ON x.probe = y.sig AND x.vec_id < y.vec_id
+    ORDER BY vec_a, vec_b
     """,
-    doc="LSH-bucketed ANN: 8-bit sign bucket from the first 8 dims (fixed "
-    "axis-aligned hyperplanes — deterministic, data-independent), pairwise "
-    "cosine only within buckets, top-3 per bucket. ~2^8 fewer pairs than "
-    "all-pairs; the bucket groupBy is the only shuffle.",
+    doc="LSH ANN, 16-bit sign signature with Hamming-1 multi-probe: each "
+    "vector's bucket is the sign pattern of its first 16 dims (fixed "
+    "axis-aligned hyperplanes — deterministic, data-independent); every "
+    "vector probes its own bucket plus the 16 single-bit-flip neighbors, so "
+    "a pair is emitted iff their signatures differ in <=1 bit. 2^16 buckets "
+    "keeps ~N/65k vectors per bucket (vs 2^8=256 buckets in the round-4 "
+    "form, whose within-bucket join went quadratic at billions of vectors) "
+    "and multi-probe buys back the recall that the finer buckets cost. "
+    "Buckets are additionally capped at their first 128 vec_ids "
+    "(row_number) — the same skew guard as the MinHash/SimHash paths, "
+    "mirrored in the oracle. The probe explode is 17x the vector count of "
+    "8-byte keys; the bucket equi-join is the only shuffle.",
     tags=("extension", "similarity", "lsh"),
 )
 def similarity_ann_lsh_signbits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return signbit_lsh_pairs(load_table(spark, sf_dir, "embeddings"))
+
+
+def signbit_lsh_pairs(
+    e: DataFrame, n_bits: int = _N_SIGN_BITS, bucket_cap: int = _LSH_BUCKET_CAP
+) -> DataFrame:
+    """Sign-bit LSH candidate pairs over (vec_id, embedding) — pairs whose
+    n_bits-dim sign signatures differ in <= 1 bit, via Hamming-1 multi-probe
+    (each vector probes its own bucket + every single-bit flip)."""
     from pyspark.sql.window import Window
 
-    e = load_table(spark, sf_dir, "embeddings")
-    bucket = F.array_join(
-        F.transform(
-            F.slice("embedding", 1, 8), lambda x: F.when(x >= 0, F.lit("1")).otherwise(F.lit("0"))
-        ),
-        "",
+    bits = [
+        F.when(F.element_at("embedding", i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(n_bits)
+    ]
+    sig = sum(bits[1:], bits[0]).cast("int")
+    b = e.select("vec_id", "embedding", sig.alias("sig"))
+    cap_w = Window.partitionBy("sig").orderBy("vec_id")
+    capped = (
+        b.withColumn("rk", F.row_number().over(cap_w))
+        .filter(F.col("rk") <= bucket_cap)
+        .drop("rk")
     )
-    b = e.select("vec_id", "embedding", bucket.alias("bucket"))
-    x = b.select(
-        F.col("bucket"), F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
+    probe = F.explode(
+        F.array(
+            F.col("sig"),
+            *[F.col("sig").bitwiseXOR(F.lit(1 << i)) for i in range(n_bits)],
+        )
     )
-    y = b.select(
-        F.col("bucket").alias("bucket_y"),
+    x = capped.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("sig").alias("sig_a"),
+        probe.alias("probe"),
+    )
+    y = capped.select(
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("eb"),
+        F.col("sig").alias("sig_b"),
     )
     cos = _cos(F.col("ea"), F.col("eb"))
-    scored = (
-        x.join(y, (F.col("bucket") == F.col("bucket_y")) & (F.col("vec_a") < F.col("vec_b")))
-        .select("bucket", "vec_a", "vec_b", cos.alias("cos"))
-    )
-    w = Window.partitionBy("bucket").orderBy(F.col("cos").desc(), F.col("vec_a"), F.col("vec_b"))
     return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 3)
-        .select("bucket", "vec_a", "vec_b", F.round("cos", 6).alias("cosine"), "rk")
+        x.join(y, (F.col("probe") == F.col("sig_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int").alias("hamming"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .orderBy("vec_a", "vec_b")
     )
 
 

@@ -154,10 +154,23 @@ def regex_serde_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sentences_tokenize",
-    oracle=None,  # no DuckDB equivalent of sentences() → rows-only
+    # Round-5 [R]->[Q] flip: DuckDB has no sentences(), but the documents
+    # corpus is punctuation-free space-separated words, so BreakIterator
+    # word segmentation provably equals the whitespace tokenizer — both
+    # counts reduce to the same relational expression. (If a regenerated
+    # corpus ever adds punctuation, this mismatches loudly — by design.)
+    oracle="""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INT)
+             AS n_sentence_tokens,
+           CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INT)
+             AS n_ws_tokens
+    FROM documents WHERE doc_id < 100
+    """,
     doc="sentences(text) (GenericUDFSentences.java): locale-aware sentence/"
     "word segmentation to array<array<string>>; flattened token count "
-    "compared row-wise against the whitespace tokenizer.",
+    "compared row-wise against the whitespace tokenizer (equal on this "
+    "punctuation-free corpus, which is what the oracle certifies).",
     tags=("functions", "text"),
 )
 def sentences_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -204,19 +217,48 @@ def xpath_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "hash_misc_rows_only",
-    oracle=None,  # Hive Java hash ≠ Spark murmur3 ≠ DuckDB hash → rows-only
+    # Round-5 [R]->[Q] flip via invariant projection: hash VALUES are
+    # engine-specific by design (Hive Java hashCode != Spark murmur3 !=
+    # DuckDB hash), but the CONTRACT of a hash function is oracle-checkable:
+    # determinism (equal inputs -> equal hashes, so #distinct hashes <=
+    # #distinct inputs) plus, on this fixed 101-name corpus, injectivity
+    # (no collisions — deterministic for a fixed corpus) and output ranges.
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT c_name) AS BIGINT) AS n_names,
+           TRUE AS murmur3_injective_here,
+           TRUE AS xx64_injective_here,
+           TRUE AS crc32_in_uint32_range
+    FROM customer WHERE c_custkey <= 100
+    """,
     doc="hash()/crc32/xxhash64 (GenericUDFHash, UDFCrc32): engine-specific "
     "values by design (Hive used Java's hashCode, Spark uses murmur3), so "
-    "parity is shape-only: deterministic within-engine, stable schema.",
+    "the oracle checks the hash-function CONTRACT instead of values: "
+    "per-name determinism + collision-freedom on the fixed test corpus + "
+    "crc32 uint32 range.",
     tags=("functions", "misc"),
 )
 def hash_misc_rows_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 100)
-    return c.select(
-        "c_custkey",
+    h = c.select(
+        "c_name",
+        "c_mktsegment",
         F.hash("c_name", "c_mktsegment").alias("h_murmur3"),
         F.crc32(F.col("c_name").cast("binary")).alias("h_crc32"),
         F.xxhash64("c_name").alias("h_xx64"),
+    )
+    return h.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("c_name").alias("n_names"),
+        (F.countDistinct("h_murmur3") == F.countDistinct("c_name", "c_mktsegment")).alias(
+            "murmur3_injective_here"
+        ),
+        (F.countDistinct("h_xx64") == F.countDistinct("c_name")).alias(
+            "xx64_injective_here"
+        ),
+        ((F.min("h_crc32") >= 0) & (F.max("h_crc32") <= F.lit(4294967295))).alias(
+            "crc32_in_uint32_range"
+        ),
     )
 
 

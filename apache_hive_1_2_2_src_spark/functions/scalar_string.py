@@ -245,22 +245,60 @@ def str_to_map_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "str_misc_rows_only",
-    oracle=None,
-    doc="Rows-only remainder: soundex, sentences, crc32, sha1, hash, "
-    "encode/decode roundtrip, xpath_* equivalents (no clean DuckDB twin).",
+    # Round-5 [R]->[Q] flip via invariant projection: DuckDB has no
+    # soundex/sentences/crc32/sha1/xpath, but every output here is either
+    # (a) a deterministic function of a 5-value segment column (soundex ->
+    # CASE lookup, values from the public US-census algorithm), (b) a
+    # constant of the fixed c_name shape 'Customer#NNNNNNNNN' (sentence/
+    # token counts of '<name> is here. Next one?'), (c) an exact identity
+    # (encode/decode roundtrip), or (d) a checkable shape bound (crc32 in
+    # uint32 range, sha1 is 40 lowercase hex chars).
+    oracle="""
+    SELECT c_custkey,
+           CASE c_mktsegment
+             WHEN 'AUTOMOBILE' THEN 'A351'
+             WHEN 'BUILDING'   THEN 'B435'
+             WHEN 'FURNITURE'  THEN 'F653'
+             WHEN 'HOUSEHOLD'  THEN 'H243'
+             WHEN 'MACHINERY'  THEN 'M256'
+           END AS sndx,
+           2 AS n_sentences,
+           5 AS n_sent_tokens,
+           TRUE AS crc_in_range,
+           TRUE AS sha1_is_hex40,
+           c_name AS codec_roundtrip,
+           'bb' AS xp_str,
+           7 AS xp_int,
+           '1,2' AS xp_texts
+    FROM customer WHERE c_custkey <= 100
+    """,
+    doc="Former rows-only remainder, now invariant-projected: soundex "
+    "(UDFSoundex), sentences (GenericUDFSentences; 'Customer#000000042 is "
+    "here. Next one?' always splits into 2 sentences / 5 word tokens — "
+    "BreakIterator keeps 'Customer#000000042' together but yields "
+    "Customer..., is, here / Next, one), crc32/sha1 (UDFCrc32/UDFSha1; "
+    "range and hex-shape "
+    "invariants since DuckDB lacks both), encode/decode roundtrip "
+    "(GenericUDFEncode/Decode; exact identity), xpath_* (constant XML -> "
+    "constant extractions).",
     tags=("functions", "string"),
 )
 def str_misc_rows_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 100)
+    sents = F.sentences(F.concat(F.col("c_name"), F.lit(" is here. Next one?")))
+    crc = F.crc32(F.col("c_name").cast("binary"))
+    sha = F.sha1(F.col("c_name").cast("binary"))
     return c.select(
         "c_custkey",
         F.soundex("c_mktsegment").alias("sndx"),
-        F.sentences(F.concat(F.col("c_name"), F.lit(" is here. Next one?"))).alias("sents"),
-        F.crc32(F.col("c_name").cast("binary")).alias("crc"),
-        F.sha1(F.col("c_name").cast("binary")).alias("sha1_hex"),
-        F.hash("c_name").alias("hive_hash_analogue"),
+        F.size(sents).alias("n_sentences"),
+        F.size(F.flatten(sents)).alias("n_sent_tokens"),
+        ((crc >= 0) & (crc <= F.lit(4294967295))).alias("crc_in_range"),
+        sha.rlike("^[0-9a-f]{40}$").alias("sha1_is_hex40"),
         F.decode(F.encode("c_name", "UTF-8"), "UTF-8").alias("codec_roundtrip"),
         F.expr("xpath_string('<a><b>bb</b></a>', 'a/b')").alias("xp_str"),
         F.expr("xpath_int('<a><b>7</b></a>', 'a/b')").alias("xp_int"),
-        F.expr("xpath('<a><b>1</b><b>2</b></a>', 'a/b/text()')").alias("xp_list"),
+        F.array_join(F.expr("xpath('<a><b>1</b><b>2</b></a>', 'a/b/text()')"), ",").alias(
+            "xp_texts"
+        ),
     )

@@ -1,0 +1,75 @@
+"""Large-star/small-star connected-components properties: converges in
+O(log^2 n) rounds on the chain shape that breaks O(diameter) min-label
+propagation, and agrees with a driver-side union-find on arbitrary graphs."""
+
+from __future__ import annotations
+
+from apache_hive_1_2_2_src_spark.extensions.dedup import connected_components
+
+
+def _pairs_df(spark, edges):
+    return spark.createDataFrame(edges, "doc_a long, doc_b long")
+
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comps = {}
+    for n in list(parent):
+        comps.setdefault(find(n), []).append(n)
+    return {r: sorted(m) for r, m in comps.items()}
+
+
+def test_chain_converges_fast(spark):
+    """64-node chain = diameter 63: plain min-label propagation needs 63
+    rounds (it would raise at the default max_iters=8); large/small star
+    must finish inside the same budget of 8 — the verdict's 'round count
+    <= prior' assertion, since prior was a guaranteed failure here."""
+    chain = [(i, i + 1) for i in range(63)]
+    out = connected_components(_pairs_df(spark, chain), max_iters=8).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.cluster_id, r.cluster_size, r.keeper_id) == (0, 64, 0)
+
+
+def test_matches_union_find_on_mixed_graph(spark):
+    """Deterministic mixed-shape graph (two chains, a star, a triangle, a
+    4-clique, cross links) must match a driver-side union-find exactly."""
+    edges = (
+        [(i, i + 1) for i in range(0, 10)]          # chain 0..10
+        + [(100, k) for k in range(101, 108)]        # star at 100
+        + [(200, 201), (201, 202), (200, 202)]       # triangle
+        + [(a, b) for a in range(300, 304) for b in range(a + 1, 304)]  # clique
+        + [(10, 100)]                                # chain joins star
+        + [(500, 501), (502, 503), (501, 502)]       # second chain
+    )
+    got = {
+        r.cluster_id: (r.cluster_size, r.keeper_id)
+        for r in connected_components(_pairs_df(spark, edges)).collect()
+    }
+    want = {
+        root: (len(members), min(members))
+        for root, members in _union_find(edges).items()
+    }
+    assert got == want
+
+
+def test_duplicate_and_reversed_edges_are_harmless(spark):
+    edges = [(1, 2), (2, 1), (1, 2), (2, 3)]
+    out = connected_components(_pairs_df(spark, edges)).collect()
+    assert len(out) == 1 and out[0].cluster_size == 3
+
+
+def test_empty_edge_list(spark):
+    assert connected_components(_pairs_df(spark, [])).count() == 0
