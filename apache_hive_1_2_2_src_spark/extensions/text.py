@@ -477,3 +477,116 @@ def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_contaminated") > 0)
     )
+
+
+@register(
+    "text_unigram_rarity",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_SQL_WORDS}) AS t FROM documents
+    ),
+    vocab AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+    band AS (
+      SELECT t, CAST(length(format('{{:b}}', c)) - 1 AS INT) AS r FROM vocab
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(r) AS BIGINT) AS sum_band,
+           ROUND(CAST(SUM(r) AS DOUBLE) / COUNT(*), 6) AS avg_freq_band
+    FROM tok JOIN band USING (t)
+    GROUP BY doc_id
+    """,
+    doc="Unigram-rarity quality score (the CCNet-style perplexity proxy a "
+    "curation pipeline runs before training): corpus unigram counts -> "
+    "per-token frequency band floor(log2(count)) -> per-doc token count, "
+    "band sum, and mean band (LOW mean = rare/OOV-heavy doc, flagged for "
+    "review; HIGH = common boilerplate). The band is computed as "
+    "length(bin(count))-1 — INTEGER-EXACT in both engines, sidestepping "
+    "log() ulp divergence that would make a float score oracle-fragile; "
+    "only the final mean is a double (exact IEEE division + round 6). "
+    "Scale: one vocab-sized groupBy, then a token->band join (AQE "
+    "broadcasts the vocab side while it fits; becomes a shuffle join keyed "
+    "by token beyond that), then a per-doc agg with map-side partials.",
+    tags=("extension", "text", "quality"),
+)
+def text_unigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_words()).alias("t"))
+    band = (
+        tok.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select("t", (F.length(F.bin("c")) - 1).cast("int").alias("r"))
+    )
+    return (
+        tok.join(band, "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("r").alias("sum_band"),
+            F.round(F.sum("r").cast("double") / F.count(F.lit(1)), 6).alias(
+                "avg_freq_band"
+            ),
+        )
+    )
+
+
+@register(
+    "text_pii_scrub",
+    oracle="""
+    WITH synth AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id ||
+             '@example.com or call 555-' ||
+             lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now' AS s
+      FROM documents WHERE doc_id < 200
+    ),
+    scrubbed AS (
+      SELECT doc_id, s,
+             regexp_replace(
+               regexp_replace(s, '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+               '555-[0-9]{4}', '<PHONE>', 'g') AS clean
+      FROM synth
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(s, '[a-z0-9._]+@[a-z0-9.]+')) AS INT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(s, '555-[0-9]{4}')) AS INT) AS n_phones,
+           (NOT regexp_matches(clean, '[a-z0-9._]+@[a-z0-9.]+')
+            AND NOT regexp_matches(clean, '555-[0-9]{4}')) AS pii_free,
+           right(clean, 30) AS tail30
+    FROM scrubbed
+    """,
+    doc="PII scrubbing (the redaction pass every training-data pipeline "
+    "runs): deterministic synthetic PII (an email + phone derived from "
+    "doc_id — the corpus itself is PII-free) appended to each doc, then "
+    "regex-redacted to <EMAIL>/<PHONE> placeholders; outputs per-doc match "
+    "counts, a none-left flag, and the scrubbed tail for value-level "
+    "verification. Pure per-row regexp_replace/extract_all in codegen — "
+    "no shuffle, no UDF; the embarrassingly-parallel shape that saturates "
+    "a full-corpus scan. Patterns are intersection-of-dialects (character "
+    "classes only) so Spark's Java regex and DuckDB's RE2 agree exactly.",
+    tags=("extension", "text", "pii"),
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    s = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" now"),
+    )
+    email, phone = "[a-z0-9._]+@[a-z0-9.]+", "555-[0-9]{4}"
+    synth = d.select("doc_id", s.alias("s"))
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col("s"), email, "<EMAIL>"), phone, "<PHONE>"
+    )
+    scrubbed = synth.withColumn("clean", clean)
+    return scrubbed.select(
+        "doc_id",
+        F.size(F.expr(f"regexp_extract_all(s, '{email}', 0)")).alias("n_emails"),
+        F.size(F.expr(f"regexp_extract_all(s, '{phone}', 0)")).alias("n_phones"),
+        (~F.col("clean").rlike(email) & ~F.col("clean").rlike(phone)).alias("pii_free"),
+        F.substring(F.col("clean"), -30, 30).alias("tail30"),
+    )

@@ -265,3 +265,66 @@ def window_ntile_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_orderstatus").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
     return o.select("o_orderstatus", "o_orderkey", F.ntile(10).over(w).alias("decile"))
+
+
+@register(
+    "ptf_matchpath_emulated",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS hi,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    islands AS (
+      SELECT user_id, ts, event_id, value, hi,
+             rn - ROW_NUMBER() OVER (PARTITION BY user_id, hi
+                                     ORDER BY ts, event_id) AS grp
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(MIN(ts) AS VARCHAR) AS path_start,
+           CAST(COUNT(*) AS BIGINT) AS path_len,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS path_value
+    FROM islands
+    WHERE hi = 1
+    GROUP BY user_id, grp
+    HAVING COUNT(*) >= 2
+    """,
+    doc="matchpath PTF emulation (ql/udf/ptf/MatchPath.java — Hive's "
+    "row-sequence pattern matcher, the one §2 row previously marked [-]). "
+    "Pattern 'HIGH+' (HIGH := value > 50, runs of length >= 2) per user in "
+    "event-time order, emitting MatchPath's tpath outputs (path start, "
+    "length, aggregate) per maximal match — the canonical gaps-and-islands "
+    "form: two ROW_NUMBERs whose difference is constant within a run. "
+    "Multi-symbol patterns ('LATE.ONTIME') compose from lead/lag the same "
+    "way; Spark has no MATCH_RECOGNIZE, so this window-algebra emulation IS "
+    "the Spark-first answer. Scale: two window passes + one groupBy, all "
+    "partitioned by user_id — no global ordering anywhere.",
+    tags=("window", "ptf", "matchpath"),
+)
+def ptf_matchpath_emulated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("value") > 50.0, 1).otherwise(0).alias("hi"),
+        F.row_number().over(w_all).alias("rn"),
+    )
+    w_sym = Window.partitionBy("user_id", "hi").orderBy("ts", "event_id")
+    islands = flagged.withColumn("grp", F.col("rn") - F.row_number().over(w_sym))
+    return (
+        islands.filter(F.col("hi") == 1)
+        .groupBy("user_id", "grp")
+        .agg(
+            F.min("ts").cast("string").alias("path_start"),
+            F.count(F.lit(1)).alias("path_len"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("path_value"),
+        )
+        .filter(F.col("path_len") >= 2)
+        .select("user_id", "path_start", "path_len", "path_value")
+    )

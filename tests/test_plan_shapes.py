@@ -96,3 +96,24 @@ def test_partitioned_write_prune_hits_partition_filters(plans):
     p = plans("partitioned_write_prune")
     assert "PartitionFilters" in p
     assert "o_orderstatus" in p.split("PartitionFilters", 1)[1][:200]
+
+
+def test_ann_lsh_multiprobe_no_cartesian(plans):
+    # 16-bit multi-probe LSH: candidate pairing is an EQUI-join on the probe
+    # key — a cartesian or nested-loop here means the bucketing broke.
+    p = plans("similarity_ann_lsh_signbits")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_matchpath_windows_are_partitioned(plans):
+    # The PTF emulation must stay per-user parallel: both window passes are
+    # partitioned by user_id, never a single global Window.
+    p = plans("ptf_matchpath_emulated")
+    assert "Window" in p and "user_id" in p
+
+
+def test_unigram_rarity_no_cartesian(plans):
+    p = plans("text_unigram_rarity")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
