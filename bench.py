@@ -35,7 +35,10 @@ HEADLINE = (
     "workload_local_supplier_volume",  # TPC-H Q5: 6-table snowflake, broadcast chain
     "bucketed_smb_join",  # bucketed write + shuffle-free sort-merge join
     "pipeline_curate_corpus",  # end-to-end curation composite (r4)
-    "dedup_clusters",  # connected components over near-dup pairs (r4, iterative)
+    "dedup_clusters",  # connected components over near-dup pairs (r4→r5 star CC)
+    "similarity_ann_lsh_signbits",  # 16-bit multi-probe LSH ANN (r5)
+    "text_unigram_rarity",  # corpus-frequency-band quality score (r5)
+    "ptf_matchpath_emulated",  # matchpath PTF via gaps-and-islands (r5)
 )
 
 
