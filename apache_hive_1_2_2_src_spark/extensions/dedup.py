@@ -444,8 +444,38 @@ def simhash_pairs(d: DataFrame, bucket_cap: int = 256) -> DataFrame:
     skew guard the ngram-Jaccard path applies via its shingle df-cap.
     Identical/near-identical docs land in the SAME bucket, so groups up to
     the cap keep full recall; beyond it recall degrades gracefully instead
-    of the join blowing up (documented 100 TB trade-off).
+    of the join blowing up (documented 100 TB trade-off). The registered
+    dedup_simhash oracle asserts FULL identical-pair recall, which only
+    holds while every bucket is under the cap — certified on the live
+    corpus by tests/test_dedup_lsh.py::test_simhash_cap_soundness_gate
+    (the same gate pattern as the MinHash oracle's).
     """
+    from apache_hive_1_2_2_src_spark.operators.helpers import cap_partitions
+
+    blocked = cap_partitions(simhash_blocked(d), ["band", "key"], "doc_id", bucket_cap)
+    x, y = blocked.alias("x"), blocked.alias("y")
+    ham = F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash")))
+    return (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= 12)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def simhash_blocked(d: DataFrame) -> DataFrame:
+    """(doc_id, simhash, band, key) banding rows BEFORE the bucket cap —
+    split out so the cap-soundness gate test can measure bucket sizes."""
     tok = d.select("doc_id", F.explode("w").alias("t")).withColumn("h", F.xxhash64("t"))
     # Per-bit votes: +1 if bit set else -1; simhash bit b = majority vote.
     votes = tok.groupBy("doc_id").agg(
@@ -473,32 +503,8 @@ def simhash_pairs(d: DataFrame, bucket_cap: int = 256) -> DataFrame:
             for i in range(4)
         ]
     )
-    blocked = sim.select("doc_id", "simhash", F.explode(band).alias("b")).select(
+    return sim.select("doc_id", "simhash", F.explode(band).alias("b")).select(
         "doc_id", "simhash", F.col("b.band").alias("band"), F.col("b.key").alias("key")
-    )
-    cap_w = Window.partitionBy("band", "key").orderBy("doc_id")
-    blocked = (
-        blocked.withColumn("rk", F.row_number().over(cap_w))
-        .filter(F.col("rk") <= bucket_cap)
-        .drop("rk")
-    )
-    x, y = blocked.alias("x"), blocked.alias("y")
-    ham = F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash")))
-    return (
-        x.join(
-            y,
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.key") == F.col("y.key"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(
-            F.col("x.doc_id").alias("doc_a"),
-            F.col("y.doc_id").alias("doc_b"),
-            ham.alias("hamming"),
-        )
-        .distinct()
-        .filter(F.col("hamming") <= 12)
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -570,9 +576,17 @@ def connected_components(pairs: DataFrame, *, max_iters: int = 8) -> DataFrame:
     Returns one row per component: (cluster_id = component min id,
     cluster_size, keeper_id). Raises if not converged within max_iters —
     never returns silently-wrong labels. Each round's edge set is
-    localCheckpoint-ed (lineage truncation; use checkpoint(dir) on a
-    cluster) and replaces its predecessor, so peak storage is ~2 edge sets.
+    localCheckpoint-ed: that BOTH materializes it AND truncates the logical
+    plan, which is load-bearing — a persist-based loop was measured 5×
+    slower because Catalyst re-analyzes N stacked rounds of lineage.
+    Superseded rounds' checkpoint blocks are reclaimed by the
+    ContextCleaner once their Python reference drops (nudged with an
+    explicit gc.collect() on return), so transient peak storage is a few
+    edge sets, bounded by max_iters; on a cluster use checkpoint(dir),
+    where cleanup is directory-managed.
     """
+    import gc
+
     # Canonical (min, max) edges, self-loops dropped.
     edges = (
         pairs.select(
@@ -609,8 +623,8 @@ def connected_components(pairs: DataFrame, *, max_iters: int = 8) -> DataFrame:
         )
         # Equality of the two DISTINCT edge sets without a full symmetric
         # difference: equal counts + empty (new \ old) ⟹ new ⊆ old with
-        # |new| = |old| ⟹ equal. Counts over localCheckpoint-ed data are
-        # cheap; the anti-join only runs when the counts already agree.
+        # |new| = |old| ⟹ equal. Counts over checkpointed data are cheap;
+        # the anti-join only runs when the counts already agree.
         n_new = new_edges.count()
         converged = (
             n_new == n_edges
@@ -639,8 +653,12 @@ def connected_components(pairs: DataFrame, *, max_iters: int = 8) -> DataFrame:
     )
     # Truncate lineage so the iteration checkpoints can be released NOW: the
     # returned DF owns only its (tiny, one-row-per-component) checkpoint
-    # blocks, which Spark's ContextCleaner reclaims when the DF is GC'd.
-    return result.localCheckpoint(eager=True)
+    # blocks; dropping our references + gc.collect() lets the ContextCleaner
+    # reclaim every superseded round's blocks promptly.
+    result = result.localCheckpoint(eager=True)
+    del edges, labels, new_edges
+    gc.collect()
+    return result
 
 
 def _embedding_pairs_sql(threshold: float) -> str:
@@ -760,8 +778,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     "one doc per cluster (the min-id keeper) plus every unclustered doc, "
     "and emit the removal audit (corpus size, cluster count, removed, "
     "kept) that gates publishing. Composes pair mining -> large-star/"
-    "small-star components -> one left_anti join of the corpus against "
-    "non-keeper members; everything distributed, audit is four 1-row aggs.",
+    "small-star components; the audit derives entirely from cluster-size "
+    "aggregates (n_removed = Σ(size-1)) — two 1-row aggs and a crossJoin, "
+    "no per-doc join needed. (Materializing the kept corpus itself is the "
+    "same one extra left_anti join of documents against non-keeper ids.)",
     tags=("extension", "dedup", "pipeline"),
 )
 def dedup_apply_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -181,7 +181,7 @@ def signbit_lsh_pairs(
     """Sign-bit LSH candidate pairs over (vec_id, embedding) — pairs whose
     n_bits-dim sign signatures differ in <= 1 bit, via Hamming-1 multi-probe
     (each vector probes its own bucket + every single-bit flip)."""
-    from pyspark.sql.window import Window
+    from apache_hive_1_2_2_src_spark.operators.helpers import cap_partitions
 
     bits = [
         F.when(F.element_at("embedding", i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
@@ -189,12 +189,7 @@ def signbit_lsh_pairs(
     ]
     sig = sum(bits[1:], bits[0]).cast("int")
     b = e.select("vec_id", "embedding", sig.alias("sig"))
-    cap_w = Window.partitionBy("sig").orderBy("vec_id")
-    capped = (
-        b.withColumn("rk", F.row_number().over(cap_w))
-        .filter(F.col("rk") <= bucket_cap)
-        .drop("rk")
-    )
+    capped = cap_partitions(b, ["sig"], "vec_id", bucket_cap)
     probe = F.explode(
         F.array(
             F.col("sig"),

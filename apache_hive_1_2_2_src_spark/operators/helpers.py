@@ -50,3 +50,20 @@ def sql_davg(expr: str, alias: str, scale: int = 6) -> str:
         f"CAST(ROUND(SUM(CAST({expr} AS DECIMAL(18,2))) / COUNT({expr}), {scale})"
         f" AS DOUBLE) AS {alias}"
     )
+
+
+def cap_partitions(df, part_cols: list[str], order_col: str, cap: int):
+    """Deterministic hot-bucket skew guard shared by the LSH family
+    (SimHash bands, sign-bit ANN buckets): keep only the first ``cap`` rows
+    per partition in ``order_col`` order, so a degenerate bucket can never
+    drive a quadratic within-bucket self-join. Mirror the identical
+    row_number cap in any paired DuckDB oracle (the SQL dialects differ, so
+    the mirrors stay inline at each oracle)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*part_cols).orderBy(order_col)
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= cap)
+        .drop("__rk")
+    )

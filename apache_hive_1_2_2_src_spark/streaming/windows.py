@@ -19,6 +19,7 @@ streaming; a sort-based agg in batch). Nothing here collects to the driver.
 
 from __future__ import annotations
 
+import atexit
 import os
 import tempfile
 
@@ -33,30 +34,61 @@ from apache_hive_1_2_2_src_spark.tables import load_table
 # Explicit schema for the staged events inbox written by _stage_events_inbox.
 # File streams require an explicit schema; we stage through load_table (which
 # normalizes ts to TimestampType whatever the physical testdata format) and
-# carry the timestamp as micros-since-epoch so this schema can NEVER drift
+# carry the timestamp as micros-since-epoch so the ts type can never drift
 # from the generator's physical layout — the round-4 regression was exactly
 # such a drift (events.ts changed INT64-nanos -> timestamp[us] and hard-coded
-# readStream schemas kept the old assumption).
+# readStream schemas kept the old assumption). Non-ts columns are guarded
+# too: parquet file streams silently return NULL for schema columns absent
+# from the files, so _stage_events_inbox fails LOUDLY if the staged frame's
+# columns diverge from this schema instead of letting NULLs flow.
+_EVENTS_STREAM_COLS = ("event_id", "user_id", "event_type", "value", "props", "ts_us")
 _EVENTS_STREAM_SCHEMA = (
     "event_id bigint, user_id bigint, event_type string, "
     "value double, props string, ts_us bigint"
 )
 
+# One staged inbox per sf_dir per process: the three plain-events streaming
+# queries read identical content, so re-encoding the table once per query
+# (4 full table rewrites per sweep) is waste. Cache dirs are removed at
+# process exit.
+_INBOX_CACHE: dict[str, str] = {}
 
-def _stage_events_inbox(spark: SparkSession, sf_dir: str, inbox: str) -> str:
-    """Stage the events table into a file-stream inbox directory.
+
+def _cleanup_inboxes() -> None:
+    import shutil
+
+    for p in _INBOX_CACHE.values():
+        shutil.rmtree(os.path.dirname(p), ignore_errors=True)
+    _INBOX_CACHE.clear()
+
+
+atexit.register(_cleanup_inboxes)
+
+
+def _stage_events_inbox(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the events table into a file-stream inbox directory (memoized
+    per sf_dir).
 
     The inbox simulates an arriving micro-batch ("txn batch" in
     hcatalog-streaming terms). ts is written as unix micros (bigint) so the
-    stream-side schema is owned by this module, not the testdata generator.
+    stream-side schema is owned by this module, not the testdata generator;
+    any other column drift in regenerated testdata raises here instead of
+    flowing through the readStream schema as silent NULLs.
     """
+    cached = _INBOX_CACHE.get(sf_dir)
+    if cached and os.path.isdir(cached):
+        return cached
     e = load_table(spark, sf_dir, "events")
-    (
-        e.withColumn("ts_us", F.unix_micros("ts"))
-        .drop("ts")
-        .write.mode("overwrite")
-        .parquet(inbox)
-    )
+    staged = e.withColumn("ts_us", F.unix_micros("ts")).drop("ts")
+    if sorted(staged.columns) != sorted(_EVENTS_STREAM_COLS):
+        raise RuntimeError(
+            "events schema drifted from the module-owned stream schema: "
+            f"staged={sorted(staged.columns)} expected={sorted(_EVENTS_STREAM_COLS)} "
+            "— update _EVENTS_STREAM_SCHEMA/_EVENTS_STREAM_COLS together"
+        )
+    inbox = os.path.join(tempfile.mkdtemp(prefix="hive_spark_events_inbox_"), "inbox")
+    staged.write.mode("overwrite").parquet(inbox)
+    _INBOX_CACHE[sf_dir] = inbox
     return inbox
 
 
@@ -192,7 +224,7 @@ def streaming_ingest_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     # goes through load_table so ts is already normalized to TimestampType
     # whatever the physical testdata format — the readStream schema below is
     # ours, not the generator's, and can never drift from it.
-    inbox = _stage_events_inbox(spark, sf_dir, os.path.join(base, "inbox"))
+    inbox = _stage_events_inbox(spark, sf_dir)
     stream = _read_events_stream(spark, inbox).withColumn(
         "ingest_batch", F.spark_partition_id()
     )
@@ -242,7 +274,7 @@ def streaming_ingest_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_watermark_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix="hive_spark_wm_")
     sink, ckpt = os.path.join(base, "sink"), os.path.join(base, "ckpt")
-    inbox = _stage_events_inbox(spark, sf_dir, os.path.join(base, "inbox"))
+    inbox = _stage_events_inbox(spark, sf_dir)
     stream = (
         _read_events_stream(spark, inbox)
         .withWatermark("ts", "2 hours")
@@ -291,7 +323,7 @@ def streaming_stateful_user_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = tempfile.mkdtemp(prefix="hive_spark_state_")
     sink, ckpt = os.path.join(base, "sink"), os.path.join(base, "ckpt")
-    inbox = _stage_events_inbox(spark, sf_dir, os.path.join(base, "inbox"))
+    inbox = _stage_events_inbox(spark, sf_dir)
 
     def update(key, pdfs, state: GroupState):
         (user_id,) = key

@@ -161,3 +161,34 @@ def test_simhash_recall_unaffected_by_cap(spark):
     got = {(r.doc_a, r.doc_b): r.hamming for r in out.collect()}
     assert got.get((0, 1)) == 0
     assert all(h <= 12 for h in got.values())
+
+
+def test_simhash_cap_soundness_gate(spark):
+    """Gate for dedup_simhash's full-recall invariant (n_identical_found ==
+    n_identical_pairs). The round-5 bucket cap drops pairs past 256 docs per
+    (band,key), so that equality only holds while every bucket on the LIVE
+    amplified corpus stays under the cap. If a regenerated corpus ever
+    produces a hot bucket, this fails loudly BEFORE the driver does, and
+    the fix is to weaken oracle invariant (a) to found <= pairs with a
+    recall floor — the same remedy pattern as test_lsh_oracle_equality_gate."""
+    from apache_hive_1_2_2_src_spark.extensions.dedup import simhash_blocked
+    from apache_hive_1_2_2_src_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    d = load_table(spark, SF_DIR, "documents").select("doc_id", _words().alias("w"))
+    dup = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "w"
+    )
+    amp = d.unionAll(dup)
+    max_bucket = (
+        simhash_blocked(amp)
+        .groupBy("band", "key")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert max_bucket <= 256, (
+        f"hot simhash bucket ({max_bucket} docs > cap 256) — the registered "
+        f"full-recall oracle is no longer sound on this corpus; weaken "
+        f"invariant (a) to a recall floor"
+    )
