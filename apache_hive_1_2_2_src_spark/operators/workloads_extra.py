@@ -1,6 +1,6 @@
 """Composite analytical workloads, part 2: the remaining TPC-H query shapes
 expressible over this star schema (no ``partsupp`` table ships in testdata,
-so Q2/Q11/Q16/Q20 are out of reach; Q21 needs commit/receipt dates).
+so Q2/Q11/Q16/Q20 are out of reach).
 
 Shapes covered here (Hive 1.2.2 ran these plan families through
 SemanticAnalyzer join trees + map-side aggregation; reference layout anchors
@@ -14,6 +14,9 @@ SemanticAnalyzer join trees + map-side aggregation; reference layout anchors
 - Q17 small-quantity revenue  — per-part avg threshold (windowed correlate)
 - Q18 large-volume customers  — HAVING-filtered fact agg joined back to dims
 - Q19 disjunctive revenue     — OR-of-ANDs predicate across join
+- Q21 suppliers kept waiting  — EXISTS + NOT EXISTS double correlate
+                                (lateness adapted: shipdate > orderdate+90d,
+                                no commit/receipt dates in this schema)
 - Q22 idle customers          — global-avg threshold + anti join
 
 Determinism: money maths through DECIMAL(18,2) factor casts (registry.py
@@ -468,4 +471,76 @@ def workload_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec("c_acctbal")).cast("double").alias("totacctbal"),
         )
         .orderBy("c_nationkey")
+    )
+
+
+@register(
+    "workload_suppliers_kept_waiting",
+    oracle="""
+    WITH l1 AS (
+      SELECT l_orderkey, l_suppkey
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY AND o_orderstatus = 'F'
+    )
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3 JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 25
+    """,
+    doc="TPC-H Q21 shape (suppliers who kept orders waiting): late lineitems "
+    "on finalized orders where the supplier was the ONLY late supplier on a "
+    "multi-supplier order — the classic EXISTS + NOT EXISTS double "
+    "correlated-subquery over the same fact table, the hardest subquery "
+    "shape in the TPC-H suite (Hive's SemanticAnalyzer rewrote both to "
+    "joins; Spark plans them natively as left_semi + left_anti). Lateness "
+    "adapted to this schema (l_shipdate > o_orderdate + 90 days — no "
+    "receipt/commit dates in the testdata). Both subqueries are equi-joins "
+    "on l_orderkey with a residual supplier inequality — shuffle-keyed by "
+    "order, never cartesian; at 100 TB both sides co-partition on orderkey.",
+    tags=("workload", "join", "subquery"),
+)
+def workload_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    late = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(
+            (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90))
+            & (F.col("o_orderstatus") == "F")
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    has_other = late.join(
+        l2,
+        (F.col("o2") == F.col("l_orderkey")) & (F.col("s2") != F.col("l_suppkey")),
+        "left_semi",
+    )
+    l3 = late.select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    ).distinct()
+    sole_late = has_other.join(
+        l3,
+        (F.col("o3") == F.col("l_orderkey")) & (F.col("s3") != F.col("l_suppkey")),
+        "left_anti",
+    )
+    return (
+        sole_late.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(25)
     )

@@ -117,3 +117,11 @@ def test_unigram_rarity_no_cartesian(plans):
     p = plans("text_unigram_rarity")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_q21_subqueries_stay_equi_joins(plans):
+    # EXISTS/NOT EXISTS compile to left_semi/left_anti keyed on l_orderkey
+    # with a residual supplier inequality — never a cartesian/BNLJ.
+    p = plans("workload_suppliers_kept_waiting")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
