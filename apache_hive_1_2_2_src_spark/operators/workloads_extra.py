@@ -9,6 +9,9 @@ SemanticAnalyzer join trees + map-side aggregation; reference layout anchors
 - Q6  revenue forecast        — pure scan + pushed filters + global agg
 - Q7  volume shipping         — fact ⋈ fact with two nation dimensions
 - Q8  national market share   — 6-table star + conditional-sum ratio
+- Q9  product profit          — 5-table join + LIKE pushdown + per-nation-year
+                                agg (cost adapted: p_retailprice x quantity,
+                                no partsupp/supplycost in this schema)
 - Q13 customer order counts   — LEFT OUTER fact join + double aggregation
 - Q15 top supplier            — agg view + scalar-max semi join
 - Q17 small-quantity revenue  — per-part avg threshold (windowed correlate)
@@ -543,4 +546,62 @@ def workload_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFra
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(25)
+    )
+
+
+@register(
+    "workload_product_profit",
+    oracle="""
+    SELECT nation, o_year,
+           CAST(SUM(amount) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT n_name AS nation,
+             CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2)))
+               - CAST(p_retailprice AS DECIMAL(18,2))
+                 * CAST(l_quantity AS DECIMAL(18,2)) AS amount
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%widget%'
+    )
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+    doc="TPC-H Q9 shape (product-type profit by nation and year): 5-table "
+    "join graph (part ⋈ lineitem ⋈ supplier ⋈ orders ⋈ nation), LIKE "
+    "filter on part name, per-(nation, year) profit. Cost side adapted to "
+    "this schema: no partsupp/ps_supplycost ships, so cost = p_retailprice "
+    "x quantity (profit goes negative — it is the join/agg SHAPE being "
+    "certified, all money math in exact DECIMAL factors). Q9 is the "
+    "classic join-order stress test: part and the LIKE filter must reach "
+    "the scan (pushed), nation rides a broadcast, lineitem⋈orders stays "
+    "the one big shuffle.",
+    tags=("workload", "join", "agg"),
+)
+def workload_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    amount = dec("l_extendedprice") * (F.lit(1) - dec("l_discount")) - dec(
+        "p_retailprice"
+    ) * dec("l_quantity")
+    return (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.sum("amount").cast("double").alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
     )
