@@ -468,7 +468,9 @@ def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "with the identical foreachBatch body.",
     tags=("streaming", "upsert", "foreachbatch"),
 )
-def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+def streaming_foreachbatch_upsert(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     from pyspark.sql.window import Window
 
     base = tempfile.mkdtemp(prefix="hive_spark_upsert_")
@@ -498,9 +500,19 @@ def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
         shutil.rmtree(state, ignore_errors=True)
         os.rename(gen, state)
 
+    stream = spark.readStream.schema(_EVENTS_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        # Test hook: force the availableNow drain into MULTIPLE micro-batches
+        # so the batch-count-independence claim is exercised, not assumed
+        # (tests/test_streaming_upsert.py).
+        stream = stream.option("maxFilesPerTrigger", max_files_per_trigger)
+    source = (
+        stream.parquet(inbox)
+        .withColumn("ts", F.timestamp_micros("ts_us"))
+        .drop("ts_us")
+    )
     q = (
-        _read_events_stream(spark, inbox)
-        .writeStream.foreachBatch(merge)
+        source.writeStream.foreachBatch(merge)
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
