@@ -602,6 +602,6 @@ def workload_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             amount.alias("amount"),
         )
         .groupBy("nation", "o_year")
-        .agg(F.sum("amount").cast("double").alias("sum_profit"))
+        .agg(dsum_exact(F.col("amount"), "sum_profit"))
         .orderBy("nation", F.col("o_year").desc())
     )

@@ -47,10 +47,10 @@ _EVENTS_STREAM_SCHEMA = (
     "value double, props string, ts_us bigint"
 )
 
-# One staged inbox per sf_dir per process: the three plain-events streaming
-# queries read identical content, so re-encoding the table once per query
-# (4 full table rewrites per sweep) is waste. Cache dirs are removed at
-# process exit.
+# One staged inbox per sf_dir per process: the plain-events streaming
+# queries (ingest, watermark window, stateful agg, upsert) read identical
+# content, so re-encoding the table once per query is waste. Cache dirs are
+# removed at process exit.
 _INBOX_CACHE: dict[str, str] = {}
 
 
@@ -92,11 +92,21 @@ def _stage_events_inbox(spark: SparkSession, sf_dir: str) -> str:
     return inbox
 
 
-def _read_events_stream(spark: SparkSession, inbox: str) -> DataFrame:
-    """readStream over a staged inbox, restoring ts to TimestampType."""
+def _read_events_stream(
+    spark: SparkSession, inbox: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """readStream over a staged inbox, restoring ts to TimestampType.
+
+    ``max_files_per_trigger`` splits an availableNow drain into multiple
+    micro-batches (test hook for batch-count-independence properties).
+    Single owner of the stream-side schema — do NOT inline copies of it
+    (the round-4 regression was a duplicated schema drifting).
+    """
+    stream = spark.readStream.schema(_EVENTS_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        stream = stream.option("maxFilesPerTrigger", max_files_per_trigger)
     return (
-        spark.readStream.schema(_EVENTS_STREAM_SCHEMA)
-        .parquet(inbox)
+        stream.parquet(inbox)
         .withColumn("ts", F.timestamp_micros("ts_us"))
         .drop("ts_us")
     )
@@ -500,24 +510,19 @@ def streaming_foreachbatch_upsert(
         shutil.rmtree(state, ignore_errors=True)
         os.rename(gen, state)
 
-    stream = spark.readStream.schema(_EVENTS_STREAM_SCHEMA)
-    if max_files_per_trigger is not None:
-        # Test hook: force the availableNow drain into MULTIPLE micro-batches
-        # so the batch-count-independence claim is exercised, not assumed
-        # (tests/test_streaming_upsert.py).
-        stream = stream.option("maxFilesPerTrigger", max_files_per_trigger)
-    source = (
-        stream.parquet(inbox)
-        .withColumn("ts", F.timestamp_micros("ts_us"))
-        .drop("ts_us")
-    )
+    source = _read_events_stream(spark, inbox, max_files_per_trigger)
     q = (
         source.writeStream.foreachBatch(merge)
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # A multi-batch drain rewrites the full state table per batch — slower
+    # than the single-batch queries' 120 s budget. Raising AND checking the
+    # timeout: falling through would read a partially-merged state table.
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("streaming_foreachbatch_upsert: drain exceeded 300 s")
     return spark.read.parquet(state).select(
         "user_id",
         F.col("ts").cast("string").alias("last_ts"),
