@@ -542,7 +542,9 @@ def simhash_blocked(d: DataFrame) -> DataFrame:
     "after pair mining: keep one doc per component, not per pair). "
     "Iterative DataFrame loop, two groupBy+join shuffles per round, "
     "O(log^2 n) rounds on ANY component shape including chains (bounded "
-    "at max_iters=8, asserted converged — never silently wrong); no "
+    "at max_iters=24 — measured: a 2^k-node chain converges in k+1 "
+    "rounds, so 24 covers ~8M-deep components; asserted converged, never "
+    "silently wrong); no "
     "driver-side graph state, only a per-round emptiness check. "
     "Output: one row per component (cluster_id = min doc_id, size, "
     "keeper). Deterministic fixpoint -> full recursive-CTE oracle.",
@@ -553,10 +555,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ngram_jaccard_pairs(d, threshold=0.8, shingle_df_cap=64).select(
         "doc_a", "doc_b"
     )
-    return connected_components(pairs, max_iters=8)
+    return connected_components(pairs)
 
 
-def connected_components(pairs: DataFrame, *, max_iters: int = 8) -> DataFrame:
+def connected_components(pairs: DataFrame, *, max_iters: int = 24) -> DataFrame:
     """Alternating large-star/small-star connected components over an
     undirected edge list (doc_a, doc_b) — the round-5 upgrade from plain
     min-label propagation (public algorithm: Kiveris et al., "Connected
@@ -739,7 +741,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(_cos(F.col("ea"), F.col("eb")) >= 0.4)
         .select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
     )
-    return connected_components(pairs, max_iters=8).select(
+    return connected_components(pairs).select(
         "cluster_id", "cluster_size", "keeper_id"
     )
 
@@ -790,7 +792,7 @@ def dedup_apply_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ngram_jaccard_pairs(docs, threshold=0.8, shingle_df_cap=64).select(
         "doc_a", "doc_b"
     )
-    clusters = connected_components(pairs, max_iters=8)
+    clusters = connected_components(pairs)
     stats = clusters.agg(
         F.count(F.lit(1)).alias("n_clusters"),
         F.coalesce(F.sum(F.col("cluster_size") - 1), F.lit(0)).alias("n_removed"),

@@ -73,3 +73,14 @@ def test_duplicate_and_reversed_edges_are_harmless(spark):
 
 def test_empty_edge_list(spark):
     assert connected_components(_pairs_df(spark, [])).count() == 0
+
+
+def test_deep_chain_converges_with_default_budget(spark):
+    """Measured: a 2^k-node chain needs k+1 rounds (256 -> 9, 1024 -> 11),
+    so the old default of 8 would RAISE on any chain-shaped component past
+    ~200 nodes. The round-5 default (24) covers ~8M-deep components; this
+    pins the 300-node case that used to exceed the budget."""
+    chain = [(i, i + 1) for i in range(299)]
+    out = connected_components(_pairs_df(spark, chain)).collect()
+    assert len(out) == 1
+    assert (out[0].cluster_id, out[0].cluster_size) == (0, 300)
