@@ -53,16 +53,29 @@ _EVENTS_STREAM_SCHEMA = (
 # removed at process exit.
 _INBOX_CACHE: dict[str, str] = {}
 
+# Every sink/checkpoint tmpdir created by the streaming queries, removed at
+# process exit so repeated sweeps do not grow /tmp without bound.
+_TMP_BASES: list[str] = []
 
-def _cleanup_inboxes() -> None:
+
+def _tmp_base(prefix: str) -> str:
+    base = tempfile.mkdtemp(prefix=prefix)
+    _TMP_BASES.append(base)
+    return base
+
+
+def _cleanup_tmp() -> None:
     import shutil
 
     for p in _INBOX_CACHE.values():
         shutil.rmtree(os.path.dirname(p), ignore_errors=True)
     _INBOX_CACHE.clear()
+    for b in _TMP_BASES:
+        shutil.rmtree(b, ignore_errors=True)
+    _TMP_BASES.clear()
 
 
-atexit.register(_cleanup_inboxes)
+atexit.register(_cleanup_tmp)
 
 
 def _stage_events_inbox(spark: SparkSession, sf_dir: str) -> str:
@@ -227,7 +240,7 @@ def window_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "ingest"),
 )
 def streaming_ingest_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
-    base = tempfile.mkdtemp(prefix="hive_spark_stream_")
+    base = _tmp_base("hive_spark_stream_")
     sink, ckpt = os.path.join(base, "sink"), os.path.join(base, "ckpt")
     # File streams need a DIRECTORY of arriving files; stage the events
     # table into one (the micro-batch "txn batch" being committed). Staging
@@ -282,7 +295,7 @@ def streaming_ingest_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "window", "watermark"),
 )
 def streaming_watermark_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    base = tempfile.mkdtemp(prefix="hive_spark_wm_")
+    base = _tmp_base("hive_spark_wm_")
     sink, ckpt = os.path.join(base, "sink"), os.path.join(base, "ckpt")
     inbox = _stage_events_inbox(spark, sf_dir)
     stream = (
@@ -331,7 +344,7 @@ def streaming_stateful_user_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    base = tempfile.mkdtemp(prefix="hive_spark_state_")
+    base = _tmp_base("hive_spark_state_")
     sink, ckpt = os.path.join(base, "sink"), os.path.join(base, "ckpt")
     inbox = _stage_events_inbox(spark, sf_dir)
 
@@ -422,7 +435,7 @@ def window_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "dedup", "watermark"),
 )
 def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    base = tempfile.mkdtemp(prefix="hive_spark_sdedup_")
+    base = _tmp_base("hive_spark_sdedup_")
     sink, ckpt = os.path.join(base, "sink"), os.path.join(base, "ckpt")
     inbox = os.path.join(base, "inbox")
     # Stage events + an every-5th-event duplicate overlay (same payload,
@@ -483,7 +496,7 @@ def streaming_foreachbatch_upsert(
 ) -> DataFrame:
     from pyspark.sql.window import Window
 
-    base = tempfile.mkdtemp(prefix="hive_spark_upsert_")
+    base = _tmp_base("hive_spark_upsert_")
     state, ckpt = os.path.join(base, "state"), os.path.join(base, "ckpt")
     inbox = _stage_events_inbox(spark, sf_dir)
 
