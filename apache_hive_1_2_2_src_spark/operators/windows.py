@@ -331,3 +331,47 @@ def ptf_matchpath_emulated(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("path_len") >= 2)
         .select("user_id", "path_start", "path_len", "path_value")
     )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           CAST(COUNT(*) OVER (
+             PARTITION BY o_orderstatus ORDER BY o_totalprice
+             RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_within_1000,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_orderstatus ORDER BY o_totalprice
+             RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS sum_within_1000
+    FROM orders
+    WHERE o_orderkey < 2000
+    """,
+    doc="RANGE value-frame window (WindowingSpec.WindowFrameSpec RANGE "
+    "branch — the half of Hive's frame grammar the ROWS running-sum query "
+    "does not cover): per-status count and sum over orders whose "
+    "o_totalprice lies within 1000.0 BELOW the current row's price — a "
+    "VALUE-based frame, so peer rows with equal prices share identical "
+    "results regardless of tie order (what makes it hash-stable where a "
+    "ROWS frame over ties would not be). Decimal-cast sum factors per the "
+    "determinism rules; partitioned by status, so the window parallelizes "
+    "across the cluster.",
+    tags=("window", "frame"),
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    # PySpark's Window.rangeBetween only takes integer row offsets; a
+    # VALUE-typed (double) range bound needs the SQL frame syntax.
+    frame = (
+        "OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice "
+        "RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW)"
+    )
+    return o.selectExpr(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        f"COUNT(*) {frame} AS n_within_1000",
+        f"CAST(SUM(CAST(o_totalprice AS {DEC})) {frame} AS DOUBLE)"
+        " AS sum_within_1000",
+    )
