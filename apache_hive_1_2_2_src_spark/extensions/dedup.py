@@ -321,7 +321,8 @@ def minhash_lsh_pairs(
         .join(nb, F.col("doc_b") == F.col("nb.doc_id"))
         .filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-        .orderBy("doc_a", "doc_b")
+        # no final orderBy: pair-set output, order-insensitive compare —
+        # a global sort here is an avoidable extra exchange at scale.
     )
 
 
@@ -469,7 +470,7 @@ def simhash_pairs(d: DataFrame, bucket_cap: int = 256) -> DataFrame:
         )
         .distinct()
         .filter(F.col("hamming") <= 12)
-        .orderBy("doc_a", "doc_b")
+        # no final orderBy: pair-set output, order-insensitive compare.
     )
 
 

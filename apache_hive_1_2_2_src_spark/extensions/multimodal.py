@@ -168,4 +168,5 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return d.mapInPandas(
         sample_frames, "doc_id bigint, frame_no int, offset int, checksum int"
-    ).orderBy("doc_id", "frame_no")
+    )  # no final orderBy: frame rows are a set; sorting the full frame
+    # output is a pure extra range-shuffle at scale (order-insensitive compare).

@@ -519,7 +519,11 @@ def workload_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFra
     late = (
         li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .filter(
-            (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90))
+            # INTERVAL add (not date_add) so time-of-day survives: the oracle
+            # computes o_orderdate + INTERVAL 90 DAY timestamp-preservingly,
+            # and a regenerated corpus with intraday order timestamps must not
+            # silently diverge (round-5 advisor finding).
+            (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
             & (F.col("o_orderstatus") == "F")
         )
         .select("l_orderkey", "l_suppkey")

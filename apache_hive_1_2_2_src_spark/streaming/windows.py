@@ -47,6 +47,20 @@ _EVENTS_STREAM_SCHEMA = (
     "value double, props string, ts_us bigint"
 )
 
+
+def _assert_stream_schema(staged: DataFrame) -> None:
+    """Fail loudly if a staged inbox frame's columns drifted from the
+    module-owned stream schema. Shared by EVERY inbox writer (including the
+    dedup query's duplicate-overlay inbox) — a staged frame that bypasses
+    this guard would surface regenerated-testdata drift as silent NULLs
+    through the fixed readStream schema."""
+    if sorted(staged.columns) != sorted(_EVENTS_STREAM_COLS):
+        raise RuntimeError(
+            "events schema drifted from the module-owned stream schema: "
+            f"staged={sorted(staged.columns)} expected={sorted(_EVENTS_STREAM_COLS)} "
+            "— update _EVENTS_STREAM_SCHEMA/_EVENTS_STREAM_COLS together"
+        )
+
 # One staged inbox per sf_dir per process: the plain-events streaming
 # queries (ingest, watermark window, stateful agg, upsert) read identical
 # content, so re-encoding the table once per query is waste. Cache dirs are
@@ -93,12 +107,7 @@ def _stage_events_inbox(spark: SparkSession, sf_dir: str) -> str:
         return cached
     e = load_table(spark, sf_dir, "events")
     staged = e.withColumn("ts_us", F.unix_micros("ts")).drop("ts")
-    if sorted(staged.columns) != sorted(_EVENTS_STREAM_COLS):
-        raise RuntimeError(
-            "events schema drifted from the module-owned stream schema: "
-            f"staged={sorted(staged.columns)} expected={sorted(_EVENTS_STREAM_COLS)} "
-            "— update _EVENTS_STREAM_SCHEMA/_EVENTS_STREAM_COLS together"
-        )
+    _assert_stream_schema(staged)
     inbox = os.path.join(tempfile.mkdtemp(prefix="hive_spark_events_inbox_"), "inbox")
     staged.write.mode("overwrite").parquet(inbox)
     _INBOX_CACHE[sf_dir] = inbox
@@ -443,8 +452,9 @@ def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # _stage_events_inbox (ts carried as micros bigint).
     e = load_table(spark, sf_dir, "events")
     dup = e.filter(F.col("event_id") % 5 == 0)
-    staged = e.unionAll(dup).withColumn("ts_us", F.unix_micros("ts"))
-    staged.drop("ts").write.mode("overwrite").parquet(inbox)
+    staged = e.unionAll(dup).withColumn("ts_us", F.unix_micros("ts")).drop("ts")
+    _assert_stream_schema(staged)
+    staged.write.mode("overwrite").parquet(inbox)
     stream = _read_events_stream(spark, inbox)
     q = (
         stream.withWatermark("ts", "2 hours")
@@ -511,17 +521,32 @@ def streaming_foreachbatch_upsert(
         )
 
     def merge(batch: DataFrame, _epoch: int) -> None:
+        # Crash recovery: a crash after `state -> state_old` but before
+        # `gen -> state` leaves only the aside copy; restore it before
+        # merging so no committed batch's state is lost.
+        old = f"{state}_old"
+        if not os.path.isdir(state) and os.path.isdir(old):
+            os.rename(old, state)
         cur = batch.select("user_id", "ts", "event_id", "value")
         if os.path.isdir(state):
             cur = cur.unionByName(batch.sparkSession.read.parquet(state))
         # Write to a new generation dir then swap: overwriting the parquet
-        # dir we are simultaneously reading races file deletion.
+        # dir we are simultaneously reading races file deletion. The swap
+        # keeps the old generation alive until the new one is in place
+        # (rename aside -> rename in -> delete old) so a crash at any point
+        # leaves a complete state table on disk — without this, a crash
+        # between rmtree(state) and rename(gen, state) would lose all state
+        # merged by checkpoint-committed earlier batches.
         gen = f"{state}_next"
         latest(cur).write.mode("overwrite").parquet(gen)
         import shutil
 
-        shutil.rmtree(state, ignore_errors=True)
+        old = f"{state}_old"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.isdir(state):
+            os.rename(state, old)
         os.rename(gen, state)
+        shutil.rmtree(old, ignore_errors=True)
 
     source = _read_events_stream(spark, inbox, max_files_per_trigger)
     q = (
