@@ -334,6 +334,98 @@ def ptf_matchpath_emulated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ptf_matchpath_multisym",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS hi,
+             ROW_NUMBER() OVER w AS rn,
+             COALESCE(LAG(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) OVER w,
+                      -1) AS lag_hi,
+             LAG(ts) OVER w AS lag_ts,
+             LAG(value) OVER w AS lag_val,
+             COALESCE(LEAD(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) OVER w,
+                      -1) AS lead_hi,
+             LEAD(value) OVER w AS lead_val
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    islands AS (
+      SELECT *, rn - SUM(hi) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS grp
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(arg_min(lag_ts, rn) AS VARCHAR) AS path_start,
+           CAST(COUNT(*) + 2 AS BIGINT) AS path_len,
+           CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                + CAST(arg_min(lag_val, rn) AS DECIMAL(18,2))
+                + CAST(arg_max(lead_val, rn) AS DECIMAL(18,2)) AS DOUBLE)
+             AS path_value
+    FROM islands
+    WHERE hi = 1
+    GROUP BY user_id, grp
+    HAVING arg_min(lag_hi, rn) = 0 AND arg_max(lead_hi, rn) = 0
+    """,
+    doc="matchpath PTF, multi-symbol pattern 'LOW HIGH+ LOW' "
+    "(ql/udf/ptf/MatchPath.java — the general SymbolFunction chain, beyond "
+    "the single-symbol 'HIGH+' of ptf_matchpath_emulated): a LOW row, a "
+    "greedy run of one-or-more HIGHs, then a LOW, per user in event-time "
+    "order, emitting MatchPath's tpath outputs (start ts of the opening "
+    "LOW, matched-path length incl. both anchors, path value sum). "
+    "Composition per the sketch in the single-symbol docstring: the HIGH "
+    "islands come from the rn - running-sum(hi) trick, the LOW anchors "
+    "from lag/lead carried on the SAME window spec (one Exchange on "
+    "user_id serves row_number, running sum, lag and lead); min_by/max_by "
+    "pull each island's boundary-row lag/lead values into the aggregate, "
+    "and anchors are required via the sentinel-coalesced neighbor symbols "
+    "(-1 = partition edge, so edge islands can never fake a LOW anchor). "
+    "Greedy 'B+' makes matches non-overlapping, so one output row per "
+    "qualifying island == MatchPath semantics. Decimal-cast value sums "
+    "per the determinism rules. Scale: one window Exchange + one groupBy "
+    "on (user_id, grp) — both partition-parallel, no global sort.",
+    tags=("window", "ptf", "matchpath"),
+)
+def ptf_matchpath_multisym(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    hi = F.when(F.col("value") > 50.0, 1).otherwise(0)
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        hi.alias("hi"),
+        F.row_number().over(w).alias("rn"),
+        (F.row_number().over(w) - F.sum(hi).over(w)).alias("grp"),
+        F.coalesce(F.lag(hi).over(w), F.lit(-1)).alias("lag_hi"),
+        F.lag("ts").over(w).alias("lag_ts"),
+        F.lag("value").over(w).alias("lag_val"),
+        F.coalesce(F.lead(hi).over(w), F.lit(-1)).alias("lead_hi"),
+        F.lead("value").over(w).alias("lead_val"),
+    )
+    return (
+        flagged.filter(F.col("hi") == 1)
+        .groupBy("user_id", "grp")
+        .agg(
+            F.min_by("lag_ts", "rn").cast("string").alias("path_start"),
+            (F.count(F.lit(1)) + 2).alias("path_len"),
+            (
+                F.sum(F.col("value").cast(DEC))
+                + F.min_by("lag_val", "rn").cast(DEC)
+                + F.max_by("lead_val", "rn").cast(DEC)
+            )
+            .cast("double")
+            .alias("path_value"),
+            F.min_by("lag_hi", "rn").alias("open_sym"),
+            F.max_by("lead_hi", "rn").alias("close_sym"),
+        )
+        .filter((F.col("open_sym") == 0) & (F.col("close_sym") == 0))
+        .select("user_id", "path_start", "path_len", "path_value")
+    )
+
+
+@register(
     "window_range_frame",
     oracle="""
     SELECT o_orderkey, o_orderstatus, o_totalprice,

