@@ -559,7 +559,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
-def connected_components(pairs: DataFrame, *, max_iters: int = 24) -> DataFrame:
+def connected_components(
+    pairs: DataFrame, *, max_iters: int = 24, stats: dict | None = None
+) -> DataFrame:
     """Alternating large-star/small-star connected components over an
     undirected edge list (doc_a, doc_b) — the round-5 upgrade from plain
     min-label propagation (public algorithm: Kiveris et al., "Connected
@@ -587,6 +589,10 @@ def connected_components(pairs: DataFrame, *, max_iters: int = 24) -> DataFrame:
     explicit gc.collect() on return), so transient peak storage is a few
     edge sets, bounded by max_iters; on a cluster use checkpoint(dir),
     where cleanup is directory-managed.
+
+    ``stats``, if given, receives ``{"rounds": r}`` — the number of
+    large+small-star rounds until fixpoint, so scale-stress tests can pin
+    the measured round count against the O(log^2 n) bound.
     """
     import gc
 
@@ -600,7 +606,9 @@ def connected_components(pairs: DataFrame, *, max_iters: int = 24) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     n_edges = edges.count()
+    rounds = 0
     for _ in range(max_iters):
+        rounds += 1
         bidir = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
         # Large-star: m(u) = min(N(u) ∪ {u}); emit (m, v) for v ∈ N(u), v > u.
         mins = bidir.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
@@ -638,6 +646,8 @@ def connected_components(pairs: DataFrame, *, max_iters: int = 24) -> DataFrame:
             break
     else:
         raise RuntimeError(f"connected_components: no fixpoint in {max_iters} iters")
+    if stats is not None:
+        stats["rounds"] = rounds
     # Fixpoint = one star per component: every edge is (root, member) with
     # root = component min, so labels read straight off the edge list.
     labels = (

@@ -146,16 +146,22 @@ def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_left_anti",
     oracle="""
     SELECT c.c_custkey, c.c_name
-    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    FROM customer c
+    LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 300000) o
+      ON c.c_custkey = o.o_custkey
     WHERE o.o_custkey IS NULL
     """,
     doc="Anti join via Hive 1.2's rewrite pattern (SubQueryUtils: NOT IN → "
-    "left outer + IS NULL); Spark left_anti is the direct form.",
+    "left outer + IS NULL); Spark left_anti is the direct form. The right "
+    "side is the >300k orders subset (the left_semi query's complement) so "
+    "the result is non-empty at every sf — an unfiltered orders anti join "
+    "is empty at sf>=0.01 (every customer has an order), which would make "
+    "the oracle check vacuous at the driver's grading scale.",
     tags=("join", "subquery"),
 )
 def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 

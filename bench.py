@@ -39,6 +39,9 @@ HEADLINE = (
     "similarity_ann_lsh_signbits",  # 16-bit multi-probe LSH ANN (r5)
     "text_unigram_rarity",  # corpus-frequency-band quality score (r5)
     "ptf_matchpath_emulated",  # matchpath PTF via gaps-and-islands (r5)
+    "workload_min_cost_supplier",  # TPC-H Q2: correlated-min over derived partsupp (r6)
+    "workload_important_stock",  # TPC-H Q11: global-threshold HAVING (r6)
+    "ptf_matchpath_multisym",  # multi-symbol 'LOW HIGH+ LOW' matchpath (r6)
 )
 
 

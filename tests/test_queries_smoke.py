@@ -31,3 +31,13 @@ def test_query_executes(spark, registry, name):
     n = df.count()
     if name not in MAY_BE_EMPTY:
         assert n > 0, f"{name}: returned 0 rows at sf0.001"
+
+
+@pytest.mark.parametrize("name", sorted(MAY_BE_EMPTY))
+def test_may_be_empty_nonempty_at_grading_sf(spark, registry, name):
+    """The sf0.001 exemption must not let an oracle silently certify an
+    empty result at the driver's grading scale: every MAY_BE_EMPTY query
+    must return rows at sf0.01 (VERDICT r5 polish item — an exemption that
+    also held at sf0.01 would make 'oracle matches' vacuously true)."""
+    n = registry[name].build(spark, "/root/testdata/sf0.01").count()
+    assert n > 0, f"{name}: empty at sf0.01 — its oracle check is vacuous"

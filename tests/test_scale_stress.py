@@ -1,0 +1,129 @@
+"""Scale-stress properties for the dedup/ANN path (VERDICT r5 item 7).
+
+The caps and convergence bounds on the near-dup pipeline (LSH bucket caps,
+shingle df caps, the large/small-star iteration budget) are reasoned for a
+duplicate-heavy corpus but were only ever exercised at the testdata's
+natural duplication (none at sf0.001 — all 500 docs unique). These tests
+build a 10x-duplicated OVERLAY corpus — every document and embedding cloned
+10 times under fresh ids, the worst realistic shape for a crawl pipeline —
+and pin three properties the 100 TB design depends on:
+
+1. CC round count stays inside the log^2 bound (duplicate clusters are
+   dense, so the star algorithm must converge in ~log rounds, nowhere near
+   the max_iters budget);
+2. LSH pair output stays inside the cap-implied bound (no quadratic
+   blow-up: each doc can pair with at most bucket_cap-1 others per band);
+3. duplicate-pair recall is 100% — the caps exist to shed pathological
+   buckets, and on 10-member duplicate groups (well under every cap) they
+   must not cost a single true pair.
+
+Referenced from SCALE.md §dedup-caps.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from apache_hive_1_2_2_src_spark.extensions.dedup import (
+    _words,
+    connected_components,
+    minhash_lsh_pairs,
+)
+from apache_hive_1_2_2_src_spark.extensions.similarity import signbit_lsh_pairs
+from apache_hive_1_2_2_src_spark.tables import load_table
+from tests.conftest import SF_DIR
+
+N_COPIES = 10
+
+
+def _overlay_docs(spark):
+    """Every sf0.001 document cloned N_COPIES times under fresh ids
+    (orig_id * N_COPIES + copy), keeping text identical."""
+    d = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    copies = spark.range(N_COPIES).select(F.col("id").alias("copy"))
+    return d.crossJoin(copies).select(
+        (F.col("doc_id") * N_COPIES + F.col("copy")).alias("doc_id"),
+        F.col("doc_id").alias("orig_id"),
+        "text",
+    )
+
+
+def _dup_pairs(overlay):
+    """Ground-truth duplicate pairs: all C(N_COPIES, 2) id pairs per
+    original document."""
+    a = overlay.select(F.col("orig_id").alias("o"), F.col("doc_id").alias("ida"))
+    b = overlay.select(F.col("orig_id").alias("o"), F.col("doc_id").alias("idb"))
+    return (
+        a.join(b, "o")
+        .filter(F.col("ida") < F.col("idb"))
+        .select(F.col("ida").alias("doc_a"), F.col("idb").alias("doc_b"))
+    )
+
+
+def test_minhash_overlay_recall_and_cap_bound(spark):
+    overlay = _overlay_docs(spark)
+    n_docs = overlay.count()
+    d = overlay.select("doc_id", _words().alias("w"))
+    bands, bucket_cap = 4, 64
+    pairs = minhash_lsh_pairs(d, bands=bands, bucket_cap=bucket_cap)
+    got = {(r.doc_a, r.doc_b) for r in pairs.select("doc_a", "doc_b").collect()}
+    # Cap-implied output bound: a pair must share >= 1 band bucket and each
+    # capped bucket holds <= bucket_cap docs, so every doc appears in at
+    # most (bucket_cap - 1) * bands pairs.
+    assert len(got) <= n_docs * (bucket_cap - 1) * bands / 2
+    # 100% duplicate recall: every 10-member identical group is far below
+    # the bucket cap (10 <= 64), so no true duplicate pair may be shed.
+    expected = {
+        (r.doc_a, r.doc_b) for r in _dup_pairs(overlay).collect()
+    }
+    missing = expected - got
+    assert not missing, f"{len(missing)} duplicate pairs lost (of {len(expected)})"
+
+
+def test_cc_rounds_within_log2_bound_on_overlay(spark):
+    """Connected components over the duplicate-pair graph: components are
+    10-cliques (possibly merged by base-corpus near-dups), i.e. dense and
+    shallow — rounds must stay within ceil(log2(max_cluster)) + 2 (the
+    measured chain bound k+1 for 2^k nodes, plus one round of slack for
+    the convergence re-check), nowhere near the max_iters=24 budget."""
+    overlay = _overlay_docs(spark)
+    stats: dict = {}
+    out = connected_components(_dup_pairs(overlay), stats=stats).collect()
+    assert len(out) == 500  # one cluster per original document
+    assert all(r.cluster_size == N_COPIES for r in out)
+    max_cluster = max(r.cluster_size for r in out)
+    bound = math.ceil(math.log2(max_cluster)) + 2
+    assert stats["rounds"] <= bound, (
+        f"CC took {stats['rounds']} rounds on dense {max_cluster}-cliques "
+        f"(bound {bound})"
+    )
+
+
+def test_ann_overlay_duplicate_recall(spark):
+    """Sign-bit ANN on 10x-duplicated embeddings: identical vectors share
+    their signature bucket, duplicate groups (10) sit far below the bucket
+    cap, so every duplicate pair must be emitted with hamming == 0."""
+    e = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    copies = spark.range(N_COPIES).select(F.col("id").alias("copy"))
+    overlay = e.crossJoin(copies).select(
+        (F.col("vec_id") * N_COPIES + F.col("copy")).alias("vec_id"),
+        F.col("vec_id").alias("orig_id"),
+        "embedding",
+    )
+    got = {
+        (r.vec_a, r.vec_b): r.hamming
+        for r in signbit_lsh_pairs(
+            overlay.select("vec_id", "embedding")
+        ).collect()
+    }
+    a = overlay.select(F.col("orig_id").alias("o"), F.col("vec_id").alias("va"))
+    b = overlay.select(F.col("orig_id").alias("o"), F.col("vec_id").alias("vb"))
+    expected = {
+        (r.va, r.vb)
+        for r in a.join(b, "o").filter(F.col("va") < F.col("vb")).collect()
+    }
+    missing = expected - set(got)
+    assert not missing, f"{len(missing)} duplicate ANN pairs lost"
+    assert all(got[p] == 0 for p in expected)
