@@ -590,3 +590,85 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         (~F.col("clean").rlike(email) & ~F.col("clean").rlike(phone)).alias("pii_free"),
         F.substring(F.col("clean"), -30, 30).alias("tail30"),
     )
+
+
+@register(
+    "text_repetition_filter",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, {_SQL_WORDS} AS w FROM documents
+    ),
+    ok AS (SELECT * FROM w WHERE len(w) >= 4),
+    g AS (
+      SELECT doc_id, 2 AS n, unnest(list_transform(range(1, len(w)),
+             i -> w[i] || ' ' || w[i+1])) AS gram
+      FROM ok
+      UNION ALL
+      SELECT doc_id, 3 AS n, unnest(list_transform(range(1, len(w) - 1),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+      FROM ok
+    ),
+    c AS (SELECT doc_id, n, gram, COUNT(*) AS c FROM g GROUP BY doc_id, n, gram)
+    SELECT doc_id,
+           CAST(SUM(c) FILTER (n = 2) AS BIGINT) AS n_bigrams,
+           ROUND(CAST(MAX(c) FILTER (n = 2) AS DOUBLE)
+                 / SUM(c) FILTER (n = 2), 6) AS top_bigram_frac,
+           ROUND(CAST(COALESCE(SUM(c) FILTER (n = 3 AND c > 1), 0) AS DOUBLE)
+                 / SUM(c) FILTER (n = 3), 6) AS dup_trigram_frac,
+           (CAST(MAX(c) FILTER (n = 2) AS DOUBLE)
+              / SUM(c) FILTER (n = 2) <= 0.20
+            AND CAST(COALESCE(SUM(c) FILTER (n = 3 AND c > 1), 0) AS DOUBLE)
+              / SUM(c) FILTER (n = 3) <= 0.30) AS keep
+    FROM c
+    GROUP BY doc_id
+    """,
+    doc="Repetition-based quality filter (Gopher/MassiveText rules, Rae et "
+    "al. 2021 appendix A1.1 — the within-document repetition signals every "
+    "crawl-curation pipeline applies before training): per document, the "
+    "fraction of 2-gram occurrences taken by the single most frequent "
+    "2-gram (top_bigram_frac, Gopher threshold 0.20) and the fraction of "
+    "3-gram occurrences that are repeats (dup_trigram_frac, threshold "
+    "0.30), plus the combined keep flag. Token-count fractions rather than "
+    "Gopher's character fractions (and word n-grams rather than its "
+    "line-level duplicate rules — this corpus has no newlines); the "
+    "thresholds and signal shapes are the published ones. Distributed "
+    "shape: explode tagged 2-/3-grams -> count per (doc, n, gram) -> one "
+    "per-doc conditional agg — two shuffles, both linear in corpus size, "
+    "NO quadratic within-doc array scan (transform+filter mode-finding is "
+    "O(len²) per doc and would die on 10k-word documents at 100 TB). "
+    "Fractions are single IEEE divisions of exact integer sums.",
+    tags=("extension", "text", "quality"),
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select("doc_id", _words().alias("w")).filter(F.size("w") >= 4)
+
+    def grams(n: int) -> Column:
+        return F.expr(
+            f"transform(sequence(0, size(w) - {n}), x -> "
+            + "concat_ws(' ', "
+            + ", ".join(f"w[x + {k}]" for k in range(n))
+            + "))"
+        )
+
+    tagged = w.select(
+        "doc_id",
+        F.explode(
+            F.concat(
+                F.transform(grams(2), lambda g: F.struct(F.lit(2).alias("n"), g.alias("gram"))),
+                F.transform(grams(3), lambda g: F.struct(F.lit(3).alias("n"), g.alias("gram"))),
+            )
+        ).alias("t"),
+    ).select("doc_id", F.col("t.n").alias("n"), F.col("t.gram").alias("gram"))
+    counts = tagged.groupBy("doc_id", "n", "gram").agg(F.count(F.lit(1)).alias("c"))
+    two, three = F.col("n") == 2, F.col("n") == 3
+    top2 = F.max(F.when(two, F.col("c"))).cast("double")
+    tot2 = F.sum(F.when(two, F.col("c")))
+    dup3 = F.coalesce(F.sum(F.when(three & (F.col("c") > 1), F.col("c"))), F.lit(0)).cast("double")
+    tot3 = F.sum(F.when(three, F.col("c")))
+    return counts.groupBy("doc_id").agg(
+        tot2.alias("n_bigrams"),
+        F.round(top2 / tot2, 6).alias("top_bigram_frac"),
+        F.round(dup3 / tot3, 6).alias("dup_trigram_frac"),
+        ((top2 / tot2 <= 0.20) & (dup3 / tot3 <= 0.30)).alias("keep"),
+    )

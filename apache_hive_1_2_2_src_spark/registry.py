@@ -63,6 +63,7 @@ QUERY_MODULES = (
     "apache_hive_1_2_2_src_spark.operators.joins",
     "apache_hive_1_2_2_src_spark.operators.relational",
     "apache_hive_1_2_2_src_spark.operators.windows",
+    "apache_hive_1_2_2_src_spark.operators.matchpath",
     "apache_hive_1_2_2_src_spark.operators.workloads",
     "apache_hive_1_2_2_src_spark.operators.workloads_extra",
     "apache_hive_1_2_2_src_spark.operators.workloads_partsupp",

@@ -1,0 +1,69 @@
+"""match_path() compiler semantics on hand-built sequences: boundary
+un-quantified elements consume one row off their run's edge, middle
+un-quantified elements require exact run length 1, and invalid patterns
+fail at compile time (never silently empty)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from apache_hive_1_2_2_src_spark.operators.matchpath import match_path
+
+SYMBOLS = lambda: {  # noqa: E731
+    "HIGH": F.col("v") > 60.0,
+    "LOW": F.col("v") < 30.0,
+    "MID": F.lit(True),
+}
+
+
+def _seq(spark, vals):
+    return spark.createDataFrame(
+        [(1, i, float(v)) for i, v in enumerate(vals)], "u long, t long, v double"
+    )
+
+
+def _run(spark, vals, pattern):
+    out = match_path(
+        _seq(spark, vals), "u", ["t"], SYMBOLS(), pattern, F.col("v")
+    ).collect()
+    return sorted((r.path_start, r.path_len, r.path_value) for r in out)
+
+
+def test_boundary_unquantified_consume_run_edges(spark):
+    # runs: LOW[10,20] HIGH[70,80] LOW[15] HIGH[90] LOW[12]
+    got = _run(spark, [10, 20, 70, 80, 15, 90, 12], "LOW HIGH+ LOW")
+    assert got == [
+        ("1", 4, 20 + 70 + 80 + 15.0),  # first LOW consumes its run's LAST row
+        ("4", 3, 15 + 90 + 12.0),
+    ]
+
+
+def test_middle_unquantified_requires_len_1(spark):
+    assert _run(spark, [70, 10, 80], "HIGH+ LOW HIGH+") == [("0", 3, 160.0)]
+    # two-row dip: middle un-quantified LOW cannot match
+    assert _run(spark, [70, 10, 20, 80], "HIGH+ LOW HIGH+") == []
+
+
+def test_unclassified_rows_break_runs(spark):
+    # MID row (45) between the HIGHs breaks adjacency when MID is not a
+    # pattern symbol position.
+    assert _run(spark, [70, 10, 45, 80], "HIGH+ LOW HIGH+") == []
+
+
+def test_partition_edge_does_not_match(spark):
+    # pattern hangs off the end: HIGH+ LOW HIGH+ needs a trailing HIGH run
+    assert _run(spark, [70, 10], "HIGH+ LOW HIGH+") == []
+
+
+def test_plus_consumes_whole_runs(spark):
+    got = _run(spark, [70, 80, 90, 10, 65], "HIGH+ LOW HIGH+")
+    assert got == [("0", 5, 70 + 80 + 90 + 10 + 65.0)]
+
+
+def test_invalid_patterns_raise(spark):
+    d = _seq(spark, [1.0])
+    with pytest.raises(ValueError, match="adjacent"):
+        match_path(d, "u", ["t"], SYMBOLS(), "HIGH HIGH+", F.col("v"))
+    with pytest.raises(ValueError, match="not in symbols"):
+        match_path(d, "u", ["t"], SYMBOLS(), "HIGH+ NOPE", F.col("v"))

@@ -125,3 +125,37 @@ def test_q21_subqueries_stay_equi_joins(plans):
     p = plans("workload_suppliers_kept_waiting")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_partsupp_workloads_no_cartesian(plans):
+    # Derived-partsupp TPC-H shapes (round 6): the only nested-loop joins
+    # allowed are the 1-row scalar broadcasts (supplier count / global
+    # total); a CartesianProduct anywhere means the derivation or a join
+    # key broke.
+    for name in (
+        "workload_min_cost_supplier",
+        "workload_important_stock",
+        "workload_parts_supplier_cnt",
+        "workload_promotion_suppliers",
+    ):
+        p = plans(name)
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastHashJoin" in p, name
+
+
+def test_min_cost_supplier_topk_and_window(plans):
+    # Q2's correlated-MIN compiles to a per-partkey Window (partitioned,
+    # never global) and the LIMIT to TakeOrderedAndProject.
+    p = plans("workload_min_cost_supplier")
+    assert "Window" in p and "ps_partkey" in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_multisym_matchpath_single_window_exchange(plans):
+    # 'LOW HIGH+ LOW': row_number + running sum + lag + lead must all ride
+    # ONE window spec, and the groupBy reuses its user_id partitioning —
+    # exactly one Exchange in the whole plan.
+    # formatted explain mentions each node twice (tree "Exchange (n)" +
+    # detail "(n) Exchange"); count the tree form only.
+    p = plans("ptf_matchpath_multisym")
+    assert p.count("Exchange (") == 1, p.count("Exchange (")
