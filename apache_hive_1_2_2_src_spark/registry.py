@@ -110,12 +110,14 @@ SENTINELS = (
     "dedup_clusters",
 )
 
-# Round-6 rotation: the 7 queries new this round, then 33 never-graded
+# Round-6 rotation: the 9 queries new this round, then 31 never-graded
 # queries chosen for family breadth (windows/PTF, joins, workloads, scalar
 # suites, extensibility, generators, collections, sources, streaming,
-# extensions). 40 of the 50 window slots have never been driver-graded.
+# extensions). 40 of the 50 window slots have never been driver-graded
+# (str_json_suite / sentences_tokenize moved to the r7 batch to make room).
 ROTATION = (
-    # new in round 6: derived-partsupp TPC-H + type semantics + multisym PTF
+    # new in round 6: derived-partsupp TPC-H + type semantics + matchpath
+    # grammar + repetition filter
     "workload_min_cost_supplier",
     "workload_important_stock",
     "workload_parts_supplier_cnt",
@@ -123,6 +125,8 @@ ROTATION = (
     "types_char_varchar_suite",
     "decimal_scale_suite",
     "ptf_matchpath_multisym",
+    "ptf_matchpath_grammar",
+    "text_repetition_filter",
     # windows / PTF
     "window_range_frame",
     "ptf_matchpath_emulated",
@@ -143,10 +147,8 @@ ROTATION = (
     "date_arith_suite",
     "math_trig_suite",
     "str_regex_suite",
-    "str_json_suite",
     # extensibility
     "xpath_suite",
-    "sentences_tokenize",
     "regex_serde_read",
     "window_named_sql",
     # generators / collections
