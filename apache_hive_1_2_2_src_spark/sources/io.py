@@ -316,3 +316,54 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         "files_compacted",
         (F.col("n_rows") == F.col("n_small")).alias("rows_preserved"),
     )
+
+
+@register(
+    "sequencefile_roundtrip_agg",
+    oracle=_ORDERS_AGG_ORACLE,
+    doc="SequenceFile write + read (STORED AS SEQUENCEFILE — Hive 1.2's "
+    "other default container besides TEXTFILE: "
+    "ql/io/HiveSequenceFileOutputFormat.java over LazySimpleSerDe rows). "
+    "Spark has no DataFrame sequencefile source, so this is the one "
+    "format where the RDD Hadoop-IO API is the honest bridge: rows are "
+    "serialized JVM-side to Hive's ^A-delimited text (concat_ws('\\x01') "
+    "— LazySimpleSerDe's default field delimiter; Spark's double→string "
+    "is shortest-round-trip so values survive exactly), written as "
+    "(key, value) Text pairs via saveAsSequenceFile, read back with "
+    "sc.sequenceFile, and parsed back to typed columns with DataFrame "
+    "split+cast (schema-on-read, as Hive's SerDe does). Python touches "
+    "each row only to wrap the pre-built line into a pair tuple — the "
+    "serialization itself stays in codegen. Value fidelity is certified "
+    "by the same aggregate oracle as the csv/orc/json roundtrips.",
+    tags=("source", "sequencefile"),
+)
+def sequencefile_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    path = _tmp("seq_orders")
+    line = F.concat_ws(
+        "\x01",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        "o_orderstatus",
+        F.col("o_totalprice").cast("string"),
+    )
+    (
+        o.select(F.col("o_orderkey").cast("string").alias("k"), line.alias("v"))
+        .rdd.map(lambda r: (r.k, r.v))
+        .saveAsSequenceFile(path)
+    )
+    back = (
+        spark.sparkContext.sequenceFile(path)
+        .map(lambda kv: (kv[1],))
+        .toDF("v string")
+        .select(F.split("v", "\x01").alias("p"))
+        .select(
+            F.col("p")[0].cast("bigint").alias("o_orderkey"),
+            F.col("p")[1].cast("bigint").alias("o_custkey"),
+            F.col("p")[2].alias("o_orderstatus"),
+            F.col("p")[3].cast("double").alias("o_totalprice"),
+        )
+    )
+    return _orders_agg(back)
