@@ -566,3 +566,129 @@ def streaming_foreachbatch_upsert(
         F.col("ts").cast("string").alias("last_ts"),
         F.col("value").alias("last_value"),
     )
+
+
+@register(
+    "streaming_static_enrich",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           {sum_value}
+    FROM events JOIN customer ON c_custkey = user_id
+    GROUP BY c_mktsegment
+    """.format(sum_value=sql_dsum("value", "sum_value")),
+    doc="Stream-static enrichment join (the ingest-time dimension lookup "
+    "every event pipeline runs; Hive 1.2's analogue was a batch MapJoin "
+    "after landing): events readStream joined to the STATIC customer "
+    "dimension on user_id = c_custkey inside the stream, then sunk and "
+    "batch-aggregated per market segment. Stream-static joins need no "
+    "watermark and keep NO join state — each micro-batch broadcast-joins "
+    "the dim exactly like a batch MapJoin, which is why this is the "
+    "scale-free way to denormalize at ingest (the dim re-reads per batch, "
+    "picking up dimension updates for free). Oracle: the identical batch "
+    "join + agg.",
+    tags=("streaming", "join", "ingest"),
+)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _tmp_base("hive_spark_senrich_")
+    sink, ckpt = os.path.join(base, "sink"), os.path.join(base, "ckpt")
+    inbox = _stage_events_inbox(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    enriched = _read_events_stream(spark, inbox).join(
+        F.broadcast(dim), F.col("user_id") == F.col("c_custkey")
+    )
+    q = (
+        enriched.select("user_id", "value", "c_mktsegment")
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(120):
+        q.stop()
+        raise RuntimeError("streaming_static_enrich: drain exceeded 120 s")
+    return (
+        spark.read.parquet(sink)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            dsum("value", "sum_value"),
+        )
+    )
+
+
+@register(
+    "streaming_stream_join",
+    oracle="""
+    SELECT COUNT(*) AS n_attributed,
+           COUNT(DISTINCT p_event) AS n_purchases,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM (
+      SELECT c.user_id, p.event_id AS p_event
+      FROM events c JOIN events p
+        ON c.user_id = p.user_id
+       AND c.event_type = 'click' AND p.event_type = 'purchase'
+       AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR
+    )
+    """,
+    doc="Stream-stream interval join (click->purchase attribution, the "
+    "canonical funnel join; completely beyond Hive 1.2, which had no "
+    "stateful streaming at all — labeled beyond-reference like the window "
+    "aggs): the events inbox read as TWO streams (clicks, purchases), "
+    "each watermarked 3h, inner-joined on user_id with the event-time "
+    "band p.ts in (c.ts, c.ts + 2h]. The time bound PLUS both watermarks "
+    "is what lets Spark expire join state — without the band the click "
+    "state would grow forever, the make-or-break property at 100 TB/day "
+    "(state ~ |events in 5h|, not |events ever|). Joined pairs are sunk "
+    "then batch-counted; oracle is the identical batch self-join. "
+    "Deterministic: inner join, no late data in an availableNow drain.",
+    tags=("streaming", "join", "watermark"),
+)
+def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _tmp_base("hive_spark_ssjoin_")
+    sink, ckpt = os.path.join(base, "sink"), os.path.join(base, "ckpt")
+    inbox = _stage_events_inbox(spark, sf_dir)
+    clicks = (
+        _read_events_stream(spark, inbox)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "3 hours")
+    )
+    purchases = (
+        _read_events_stream(spark, inbox)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("p_event"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "3 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 2 HOURS")),
+    )
+    q = (
+        joined.select("c_user", "p_event")
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(180):
+        q.stop()
+        raise RuntimeError("streaming_stream_join: drain exceeded 180 s")
+    return spark.read.parquet(sink).agg(
+        F.count(F.lit(1)).alias("n_attributed"),
+        F.countDistinct("p_event").alias("n_purchases"),
+        F.countDistinct("c_user").alias("n_users"),
+    )
