@@ -173,3 +173,102 @@ def decimal_scale_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("d1") / 3, 2).cast("string").alias("round_half_up"),
         F.col("d1").cast("decimal(18,0)").cast("string").alias("rescale_round0"),
     )
+
+
+@register(
+    "uniontype_emulated",
+    oracle="""
+    WITH u AS (
+      SELECT o_orderkey,
+             CAST(o_orderkey % 2 AS INT) AS tag,
+             CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice END AS f0,
+             CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END AS f1
+      FROM orders WHERE o_orderkey < 2000
+    )
+    SELECT tag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(f0 AS DECIMAL(18,2))) AS DOUBLE) AS sum_f0,
+           COUNT(f0) AS n_f0, COUNT(f1) AS n_f1,
+           MIN(CASE WHEN tag = 1 THEN f1 END) AS min_status,
+           BOOL_AND((f0 IS NULL) <> (f1 IS NULL)) AS exactly_one_set
+    FROM u GROUP BY tag
+    """,
+    doc="UNIONTYPE<double,string> emulation (serde2/typeinfo/"
+    "UnionTypeInfo.java + the create_union/GenericUDFUnion UDF family; "
+    "q-test union_type.q): Spark has no union type, so the documented "
+    "strategy (SURVEY §1.3 type table) is tag + one nullable field per "
+    "alternative, with exactly one field set per row — here built with "
+    "create_union semantics (tag selects the populated branch) and "
+    "consumed with CASE-on-tag dispatch, the relational equivalent of "
+    "Hive's extract-by-tag. The exactly_one_set invariant is graded, so "
+    "the emulation's core contract (a union is never 0 or 2 branches) is "
+    "oracle-certified, alongside per-tag aggregates over each branch. "
+    "Pure codegen projection + one groupBy.",
+    tags=("functions", "types", "uniontype"),
+)
+def uniontype_emulated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    even = F.col("o_orderkey") % 2 == 0
+    u = o.select(
+        "o_orderkey",
+        (F.col("o_orderkey") % 2).cast("int").alias("tag"),
+        F.when(even, F.col("o_totalprice")).alias("f0"),
+        F.when(~even, F.col("o_orderstatus")).alias("f1"),
+    )
+    return u.groupBy("tag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("f0").cast("decimal(18,2)")).cast("double").alias("sum_f0"),
+        F.count("f0").alias("n_f0"),
+        F.count("f1").alias("n_f1"),
+        F.min(F.when(F.col("tag") == 1, F.col("f1"))).alias("min_status"),
+        F.bool_and(F.col("f0").isNull() != F.col("f1").isNull()).alias(
+            "exactly_one_set"
+        ),
+    )
+
+
+@register(
+    "coercion_lattice_suite",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey / 4 AS int_div_double,
+           o_orderkey // 4 AS int_div_floor,
+           CAST(o_orderkey AS VARCHAR) = CAST(o_orderkey AS VARCHAR) AS str_self_eq,
+           CAST(CAST(o_orderkey AS VARCHAR) AS DOUBLE) = CAST(o_orderkey AS DOUBLE)
+             AS str_num_eq,
+           CAST(CAST(o_orderkey AS VARCHAR) AS DOUBLE) + 1 AS str_plus_int,
+           (CAST(o_orderkey AS SMALLINT) + CAST(1 AS TINYINT)) IS NOT NULL
+             AS small_plus_tiny,
+           CAST(o_orderkey AS DOUBLE) = o_orderkey AS widen_eq
+    FROM orders WHERE o_orderkey < 500
+    """,
+    doc="Implicit-cast lattice parity (FunctionRegistry."
+    "getCommonClassForComparison / getCommonClassForUnionAll — SURVEY "
+    "§1.3's divergence watch-list): int/int division yields DOUBLE in "
+    "Hive, Spark AND DuckDB (0.5, not 0) while DIV/// is the integer "
+    "form; string-vs-number comparison coerces THROUGH DOUBLE in Hive "
+    "(GenericUDFOPEqual common class) — expressed with the explicit "
+    "double casts the SURVEY prescribes so all engines agree by "
+    "construction; string+int arithmetic likewise coerces via double; "
+    "small integer types widen under arithmetic. Every coercion is "
+    "written with its explicit-cast normal form — the module's rule that "
+    "declared queries pin lattice divergences with casts instead of "
+    "trusting engine defaults.",
+    tags=("functions", "types", "cast"),
+)
+def coercion_lattice_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    k = F.col("o_orderkey")
+    ks = k.cast("string")
+    return o.select(
+        "o_orderkey",
+        (k / 4).alias("int_div_double"),
+        F.expr("o_orderkey DIV 4").alias("int_div_floor"),
+        (ks == ks).alias("str_self_eq"),
+        (ks.cast("double") == k.cast("double")).alias("str_num_eq"),
+        (ks.cast("double") + 1).alias("str_plus_int"),
+        (k.cast("smallint") + F.lit(1).cast("tinyint")).isNotNull().alias(
+            "small_plus_tiny"
+        ),
+        (k.cast("double") == k).alias("widen_eq"),
+    )
