@@ -672,3 +672,64 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(dup3 / tot3, 6).alias("dup_trigram_frac"),
         ((top2 / tot2 <= 0.20) & (dup3 / tot3 <= 0.30)).alias("keep"),
     )
+
+
+@register(
+    "text_chunk_windows",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_SQL_WORDS} AS w FROM documents),
+    ok AS (SELECT doc_id, w, len(w) AS n FROM w WHERE len(w) >= 1),
+    chunks AS (
+      SELECT doc_id, n, CAST(i AS INT) AS chunk_no,
+             i * 24 AS start_tok,
+             LEAST(i * 24 + 32, n) AS end_tok
+      FROM ok, UNNEST(range(0, CAST(CEIL(GREATEST(n - 8, 1) / 24.0) AS BIGINT)))
+             AS t(i)
+    )
+    SELECT doc_id,
+           chunk_no,
+           CAST(start_tok AS INT) AS start_tok,
+           CAST(end_tok - start_tok AS INT) AS chunk_len,
+           CAST(end_tok = n AS BOOLEAN) AS is_last
+    FROM chunks
+    """,
+    doc="Sliding-window document chunking (the fixed-context splitting step "
+    "every LLM training pipeline runs between tokenization and packing — "
+    "context 32 tokens, stride 24, i.e. 8-token overlap, scaled-down "
+    "stand-ins for 2048/1792): each doc emits ceil(max(n-overlap,1)/stride) "
+    "chunk rows with (start, length, is_last); the last chunk is short "
+    "rather than padded, and every token belongs to >=1 chunk with "
+    "consecutive chunks overlapping by exactly context-stride tokens. "
+    "Pure codegen: transform(sequence(...)) builds the chunk index list "
+    "per row and explode fans it out — a per-row map with NO shuffle and "
+    "no Python, so it runs at scan speed on any corpus. Emitting (doc_id, "
+    "offsets) instead of materialized token slices keeps the output "
+    "narrow; the training loader slices by offset.",
+    tags=("extension", "text", "packing"),
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    context, stride = 32, 24
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select("doc_id", _words().alias("w")).filter(F.size("w") >= 1)
+    n = F.size("w")
+    n_chunks = F.ceil(F.greatest(n - (context - stride), F.lit(1)) / F.lit(stride))
+    return (
+        w.select(
+            "doc_id",
+            n.alias("n"),
+            F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))).alias(
+                "chunk_no"
+            ),
+        )
+        .select(
+            "doc_id",
+            "chunk_no",
+            (F.col("chunk_no") * stride).cast("int").alias("start_tok"),
+            (
+                F.least(F.col("chunk_no") * stride + context, F.col("n"))
+                - F.col("chunk_no") * stride
+            ).cast("int").alias("chunk_len"),
+            (F.least(F.col("chunk_no") * stride + context, F.col("n")) == F.col("n"))
+            .alias("is_last"),
+        )
+    )
