@@ -341,7 +341,13 @@ def sequencefile_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
     )
+    # saveAsSequenceFile uses the Hadoop output committer, which refuses an
+    # existing directory (no overwrite mode) — clear it so the query is
+    # idempotent within a session like the other roundtrips.
+    import shutil
+
     path = _tmp("seq_orders")
+    shutil.rmtree(path, ignore_errors=True)
     line = F.concat_ws(
         "\x01",
         F.col("o_orderkey").cast("string"),
