@@ -37,6 +37,27 @@ assert not any(db.name == "hms_db" for db in spark.catalog.listDatabases())
 from apache_hive_1_2_2_src_spark.operators.catalog import ddl_stored_as_hive_dialect
 row = ddl_stored_as_hive_dialect(spark, "/root/testdata/sf0.001").collect()[0]
 assert row.n_rows > 0 and row.n_partitions == 3 and row.alter_ok, row
+
+# RCFile (STORED AS RCFILE — ql/io/RCFile.java + ColumnarSerDe): Spark's
+# bundled Hive client reads/writes the real RCFileInput/OutputFormat, so a
+# reference user's RCFile tables keep working through this catalog. Values
+# must survive the columnar roundtrip exactly.
+spark.sql("CREATE DATABASE rc_db")
+spark.sql(
+    "CREATE TABLE rc_db.t_rc STORED AS RCFILE AS "
+    "SELECT id AS k, CAST(id * 1.5 AS DOUBLE) AS x, "
+    "CONCAT('s', CAST(id AS STRING)) AS s FROM RANGE(100)"
+)
+fmt = [r.data_type for r in spark.sql("DESCRIBE FORMATTED rc_db.t_rc").collect()
+       if r.col_name == "InputFormat"]
+assert fmt == ["org.apache.hadoop.hive.ql.io.RCFileInputFormat"], fmt
+back = spark.sql(
+    "SELECT COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sk, "
+    "CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS sx, "
+    "MIN(s) AS mn FROM rc_db.t_rc"
+).collect()[0]
+assert (back.n, back.sk, back.sx, back.mn) == (100, 4950, 7425.0, "s0"), back
+spark.sql("DROP DATABASE rc_db CASCADE")
 print("HIVE_METASTORE_OK")
 """
 
