@@ -67,3 +67,87 @@ def test_invalid_patterns_raise(spark):
         match_path(d, "u", ["t"], SYMBOLS(), "HIGH HIGH+", F.col("v"))
     with pytest.raises(ValueError, match="not in symbols"):
         match_path(d, "u", ["t"], SYMBOLS(), "HIGH+ NOPE", F.col("v"))
+
+
+# ---------------------------------------------------------------------------
+# Property: match_path() agrees with a direct Python reference matcher on
+# random symbol sequences and random valid patterns. The reference walks the
+# run-compressed sequence exactly as the module doc specifies (greedy '+'
+# consumes whole runs; un-quantified elements consume one edge row at
+# pattern boundaries and require len==1 in the middle).
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+SYM_OF = lambda v: "HIGH" if v > 60 else ("LOW" if v < 30 else "MID")  # noqa: E731
+VALS = {"HIGH": 70.0, "LOW": 10.0, "MID": 45.0}
+
+
+def _ref_matches(vals, pattern_elems):
+    """Reference matcher over one partition: returns sorted
+    (start_t, path_len, path_value) triples."""
+    runs = []  # (sym, [indices])
+    for i, v in enumerate(vals):
+        s = SYM_OF(v)
+        if runs and runs[-1][0] == s:
+            runs[-1][1].append(i)
+        else:
+            runs.append((s, [i]))
+    k = len(pattern_elems)
+    out = []
+    for r0 in range(len(runs) - k + 1):
+        window = runs[r0 : r0 + k]
+        ok = True
+        consumed = []
+        for j, (sym, plus) in enumerate(pattern_elems):
+            rsym, idxs = window[j]
+            if rsym != sym:
+                ok = False
+                break
+            if plus:
+                consumed.append(idxs)
+            elif j == 0:
+                consumed.append(idxs[-1:])
+            elif j == k - 1:
+                consumed.append(idxs[:1])
+            else:
+                if len(idxs) != 1:
+                    ok = False
+                    break
+                consumed.append(idxs)
+        if ok:
+            flat = [i for c in consumed for i in c]
+            out.append(
+                (str(consumed[0][0]), len(flat), float(sum(vals[i] for i in flat)))
+            )
+    return sorted(out)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    syms=st.lists(st.sampled_from(["HIGH", "LOW", "MID"]), min_size=1, max_size=24),
+    pat=st.sampled_from(
+        [
+            [("HIGH", True), ("LOW", False), ("HIGH", True)],
+            [("LOW", False), ("HIGH", True), ("LOW", False)],
+            [("LOW", True), ("MID", True)],
+            [("MID", False), ("HIGH", True)],
+            [("HIGH", True), ("MID", False), ("LOW", True), ("MID", True)],
+        ]
+    ),
+)
+def test_match_path_agrees_with_reference(spark, syms, pat):
+    vals = [VALS[s] for s in syms]
+    pattern = " ".join(s + ("+" if p else "") for s, p in pat)
+    got = sorted(
+        (r.path_start, r.path_len, r.path_value)
+        for r in match_path(
+            _seq(spark, vals), "u", ["t"], SYMBOLS(), pattern, F.col("v")
+        ).collect()
+    )
+    assert got == _ref_matches(vals, pat)
