@@ -19,12 +19,20 @@ stays partition-parallel at any scale:
    frame, so matching is embarrassingly parallel and never re-scans rows.
 
 Supported grammar (matchpath's common cases): space-separated symbols, each
-optionally ``+``-quantified (one-or-more rows; plain = exactly one row).
-Adjacent pattern elements must name DIFFERENT symbols (with maximal runs an
-adjacent same-symbol pair like ``A A+`` is unsatisfiable — asserted at
-compile time, not silently empty). Matches are non-overlapping-at-run
-granularity: one emitted row per leftmost-greedy match, the same maximal
-semantics as the ``ptf_matchpath_emulated``/``_multisym`` queries.
+optionally quantified — ``+`` (one-or-more rows), ``?`` (zero-or-one row),
+``*`` (zero-or-more rows); plain = exactly one row. ``?``/``*`` compile by
+VARIANT EXPANSION: each optional element is either absent or present (as
+``1``/``+`` respectively), the cross product of choices yields ≤ 2^n
+concrete variants, each variant is compiled independently and the results
+unioned — variants match different run-window shapes, so the union is
+disjoint by construction. Variants whose adjacency collapses to a
+same-symbol pair (e.g. ``A B* A`` with B absent → ``A A``) are
+unsatisfiable against maximal runs and are skipped; at least one variant
+must survive (asserted at compile time, not silently empty). In every
+concrete variant, adjacent elements must name DIFFERENT symbols. Matches
+are non-overlapping-at-run granularity: one emitted row per
+leftmost-greedy match, the same maximal semantics as the
+``ptf_matchpath_emulated``/``_multisym`` queries.
 
 Consumption semantics per element position (MatchPath anchors a match at a
 starting row and consumes greedily forward):
@@ -61,20 +69,44 @@ class _Elem:
     plus: bool
 
 
-def _parse(pattern: str) -> list[_Elem]:
+def _parse(pattern: str) -> list[tuple[str, str]]:
+    """Tokenize to (symbol, quantifier) with quantifier in {'1','+','?','*'}."""
     elems = []
     for tok in pattern.split():
-        plus = tok.endswith("+")
-        elems.append(_Elem(tok[:-1] if plus else tok, plus))
-    if len(elems) < 1:
+        if tok[-1] in "+?*":
+            elems.append((tok[:-1], tok[-1]))
+        else:
+            elems.append((tok, "1"))
+    if not elems:
         raise ValueError("empty matchpath pattern")
-    for a, b in zip(elems, elems[1:]):
-        if a.sym == b.sym:
-            raise ValueError(
-                f"adjacent pattern elements share symbol {a.sym!r}: with "
-                "maximal runs this is unsatisfiable — merge them instead"
-            )
     return elems
+
+
+def _expand(parsed: list[tuple[str, str]]) -> list[list[_Elem]]:
+    """Expand ?/* elements into present/absent variants; drop variants whose
+    adjacency collapses to a same-symbol pair (unsatisfiable vs maximal
+    runs). Raises if NO variant survives."""
+    variants: list[list[_Elem]] = [[]]
+    for sym, q in parsed:
+        if q in ("?", "*"):
+            present = _Elem(sym, q == "*")
+            variants = [v + [] for v in variants] + [v + [present] for v in variants]
+        else:
+            variants = [v + [_Elem(sym, q == "+")] for v in variants]
+    ok = []
+    for v in variants:
+        if not v:
+            continue
+        if any(a.sym == b.sym for a, b in zip(v, v[1:])):
+            continue
+        ok.append(v)
+    if not ok:
+        raise ValueError(
+            "pattern has no satisfiable variant: every expansion is empty or "
+            "collapses adjacent same-symbol elements (unsatisfiable against "
+            "maximal runs) — merge the repeated symbols instead"
+        )
+    return ok
 
 
 def match_path(
@@ -95,11 +127,12 @@ def match_path(
     MatchPath's SymbolParser first-match order); unclassified rows break
     runs and can never join a match.
     """
-    elems = _parse(pattern)
+    parsed = _parse(pattern)
     names = list(symbols)
-    for e in elems:
-        if e.sym not in symbols:
-            raise ValueError(f"pattern symbol {e.sym!r} not in symbols")
+    for sym, _q in parsed:
+        if sym not in symbols:
+            raise ValueError(f"pattern symbol {sym!r} not in symbols")
+    variants = _expand(parsed)
     sym_id = {n: i for i, n in enumerate(names)}
 
     cls: Column = F.lit(-1)
@@ -131,53 +164,68 @@ def match_path(
         F.max_by("__m", "__rn").cast(DEC).alias("last_m"),
     )
 
+    # One runs frame shared by every variant. Multi-variant patterns (from
+    # ?/*) re-derive the runs subtree per variant in the plan; at cluster
+    # scale persist/localCheckpoint `runs` before a many-variant pattern.
     rw = Window.partitionBy(partition_col).orderBy("__run")
-    run_struct = F.struct("sym", "len", "start_key", "end_key", "sv", "first_m", "last_m")
-    seq = runs.select(
-        partition_col,
-        "__run",
-        run_struct.alias("e0"),
-        *[F.lead(run_struct, j).over(rw).alias(f"e{j}") for j in range(1, len(elems))],
+    run_struct = F.struct(
+        "sym", "len", "start_key", "end_key", "sv", "first_m", "last_m"
     )
 
-    cond = F.lit(True)
-    path_len: Column = F.lit(0)
-    path_val: Column = F.lit(0).cast(DEC)
-    start_key: Column | None = None
-    last = len(elems) - 1
-    for j, e in enumerate(elems):
-        r = F.col(f"e{j}")
-        cond = cond & (r["sym"] == sym_id[e.sym])
-        if e.plus:
-            consumed_len, consumed_val = r["len"], r["sv"]
-            elem_start = r["start_key"]
-        elif j == 0:
-            # un-quantified first element: consume the run's LAST row only.
-            consumed_len, consumed_val = F.lit(1), r["last_m"]
-            elem_start = r["end_key"]
-        elif j == last:
-            # un-quantified last element: consume the run's FIRST row only.
-            consumed_len, consumed_val = F.lit(1), r["first_m"]
-            elem_start = r["start_key"]
-        else:
-            # un-quantified middle element: the run must be exactly 1 row.
-            cond = cond & (r["len"] == 1)
-            consumed_len, consumed_val = F.lit(1), r["sv"]
-            elem_start = r["start_key"]
-        path_len = path_len + consumed_len
-        path_val = path_val + consumed_val
-        if j == 0:
-            start_key = elem_start
-    # All leads must exist (match cannot hang off the partition edge).
-    for j in range(1, len(elems)):
-        cond = cond & F.col(f"e{j}").isNotNull()
+    def variant_matches(elems: list[_Elem]) -> DataFrame:
+        seq = runs.select(
+            partition_col,
+            "__run",
+            run_struct.alias("e0"),
+            *[
+                F.lead(run_struct, j).over(rw).alias(f"e{j}")
+                for j in range(1, len(elems))
+            ],
+        )
+        cond = F.lit(True)
+        path_len: Column = F.lit(0)
+        path_val: Column = F.lit(0).cast(DEC)
+        start_key: Column | None = None
+        last = len(elems) - 1
+        for j, e in enumerate(elems):
+            r = F.col(f"e{j}")
+            cond = cond & (r["sym"] == sym_id[e.sym])
+            if e.plus:
+                consumed_len, consumed_val = r["len"], r["sv"]
+                elem_start = r["start_key"]
+            elif j == 0:
+                # un-quantified first element: consume the run's LAST row.
+                consumed_len, consumed_val = F.lit(1), r["last_m"]
+                elem_start = r["end_key"]
+            elif j == last:
+                # un-quantified last element: consume the run's FIRST row.
+                consumed_len, consumed_val = F.lit(1), r["first_m"]
+                elem_start = r["start_key"]
+            else:
+                # un-quantified middle element: run must be exactly 1 row.
+                cond = cond & (r["len"] == 1)
+                consumed_len, consumed_val = F.lit(1), r["sv"]
+                elem_start = r["start_key"]
+            path_len = path_len + consumed_len
+            path_val = path_val + consumed_val
+            if j == 0:
+                start_key = elem_start
+        # All leads must exist (match cannot hang off the partition edge).
+        for j in range(1, len(elems)):
+            cond = cond & F.col(f"e{j}").isNotNull()
+        return seq.filter(cond).select(
+            partition_col,
+            start_key.cast("string").alias("path_start"),
+            path_len.cast("long").alias("path_len"),
+            path_val.cast("double").alias("path_value"),
+        )
 
-    return seq.filter(cond).select(
-        partition_col,
-        start_key.cast("string").alias("path_start"),
-        path_len.cast("long").alias("path_len"),
-        path_val.cast("double").alias("path_value"),
-    )
+    out = variant_matches(variants[0])
+    for v in variants[1:]:
+        # Variants differ in run-window SHAPE (element count / symbol list),
+        # so their match sets are disjoint — plain union, no dedup needed.
+        out = out.unionByName(variant_matches(v))
+    return out
 
 
 @register(

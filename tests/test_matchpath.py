@@ -151,3 +151,32 @@ def test_match_path_agrees_with_reference(spark, syms, pat):
         ).collect()
     )
     assert got == _ref_matches(vals, pat)
+
+
+def test_optional_question_quantifier(spark):
+    # HIGH+ LOW? MID: matches both with and without the dip row.
+    # seq A: H H M      -> variant 'HIGH+ MID' (LOW absent)
+    # seq B: H L M      -> variant 'HIGH+ LOW MID' (LOW present, 1 row)
+    assert _run(spark, [70, 80, 45], "HIGH+ LOW? MID") == [("0", 3, 195.0)]
+    assert _run(spark, [70, 10, 45], "HIGH+ LOW? MID") == [("0", 3, 125.0)]
+    # two-row dip: '?' means at most one row -> no match
+    assert _run(spark, [70, 10, 20, 45], "HIGH+ LOW? MID") == []
+
+
+def test_optional_star_quantifier(spark):
+    # HIGH+ LOW* MID: any-length dip, including none.
+    assert _run(spark, [70, 80, 45], "HIGH+ LOW* MID") == [("0", 3, 195.0)]
+    assert _run(spark, [70, 10, 20, 45], "HIGH+ LOW* MID") == [("0", 4, 145.0)]
+
+
+def test_star_collapse_variant_skipped(spark):
+    # HIGH+ LOW* HIGH+ with LOW absent collapses to HIGH+ HIGH+
+    # (unsatisfiable) — only the LOW-present variant runs.
+    assert _run(spark, [70, 10, 20, 80], "HIGH+ LOW* HIGH+") == [("0", 4, 180.0)]
+    assert _run(spark, [70, 80], "HIGH+ LOW* HIGH+") == []
+
+
+def test_all_variants_invalid_raises(spark):
+    with pytest.raises(ValueError, match="no satisfiable variant"):
+        match_path(_seq(spark, [1.0]), "u", ["t"], SYMBOLS(), "HIGH HIGH+",
+                   F.col("v"))
