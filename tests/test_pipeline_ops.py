@@ -99,3 +99,35 @@ def test_pack_sequences_bins_are_contiguous(run):
         # every bin except possibly the last holds >= 2048 tokens worth of
         # docs only if docs straddle; weaker invariant: all bins non-empty
         assert all(b.n_docs >= 1 for b in bins)
+
+
+def test_chunk_windows_invariants(spark, registry):
+    """Chunking contract on real docs: chunks tile every token (first chunk
+    starts at 0, consecutive chunks overlap by exactly context-stride except
+    a possibly-shorter last, last chunk ends at n), per doc."""
+    from tests.conftest import SF_DIR
+
+    rows = (
+        registry["text_chunk_windows"]
+        .build(spark, SF_DIR)
+        .collect()
+    )
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert by_doc
+    context, stride = 32, 24
+    for doc, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_no)
+        assert [c.chunk_no for c in chunks] == list(range(len(chunks)))
+        assert chunks[0].start_tok == 0
+        n = chunks[-1].start_tok + chunks[-1].chunk_len  # is_last ends at n
+        assert chunks[-1].is_last
+        for c in chunks[:-1]:
+            assert not c.is_last
+            assert c.chunk_len == min(context, n - c.start_tok)
+        for a, b in zip(chunks, chunks[1:]):
+            assert b.start_tok - a.start_tok == stride
+        # full coverage: every token index < n falls in some chunk
+        covered = max(c.start_tok + c.chunk_len for c in chunks)
+        assert covered == n
