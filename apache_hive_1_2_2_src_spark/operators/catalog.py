@@ -254,3 +254,68 @@ def ddl_stored_as_hive_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
             "USING PARQUET PARTITIONED BY (st)"
         )
     return _partitioned_lifecycle(spark, sf_dir, "_sthive", create)
+
+
+@register(
+    "ddl_show_describe",
+    oracle="""
+    SELECT TRUE AS db_listed, TRUE AS table_listed, 3 AS n_cols,
+           TRUE AS describe_has_types, TRUE AS fn_substr, TRUE AS fn_percentile,
+           TRUE AS fn_like_filtered, CAST(COUNT(*) AS BIGINT) AS src_rows
+    FROM nation
+    """,
+    doc="Introspection DDL dialect (DDLTask SHOW/DESCRIBE family — "
+    "SemanticAnalyzer routes SHOW DATABASES / SHOW TABLES [IN db] / SHOW "
+    "FUNCTIONS [LIKE] / DESCRIBE to metadata-only tasks): the statements "
+    "run verbatim in Spark SQL and the flags project their results — the "
+    "scratch db/table appear in their listings, DESCRIBE returns "
+    "name/type rows for every column, SHOW FUNCTIONS contains the Hive "
+    "function names (substr, percentile) and honors a LIKE pattern. "
+    "Metadata-only: the single data-touching column is the source-row "
+    "count reconciling the CTAS. All catalog results are tiny; the "
+    "collect-free flags ride one-row frames.",
+    tags=("catalog", "ddl", "sql"),
+)
+def ddl_show_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    db = _scratch_db(spark) + "_show"
+    _drop_db(spark, db)
+    spark.sql(f"CREATE DATABASE {db}")
+    try:
+        load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation_show_src")
+        spark.sql(
+            f"CREATE TABLE {db}.t_show USING PARQUET AS "
+            "SELECT n_nationkey, n_name, n_regionkey FROM nation_show_src"
+        )
+        db_listed = any(
+            r.namespace == db for r in spark.sql("SHOW DATABASES").collect()
+        )
+        table_listed = any(
+            r.tableName == "t_show"
+            for r in spark.sql(f"SHOW TABLES IN {db}").collect()
+        )
+        desc = spark.sql(f"DESCRIBE TABLE {db}.t_show").collect()
+        cols = {r.col_name: r.data_type for r in desc if not r.col_name.startswith("#")}
+        fns = {r.function for r in spark.sql("SHOW FUNCTIONS").collect()}
+        liked = {
+            r.function for r in spark.sql("SHOW FUNCTIONS LIKE 'perc*'").collect()
+        }
+        n_src = spark.table(f"{db}.t_show").count()
+    finally:
+        _drop_db(spark, db)
+    return spark.createDataFrame(
+        [
+            (
+                db_listed,
+                table_listed,
+                len(cols),
+                cols.get("n_name") == "string" and cols.get("n_nationkey") == "int",
+                "substr" in fns,
+                "percentile" in fns,
+                "percentile" in liked and "substr" not in liked,
+                n_src,
+            )
+        ],
+        "db_listed boolean, table_listed boolean, n_cols int, "
+        "describe_has_types boolean, fn_substr boolean, fn_percentile boolean, "
+        "fn_like_filtered boolean, src_rows bigint",
+    )
