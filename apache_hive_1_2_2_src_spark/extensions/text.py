@@ -837,3 +837,83 @@ def text_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cos >= 0.35)
         .select("doc_a", "doc_b", F.round(cos, 6).alias("cosine"))
     )
+
+
+@register(
+    "text_contamination_apply",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_SQL_WORDS} AS w FROM documents),
+    g AS (
+      SELECT doc_id,
+             UNNEST(list_distinct(list_transform(
+               generate_series(1, len(w) - 3),
+               i -> array_to_string(w[i:i+3], ' ')))) AS gram
+      FROM d
+    ),
+    eg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+    ratio AS (
+      SELECT t.doc_id,
+             COUNT(e.gram) * 1.0 / COUNT(*) AS r
+      FROM (SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 0) t
+      LEFT JOIN eg e ON t.gram = e.gram
+      GROUP BY t.doc_id
+    ),
+    train AS (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0),
+    verdict AS (
+      SELECT train.doc_id, COALESCE(ratio.r, 0) >= 0.25 AS drop_it
+      FROM train LEFT JOIN ratio USING (doc_id)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_train,
+           CAST(SUM(CASE WHEN drop_it THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           CAST(SUM(CASE WHEN NOT drop_it THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           MIN(CASE WHEN NOT drop_it THEN doc_id END) AS first_kept,
+           MAX(CASE WHEN drop_it THEN doc_id END) AS last_dropped
+    FROM verdict
+    """,
+    doc="Contamination APPLY + removal audit (the publishing step after "
+    "text_contamination_check, mirroring dedup_apply_keepers for the dedup "
+    "family): training docs whose contaminated-4-gram ratio >= 0.25 are "
+    "dropped; the audit reports train/dropped/kept counts plus boundary "
+    "ids, the reconciliation a pipeline gates a corpus release on "
+    "(n_dropped + n_kept == n_train is checkable from the output). Docs "
+    "too short to produce 4-grams have ratio 0 and are kept — pinned via "
+    "the COALESCE against the full training roster, so the apply step can "
+    "never silently drop unscored docs. Same broadcast-probe plan as the "
+    "check; one extra roster join, still a single groupBy shuffle.",
+    tags=("extension", "text", "ngrams"),
+)
+def text_contamination_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", _words().alias("w"))
+    grams4 = F.when(
+        F.size("w") >= 4,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - 3),
+                lambda i: F.array_join(F.slice(F.col("w"), i, F.lit(4)), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = d.select("doc_id", F.explode(grams4).alias("gram"))
+    eg = (
+        g.filter(F.col("doc_id") % 97 == 0)
+        .select("gram")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    ratio = (
+        g.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(eg), "gram", "left")
+        .groupBy("doc_id")
+        .agg((F.count("hit") * 1.0 / F.count(F.lit(1))).alias("r"))
+    )
+    train = d.filter(F.col("doc_id") % 97 != 0).select("doc_id")
+    verdict = train.join(ratio, "doc_id", "left").select(
+        "doc_id", (F.coalesce(F.col("r"), F.lit(0.0)) >= 0.25).alias("drop_it")
+    )
+    return verdict.agg(
+        F.count(F.lit(1)).alias("n_train"),
+        F.sum(F.when(F.col("drop_it"), 1).otherwise(0)).alias("n_dropped"),
+        F.sum(F.when(~F.col("drop_it"), 1).otherwise(0)).alias("n_kept"),
+        F.min(F.when(~F.col("drop_it"), F.col("doc_id"))).alias("first_kept"),
+        F.max(F.when(F.col("drop_it"), F.col("doc_id"))).alias("last_dropped"),
+    )
