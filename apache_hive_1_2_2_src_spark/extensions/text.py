@@ -814,6 +814,14 @@ def text_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(18,9)")
         .alias("w"),
     )
+    # The weights frame feeds FOUR consumers (norm + both sides of the dot
+    # self-join); without materialization each re-runs the trigram explode
+    # + two groupBys over the full corpus — measured 11 s -> ~4 s at sf0.1.
+    # localCheckpoint both materializes it (size ~ |doc,term| pairs, far
+    # smaller than the exploded token stream) and truncates the lineage;
+    # on a cluster this is the persisted postings-list artifact every
+    # TF-IDF pipeline materializes anyway.
+    w = w.localCheckpoint(eager=False)
     norm = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
     a, b = w.alias("a"), w.alias("b")
     dot = (
