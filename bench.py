@@ -42,6 +42,7 @@ HEADLINE = (
     "workload_min_cost_supplier",  # TPC-H Q2: correlated-min over derived partsupp (r6)
     "workload_important_stock",  # TPC-H Q11: global-threshold HAVING (r6)
     "ptf_matchpath_multisym",  # multi-symbol 'LOW HIGH+ LOW' matchpath (r6)
+    "text_tfidf_cosine",  # shingle TF-IDF cosine via capped inverted index (r6)
 )
 
 
