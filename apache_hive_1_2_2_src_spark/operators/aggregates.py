@@ -347,3 +347,40 @@ def agg_histogram_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@register(
+    "agg_percentile_array",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(ROUND(quantile_cont(o_orderkey, 0.25), 6) AS DOUBLE) AS p25,
+           CAST(ROUND(quantile_cont(o_orderkey, 0.50), 6) AS DOUBLE) AS p50,
+           CAST(ROUND(quantile_cont(o_orderkey, 0.75), 6) AS DOUBLE) AS p75,
+           CAST(ROUND(quantile_cont(o_orderkey, 0.99), 6) AS DOUBLE) AS p99
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="percentile(col, array(...)) — UDAFPercentile's ARRAY overload "
+    "(ql/udf/UDAFPercentile.java: one pass computes every requested "
+    "quantile from the same histogram, the form Hive users call for "
+    "latency dashboards): Spark's percentile(col, array(..)) likewise "
+    "returns array<double> from one aggregation buffer. The array is "
+    "unpacked to one aliased column per quantile so the driver's "
+    "canonicalizer sees scalar doubles (and DuckDB, which lacks the array "
+    "overload, mirrors with per-quantile quantile_cont — same exact "
+    "linear-interpolation definition). One shuffle, partial/final.",
+    tags=("agg", "stats"),
+)
+def agg_percentile_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    pcts = F.percentile("o_orderkey", F.array(*[F.lit(p) for p in (0.25, 0.5, 0.75, 0.99)]))
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(pcts.alias("ps"))
+        .select(
+            "o_orderstatus",
+            *[
+                F.round(F.col("ps")[i], 6).cast("double").alias(a)
+                for i, a in enumerate(("p25", "p50", "p75", "p99"))
+            ],
+        )
+    )
