@@ -562,3 +562,89 @@ def similarity_ann_ivf_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("query_id", "cand_id", F.round("cos", 6).alias("cosine"), "rk")
     )
+
+
+@register(
+    "similarity_knn_label_audit",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qe, label AS qlabel
+      FROM embeddings WHERE vec_id % 53 = 0
+    ),
+    scored AS (
+      SELECT qid, qlabel, e.vec_id AS cid, e.label AS clabel,
+             {_sql_cos('qe', 'e.embedding')} AS cos
+      FROM q JOIN embeddings e ON e.vec_id <> qid
+    ),
+    top10 AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                     ORDER BY cos DESC, cid) AS rk
+        FROM scored
+      ) WHERE rk <= 10
+    ),
+    votes AS (
+      SELECT qid, qlabel, clabel, COUNT(*) AS n
+      FROM top10 GROUP BY qid, qlabel, clabel
+    ),
+    winner AS (
+      SELECT qid, qlabel, clabel FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                     ORDER BY n DESC, clabel) AS vr
+        FROM votes
+      ) WHERE vr = 1
+    )
+    SELECT qlabel,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(CASE WHEN clabel = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct,
+           CAST(ROUND(SUM(CASE WHEN clabel = qlabel THEN 1 ELSE 0 END) * 1.0
+                      / COUNT(*), 6) AS DOUBLE) AS knn_accuracy
+    FROM winner GROUP BY qlabel
+    """,
+    doc="kNN label-coherence audit (the embedding-quality probe a curation "
+    "pipeline runs before trusting vectors for dedup/retrieval: if a "
+    "vector's 10 nearest neighbors rarely share its label, the embedding "
+    "space is too noisy to dedup against): a deterministic 1-in-53 query "
+    "sample, exact top-10 cosine neighbors per query (excluding self; "
+    "JVM zip_with/aggregate kernel, broadcast query side, per-query "
+    "window — the similarity_cosine_topk plan), majority label vote with "
+    "count-desc/label-asc tie-break, per-label accuracy. Every stage "
+    "deterministic: identical IEEE cosine on both engines, total-order "
+    "ranking keys, integer vote counts. Scale: the sample size (not the "
+    "corpus) bounds the scored pairs — |sample|x|corpus| cosines, the "
+    "exact-baseline path; swap the scored CTE for the banded ANN join "
+    "at billions of vectors.",
+    tags=("extension", "similarity"),
+)
+def similarity_knn_label_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 53 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("qlabel"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(e, F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "qlabel",
+            F.col("vec_id").alias("cid"),
+            F.col("label").alias("clabel"),
+            _cos(F.col("qe"), F.col("embedding")).alias("cos"),
+        )
+    )
+    rk = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "cid")
+    top10 = scored.withColumn("rk", F.row_number().over(rk)).filter(F.col("rk") <= 10)
+    votes = top10.groupBy("qid", "qlabel", "clabel").agg(F.count(F.lit(1)).alias("n"))
+    vr = Window.partitionBy("qid").orderBy(F.col("n").desc(), "clabel")
+    winner = votes.withColumn("vr", F.row_number().over(vr)).filter(F.col("vr") == 1)
+    correct = F.when(F.col("clabel") == F.col("qlabel"), 1).otherwise(0)
+    return winner.groupBy("qlabel").agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum(correct).alias("n_correct"),
+        F.round(F.sum(correct) * 1.0 / F.count(F.lit(1)), 6).alias("knn_accuracy"),
+    )
