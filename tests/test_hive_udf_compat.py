@@ -39,6 +39,26 @@ assert got == [1, 2]
 spark.sql("CREATE TEMPORARY FUNCTION hive_expl AS "
           "'org.apache.hadoop.hive.ql.udf.generic.GenericUDTFExplode'")
 assert [r.col for r in spark.sql("SELECT hive_expl(array(1,2))").collect()] == [1, 2]
+# XML family (ql/udf/xml/GenericUDFXPath.java)
+spark.sql("CREATE TEMPORARY FUNCTION hive_xpath AS "
+          "'org.apache.hadoop.hive.ql.udf.xml.GenericUDFXPath'")
+assert spark.sql(
+    "SELECT hive_xpath('<a><b>1</b><b>2</b></a>', '//b/text()') AS v"
+).collect()[0].v == ["1", "2"]
+# old-style math (ql/udf/UDFConv.java — base conversion)
+spark.sql("CREATE TEMPORARY FUNCTION hive_conv AS "
+          "'org.apache.hadoop.hive.ql.udf.UDFConv'")
+assert spark.sql("SELECT hive_conv('ff', 16, 10) AS v").collect()[0].v == "255"
+# UDTF stack (ql/udf/generic/GenericUDTFStack.java)
+spark.sql("CREATE TEMPORARY FUNCTION hive_stack AS "
+          "'org.apache.hadoop.hive.ql.udf.generic.GenericUDTFStack'")
+assert [r.col0 for r in spark.sql("SELECT hive_stack(2, 'a', 'b')").collect()] \
+    == ["a", "b"]
+# text tokenizer (ql/udf/generic/GenericUDFSentences.java)
+spark.sql("CREATE TEMPORARY FUNCTION hive_sent AS "
+          "'org.apache.hadoop.hive.ql.udf.generic.GenericUDFSentences'")
+assert spark.sql("SELECT hive_sent('Hi there. Bye.') AS v").collect()[0].v \
+    == [["Hi", "there"], ["Bye"]]
 print("HIVE_UDF_COMPAT_OK")
 """
 
