@@ -692,3 +692,56 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("p_event").alias("n_purchases"),
         F.countDistinct("c_user").alias("n_users"),
     )
+
+
+@register(
+    "streaming_partitioned_ingest",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    WHERE event_type IN ('click', 'purchase')
+    GROUP BY event_type
+    """,
+    doc="PARTITIONED streaming ingest (hcatalog-streaming's HiveEndPoint "
+    "targets a table PARTITION — ql/../HiveEndPoint.java takes partitionVals "
+    "— so partitioned landing is the reference's own ingest shape): "
+    "readStream over the staged events inbox → writeStream with "
+    "partitionBy(event_type) → a Hive-layout partitioned parquet sink "
+    "(event_type=click/ dirs), then a partition-PRUNED batch read of two "
+    "partitions reconciled against the source. The builder asserts the "
+    "sink directory really is hive-partitioned (partition dirs exist) so "
+    "the layout contract — what makes downstream partition pruning work — "
+    "is itself verified, not assumed. Exactly-once from the checkpoint; "
+    "at scale this is the landing-zone pattern for every event feed.",
+    tags=("streaming", "ingest", "partition"),
+)
+def streaming_partitioned_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _tmp_base("hive_spark_pingst_")
+    sink, ckpt = os.path.join(base, "sink"), os.path.join(base, "ckpt")
+    inbox = _stage_events_inbox(spark, sf_dir)
+    q = (
+        _read_events_stream(spark, inbox)
+        .writeStream.format("parquet")
+        .partitionBy("event_type")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(120):
+        q.stop()
+        raise RuntimeError("streaming_partitioned_ingest: drain exceeded 120 s")
+    part_dirs = {d for d in os.listdir(sink) if d.startswith("event_type=")}
+    if not {"event_type=click", "event_type=purchase"} <= part_dirs:
+        raise RuntimeError(
+            f"sink is not hive-partitioned by event_type: {sorted(part_dirs)}"
+        )
+    back = spark.read.parquet(sink).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
