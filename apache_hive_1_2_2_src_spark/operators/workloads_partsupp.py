@@ -349,3 +349,70 @@ def workload_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", "n_name")
         .distinct()
     )
+
+
+@register(
+    "workload_min_cost_supplier_sql",
+    oracle=f"""
+    WITH {PARTSUPP_SQL},
+    europe_offer AS (
+      SELECT ps_partkey, ps_suppkey, ps_cost_cents,
+             s_acctbal, s_name, n_name
+      FROM partsupp
+      JOIN supplier ON s_suppkey = ps_suppkey
+      JOIN nation   ON n_nationkey = s_nationkey
+      JOIN region   ON r_regionkey = n_regionkey
+      WHERE r_name = 'EUROPE'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+           CAST(ps_cost_cents AS DOUBLE) / 100 AS ps_supplycost
+    FROM europe_offer
+    JOIN part ON p_partkey = ps_partkey
+    WHERE p_size <= 15 AND p_type = 'LARGE'
+      AND ps_cost_cents = (
+        SELECT MIN(e2.ps_cost_cents) FROM europe_offer e2
+        WHERE e2.ps_partkey = p_partkey
+      )
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+    doc="TPC-H Q2, LITERAL SQL-text form (SURVEY §3 entry-point parity — "
+    "the HiveQL a reference user actually types, correlated scalar "
+    "subquery included): the same statement text the DuckDB oracle runs "
+    "is executed via spark.sql over temp views, with the derived partsupp "
+    "registered as a view so the correlated `ps_supplycost = (SELECT "
+    "MIN(..) WHERE ps_partkey = p_partkey)` is planned by Catalyst's own "
+    "scalar-subquery decorrelation (RewriteCorrelatedScalarSubquery -> "
+    "an aggregate + join, the same shape the DSL twin "
+    "workload_min_cost_supplier builds by hand with a window). Same "
+    "result set as the DSL form — both graded.",
+    tags=("workload", "join", "subquery", "partsupp", "sql"),
+)
+def workload_min_cost_supplier_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    derived_partsupp(spark, sf_dir).createOrReplaceTempView("partsupp_q2sql")
+    for t in ("part", "supplier", "nation", "region"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_q2sql")
+    return spark.sql(
+        """
+        WITH europe_offer AS (
+          SELECT ps_partkey, ps_suppkey, ps_cost_cents,
+                 s_acctbal, s_name, n_name
+          FROM partsupp_q2sql
+          JOIN supplier_q2sql ON s_suppkey = ps_suppkey
+          JOIN nation_q2sql   ON n_nationkey = s_nationkey
+          JOIN region_q2sql   ON r_regionkey = n_regionkey
+          WHERE r_name = 'EUROPE'
+        )
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+               CAST(ps_cost_cents AS DOUBLE) / 100 AS ps_supplycost
+        FROM europe_offer
+        JOIN part_q2sql ON p_partkey = ps_partkey
+        WHERE p_size <= 15 AND p_type = 'LARGE'
+          AND ps_cost_cents = (
+            SELECT MIN(e2.ps_cost_cents) FROM europe_offer e2
+            WHERE e2.ps_partkey = p_partkey
+          )
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100
+        """
+    )
