@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F  # noqa: F401  (kept for parity with sibling modules)
@@ -318,4 +319,139 @@ def ddl_show_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "db_listed boolean, table_listed boolean, n_cols int, "
         "describe_has_types boolean, fn_substr boolean, fn_percentile boolean, "
         "fn_like_filtered boolean, src_rows bigint",
+    )
+
+@register(
+    "ddl_view_lifecycle",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS acctbal_cents,
+           TRUE AS view_expanded, TRUE AS dropped_ok
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    doc="View lifecycle (SemanticAnalyzer.genResolvedParseTree view "
+    "expansion; CreateViewDesc / DDLTask CREATE VIEW — SURVEY §1.1 'View' "
+    "row): CREATE VIEW over a managed base table, then INSERT more rows "
+    "into the BASE and re-read through the view. Hive 1.2 views are "
+    "non-materialized stored SQL text expanded at plan time, so the second "
+    "read MUST see the new rows — the `view_expanded` flag asserts exactly "
+    "that (per-segment counts through the view equal the full source after "
+    "the post-CREATE insert). ALTER VIEW AS re-definition and DROP VIEW "
+    "close the lifecycle. Metadata-plane except the two tiny aggregates; "
+    "the result rides the view's own aggregate frame (no payload collect).",
+    tags=("catalog", "ddl", "view", "sql"),
+)
+def ddl_view_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    db = _scratch_db(spark) + "_view"
+    _drop_db(spark, db)
+    spark.sql(f"CREATE DATABASE {db}")
+    try:
+        load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_view_src")
+        base = f"{db}.customer_base"
+        view = f"{db}.seg_summary"
+        # CTAS half the base table, define the view, then insert the rest:
+        # a materialized view would be stale; an expanded view cannot be.
+        spark.sql(
+            f"CREATE TABLE {base} USING PARQUET AS "
+            "SELECT * FROM customer_view_src WHERE c_custkey % 2 = 0"
+        )
+        spark.sql(
+            f"CREATE VIEW {view} AS "
+            "SELECT c_mktsegment, COUNT(*) AS n_customers, "
+            "SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) AS acctbal_cents "
+            f"FROM {base} GROUP BY c_mktsegment"
+        )
+        spark.sql(f"INSERT INTO {base} SELECT * FROM customer_view_src WHERE c_custkey % 2 = 1")
+        # ALTER VIEW AS: redefine to the same text (dialect acceptance).
+        spark.sql(
+            f"ALTER VIEW {view} AS "
+            "SELECT c_mktsegment, COUNT(*) AS n_customers, "
+            "SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) AS acctbal_cents "
+            f"FROM {base} GROUP BY c_mktsegment"
+        )
+        through_view = spark.table(view)
+        n_via_view = through_view.agg(F.sum("n_customers")).collect()[0][0]
+        n_src = spark.table("customer_view_src").count()
+        view_expanded = bool(n_via_view == n_src)
+        result = [
+            (r.c_mktsegment, r.n_customers, r.acctbal_cents)
+            for r in through_view.collect()
+        ]
+        spark.sql(f"DROP VIEW {view}")
+        dropped_ok = not any(
+            t.name == "seg_summary" for t in spark.catalog.listTables(db)
+        )
+    finally:
+        _drop_db(spark, db)
+    return spark.createDataFrame(
+        [(seg, n, cents, view_expanded, dropped_ok) for seg, n, cents in result],
+        "c_mktsegment string, n_customers bigint, acctbal_cents bigint, "
+        "view_expanded boolean, dropped_ok boolean",
+    )
+
+
+@register(
+    "msck_repair_partitions",
+    oracle="""
+    SELECT o_orderstatus AS st,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           0 AS pre_repair_rows,
+           TRUE AS repaired
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    doc="Partition discovery: MSCK REPAIR TABLE (Hive's "
+    "HiveMetaStoreChecker / DDLTask.msck — `ql/metadata/"
+    "HiveMetaStoreChecker.java` walks the filesystem and adds unregistered "
+    "partition dirs to the metastore). Files are written OUT OF BAND "
+    "(df.write.partitionBy straight to a directory, no catalog involved — "
+    "exactly the 'upstream job dropped files into the warehouse' scenario), "
+    "an external partitioned table is created over the location, and the "
+    "pre-repair read proves the catalog sees ZERO partitions; MSCK REPAIR "
+    "TABLE then discovers every st=... directory and the per-partition "
+    "counts reconcile against the source. This is the standard Hive "
+    "operational idiom for ingest at scale: partition discovery is a "
+    "metadata-plane directory walk, never a data scan.",
+    tags=("catalog", "ddl", "partition", "sql"),
+)
+def msck_repair_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    db = _scratch_db(spark) + "_msck"
+    _drop_db(spark, db)
+    loc = tempfile.mkdtemp(prefix="hive_spark_msck_")
+    spark.sql(f"CREATE DATABASE {db}")
+    try:
+        orders = load_table(spark, sf_dir, "orders")
+        # Out-of-band write: partition layout on disk, catalog unaware.
+        (
+            orders.select(
+                "o_orderkey", "o_totalprice", F.col("o_orderstatus").alias("st")
+            )
+            .repartition("st")
+            .write.mode("overwrite")
+            .partitionBy("st")
+            .parquet(loc)
+        )
+        tbl = f"{db}.orders_ext"
+        spark.sql(
+            f"CREATE TABLE {tbl} (o_orderkey BIGINT, o_totalprice DOUBLE, st STRING) "
+            f"USING PARQUET PARTITIONED BY (st) LOCATION '{loc}'"
+        )
+        pre_repair_rows = spark.table(tbl).count()  # 0: no partitions known
+        spark.sql(f"MSCK REPAIR TABLE {tbl}")
+        repaired = spark.sql(f"SHOW PARTITIONS {tbl}").count() > 0
+        per_part = (
+            spark.table(tbl)
+            .groupBy("st")
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .withColumn("pre_repair_rows", F.lit(int(pre_repair_rows)).cast("int"))
+            .withColumn("repaired", F.lit(bool(repaired)))
+        )
+        out = per_part.collect()  # tiny: one row per partition (3)
+    finally:
+        _drop_db(spark, db)
+        shutil.rmtree(loc, ignore_errors=True)
+    return spark.createDataFrame(
+        out, "st string, n_rows bigint, pre_repair_rows int, repaired boolean"
     )

@@ -512,3 +512,58 @@ def cluster_by_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("n_rows"),
         (F.min(F.col("sorted_ok").cast("int")) == 1).alias("all_sorted"),
     )
+
+
+@register(
+    "cte_with_clause_sql",
+    oracle="""
+    WITH active_cust AS (
+        SELECT c_custkey, c_mktsegment
+        FROM customer
+        WHERE c_acctbal > 0
+    ),
+    seg_revenue AS (
+        SELECT a.c_mktsegment,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue
+        FROM active_cust a JOIN orders o ON o.o_custkey = a.c_custkey
+        GROUP BY a.c_mktsegment
+    )
+    SELECT c_mktsegment, n_orders, revenue
+    FROM seg_revenue
+    ORDER BY c_mktsegment
+    """,
+    doc="Common Table Expressions — literal `WITH x AS (...), y AS (...)` "
+    "HiveQL (HIVE-1180; `ql/parse/SemanticAnalyzer` gathers CTE subqueries "
+    "and inlines them at plan time — 1.2 CTEs are pure plan-time macros, "
+    "never materialized). Spark SQL accepts the clause verbatim and "
+    "Catalyst likewise inlines the CTE bodies, so the second CTE "
+    "referencing the first (a chained CTE) collapses into one join+agg "
+    "plan with the filter pushed into the customer scan. Decimal-exact "
+    "revenue per the registry's parallel-sum determinism rule.",
+    tags=("relational", "sql", "cte"),
+)
+def cte_with_clause_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_cte")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_cte")
+    return spark.sql(
+        """
+        WITH active_cust AS (
+            SELECT c_custkey, c_mktsegment
+            FROM customer_cte
+            WHERE c_acctbal > 0
+        ),
+        seg_revenue AS (
+            SELECT a.c_mktsegment,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS revenue
+            FROM active_cust a JOIN orders_cte o ON o.o_custkey = a.c_custkey
+            GROUP BY a.c_mktsegment
+        )
+        SELECT c_mktsegment, n_orders, revenue
+        FROM seg_revenue
+        ORDER BY c_mktsegment
+        """
+    )
