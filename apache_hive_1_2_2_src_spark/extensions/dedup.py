@@ -815,3 +815,96 @@ def dedup_apply_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_removed",
         (F.col("n_docs") - F.col("n_removed")).alias("n_kept"),
     )
+
+
+@register(
+    "dedup_substring_spans",
+    # Token-8-gram analogue of ExactSubstr dedup (Lee et al. 2022,
+    # "Deduplicating Training Data Makes Language Models Better"): any
+    # repeated verbatim span of >= 8 tokens across two documents must
+    # contain a repeated 8-gram, so flagging positions whose 8-gram occurs
+    # in >= 2 distinct docs finds every such span (k-gram inverted index ==
+    # the MapReduce form of their suffix-array method, exact for spans >= k).
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, array_to_string(w[i:i+7], ' ') AS gram
+      FROM toks, UNNEST(range(1, len(w) - 8 + 2)) AS t(i)
+      WHERE len(w) >= 8
+    ),
+    dup AS (
+      SELECT gram FROM grams GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    per_doc AS (
+      SELECT g.doc_id,
+             COUNT(*) AS n_grams,
+             COUNT(d.gram) AS n_dup_grams
+      FROM grams g LEFT JOIN dup d ON g.gram = d.gram
+      GROUP BY g.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(p.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+           COALESCE(2 * p.n_dup_grams >= p.n_grams, FALSE) AS half_duplicated
+    FROM toks t LEFT JOIN per_doc p ON t.doc_id = p.doc_id
+    """,
+    doc="Exact duplicated-SPAN detection (beyond-reference; Lee et al. 2022 "
+    "ExactSubstr): per document, how many token-8-gram positions lie inside "
+    "a span that also appears verbatim in ANOTHER document. Spark plan: "
+    "positional 8-grams via codegen transform+explode (one narrow pass), "
+    "groupBy gram with partial aggregation to find corpus-duplicated grams "
+    "(COUNT(DISTINCT doc_id) >= 2), then one equi-join back — the right "
+    "side is pre-aggregated to one row per gram so AQE's skew split "
+    "handles hot grams and nothing is quadratic. At 100 TB you key the "
+    "index by xxhash64(gram) (8-byte shuffle keys, collision-safe for "
+    "counting) instead of the gram text — text keys kept here so the "
+    "DuckDB oracle can recompute the identical index. Short docs (< 8 "
+    "tokens) surface with zero grams via the final left join, and "
+    "`half_duplicated` is the integer-exact 2*dup >= total policy bit a "
+    "curation pipeline would drop documents on.",
+    tags=("extension", "dedup", "pipeline"),
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = 8
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", _words().alias("w"))
+    idx = F.sequence(F.lit(0), F.size("w") - k)
+    gram = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(F.col("w"), i + F.lit(j + 1)) for j in range(k)]
+        ),
+    )
+    grams = (
+        toks.where(F.size("w") >= k)
+        .select("doc_id", F.explode(gram).alias("gram"))
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("gram", F.lit(1).alias("is_dup"))
+    )
+    per_doc = (
+        grams.join(dup, "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("is_dup").alias("n_dup_grams"),
+        )
+    )
+    return (
+        toks.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_dup_grams", F.lit(0)).cast("long").alias("n_dup_grams"),
+            F.coalesce(
+                2 * F.col("n_dup_grams") >= F.col("n_grams"), F.lit(False)
+            ).alias("half_duplicated"),
+        )
+    )

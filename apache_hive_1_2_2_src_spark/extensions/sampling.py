@@ -329,3 +329,60 @@ def sample_split_train_val(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(leak))
         .select("split", "n_docs", "n_tokens", "n_shared_texts")
     )
+
+
+@register(
+    "sample_token_budget",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source, n_chars, len({_SQL_WORDS}) AS n_tok
+      FROM documents
+    ),
+    c AS (
+      SELECT source, doc_id, n_tok,
+             SUM(n_tok) OVER (
+               PARTITION BY source ORDER BY n_chars DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM d
+    ),
+    sel AS (SELECT * FROM c WHERE cum <= 200)
+    SELECT source,
+           COUNT(*) AS n_selected,
+           CAST(SUM(n_tok) AS BIGINT) AS tokens_selected,
+           MAX(cum) <= 200 AS within_budget
+    FROM sel
+    GROUP BY source
+    """,
+    doc="Token-budget corpus selection (beyond-reference): fill a fixed "
+    "per-source token budget with the 'best' documents first — the mix-"
+    "construction step that turns a curated corpus plus a sampling recipe "
+    "('at most N tokens from each source, prefer longer docs') into the "
+    "actual training set. Deterministic greedy prefix: docs rank by "
+    "(n_chars DESC, doc_id) per source, a running-sum window computes the "
+    "inclusive cumulative token count, and the prefix with cum <= budget "
+    "is kept — pure window + filter, one shuffle keyed by source, no RNG. "
+    "At 100 TB the quality proxy comes from the scored table and the "
+    "window keys by (source, shard) so no single source serializes into "
+    "one partition — same structure as pipeline_pack_sequences. Output is "
+    "the per-source audit a pipeline asserts before shipping (doc count, "
+    "tokens used, budget respected); integer math end to end.",
+    tags=("extension", "sampling", "pipeline"),
+)
+def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    budget = 200
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars", F.size(_words()).alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sel = d.withColumn("cum", F.sum("n_tok").over(w)).where(F.col("cum") <= budget)
+    return sel.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_selected"),
+        F.sum("n_tok").cast("long").alias("tokens_selected"),
+        (F.max("cum") <= budget).alias("within_budget"),
+    )
