@@ -159,3 +159,149 @@ def test_multisym_matchpath_single_window_exchange(plans):
     # detail "(n) Exchange"); count the tree form only.
     p = plans("ptf_matchpath_multisym")
     assert p.count("Exchange (") == 1, p.count("Exchange (")
+
+
+def test_runtime_bloom_filter_semijoin_pushdown(spark):
+    """Spark's runtime row-level filter (SPARK-32268): a selective dim-side
+    predicate on a shuffle join materializes a bloom_filter_agg over the
+    dim keys and injects might_contain() into the FACT scan's filter — the
+    100 TB semi-join-reduction lever when the fact side is too big to
+    benefit from broadcast alone. Thresholds are production-tuned (10 GB
+    application side), so the test lowers them to demonstrate the same
+    injection on test data."""
+    from pyspark.sql import functions as F
+
+    from apache_hive_1_2_2_src_spark.plans import plan_text
+    from apache_hive_1_2_2_src_spark.tables import load_table
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        dim = (
+            load_table(spark, SF_DIR, "orders")
+            .where(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_orderkey")
+        )
+        fact = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+        j = fact.join(dim, fact.l_orderkey == dim.o_orderkey).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        p = plan_text(j)
+        assert "might_contain" in p and "bloom_filter_agg" in p
+        # The runtime filter must not change the answer.
+        n_filtered = j.collect()[0].n
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    n_plain = (
+        load_table(spark, SF_DIR, "lineitem")
+        .join(
+            load_table(spark, SF_DIR, "orders").where(
+                F.col("o_orderpriority") == "1-URGENT"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .count()
+    )
+    assert n_filtered == n_plain
+
+
+def test_aqe_skew_join_split(spark):
+    """AQE skew-join splitting (SURVEY §2.3 'skew join [–] engine-internal'
+    — Hive's GenMRSkewJoinProcessor conditional task, replaced wholesale by
+    `spark.sql.adaptive.skewJoin`): a hot join key must show up in the
+    FINAL adaptive plan as SortMergeJoin(skew=true) with an
+    'AQEShuffleRead … skewed' child, and the answer must equal the
+    unsplit join's. Two production-relevant subtleties this test pins:
+    (1) thresholds are byte-based on MAP OUTPUT sizes, so tiny/compressible
+    test partitions need lowered thresholds; (2) a skewed reduce partition
+    can only be split at map-output granularity — a single data-bearing
+    mapper (one parquet row-group) makes the hot partition UNSPLITTABLE,
+    which is why the inputs are repartitioned first (on a cluster the scan
+    has thousands of mappers and this never binds)."""
+    from pyspark.sql import functions as F
+
+    from apache_hive_1_2_2_src_spark.tables import load_table
+
+    # sf0.01, not the default sf0.001: the skew detector compares COMPRESSED
+    # map-output bytes, and the sf0.001 hot partition compresses under any
+    # sane threshold.
+    sf_dir = SF_DIR.replace("sf0.001", "sf0.01")
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+    )
+    saved = {k: spark.conf.get(k) for k in keys}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2KB")
+
+        def skewed(df, key):
+            # ~2/3 of all rows collapse onto join key 0 — the hot key.
+            return df.withColumn(
+                "k",
+                F.when(F.col(key) % 3 != 0, F.lit(0)).otherwise(F.col(key)),
+            )
+
+        l = (
+            skewed(load_table(spark, sf_dir, "lineitem"), "l_orderkey")
+            .repartition(16)
+            .select("k", "l_extendedprice")
+        )
+        o = (
+            skewed(
+                load_table(spark, sf_dir, "orders").where(
+                    F.col("o_orderkey") % 50 == 0
+                ),
+                "o_orderkey",
+            )
+            .repartition(4)
+            .select("k", "o_totalprice")
+        )
+        res = l.join(o, "k").groupBy().agg(F.count(F.lit(1)).alias("n"))
+        n_skew_run = res.collect()[0].n
+        ep = res._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in ep, ep
+        assert "skewed" in ep  # AQEShuffleRead child marked skewed
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    # Same join under default confs (no split) — answers must agree.
+    l2 = (
+        load_table(spark, sf_dir, "lineitem")
+        .withColumn(
+            "k",
+            F.when(F.col("l_orderkey") % 3 != 0, F.lit(0)).otherwise(
+                F.col("l_orderkey")
+            ),
+        )
+        .select("k")
+    )
+    o2 = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 50 == 0)
+        .withColumn(
+            "k",
+            F.when(F.col("o_orderkey") % 3 != 0, F.lit(0)).otherwise(
+                F.col("o_orderkey")
+            ),
+        )
+        .select("k")
+    )
+    assert n_skew_run == l2.join(o2, "k").count()
