@@ -567,3 +567,63 @@ def cte_with_clause_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c_mktsegment
         """
     )
+
+
+@register(
+    "order_nulls_suite",
+    oracle="""
+    WITH v AS (
+      SELECT CASE WHEN c_acctbal < 500 THEN NULL
+                  ELSE CAST(c_acctbal AS DOUBLE) END AS val,
+             c_custkey
+      FROM customer
+    )
+    SELECT * FROM (
+      SELECT 'asc_default' AS phase, val, c_custkey
+      FROM v ORDER BY val ASC NULLS FIRST, c_custkey LIMIT 30
+    )
+    UNION ALL
+    SELECT * FROM (
+      SELECT 'desc_default' AS phase, val, c_custkey
+      FROM v ORDER BY val DESC NULLS LAST, c_custkey LIMIT 30
+    )
+    """,
+    doc="NULL ordering contract (SemanticAnalyzer sort spec; Hive 1.2 has "
+    "no NULLS FIRST/LAST syntax — the FIXED rule is ASC => NULLs first, "
+    "DESC => NULLs last, `ReduceSinkOperator` key comparators): Spark's "
+    "DEFAULT sort directions implement exactly Hive's rule, so the Spark "
+    "side uses plain .asc()/ordinal DESC with no null-ordering clause and "
+    "the oracle must OPT IN explicitly (DuckDB defaults to NULLS LAST on "
+    "ASC — the divergence this suite pins). The asc half selects the "
+    "top-30 under a null-heavy column: its row SET certifies nulls sorted "
+    "first; both halves are ORDER BY+LIMIT => TakeOrderedAndProject "
+    "(scale-safe top-k, no global sort). The desc half runs as literal "
+    "SQL with POSITIONAL `ORDER BY 2 DESC, 3` (the "
+    "hive.orderby.position.alias dialect, on by default in Spark).",
+    tags=("sort", "nulls", "sql"),
+)
+def order_nulls_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    v = c.select(
+        F.when(F.col("c_acctbal") < 500, F.lit(None))
+        .otherwise(F.col("c_acctbal"))
+        .cast("double")
+        .alias("val"),
+        "c_custkey",
+    )
+    asc_half = (
+        v.select(F.lit("asc_default").alias("phase"), "val", "c_custkey")
+        # Spark/Hive default: ASC sorts NULLs FIRST — no explicit clause.
+        .orderBy(F.col("val").asc(), F.col("c_custkey"))
+        .limit(30)
+    )
+    v.createOrReplaceTempView("order_nulls_v")
+    desc_half = spark.sql(
+        """
+        SELECT 'desc_default' AS phase, val, c_custkey
+        FROM order_nulls_v
+        ORDER BY 2 DESC, 3
+        LIMIT 30
+        """
+    )
+    return asc_half.unionAll(desc_half)

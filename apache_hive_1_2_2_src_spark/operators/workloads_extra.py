@@ -609,3 +609,92 @@ def workload_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum_exact(F.col("amount"), "sum_profit"))
         .orderBy("nation", F.col("o_year").desc())
     )
+
+
+@register(
+    "workload_scd2_dimension",
+    oracle="""
+    WITH ordered AS (
+      SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+             LAG(o_orderstatus) OVER w AS prev_status
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN prev_status IS NULL
+                       OR prev_status <> o_orderstatus THEN 1 ELSE 0 END AS chg
+      FROM ordered
+    ),
+    grouped AS (
+      SELECT *, SUM(chg) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey
+                               ROWS UNBOUNDED PRECEDING) AS grp
+      FROM flagged
+    ),
+    islands AS (
+      SELECT o_custkey, o_orderstatus AS status, grp,
+             MIN(o_orderdate) AS valid_from_ts,
+             COUNT(*) AS n_orders
+      FROM grouped
+      GROUP BY o_custkey, o_orderstatus, grp
+    ),
+    versioned AS (
+      SELECT o_custkey, status, n_orders, valid_from_ts,
+             LEAD(valid_from_ts) OVER (PARTITION BY o_custkey
+                                       ORDER BY valid_from_ts, grp) AS valid_to_ts
+      FROM islands
+    )
+    SELECT o_custkey AS c_custkey, status,
+           CAST(valid_from_ts AS DATE) AS valid_from,
+           CAST(valid_to_ts AS DATE) AS valid_to,
+           valid_to_ts IS NULL AS is_current,
+           CAST(n_orders AS BIGINT) AS n_orders
+    FROM versioned
+    """,
+    doc="SCD Type-2 dimension build from a change log (the standard "
+    "Hive-warehouse pattern users run as a multi-stage INSERT OVERWRITE — "
+    "SemanticAnalyzer window path + `ql/udf/generic/GenericUDFLag.java`): "
+    "collapse each customer's order-status stream into versioned validity "
+    "ranges. Gaps-and-islands: lag() marks status changes, a running sum "
+    "numbers the islands, per-island MIN(date) opens the version, lead() "
+    "over versions closes it, NULL close = current row. All three window "
+    "passes share ONE hash partitioning on o_custkey (no extra exchange "
+    "between lag, running sum, and lead), then a groupBy on the same key — "
+    "at 100 TB this is a single shuffle of the change log plus partial "
+    "aggregation; nothing global, nothing on the driver.",
+    tags=("workload", "window", "scd2"),
+)
+def workload_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    seq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    flagged = o.select(
+        "o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey"
+    ).withColumn(
+        "chg",
+        F.when(
+            F.lag("o_orderstatus").over(seq).isNull()
+            | (F.lag("o_orderstatus").over(seq) != F.col("o_orderstatus")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    grouped = flagged.withColumn(
+        "grp", F.sum("chg").over(seq.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    islands = grouped.groupBy(
+        "o_custkey", F.col("o_orderstatus").alias("status"), "grp"
+    ).agg(
+        F.min("o_orderdate").alias("valid_from_ts"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    ver = Window.partitionBy("o_custkey").orderBy("valid_from_ts", "grp")
+    versioned = islands.withColumn(
+        "valid_to_ts", F.lead("valid_from_ts").over(ver)
+    )
+    return versioned.select(
+        F.col("o_custkey").alias("c_custkey"),
+        "status",
+        F.col("valid_from_ts").cast("date").alias("valid_from"),
+        F.col("valid_to_ts").cast("date").alias("valid_to"),
+        F.col("valid_to_ts").isNull().alias("is_current"),
+        F.col("n_orders").cast("long").alias("n_orders"),
+    )
