@@ -113,3 +113,29 @@ def test_token_budget_greedy_prefix(spark, registry):
         assert r.first_excluded_cum > budget
         if r.source in audit:
             assert audit[r.source].tokens_selected <= budget
+
+
+def test_incremental_lsh_equals_restricted_full(spark):
+    """The incremental candidate restriction must lose nothing: pairs from
+    is_new-mode LSH == full-corpus LSH pairs restricted to those involving
+    a new doc. (Materialize the first result before the second call — the
+    pinned-index contract releases the previous index.)"""
+    from pyspark.sql import functions as F
+
+    from apache_hive_1_2_2_src_spark.extensions.dedup import (
+        _words,
+        minhash_lsh_pairs,
+    )
+    from apache_hive_1_2_2_src_spark.tables import load_table
+
+    d = load_table(spark, SF_DIR, "documents").select("doc_id", _words().alias("w"))
+    full = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(d).collect()
+        if r.doc_a % 7 == 0 or r.doc_b % 7 == 0
+    }
+    inc = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(d, is_new=F.col("doc_id") % 7 == 0).collect()
+    }
+    assert inc == full
