@@ -43,6 +43,9 @@ HEADLINE = (
     "workload_important_stock",  # TPC-H Q11: global-threshold HAVING (r6)
     "ptf_matchpath_multisym",  # multi-symbol 'LOW HIGH+ LOW' matchpath (r6)
     "text_tfidf_cosine",  # shingle TF-IDF cosine via capped inverted index (r6)
+    "dedup_substring_spans",  # token-8-gram ExactSubstr span index (r6 cont.)
+    "dedup_incremental_batch",  # probe-restricted LSH, daily-ingest shape (r6 cont.)
+    "workload_scd2_dimension",  # SCD2 build, 3 window passes / 1 shuffle (r6 cont.)
 )
 
 
