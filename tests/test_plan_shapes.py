@@ -305,3 +305,36 @@ def test_aqe_skew_join_split(spark):
         .select("k")
     )
     assert n_skew_run == l2.join(o2, "k").count()
+
+
+def test_scd2_single_exchange(plans):
+    # lag-flag, island running sum, per-island groupBy, and version lead()
+    # must all ride ONE hash partitioning on o_custkey — exactly one
+    # Exchange in the whole plan (tree form counted, as in the matchpath
+    # test).
+    p = plans("workload_scd2_dimension")
+    assert p.count("Exchange (") == 1, p.count("Exchange (")
+
+
+def test_cte_inlines_with_pushdown_and_broadcast(plans):
+    # Catalyst must inline the chained CTEs: the c_acctbal filter reaches
+    # the customer parquet scan and the filtered dim broadcasts into the
+    # orders join — no materialization barrier, no cartesian.
+    p = plans("cte_with_clause_sql")
+    assert "PushedFilters" in p and "GreaterThan(c_acctbal,0.0)" in p
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_substring_spans_no_cartesian(plans):
+    # gram index joins are equi-joins end to end; the dup-gram side is
+    # pre-aggregated so hot grams are AQE's problem, never a cartesian.
+    p = plans("dedup_substring_spans")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_incremental_dedup_no_cartesian(plans):
+    p = plans("dedup_incremental_batch")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
