@@ -386,3 +386,69 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tok").cast("long").alias("tokens_selected"),
         (F.max("cum") <= budget).alias("within_budget"),
     )
+
+
+@register(
+    "pipeline_corpus_diff",
+    oracle="""
+    WITH v1 AS (SELECT doc_id, text, source FROM documents),
+    v2 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text,
+             source
+      FROM documents WHERE doc_id % 13 <> 0
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id, text || ' new' AS text, source
+      FROM documents WHERE doc_id % 17 = 0
+    ),
+    diff AS (
+      SELECT COALESCE(v1.source, v2.source) AS source,
+             CASE WHEN v1.doc_id IS NULL THEN 'added'
+                  WHEN v2.doc_id IS NULL THEN 'removed'
+                  WHEN v1.text <> v2.text THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+    )
+    SELECT source, status, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM diff GROUP BY source, status
+    """,
+    doc="Corpus-version diff audit (beyond-reference; the CDC primitive "
+    "behind dataset versioning — what changed between corpus v1 and v2 "
+    "before retraining): FULL OUTER join on doc_id classifies every doc "
+    "added / removed / changed / unchanged, rolled up per source. v2 is "
+    "derived deterministically from v1 in BOTH engines (drop %13, mutate "
+    "%11, add %17 under shifted ids) so the diff logic itself is what the "
+    "oracle certifies. One key-partitioned full-outer join + partial-agg "
+    "rollup: at 100 TB compare xxhash64(text) instead of text (8-byte "
+    "compare, same classification) and the join co-partitions on the id — "
+    "no broadcast, no skew (ids are unique).",
+    tags=("extension", "pipeline", "versioning"),
+)
+def pipeline_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    v1 = d
+    v2 = d.where(F.col("doc_id") % 13 != 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 11 == 0, F.concat("text", F.lit(" v2")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "source",
+    ).unionAll(
+        d.where(F.col("doc_id") % 17 == 0).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.concat("text", F.lit(" new")).alias("text"),
+            "source",
+        )
+    )
+    a, b = v1.alias("a"), v2.alias("b")
+    diff = a.join(b, F.col("a.doc_id") == F.col("b.doc_id"), "full_outer").select(
+        F.coalesce(F.col("a.source"), F.col("b.source")).alias("source"),
+        F.when(F.col("a.doc_id").isNull(), "added")
+        .when(F.col("b.doc_id").isNull(), "removed")
+        .when(F.col("a.text") != F.col("b.text"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )
+    return diff.groupBy("source", "status").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
