@@ -467,3 +467,83 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST(SUM(CAST(o_totalprice AS {DEC})) {frame} AS DOUBLE)"
         " AS sum_within_1000",
     )
+
+
+@register(
+    "events_sessionize",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us
+      FROM events
+    ),
+    gapped AS (
+      SELECT user_id, event_id, ts_us,
+             CASE WHEN LAG(ts_us) OVER w IS NULL
+                    OR ts_us - LAG(ts_us) OVER w > 43200000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ),
+    numbered AS (
+      SELECT user_id, event_id, ts_us,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gapped
+    )
+    SELECT user_id,
+           CAST(session_id AS BIGINT) AS session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(ts_us) AS BIGINT) AS start_us,
+           CAST(MAX(ts_us) AS BIGINT) AS end_us,
+           CAST((MAX(ts_us) - MIN(ts_us)) // 1000000 AS BIGINT) AS duration_s
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+    doc="Batch sessionization (time-gap gaps-and-islands — the classic "
+    "clickstream shape Hive users build with lag + running sum, "
+    "`GenericUDFLag.java` + windowing spec; the streaming twin is "
+    "window_session_agg's native session window): a gap > 12 h between a "
+    "user's consecutive events opens a new session; sessions get dense "
+    "per-user ids from a running sum over the change flag, then one "
+    "groupBy emits per-session stats. All time math is integer "
+    "MICROSECONDS (unix_micros/epoch_us) so both engines compare and "
+    "subtract exactly — no float seconds, no timestamp output columns. "
+    "lag, running sum, and the session groupBy all ride ONE hash "
+    "partitioning on user_id (plan-asserted) — at 100 TB this is a single "
+    "shuffle of the event log; skewed power users split fine because the "
+    "window is per-user ordered, not global.",
+    tags=("window", "session", "islands"),
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gap_us = 12 * 3600 * 1_000_000
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gapped = e.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("ts_us").over(w).isNull()
+            | (F.col("ts_us") - F.lag("ts_us").over(w) > gap_us),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    numbered = gapped.withColumn(
+        "session_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min("ts_us").cast("long").alias("start_us"),
+        F.max("ts_us").cast("long").alias("end_us"),
+        F.floor((F.max("ts_us") - F.min("ts_us")) / 1_000_000)
+        .cast("long")
+        .alias("duration_s"),
+    ).select(
+        "user_id",
+        F.col("session_id").cast("long").alias("session_id"),
+        "n_events",
+        "start_us",
+        "end_us",
+        "duration_s",
+    )

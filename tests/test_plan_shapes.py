@@ -338,3 +338,11 @@ def test_incremental_dedup_no_cartesian(plans):
     p = plans("dedup_incremental_batch")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_sessionize_single_exchange(plans):
+    # lag, running session-sum, and the per-session groupBy must all reuse
+    # the user_id hash partitioning (HashPartitioning(user_id) satisfies
+    # the (user_id, session_id) clustering) — one Exchange total.
+    p = plans("events_sessionize")
+    assert p.count("Exchange (") == 1, p.count("Exchange (")
