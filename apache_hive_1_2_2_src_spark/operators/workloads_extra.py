@@ -698,3 +698,117 @@ def workload_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("valid_to_ts").isNull().alias("is_current"),
         F.col("n_orders").cast("long").alias("n_orders"),
     )
+
+
+@register(
+    "events_funnel",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+    ),
+    tv AS (
+      SELECT user_id, MIN(ts_us) AS t_view FROM e
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    tc AS (
+      SELECT e.user_id, MIN(e.ts_us) AS t_click
+      FROM e JOIN tv ON e.user_id = tv.user_id
+      WHERE e.event_type = 'click' AND e.ts_us > tv.t_view
+      GROUP BY e.user_id
+    ),
+    tp AS (
+      SELECT e.user_id, MIN(e.ts_us) AS t_purchase
+      FROM e JOIN tc ON e.user_id = tc.user_id
+      WHERE e.event_type = 'purchase' AND e.ts_us > tc.t_click
+      GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT COUNT(DISTINCT user_id) FROM e) AS BIGINT) AS n_users,
+           CAST((SELECT COUNT(*) FROM tv) AS BIGINT) AS n_view,
+           CAST((SELECT COUNT(*) FROM tc) AS BIGINT) AS n_view_click,
+           CAST((SELECT COUNT(*) FROM tp) AS BIGINT) AS n_full_funnel
+    """,
+    doc="Ordered conversion funnel view -> click -> purchase (the standard "
+    "clickstream workload Hive users express as staged self-joins; "
+    "no reference operator — SemanticAnalyzer just sees joins+aggs): each "
+    "step is the user's FIRST qualifying event strictly AFTER the prior "
+    "step, so out-of-order events can't fake a conversion. Three "
+    "min-aggregations chained by equi-joins, every shuffle keyed on "
+    "user_id (AQE reuses the partitioning; nothing global until the final "
+    "4-scalar summary). Integer-microsecond comparisons only. At 100 TB "
+    "each stage is one partial-agg shuffle of the (already tiny) "
+    "qualifying-event projection — the funnel SHAPE is fixed-cost no "
+    "matter how long the event log is.",
+    tags=("workload", "events", "funnel"),
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    tv = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t_view"))
+    )
+    tc = (
+        e.where(F.col("event_type") == "click")
+        .join(tv, "user_id")
+        .where(F.col("ts_us") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t_click"))
+    )
+    tp = (
+        e.where(F.col("event_type") == "purchase")
+        .join(tc, "user_id")
+        .where(F.col("ts_us") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t_purchase"))
+    )
+    n_users = e.agg(F.countDistinct("user_id").alias("n_users"))
+    return (
+        n_users.crossJoin(tv.agg(F.count(F.lit(1)).alias("n_view")))
+        .crossJoin(tc.agg(F.count(F.lit(1)).alias("n_view_click")))
+        .crossJoin(tp.agg(F.count(F.lit(1)).alias("n_full_funnel")))
+    )
+
+
+@register(
+    "events_retention_cohorts",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    cohort AS (
+      SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY user_id
+    )
+    SELECT CAST(c.cohort_day AS DATE) AS cohort_day,
+           CAST(date_diff('day', c.cohort_day, e.day) AS BIGINT) AS day_offset,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active
+    FROM e JOIN cohort c ON e.user_id = c.user_id
+    GROUP BY c.cohort_day, day_offset
+    """,
+    doc="Retention cohort matrix (the second standard clickstream "
+    "workload): users are cohorted by first-seen day; each (cohort_day, "
+    "day_offset) cell counts distinct users active that many days later. "
+    "Two shuffles — the per-user MIN (partial agg) and the cell count-"
+    "distinct — both well-keyed; the cohort frame is |users| and joins "
+    "back to events on user_id (at 100 TB it broadcast-joins or "
+    "co-partitions; either way no skew since user_id is the key on both "
+    "sides). Day arithmetic in whole days on DATE-cast values, identical "
+    "in both engines.",
+    tags=("workload", "events", "retention"),
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    )
+    cohort = e.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        e.join(cohort, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff("day", "cohort_day").cast("long").alias("day_offset"),
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_active"))
+    )
