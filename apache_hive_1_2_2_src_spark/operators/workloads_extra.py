@@ -812,3 +812,103 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", "day_offset")
         .agg(F.countDistinct("user_id").cast("long").alias("n_active"))
     )
+
+
+@register(
+    "events_attribution_last_touch",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us
+      FROM events
+    ),
+    merged AS (
+      SELECT user_id, ts_us, event_id,
+             CASE WHEN event_type IN ('view', 'click') THEN 0 ELSE 1 END AS ord,
+             CASE WHEN event_type IN ('view', 'click') THEN event_type END
+               AS touch_type,
+             CASE WHEN event_type IN ('view', 'click') THEN ts_us END
+               AS touch_ts,
+             CASE WHEN event_type = 'purchase' THEN value END AS purchase_value
+      FROM e
+      WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    carried AS (
+      SELECT *,
+             LAST_VALUE(touch_type IGNORE NULLS) OVER w AS last_touch,
+             LAST_VALUE(touch_ts IGNORE NULLS) OVER w AS last_touch_ts
+      FROM merged
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, ord, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    attributed AS (
+      SELECT CASE WHEN last_touch IS NOT NULL
+                    AND ts_us - last_touch_ts <= 604800000000
+                  THEN last_touch ELSE 'unattributed' END AS channel,
+             purchase_value
+      FROM carried WHERE purchase_value IS NOT NULL
+    )
+    SELECT channel,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CAST(purchase_value AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM attributed GROUP BY channel
+    """,
+    doc="Last-touch marketing attribution (the AS-OF-join application "
+    "shape): every purchase is attributed to the user's most recent "
+    "view/click at-or-before it, provided the touch is within a 7-day "
+    "window; otherwise 'unattributed'. Single-shuffle union+window form "
+    "(same algebra as join_asof): touches and purchases merge into one "
+    "per-user stream ordered by (ts, kind, event_id) — kind=0 sorts a "
+    "same-microsecond touch before the purchase — and last_value(..., "
+    "ignorenulls) carries the latest touch forward; no range join, no "
+    "per-pair blow-up, one Exchange on user_id. Revenue sums ride "
+    "DECIMAL(18,2) per the parallel-sum determinism rule. At 100 TB the "
+    "event log shuffles once; the window never sees more state than one "
+    "user's stream.",
+    tags=("workload", "events", "asof", "attribution"),
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    window_us = 7 * 24 * 3600 * 1_000_000
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.unix_micros("ts").alias("ts_us"),
+    ).where(F.col("event_type").isin("view", "click", "purchase"))
+    is_touch = F.col("event_type").isin("view", "click")
+    merged = e.select(
+        "user_id",
+        "ts_us",
+        "event_id",
+        F.when(is_touch, F.lit(0)).otherwise(F.lit(1)).alias("ord"),
+        F.when(is_touch, F.col("event_type")).alias("touch_type"),
+        F.when(is_touch, F.col("ts_us")).alias("touch_ts"),
+        F.when(F.col("event_type") == "purchase", F.col("value")).alias(
+            "purchase_value"
+        ),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "ord", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = merged.select(
+        "*",
+        F.last("touch_type", ignorenulls=True).over(w).alias("last_touch"),
+        F.last("touch_ts", ignorenulls=True).over(w).alias("last_touch_ts"),
+    )
+    attributed = carried.where(F.col("purchase_value").isNotNull()).select(
+        F.when(
+            F.col("last_touch").isNotNull()
+            & (F.col("ts_us") - F.col("last_touch_ts") <= window_us),
+            F.col("last_touch"),
+        )
+        .otherwise("unattributed")
+        .alias("channel"),
+        "purchase_value",
+    )
+    return attributed.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        dsum_exact(dec("purchase_value"), "revenue"),
+    )
