@@ -645,8 +645,8 @@ def workload_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM islands
     )
     SELECT o_custkey AS c_custkey, status,
-           CAST(valid_from_ts AS DATE) AS valid_from,
-           CAST(valid_to_ts AS DATE) AS valid_to,
+           CAST(CAST(valid_from_ts AS DATE) AS VARCHAR) AS valid_from,
+           CAST(CAST(valid_to_ts AS DATE) AS VARCHAR) AS valid_to,
            valid_to_ts IS NULL AS is_current,
            CAST(n_orders AS BIGINT) AS n_orders
     FROM versioned
@@ -693,8 +693,8 @@ def workload_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     return versioned.select(
         F.col("o_custkey").alias("c_custkey"),
         "status",
-        F.col("valid_from_ts").cast("date").alias("valid_from"),
-        F.col("valid_to_ts").cast("date").alias("valid_to"),
+        F.col("valid_from_ts").cast("date").cast("string").alias("valid_from"),
+        F.col("valid_to_ts").cast("date").cast("string").alias("valid_to"),
         F.col("valid_to_ts").isNull().alias("is_current"),
         F.col("n_orders").cast("long").alias("n_orders"),
     )
@@ -780,7 +780,7 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     cohort AS (
       SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY user_id
     )
-    SELECT CAST(c.cohort_day AS DATE) AS cohort_day,
+    SELECT CAST(CAST(c.cohort_day AS DATE) AS VARCHAR) AS cohort_day,
            CAST(date_diff('day', c.cohort_day, e.day) AS BIGINT) AS day_offset,
            CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active
     FROM e JOIN cohort c ON e.user_id = c.user_id
@@ -809,7 +809,7 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cohort_day",
             F.datediff("day", "cohort_day").cast("long").alias("day_offset"),
         )
-        .groupBy("cohort_day", "day_offset")
+        .groupBy(F.col("cohort_day").cast("string").alias("cohort_day"), F.col("day_offset"))
         .agg(F.countDistinct("user_id").cast("long").alias("n_active"))
     )
 
