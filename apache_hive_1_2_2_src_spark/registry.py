@@ -15,7 +15,12 @@ Determinism rules (SURVEY.md §5):
   canonicalizer distinguishes them (round-3 ddl_lifecycle/text_token_stats
   hash failures); never average parallel-summed doubles — express means as
   a single division of exact integer (or DECIMAL) sums;
-- no raw TIMESTAMP output columns (cast to DATE or format to string);
+- no raw TIMESTAMP output columns, and no bare DATE outputs either: cast
+  date values all the way to STRING (oracle: ``CAST(CAST(x AS DATE) AS
+  VARCHAR)``). DuckDB fetchdf materializes DATE as pandas Timestamp while
+  Spark toPandas yields datetime.date — str() forms differ ("2024-01-01
+  00:00:00" vs "2024-01-01"), a driver-shape hash mismatch that check.py's
+  own canon masks (round-6 scd2/retention evidence);
 - sort any collected array; never use rand()/current_* in a [Q] query.
 """
 

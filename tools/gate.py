@@ -16,6 +16,14 @@ Checks, all fatal:
      imports, entry(spark) returns rows with a stable schema, queries() and
      oracle_sql() are consistent (every oracle key has a query).
 Exit 0 = safe to snapshot; anything else = fix first.
+
+Known blind spot (round-6 evidence): check.py compares via fetchall/Row,
+where DATE columns agree, but the external driver compares PANDAS frames,
+where DuckDB DATE materializes as Timestamp and Spark DATE as
+datetime.date — str-divergent. tools/driver_sim.py is the harness with
+driver-exact canonicalization: run it over the full registry after adding
+any query that outputs date/timestamp-derived columns (the registry rule
+is to cast dates to STRING, which sidesteps the class entirely).
 """
 
 from __future__ import annotations
