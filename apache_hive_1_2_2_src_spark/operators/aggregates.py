@@ -384,3 +384,38 @@ def agg_percentile_array(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         )
     )
+
+
+@register(
+    "agg_distinct_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus, o_orderpriority) AS gid,
+           COUNT(DISTINCT o_custkey) AS n_cust,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    """,
+    doc="COUNT(DISTINCT) under GROUPING SETS — the SURVEY §7 watch-list "
+    "interaction (Hive: GroupByOperator distinct-bitmap inside the "
+    "grouping-sets Expand, `processGroupingSetReduceSinkOperator` + "
+    "distinct columns in the ReduceSink key; a classic wrong-results "
+    "minefield in 1.x). Spark plans Expand then a two-phase distinct "
+    "aggregate per grouping set; each set's distinct count must be over "
+    "the set's own group, not the expanded union. Literal SQL on both "
+    "engines; the per-set counts certify the interaction.",
+    tags=("agg", "groupingsets", "distinct", "sql"),
+)
+def agg_distinct_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_dgs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               GROUPING_ID(o_orderstatus, o_orderpriority) AS gid,
+               COUNT(DISTINCT o_custkey) AS n_cust,
+               COUNT(*) AS n
+        FROM orders_dgs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        """
+    )
