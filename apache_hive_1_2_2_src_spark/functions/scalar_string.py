@@ -302,3 +302,42 @@ def str_misc_rows_only(spark: SparkSession, sf_dir: str) -> DataFrame:
             "xp_texts"
         ),
     )
+
+
+@register(
+    "json_typed_projection",
+    oracle="""
+    SELECT CAST(CAST(props->>'$.k' AS INTEGER) // 10 AS BIGINT) AS k_band,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           CAST(MIN(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS k_min,
+           CAST(MAX(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS k_max
+    FROM events
+    GROUP BY k_band
+    """,
+    doc="Typed JSON projection — the Spark-native step beyond Hive 1.2's "
+    "string-in/string-out JSON functions (`GenericUDFGetJsonObject`, "
+    "`GenericUDTFJSONTuple`, both covered elsewhere): from_json(props, "
+    "'k INT') parses ONCE into a typed struct at the scan edge, after "
+    "which banding, filters, and aggs are plain codegen INT arithmetic — "
+    "no re-parse per access, the 100 TB reason to type JSON early. "
+    "Per-band event counts + decimal-exact value sums; DuckDB types the "
+    "same field via ->> with an INT cast, and integer // 10 banding is "
+    "exact in both engines.",
+    tags=("string", "json", "sql"),
+)
+def json_typed_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    typed = e.select(
+        F.from_json("props", "k INT").alias("p"), F.col("value")
+    ).select(F.col("p.k").alias("k"), "value")
+    return (
+        typed.withColumn("k_band", F.floor(F.col("k") / 10).cast("long"))
+        .groupBy("k_band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+            F.min("k").cast("long").alias("k_min"),
+            F.max("k").cast("long").alias("k_max"),
+        )
+    )
