@@ -627,3 +627,64 @@ def order_nulls_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return asc_half.unionAll(desc_half)
+
+
+@register(
+    "diagnostics_key_skew",
+    oracle="""
+    WITH k AS (
+      SELECT l_orderkey AS key, COUNT(*) AS cnt
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n_keys,
+             CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+             CAST(SUM(cnt) AS BIGINT) AS n_rows
+      FROM k
+    ),
+    heavy AS (
+      -- cnt > 4 * mean, as exact integer cross-multiplication
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_heavy
+      FROM k, stats WHERE k.cnt * stats.n_keys > 4 * stats.n_rows
+    )
+    SELECT s.n_keys, s.max_cnt, s.n_rows, h.n_heavy,
+           s.max_cnt * s.n_keys >= 4 * s.n_rows AS skew_flag
+    FROM stats s, heavy h
+    """,
+    doc="Join-key skew diagnostics (operational pre-flight for the skew "
+    "mitigations this repo ships — manual salting in join_salted_skew, "
+    "AQE splitting in tests/test_plan_shapes.py: you run THIS first to "
+    "decide): per-key cardinality profile of lineitem.l_orderkey — key "
+    "count, max per-key multiplicity, heavy-hitter count (> 4x the MEAN "
+    "multiplicity), and the skew verdict bit — every comparison an exact "
+    "integer CROSS-MULTIPLICATION (cnt * n_keys > 4 * n_rows), no "
+    "division, no median interpolation, so no engine can disagree by an "
+    "ulp. One partial-agg shuffle on the key plus a 1-row reduction "
+    "broadcast back over the per-key frame. At 100 TB this runs as a "
+    "sampled or "
+    "sketch-based profile; the SHAPE (groupBy key -> tiny stats frame) "
+    "is identical.",
+    tags=("diagnostics", "skew"),
+)
+def diagnostics_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    k = li.groupBy(F.col("l_orderkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    stats = k.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").cast("long").alias("max_cnt"),
+        F.sum("cnt").cast("long").alias("n_rows"),
+    )
+    heavy = (
+        k.crossJoin(F.broadcast(stats.select("n_keys", "n_rows")))
+        .where(F.col("cnt") * F.col("n_keys") > 4 * F.col("n_rows"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_heavy"))
+    )
+    return stats.crossJoin(heavy).select(
+        "n_keys",
+        "max_cnt",
+        "n_rows",
+        "n_heavy",
+        (F.col("max_cnt") * F.col("n_keys") >= 4 * F.col("n_rows")).alias("skew_flag"),
+    )
