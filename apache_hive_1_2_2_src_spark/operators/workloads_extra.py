@@ -912,3 +912,75 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).cast("long").alias("n_purchases"),
         dsum_exact(dec("purchase_value"), "revenue"),
     )
+
+
+@register(
+    "timeseries_gap_fill",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderstatus AS st, CAST(o_orderdate AS DATE) AS day,
+             COUNT(*) AS n
+      FROM orders GROUP BY st, day
+    ),
+    b AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM daily),
+    cal AS (
+      SELECT CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE)
+               AS day
+      FROM b
+    ),
+    statuses AS (SELECT DISTINCT o_orderstatus AS st FROM orders),
+    dense AS (
+      SELECT s.st, c.day, COALESCE(d.n, 0) AS n
+      FROM statuses s CROSS JOIN cal c
+      LEFT JOIN daily d ON d.st = s.st AND d.day = c.day
+    )
+    SELECT st, CAST(day AS VARCHAR) AS day,
+           CAST(n AS BIGINT) AS n,
+           CAST(SUM(n) OVER (PARTITION BY st ORDER BY day
+                             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n_7d
+    FROM dense
+    """,
+    doc="Calendar gap-filling + dense moving window (the sparse-to-dense "
+    "time-series shape every warehouse report needs — Hive users build "
+    "the calendar with a UDTF or a pre-materialized dim_date table; "
+    "Spark-first it's sequence()+explode, zero I/O): per-status daily "
+    "order counts are densified against the full min..max day calendar "
+    "(missing days become explicit zeros) and a ROWS 6-PRECEDING window "
+    "computes the trailing-7-day total — which is only CORRECT on the "
+    "dense series (on the sparse one the frame silently spans gaps; "
+    "that's the bug this op exists to prevent). The calendar derives "
+    "from a 1-row bounds aggregate (no driver collect) and cross-joins "
+    "the tiny status dim; the left join keys on (status, day) and the "
+    "window partitions by status — at 100 TB with per-entity series you "
+    "partition the window by entity and the calendar broadcast-joins. "
+    "Integer counts and string days end to end.",
+    tags=("workload", "timeseries", "window"),
+)
+def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderstatus").alias("st"),
+        F.col("o_orderdate").cast("date").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    bounds = daily.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+    cal = bounds.select(
+        F.explode(F.sequence("mn", "mx", F.expr("interval 1 day"))).alias("day")
+    )
+    statuses = o.select(F.col("o_orderstatus").alias("st")).distinct()
+    dense = (
+        statuses.crossJoin(cal)
+        .join(daily, ["st", "day"], "left")
+        .select("st", "day", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+    w = (
+        Window.partitionBy("st")
+        .orderBy("day")
+        .rowsBetween(-6, 0)
+    )
+    return dense.select(
+        "st",
+        F.col("day").cast("string").alias("day"),
+        F.col("n").cast("long").alias("n"),
+        F.sum("n").over(w).cast("long").alias("n_7d"),
+    )
