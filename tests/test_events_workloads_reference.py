@@ -1,0 +1,116 @@
+"""Independent-formulation checks for the event-log workloads: recompute
+sessionization, the funnel, and last-touch attribution with a plain-Python
+reference over the (tiny) sf0.001 event log and compare to the Spark
+operators. The DuckDB oracles mirror the same window algebra, so they prove
+engine parity but not algebraic correctness; these references derive the
+answers from first principles (sort a user's events in a list and walk
+them), closing that gap the same way test_matchpath.py does for match_path."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+GAP_US = 12 * 3600 * 1_000_000
+ATTR_WINDOW_US = 7 * 24 * 3600 * 1_000_000
+
+
+def _events(spark):
+    from apache_hive_1_2_2_src_spark.tables import load_table
+
+    rows = (
+        load_table(spark, SF_DIR, "events")
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "value",
+            F.unix_micros("ts").alias("ts_us"),
+        )
+        .collect()
+    )
+    per_user = defaultdict(list)
+    for r in rows:
+        per_user[r.user_id].append(r)
+    for evs in per_user.values():
+        evs.sort(key=lambda r: (r.ts_us, r.event_id))
+    return per_user
+
+
+def test_sessionize_matches_python_reference(spark, registry):
+    per_user = _events(spark)
+    expected = {}  # (user, session_id) -> (n, start, end)
+    for u, evs in per_user.items():
+        sid = 0
+        prev = None
+        for r in evs:
+            if prev is None or r.ts_us - prev > GAP_US:
+                sid += 1
+                expected[(u, sid)] = [0, r.ts_us, r.ts_us]
+            cell = expected[(u, sid)]
+            cell[0] += 1
+            cell[2] = r.ts_us
+            prev = r.ts_us
+    got = {
+        (r.user_id, r.session_id): [r.n_events, r.start_us, r.end_us]
+        for r in registry["events_sessionize"].build(spark, SF_DIR).collect()
+    }
+    assert got == expected
+
+
+def test_funnel_matches_python_reference(spark, registry):
+    per_user = _events(spark)
+    n_view = n_click = n_purchase = 0
+    for evs in per_user.values():
+        t_view = next((r.ts_us for r in evs if r.event_type == "view"), None)
+        if t_view is None:
+            continue
+        n_view += 1
+        t_click = next(
+            (r.ts_us for r in evs if r.event_type == "click" and r.ts_us > t_view),
+            None,
+        )
+        if t_click is None:
+            continue
+        n_click += 1
+        if any(r.event_type == "purchase" and r.ts_us > t_click for r in evs):
+            n_purchase += 1
+    row = registry["events_funnel"].build(spark, SF_DIR).collect()[0]
+    assert (row.n_users, row.n_view, row.n_view_click, row.n_full_funnel) == (
+        len(per_user),
+        n_view,
+        n_click,
+        n_purchase,
+    )
+
+
+def test_attribution_matches_python_reference(spark, registry):
+    per_user = _events(spark)
+    by_channel = defaultdict(lambda: [0, 0.0])
+    for evs in per_user.items():
+        last_touch = None  # (ts_us, type)
+        for r in evs[1]:
+            if r.event_type in ("view", "click"):
+                last_touch = (r.ts_us, r.event_type)
+            elif r.event_type == "purchase":
+                if last_touch is not None and r.ts_us - last_touch[0] <= ATTR_WINDOW_US:
+                    ch = last_touch[1]
+                else:
+                    ch = "unattributed"
+                by_channel[ch][0] += 1
+                by_channel[ch][1] += r.value
+    got = {
+        r.channel: (r.n_purchases, r.revenue)
+        for r in registry["events_attribution_last_touch"]
+        .build(spark, SF_DIR)
+        .collect()
+    }
+    assert set(got) == set(by_channel)
+    for ch, (n, rev) in by_channel.items():
+        assert got[ch][0] == n
+        # revenue is decimal(18,2)-exact per addend; the python float sum is
+        # the reference within a loose epsilon
+        assert abs(got[ch][1] - round(rev, 2)) < 0.05, ch
