@@ -346,3 +346,55 @@ def test_sessionize_single_exchange(plans):
     # the (user_id, session_id) clustering) — one Exchange total.
     p = plans("events_sessionize")
     assert p.count("Exchange (") == 1, p.count("Exchange (")
+
+
+def test_bucket_pruning_on_read(spark):
+    """Bucket pruning (SPARK-23803): an equality filter on the bucket
+    column must prune the scan to 1 of 8 buckets — the read-side half of
+    the bucketing contract (the join-side half is the no-Exchange SMB
+    test above). At 100 TB this turns a point lookup over a bucketed fact
+    table into a 1/8th scan before any row is read."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from apache_hive_1_2_2_src_spark.tables import load_table
+
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    tbl = f"bktprune_{os.getpid()}"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    shutil.rmtree(os.path.join(warehouse, tbl), ignore_errors=True)
+    try:
+        (
+            load_table(spark, SF_DIR, "orders")
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+            .write.mode("overwrite")
+            .bucketBy(8, "o_custkey")
+            .sortBy("o_custkey")
+            .saveAsTable(tbl)
+        )
+        # autoBucketedScan (on by default) falls back to a plain scan when
+        # no join/agg consumes the bucketing; disable it so the filter-only
+        # read exercises the pruning path.
+        spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+        q = spark.table(tbl).where(F.col("o_custkey") == 42)
+        p = q._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "SelectedBucketsCount: 1 out of 8" in p, p
+        # pruning must not change the answer
+        full = (
+            load_table(spark, SF_DIR, "orders")
+            .where(F.col("o_custkey") == 42)
+            .count()
+        )
+        assert q.count() == full
+    finally:
+        spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(os.path.join(warehouse, tbl), ignore_errors=True)
