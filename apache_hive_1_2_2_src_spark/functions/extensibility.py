@@ -344,3 +344,79 @@ def udaf_pandas_grouped_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("o_orderstatus").agg(
         wmean("o_totalprice", "wt").alias("wmean_price")
     )
+
+
+@register(
+    "script_reduce_sql",
+    oracle="""
+    SELECT CAST(o_custkey AS VARCHAR) AS custkey,
+           CAST(o_orderkey AS VARCHAR) AS orderkey
+    FROM orders
+    WHERE o_totalprice >= 100000
+    """,
+    doc="The canonical Hive 'custom reducer' idiom — literal "
+    "`FROM (... DISTRIBUTE BY k SORT BY k, s) t SELECT TRANSFORM(...) "
+    "USING 'script'` (ScriptOperator.java downstream of genReduceSinkPlan: "
+    "the distribute/sort clause hands the script per-key ordered groups, "
+    "exactly how pre-UDAF Hive users wrote sessionizers and "
+    "state-machines in Python/awk). Spark SQL accepts the nested form "
+    "verbatim: the inner clause compiles to a hash Exchange + "
+    "per-partition Sort, the TRANSFORM to ScriptTransformation over it — "
+    "each script instance sees its keys contiguous and ordered, the "
+    "contract custom reducers rely on. 'cat' keeps it oracled (identity "
+    "over the distributed rows == the plain filtered projection, "
+    "order-insensitive compare).",
+    tags=("udf", "transform", "sql", "sort"),
+)
+def script_reduce_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_scrr")
+    return spark.sql(
+        """
+        FROM (
+          SELECT o_custkey, o_orderkey
+          FROM orders_scrr
+          WHERE o_totalprice >= 100000
+          DISTRIBUTE BY o_custkey SORT BY o_custkey, o_orderkey
+        ) t
+        SELECT TRANSFORM(t.o_custkey, t.o_orderkey)
+               USING 'cat' AS (custkey STRING, orderkey STRING)
+        """
+    )
+
+
+@register(
+    "sql_variable_substitution",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_totalprice < 150000 AND o_orderstatus = 'F'
+    GROUP BY o_orderstatus
+    """,
+    doc="Hive variable substitution (`hivevar`/`hiveconf` namespaces, "
+    "`${...}` expansion — `common/.../VariableSubstitution.java`, wired "
+    "into CliDriver/Driver preprocessing): Spark SQL implements the same "
+    "preprocessor (`spark.sql.variable.substitute`, on by default) with "
+    "the same namespaces, so `SET hivevar:cutoff=...` then "
+    "`WHERE x < ${hivevar:cutoff}` runs verbatim — the parameterized-"
+    "script idiom every production Hive job uses. Substitution is pure "
+    "TEXT expansion before parsing (exactly Hive's semantics), so the "
+    "oracle is the query with the values inlined.",
+    tags=("sql", "dialect", "variables"),
+)
+def sql_variable_substitution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_vsub")
+    spark.sql("SET hivevar:cutoff=150000")
+    spark.sql("SET hivevar:status=F")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders_vsub
+        WHERE o_totalprice < ${hivevar:cutoff}
+          AND o_orderstatus = '${hivevar:status}'
+        GROUP BY o_orderstatus
+        """
+    )
