@@ -452,3 +452,65 @@ def pipeline_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return diff.groupBy("source", "status").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")
     )
+
+
+@register(
+    "sample_kfold_assign",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, text,
+             len({_SQL_WORDS}) AS n_tok,
+             ((strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+              + strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) % 5
+               AS fold_id
+      FROM documents
+    ),
+    leak AS (
+      SELECT COUNT(*) AS n_multi_fold_texts FROM (
+        SELECT md5(text) AS hx
+        FROM s GROUP BY md5(text)
+        HAVING COUNT(DISTINCT fold_id) > 1
+      )
+    )
+    SELECT fold_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(n_multi_fold_texts AS BIGINT) AS n_multi_fold_texts
+    FROM s, leak
+    GROUP BY fold_id, n_multi_fold_texts
+    """,
+    doc="K-fold cross-validation assignment (beyond-reference; the eval-"
+    "construction sibling of sample_split_train_val): fold_id = first "
+    "md5(text) byte mod 5 via the same portable hex-digit math, so folds "
+    "are content-keyed — exact duplicates land in the SAME fold by "
+    "construction (no train/test leakage through dups), stable under "
+    "re-runs and corpus growth, and the audit PROVES the property by "
+    "counting texts assigned to more than one fold (must be 0). Per-row "
+    "map + one groupBy; at 100 TB the only wide op is the audit's "
+    "group-by-hash, keyed by md5 — uniform, no skew.",
+    tags=("extension", "sampling", "split"),
+)
+def sample_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hexpos = lambda i: (  # noqa: E731
+        F.instr(F.lit("0123456789abcdef"), F.substring(F.md5("text"), i, 1)) - 1
+    )
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.size(_words()).alias("n_tok"),
+        ((hexpos(1) * 16 + hexpos(2)) % 5).alias("fold_id"),
+    )
+    leak = (
+        d.groupBy(F.md5("text").alias("hx"))
+        .agg(F.countDistinct("fold_id").alias("nf"))
+        .where(F.col("nf") > 1)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_multi_fold_texts"))
+    )
+    return (
+        d.groupBy("fold_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+        .crossJoin(F.broadcast(leak))
+    )

@@ -925,3 +925,54 @@ def text_contamination_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(~F.col("drop_it"), F.col("doc_id"))).alias("first_kept"),
         F.max(F.when(F.col("drop_it"), F.col("doc_id"))).alias("last_dropped"),
     )
+
+
+@register(
+    "text_lang_confusion",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang AS actual_lang,
+             {_sql_lang_score("en")} AS s_en,
+             {_sql_lang_score("fr")} AS s_fr,
+             {_sql_lang_score("es")} AS s_es,
+             {_sql_lang_score("de")} AS s_de
+      FROM documents
+    ),
+    pred AS (
+      SELECT actual_lang,
+             CASE WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de THEN 'en'
+                  WHEN s_fr >= s_es AND s_fr >= s_de THEN 'fr'
+                  WHEN s_es >= s_de THEN 'es'
+                  ELSE 'de' END AS predicted_lang
+      FROM scored
+    )
+    SELECT actual_lang, predicted_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN actual_lang = predicted_lang
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+    FROM pred
+    GROUP BY actual_lang, predicted_lang
+    """,
+    doc="Language-ID confusion matrix (the data-quality audit run before "
+    "trusting a detector for corpus routing: declared `lang` vs the "
+    "stopword-scoring detector of text_lang_id, cross-tabulated). One "
+    "per-row scoring map (no shuffle) + one tiny (|langs|² rows) groupBy; "
+    "the diagonal/off-diagonal counts are what a curation pipeline alarms "
+    "on when a crawl source starts mislabeling. Composes the identical "
+    "scoring expressions as text_lang_id so the two queries can never "
+    "drift apart.",
+    tags=("extension", "text", "audit"),
+)
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = text_lang_id(spark, sf_dir)
+    return (
+        scored.groupBy("actual_lang", "predicted_lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(
+                F.when(F.col("actual_lang") == F.col("predicted_lang"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_correct"),
+        )
+    )
