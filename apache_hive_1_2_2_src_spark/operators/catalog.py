@@ -455,3 +455,77 @@ def msck_repair_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "st string, n_rows bigint, pre_repair_rows int, repaired boolean"
     )
+
+
+@register(
+    "ddl_bucketed_dialect_lifecycle",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           4 AS n_buckets, TRUE AS bucket_col_ok,
+           TRUE AS renamed_ok, TRUE AS truncated_to_zero
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    """,
+    doc="Bucketed-table DDL dialect + the remaining lifecycle verbs "
+    "(SemanticAnalyzer CREATE TABLE `CLUSTERED BY (c) SORTED BY (c) INTO "
+    "n BUCKETS` grammar — the DDL twin of DataFrame bucketBy; DDLTask "
+    "ALTER TABLE ... RENAME TO; TruncateTableDesc): the literal clause "
+    "creates a 4-bucket table whose catalog metadata reports Num Buckets "
+    "/ Bucket Columns (flags), ALTER RENAME moves it, TRUNCATE empties it "
+    "(verified 0), and a re-INSERT reconciles against the source "
+    "aggregate. Metadata-plane except the two inserts; per-process names "
+    "as in the sibling lifecycles.",
+    tags=("catalog", "ddl", "bucket", "sql"),
+)
+def ddl_bucketed_dialect_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    db = _scratch_db(spark) + "_bktddl"
+    _drop_db(spark, db)
+    spark.sql(f"CREATE DATABASE {db}")
+    try:
+        load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_bktddl")
+        t1, t2 = f"{db}.orders_bkt", f"{db}.orders_bkt_renamed"
+        spark.sql(
+            f"CREATE TABLE {t1} (o_orderkey BIGINT, o_custkey BIGINT) "
+            "USING PARQUET CLUSTERED BY (o_custkey) SORTED BY (o_custkey) "
+            "INTO 4 BUCKETS"
+        )
+        spark.sql(
+            f"INSERT INTO {t1} SELECT o_orderkey, o_custkey "
+            "FROM orders_bktddl WHERE o_orderstatus = 'O'"
+        )
+        desc = {
+            r.col_name: r.data_type
+            for r in spark.sql(f"DESCRIBE TABLE EXTENDED {t1}").collect()
+        }
+        n_buckets = int(desc.get("Num Buckets", "0"))
+        bucket_col_ok = "o_custkey" in desc.get("Bucket Columns", "")
+        spark.sql(f"ALTER TABLE {t1} RENAME TO {t2}")
+        renamed_ok = any(
+            t.name == "orders_bkt_renamed" for t in spark.catalog.listTables(db)
+        )
+        spark.sql(f"TRUNCATE TABLE {t2}")
+        truncated_to_zero = spark.table(t2).count() == 0
+        spark.sql(
+            f"INSERT INTO {t2} SELECT o_orderkey, o_custkey "
+            "FROM orders_bktddl WHERE o_orderstatus = 'O'"
+        )
+        row = spark.sql(
+            f"SELECT COUNT(*) AS n_rows, SUM(o_orderkey) AS key_sum FROM {t2}"
+        ).collect()[0]
+    finally:
+        _drop_db(spark, db)
+    return spark.createDataFrame(
+        [
+            (
+                row.n_rows,
+                row.key_sum,
+                n_buckets,
+                bool(bucket_col_ok),
+                bool(renamed_ok),
+                bool(truncated_to_zero),
+            )
+        ],
+        "n_rows bigint, key_sum bigint, n_buckets int, bucket_col_ok boolean, "
+        "renamed_ok boolean, truncated_to_zero boolean",
+    )
