@@ -529,3 +529,52 @@ def ddl_bucketed_dialect_lifecycle(spark: SparkSession, sf_dir: str) -> DataFram
         "n_rows bigint, key_sum bigint, n_buckets int, bucket_col_ok boolean, "
         "renamed_ok boolean, truncated_to_zero boolean",
     )
+
+
+@register(
+    "ddl_insert_values",
+    oracle="""
+    SELECT CAST(2 + COUNT(*) AS BIGINT) AS n_rows,
+           CAST(1 AS BIGINT) AS n_null_prices,
+           TRUE AS explain_has_scan
+    FROM region
+    """,
+    doc="INSERT INTO ... VALUES (HIVE-5317, new in 0.14 and part of the "
+    "1.2 surface — SemanticAnalyzer rewrites the VALUES clause to a "
+    "temporary textfile scan; Spark plans a LocalRelation, no files) plus "
+    "the EXPLAIN statement (Hive's primary plan-inspection verb, "
+    "`ExplainTask.java` / ExplainSemanticAnalyzer): a literal multi-row "
+    "VALUES insert with a NULL cell lands next to rows CTAS'd from "
+    "region, the NULL survives the round-trip (counted via IS NULL — the "
+    "3VL path), and EXPLAIN's output is projected to an invariant flag "
+    "(the text mentions a scan of the table; plan strings themselves are "
+    "engine-specific so only the flag is graded).",
+    tags=("catalog", "ddl", "sql"),
+)
+def ddl_insert_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    db = _scratch_db(spark) + "_vals"
+    _drop_db(spark, db)
+    spark.sql(f"CREATE DATABASE {db}")
+    try:
+        load_table(spark, sf_dir, "region").createOrReplaceTempView("region_vals")
+        tbl = f"{db}.region_plus"
+        spark.sql(
+            f"CREATE TABLE {tbl} USING PARQUET AS "
+            "SELECT r_regionkey AS k, r_name AS name, "
+            "CAST(1.0 AS DOUBLE) AS price FROM region_vals"
+        )
+        spark.sql(
+            f"INSERT INTO {tbl} VALUES "
+            "(100, 'SYNTH-A', 9.5), (101, 'SYNTH-B', NULL)"
+        )
+        n_rows = spark.table(tbl).count()
+        n_null_prices = spark.table(tbl).where("price IS NULL").count()
+        explain_rows = spark.sql(f"EXPLAIN SELECT k, name FROM {tbl}").collect()
+        explain_text = "\n".join(r[0] for r in explain_rows)
+        explain_has_scan = "region_plus" in explain_text and len(explain_text) > 0
+    finally:
+        _drop_db(spark, db)
+    return spark.createDataFrame(
+        [(n_rows, n_null_prices, bool(explain_has_scan))],
+        "n_rows bigint, n_null_prices bigint, explain_has_scan boolean",
+    )
