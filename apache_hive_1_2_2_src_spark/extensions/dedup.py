@@ -999,3 +999,47 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("unique")
         .alias("verdict"),
     )
+
+
+@register(
+    "dedup_threshold_sweep",
+    oracle=f"""
+    WITH pairs AS ({_jaccard_oracle(0.7, shingle_df_cap=64)})
+    SELECT CASE WHEN jaccard >= 0.9 THEN '0.90+'
+                WHEN jaccard >= 0.8 THEN '0.80-0.90'
+                ELSE '0.70-0.80' END AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT doc_a) + COUNT(DISTINCT doc_b) AS BIGINT)
+             AS n_side_docs
+    FROM pairs
+    GROUP BY band
+    """,
+    doc="Dedup threshold sweep (the tuning audit run BEFORE committing a "
+    "near-dup threshold: how many pairs — and how many docs — does each "
+    "candidate threshold implicate?): the exact Jaccard>=0.7 pair set "
+    "(same capped inverted index as dedup_ngram_jaccard) banded into "
+    "[0.7,0.8), [0.8,0.9), [0.9,1] in ONE mining pass — three thresholds "
+    "for the price of one, since banding is a post-hoc CASE over the "
+    "already-computed scores, not three re-runs. A curation pipeline "
+    "reads this as its precision/aggressiveness dial; at 100 TB the "
+    "sweep costs exactly one extra tiny groupBy over the pair list.",
+    tags=("extension", "dedup", "audit"),
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", _words().alias("w"))
+    pairs = ngram_jaccard_pairs(d, threshold=0.7, shingle_df_cap=64)
+    return (
+        pairs.withColumn(
+            "band",
+            F.when(F.col("jaccard") >= 0.9, "0.90+")
+            .when(F.col("jaccard") >= 0.8, "0.80-0.90")
+            .otherwise("0.70-0.80"),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            (F.countDistinct("doc_a") + F.countDistinct("doc_b"))
+            .cast("long")
+            .alias("n_side_docs"),
+        )
+    )
