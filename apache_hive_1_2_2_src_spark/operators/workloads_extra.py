@@ -984,3 +984,114 @@ def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.sum("n").over(w).cast("long").alias("n_7d"),
     )
+
+
+@register(
+    "workload_basket_pairs",
+    oracle="""
+    WITH basket AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             COUNT(*) AS n_baskets
+      FROM basket a JOIN basket b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY part_a, part_b
+    )
+    SELECT part_a, part_b, CAST(n_baskets AS BIGINT) AS n_baskets
+    FROM pairs
+    ORDER BY n_baskets DESC, part_a, part_b
+    LIMIT 20
+    """,
+    doc="Market-basket pair mining (co-occurrence within orders — the "
+    "association-rules front half every retail warehouse runs; in Hive "
+    "it's this exact self-join): distinct (order, part) pairs self-join "
+    "on the order key with part_a < part_b, count baskets per pair, "
+    "top-20 with a total-order tie-break. The self-join fan-out is "
+    "quadratic in BASKET SIZE, not corpus size — TPC-H orders hold <= 7 "
+    "items so the worst key contributes 21 rows; at 100 TB you cap or "
+    "sample mega-baskets exactly like the shingle-df cap in the dedup "
+    "ops (same inverted-index algebra, orders as documents and parts as "
+    "terms). One shuffle on the order key, partial-agg on the pair, "
+    "TakeOrderedAndProject for the top-k.",
+    tags=("workload", "basket", "join"),
+)
+def workload_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    basket = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = basket.alias("a"), basket.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_baskets"))
+    )
+    return pairs.orderBy(
+        F.col("n_baskets").desc(), F.col("part_a"), F.col("part_b")
+    ).limit(20)
+
+
+@register(
+    "events_dau_wau",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    dau AS (
+      SELECT day, COUNT(*) AS dau FROM ud GROUP BY day
+    ),
+    spread AS (
+      SELECT user_id, day + CAST(i AS INTEGER) AS wday
+      FROM ud, UNNEST(range(0, 7)) AS t(i)
+    ),
+    wau AS (
+      SELECT wday AS day, COUNT(DISTINCT user_id) AS wau
+      FROM spread GROUP BY wday
+    )
+    SELECT CAST(d.day AS VARCHAR) AS day,
+           CAST(d.dau AS BIGINT) AS dau,
+           CAST(w.wau AS BIGINT) AS wau,
+           CAST(d.dau * 100 // w.wau AS BIGINT) AS stickiness_pct
+    FROM dau d JOIN wau w ON w.day = d.day
+    """,
+    doc="DAU / trailing-7-day WAU / stickiness (the growth-analytics "
+    "staple): the hard part is COUNT(DISTINCT) over a sliding window, "
+    "which window frames cannot express — solved with the SPREAD trick: "
+    "each distinct (user, day) activity row is exploded to the 7 future "
+    "days it keeps the user 'weekly active' for (sequence+explode, "
+    "codegen), so WAU(day) is a plain per-day COUNT(DISTINCT) — two "
+    "groupBy shuffles total and nothing quadratic; the 7x intermediate "
+    "is the textbook space/shuffle trade for windowed distinct counts at "
+    "scale (the approximate alternative is per-day HLL sketch merges). "
+    "Stickiness = 100*DAU/WAU in integer floor division — exact both "
+    "engines. Days reported only where DAU exists (inner join), dates as "
+    "strings per the registry rule.",
+    tags=("workload", "events", "window"),
+)
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    )
+    ud = e.distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    spread = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+        "day",
+    ).select("user_id", F.date_add("day", F.col("i")).alias("wday"))
+    wau = spread.groupBy(F.col("wday").alias("day")).agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    return dau.join(wau, "day").select(
+        F.col("day").cast("string").alias("day"),
+        F.col("dau").cast("long").alias("dau"),
+        F.col("wau").cast("long").alias("wau"),
+        F.floor(F.col("dau") * 100 / F.col("wau")).cast("long").alias("stickiness_pct"),
+    )
