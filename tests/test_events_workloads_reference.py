@@ -114,3 +114,59 @@ def test_attribution_matches_python_reference(spark, registry):
         # revenue is decimal(18,2)-exact per addend; the python float sum is
         # the reference within a loose epsilon
         assert abs(got[ch][1] - round(rev, 2)) < 0.05, ch
+
+
+def test_dau_wau_matches_python_reference(spark, registry):
+    """The spread trick must equal the direct definition: WAU(d) = distinct
+    users with any activity in [d-6, d]."""
+    from apache_hive_1_2_2_src_spark.tables import load_table
+
+    rows = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+        .collect()
+    )
+    days = defaultdict(set)
+    for r in rows:
+        days[r.day].add(r.user_id)
+    got = {r.day: (r.dau, r.wau) for r in registry["events_dau_wau"].build(spark, SF_DIR).collect()}
+    import datetime as dt
+
+    for day, users in days.items():
+        wau = set()
+        for off in range(7):
+            wau |= days.get(day - dt.timedelta(days=off), set())
+        d = day.isoformat()
+        assert got[d] == (len(users), len(wau)), d
+    assert set(got) == {d.isoformat() for d in days}
+
+
+def test_basket_pairs_matches_python_reference(spark, registry):
+    """Top-20 co-occurring part pairs vs brute-force counting."""
+    from itertools import combinations
+
+    from apache_hive_1_2_2_src_spark.tables import load_table
+
+    rows = (
+        load_table(spark, SF_DIR, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    baskets = defaultdict(set)
+    for r in rows:
+        baskets[r.l_orderkey].add(r.l_partkey)
+    counts = defaultdict(int)
+    for parts in baskets.values():
+        for a, b in combinations(sorted(parts), 2):
+            counts[(a, b)] += 1
+    expected = sorted(
+        ((n, a, b) for (a, b), n in counts.items()),
+        key=lambda t: (-t[0], t[1], t[2]),
+    )[:20]
+    got = [
+        (r.n_baskets, r.part_a, r.part_b)
+        for r in registry["workload_basket_pairs"].build(spark, SF_DIR).collect()
+    ]
+    assert got == expected

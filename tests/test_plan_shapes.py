@@ -398,3 +398,24 @@ def test_bucket_pruning_on_read(spark):
         spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         shutil.rmtree(os.path.join(warehouse, tbl), ignore_errors=True)
+
+
+def test_basket_pairs_plan(plans):
+    # inverted-index self-join on the order key + TakeOrderedAndProject
+    # top-k; a cartesian means the equi-key was lost.
+    p = plans("workload_basket_pairs")
+    assert "CartesianProduct" not in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_dau_wau_no_cartesian(plans):
+    p = plans("events_dau_wau")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_gap_fill_generates_calendar_without_collect(plans):
+    # sequence()+explode calendar: the plan must contain Generate (explode)
+    # and no LocalTableScan of driver-collected dates.
+    p = plans("timeseries_gap_fill")
+    assert "Generate" in p and "sequence" in p
