@@ -1004,15 +1004,23 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_threshold_sweep",
     oracle=f"""
-    WITH pairs AS ({_jaccard_oracle(0.7, shingle_df_cap=64)})
-    SELECT CASE WHEN jaccard >= 0.9 THEN '0.90+'
-                WHEN jaccard >= 0.8 THEN '0.80-0.90'
-                ELSE '0.70-0.80' END AS band,
-           CAST(COUNT(*) AS BIGINT) AS n_pairs,
-           CAST(COUNT(DISTINCT doc_a) + COUNT(DISTINCT doc_b) AS BIGINT)
-             AS n_side_docs
-    FROM pairs
-    GROUP BY band
+    WITH pairs AS ({_jaccard_oracle(0.7, shingle_df_cap=64)}),
+    banded AS (
+      SELECT CASE WHEN jaccard >= 0.9 THEN '0.90+'
+                  WHEN jaccard >= 0.8 THEN '0.80-0.90'
+                  ELSE '0.70-0.80' END AS band, doc_a, doc_b
+      FROM pairs
+    ),
+    docs AS (
+      SELECT band, doc_a AS doc FROM banded
+      UNION ALL
+      SELECT band, doc_b AS doc FROM banded
+    )
+    SELECT p.band, p.n_pairs, d.n_docs
+    FROM (SELECT band, CAST(COUNT(*) AS BIGINT) AS n_pairs
+          FROM banded GROUP BY band) p
+    JOIN (SELECT band, CAST(COUNT(DISTINCT doc) AS BIGINT) AS n_docs
+          FROM docs GROUP BY band) d USING (band)
     """,
     doc="Dedup threshold sweep (the tuning audit run BEFORE committing a "
     "near-dup threshold: how many pairs — and how many docs — does each "
@@ -1028,18 +1036,31 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", _words().alias("w"))
     pairs = ngram_jaccard_pairs(d, threshold=0.7, shingle_df_cap=64)
-    return (
+    pairs = (
         pairs.withColumn(
             "band",
             F.when(F.col("jaccard") >= 0.9, "0.90+")
             .when(F.col("jaccard") >= 0.8, "0.80-0.90")
             .otherwise("0.70-0.80"),
         )
-        .groupBy("band")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_pairs"),
-            (F.countDistinct("doc_a") + F.countDistinct("doc_b"))
-            .cast("long")
-            .alias("n_side_docs"),
-        )
+        # Two consumers below (pair counts + distinct docs): materialize
+        # the mined pair list once instead of re-running the inverted-index
+        # join per consumer (same localCheckpoint pattern as TF-IDF).
+        .localCheckpoint()
     )
+    n_pairs = pairs.groupBy("band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    # TRUE distinct docs per band (a doc seen as both doc_a and doc_b in a
+    # band counts once): explode each pair to two (band, doc) rows and
+    # count distinct. The join back is over <= 3 band rows — free at any
+    # scale (ADVICE r6: the old doc_a-distinct + doc_b-distinct sum
+    # double-counted dual-side docs).
+    n_docs = (
+        pairs.select(
+            "band", F.explode(F.array("doc_a", "doc_b")).alias("doc")
+        )
+        .groupBy("band")
+        .agg(F.countDistinct("doc").cast("long").alias("n_docs"))
+    )
+    return n_pairs.join(n_docs, "band")

@@ -115,63 +115,59 @@ SENTINELS = (
     "dedup_clusters",
 )
 
-# Round-6 rotation: the 9 queries new this round, then 31 never-graded
-# queries chosen for family breadth (windows/PTF, joins, workloads, scalar
-# suites, extensibility, generators, collections, sources, streaming,
-# extensions). 40 of the 50 window slots have never been driver-graded
-# (str_json_suite / sentences_tokenize moved to the r7 batch to make room).
+# Round-7 rotation (COVERAGE.md r7 plan): 40 of the 99 queries that have
+# never earned a driver-green CORRECTNESS row after r6 — prioritizing the
+# round-6 registrations that were outside the r6 window (chunker, TF-IDF,
+# contamination apply, SequenceFile, streaming joins, uniontype, coercion
+# lattice, catalog dialects, events/pipeline workloads). All 40 slots are
+# oracled and never-driver-graded; the remaining ~59 rotate in r8 per
+# COVERAGE.md. (r6 window: see git history / CORRECTNESS_r06.json.)
 ROTATION = (
-    # new in round 6: derived-partsupp TPC-H + type semantics + matchpath
-    # grammar + repetition filter
-    "workload_min_cost_supplier",
-    "workload_important_stock",
-    "workload_parts_supplier_cnt",
-    "workload_promotion_suppliers",
-    "types_char_varchar_suite",
-    "decimal_scale_suite",
-    "ptf_matchpath_multisym",
-    "ptf_matchpath_grammar",
-    "text_repetition_filter",
-    # windows / PTF
-    "window_range_frame",
-    "ptf_matchpath_emulated",
-    "window_percent_rank_partitioned",
-    # joins
-    "join_asof",
-    "mapjoin_hint_sql",
-    "pivot_case_when",
-    # workloads
-    "workload_revenue_forecast",
-    "workload_market_share",
-    "workload_customer_order_counts",
-    "workload_suppliers_kept_waiting",
-    "workload_product_profit",
-    # scalar function suites
-    "cast_suite",
-    "null_semantics_suite",
-    "date_arith_suite",
-    "math_trig_suite",
-    "str_regex_suite",
-    # extensibility
-    "xpath_suite",
-    "regex_serde_read",
-    "window_named_sql",
-    # generators / collections
-    "stack_unpivot",
-    "lateral_view_outer_nulls",
-    "collection_array_hof_suite",
-    # sources & sinks
-    "orc_roundtrip_agg",
-    "json_roundtrip_agg",
-    "dynamic_partition_overwrite",
-    # streaming
-    "streaming_watermark_window",
-    "streaming_foreachbatch_upsert",
-    "window_session_agg",
-    # LLM-pipeline extensions
-    "dedup_embedding_cosine",
-    "similarity_kmeans_train",
-    "sample_reservoir_per_source",
+    # round-6 extensions: text / dedup / similarity / sampling pipelines
+    "text_chunk_windows",
+    "text_tfidf_cosine",
+    "text_contamination_apply",
+    "text_lang_confusion",
+    "dedup_substring_spans",
+    "dedup_incremental_batch",
+    "dedup_threshold_sweep",
+    "similarity_knn_label_audit",
+    "sample_token_budget",
+    "sample_kfold_assign",
+    "pipeline_corpus_diff",
+    # events / time-series workloads
+    "events_sessionize",
+    "events_funnel",
+    "events_retention_cohorts",
+    "events_attribution_last_touch",
+    "events_dau_wau",
+    "timeseries_gap_fill",
+    "workload_scd2_dimension",
+    "workload_basket_pairs",
+    "diagnostics_key_skew",
+    # type-system + function suites
+    "uniontype_emulated",
+    "coercion_lattice_suite",
+    "str_json_suite",
+    "sentences_tokenize",
+    "json_typed_projection",
+    "agg_percentile_array",
+    "agg_distinct_grouping_sets",
+    "order_nulls_suite",
+    # SQL dialect / catalog / DDL
+    "ddl_show_describe",
+    "ddl_view_lifecycle",
+    "ddl_bucketed_dialect_lifecycle",
+    "ddl_insert_values",
+    "msck_repair_partitions",
+    "cte_with_clause_sql",
+    "sql_variable_substitution",
+    "script_reduce_sql",
+    "lateral_view_sql",
+    # sources & streaming
+    "sequencefile_roundtrip_agg",
+    "streaming_static_enrich",
+    "streaming_stream_join",
 )
 
 PRIORITY = SENTINELS + ROTATION

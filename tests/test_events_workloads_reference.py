@@ -36,7 +36,17 @@ def _events(spark):
     for r in rows:
         per_user[r.user_id].append(r)
     for evs in per_user.values():
-        evs.sort(key=lambda r: (r.ts_us, r.event_id))
+        # Same tie-break as the operators/oracles (ts_us, ord, event_id):
+        # a same-microsecond touch sorts BEFORE a purchase, so the
+        # reference walk cannot diverge on a regenerated fixture with
+        # equal-timestamp touch+purchase pairs (ADVICE r6 item 1).
+        evs.sort(
+            key=lambda r: (
+                r.ts_us,
+                0 if r.event_type in ("view", "click") else 1,
+                r.event_id,
+            )
+        )
     return per_user
 
 

@@ -367,6 +367,9 @@ def test_bucket_pruning_on_read(spark):
     tbl = f"bktprune_{os.getpid()}"
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     shutil.rmtree(os.path.join(warehouse, tbl), ignore_errors=True)
+    saved_abs = spark.conf.get(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true"
+    )
     try:
         (
             load_table(spark, SF_DIR, "orders")
@@ -378,7 +381,9 @@ def test_bucket_pruning_on_read(spark):
         )
         # autoBucketedScan (on by default) falls back to a plain scan when
         # no join/agg consumes the bucketing; disable it so the filter-only
-        # read exercises the pruning path.
+        # read exercises the pruning path. Save/restore the prior value —
+        # a hardcoded "true" restore would silently mutate a session
+        # configured differently (ADVICE r6 item 4).
         spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
         q = spark.table(tbl).where(F.col("o_custkey") == 42)
         p = q._jdf.queryExecution().explainString(
@@ -395,7 +400,9 @@ def test_bucket_pruning_on_read(spark):
         )
         assert q.count() == full
     finally:
-        spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", saved_abs
+        )
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         shutil.rmtree(os.path.join(warehouse, tbl), ignore_errors=True)
 

@@ -67,16 +67,21 @@ def test_priority_window_rotation_policy(registry):
     rotation_tags = {t for n in ROTATION for t in registry[n].tags}
     assert len(rotation_tags) >= 12, f"rotation too narrow: {rotation_tags}"
     # If grading history is available, the rotation must be doing its job:
-    # most rotation slots go to queries with no driver-green row yet.
+    # most rotation slots go to queries with no driver-green row yet. The
+    # NEWEST history file is excluded: it is the driver's grading of the
+    # *current* window, so counting it would flip this test red the moment
+    # the window succeeds (the r6 self-falsifying-invariant bug, VERDICT r6
+    # item 1). Freshness is judged against the rounds BEFORE this window
+    # was chosen.
     import glob
     import json
     import os
 
-    hist = glob.glob(os.path.join(os.path.dirname(__file__), "..",
-                                  "CORRECTNESS_r0*.json"))
-    if hist:
+    hist = sorted(glob.glob(os.path.join(os.path.dirname(__file__), "..",
+                                         "CORRECTNESS_r0*.json")))
+    if len(hist) > 1:
         green = set()
-        for f in hist:
+        for f in hist[:-1]:
             d = json.load(open(f))
             green |= {k for k, v in d.items() if v.get("hash_match")}
         fresh = [n for n in PRIORITY if n not in green]

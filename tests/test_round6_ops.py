@@ -28,7 +28,12 @@ def test_scd2_versions_tile(spark, registry):
     # tiling: lead(valid_from) over version order == valid_to
     from pyspark.sql import Window
 
-    w = Window.partitionBy("c_custkey").orderBy("valid_from")
+    # Deterministic tie-break for same-day version flips: an open
+    # (valid_to IS NULL) version must sort last among equal valid_from,
+    # mirroring the operator's (valid_from_ts, grp) ordering (ADVICE r6).
+    w = Window.partitionBy("c_custkey").orderBy(
+        "valid_from", F.col("valid_to").isNull(), "status"
+    )
     bad = (
         df.withColumn("next_from", F.lead("valid_from").over(w))
         .where(
