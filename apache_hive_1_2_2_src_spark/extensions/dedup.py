@@ -831,6 +831,53 @@ def dedup_apply_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def substring_span_stats(toks: DataFrame, k: int = 8) -> DataFrame:
+    """Per-doc duplicated-span stats over a (doc_id, w array<string>) frame:
+    positional token-k-grams, corpus-duplicated grams (>= 2 distinct docs),
+    one equi-join back against the PRE-AGGREGATED gram side (one row per
+    gram — join output is exactly one row per gram occurrence, linear in
+    the corpus, never |occurrences|x|occurrences|; the scale property
+    test_scale_stress pins on a 10x-duplicated overlay). Factored out of
+    the registered query so stress tests can run it on synthetic corpora."""
+    idx = F.sequence(F.lit(0), F.size("w") - k)
+    gram = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(F.col("w"), i + F.lit(j + 1)) for j in range(k)]
+        ),
+    )
+    grams = (
+        toks.where(F.size("w") >= k)
+        .select("doc_id", F.explode(gram).alias("gram"))
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("gram", F.lit(1).alias("is_dup"))
+    )
+    per_doc = (
+        grams.join(dup, "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("is_dup").alias("n_dup_grams"),
+        )
+    )
+    return (
+        toks.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_dup_grams", F.lit(0)).cast("long").alias("n_dup_grams"),
+            F.coalesce(
+                2 * F.col("n_dup_grams") >= F.col("n_grams"), F.lit(False)
+            ).alias("half_duplicated"),
+        )
+    )
+
+
 @register(
     "dedup_substring_spans",
     # Token-8-gram analogue of ExactSubstr dedup (Lee et al. 2022,
@@ -882,46 +929,8 @@ def dedup_apply_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("extension", "dedup", "pipeline"),
 )
 def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    k = 8
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", _words().alias("w"))
-    idx = F.sequence(F.lit(0), F.size("w") - k)
-    gram = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(F.col("w"), i + F.lit(j + 1)) for j in range(k)]
-        ),
-    )
-    grams = (
-        toks.where(F.size("w") >= k)
-        .select("doc_id", F.explode(gram).alias("gram"))
-    )
-    dup = (
-        grams.groupBy("gram")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .where(F.col("nd") >= 2)
-        .select("gram", F.lit(1).alias("is_dup"))
-    )
-    per_doc = (
-        grams.join(dup, "gram", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.count("is_dup").alias("n_dup_grams"),
-        )
-    )
-    return (
-        toks.select("doc_id")
-        .join(per_doc, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
-            F.coalesce("n_dup_grams", F.lit(0)).cast("long").alias("n_dup_grams"),
-            F.coalesce(
-                2 * F.col("n_dup_grams") >= F.col("n_grams"), F.lit(False)
-            ).alias("half_duplicated"),
-        )
-    )
+    return substring_span_stats(d.select("doc_id", _words().alias("w")), k=8)
 
 
 @register(

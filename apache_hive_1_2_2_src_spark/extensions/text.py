@@ -735,6 +735,68 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tfidf_cosine_pairs(
+    w0: DataFrame, *, threshold: float = 0.35, df_min: int = 2, df_max: int = 64
+) -> DataFrame:
+    """TF-IDF cosine pairs over a (doc_id, w array<string>) frame (terms =
+    word 3-gram shingles, weights ROUND(tf/df, 9) as DECIMAL(18,9), dots
+    from a term-keyed self-join bounded by the df in [df_min, df_max] cap —
+    candidate complexity Sum_term C(df, 2), never all-pairs; the scale
+    property test_scale_stress pins that bound on a 10x-duplicated
+    overlay). ``threshold`` < 0 returns every candidate pair (the stress
+    tests' pre-filter view). Factored out of the registered query so
+    stress tests can run it on synthetic corpora."""
+    grams3 = F.expr(
+        "transform(sequence(0, size(w) - 3), x -> "
+        "concat_ws(' ', w[x], w[x + 1], w[x + 2]))"
+    )
+    tok = w0.select("doc_id", F.explode(grams3).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df").between(df_min, df_max))
+    )
+    w = tf.join(df, "term").select(
+        "doc_id",
+        "term",
+        F.round(F.col("tf").cast("double") / F.col("df"), 9)
+        .cast("decimal(18,9)")
+        .alias("w"),
+    )
+    # The weights frame feeds FOUR consumers (norm + both sides of the dot
+    # self-join); without materialization each re-runs the trigram explode
+    # + two groupBys over the full corpus — measured 11 s -> ~4 s at sf0.1.
+    # localCheckpoint both materializes it (size ~ |doc,term| pairs, far
+    # smaller than the exploded token stream) and truncates the lineage;
+    # on a cluster this is the persisted postings-list artifact every
+    # TF-IDF pipeline materializes anyway.
+    w = w.localCheckpoint(eager=False)
+    norm = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    a, b = w.alias("a"), w.alias("b")
+    dot = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dp"))
+    )
+    na, nb = norm.alias("na"), norm.alias("nb")
+    cos = F.col("dp").cast("double") / (
+        F.sqrt(F.col("na.n2").cast("double")) * F.sqrt(F.col("nb.n2").cast("double"))
+    )
+    return (
+        dot.join(na, F.col("doc_a") == F.col("na.doc_id"))
+        .join(nb, F.col("doc_b") == F.col("nb.doc_id"))
+        .filter(cos >= threshold)
+        .select("doc_a", "doc_b", F.round(cos, 6).alias("cosine"))
+    )
+
+
 @register(
     "text_tfidf_cosine",
     oracle=f"""
@@ -796,55 +858,7 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     w0 = d.select("doc_id", _words().alias("w")).filter(F.size("w") >= 3)
-    grams3 = F.expr(
-        "transform(sequence(0, size(w) - 3), x -> "
-        "concat_ws(' ', w[x], w[x + 1], w[x + 2]))"
-    )
-    tok = w0.select("doc_id", F.explode(grams3).alias("term"))
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = (
-        tf.groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df").between(2, 64))
-    )
-    w = tf.join(df, "term").select(
-        "doc_id",
-        "term",
-        F.round(F.col("tf").cast("double") / F.col("df"), 9)
-        .cast("decimal(18,9)")
-        .alias("w"),
-    )
-    # The weights frame feeds FOUR consumers (norm + both sides of the dot
-    # self-join); without materialization each re-runs the trigram explode
-    # + two groupBys over the full corpus — measured 11 s -> ~4 s at sf0.1.
-    # localCheckpoint both materializes it (size ~ |doc,term| pairs, far
-    # smaller than the exploded token stream) and truncates the lineage;
-    # on a cluster this is the persisted postings-list artifact every
-    # TF-IDF pipeline materializes anyway.
-    w = w.localCheckpoint(eager=False)
-    norm = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
-    a, b = w.alias("a"), w.alias("b")
-    dot = (
-        a.join(
-            b,
-            (F.col("a.term") == F.col("b.term"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dp"))
-    )
-    na, nb = norm.alias("na"), norm.alias("nb")
-    cos = F.col("dp").cast("double") / (
-        F.sqrt(F.col("na.n2").cast("double")) * F.sqrt(F.col("nb.n2").cast("double"))
-    )
-    return (
-        dot.join(na, F.col("doc_a") == F.col("na.doc_id"))
-        .join(nb, F.col("doc_b") == F.col("nb.doc_id"))
-        .filter(cos >= 0.35)
-        .select("doc_a", "doc_b", F.round(cos, 6).alias("cosine"))
-    )
+    return tfidf_cosine_pairs(w0, threshold=0.35)
 
 
 @register(

@@ -58,6 +58,31 @@ back = spark.sql(
 ).collect()[0]
 assert (back.n, back.sk, back.sx, back.mn) == (100, 4950, 7425.0, "s0"), back
 spark.sql("DROP DATABASE rc_db CASCADE")
+
+# SequenceFile (STORED AS SEQUENCEFILE — Hive's SequenceFileInput/
+# OutputFormat + LazySimpleSerDe): this is the JVM-side scale path for the
+# legacy format. Unlike the vanilla-session [Q] query
+# `sequencefile_roundtrip_agg` (which must bridge through .rdd with
+# per-row Python lambdas because PySpark has no DataFrame SequenceFile
+# writer), the hive catalog route keeps write AND read entirely in the
+# JVM — zero Python per-row cost, so it is the route a 100 TB deployment
+# uses for SequenceFile tables.
+spark.sql("CREATE DATABASE seq_db")
+spark.sql(
+    "CREATE TABLE seq_db.t_seq STORED AS SEQUENCEFILE AS "
+    "SELECT id AS k, CAST(id * 2.5 AS DOUBLE) AS x, "
+    "CONCAT('v', CAST(id AS STRING)) AS s FROM RANGE(100)"
+)
+fmt = [r.data_type for r in spark.sql("DESCRIBE FORMATTED seq_db.t_seq").collect()
+       if r.col_name == "InputFormat"]
+assert fmt == ["org.apache.hadoop.mapred.SequenceFileInputFormat"], fmt
+back = spark.sql(
+    "SELECT COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sk, "
+    "CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS sx, "
+    "MIN(s) AS mn FROM seq_db.t_seq"
+).collect()[0]
+assert (back.n, back.sk, back.sx, back.mn) == (100, 4950, 12375.0, "v0"), back
+spark.sql("DROP DATABASE seq_db CASCADE")
 print("HIVE_METASTORE_OK")
 """
 

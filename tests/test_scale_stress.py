@@ -127,3 +127,99 @@ def test_ann_overlay_duplicate_recall(spark):
     missing = expected - set(got)
     assert not missing, f"{len(missing)} duplicate ANN pairs lost"
     assert all(got[p] == 0 for p in expected)
+
+
+def test_substring_spans_linear_join_and_full_dup_on_overlay(spark):
+    """ExactSubstr span mining on the 10x overlay (r6 VERDICT item 8):
+
+    1. the pre-aggregated gram-side join stays LINEAR — sum(n_grams) over
+       the output equals the directly-computed gram-occurrence count
+       (sum over docs of size(w) - k + 1); a per-occurrence x
+       per-occurrence join would inflate it ~10x here;
+    2. every gram of every copy is corpus-duplicated (its 9 clones carry
+       it), so n_dup_grams == n_grams and half_duplicated for every doc
+       with >= k tokens — 100% span recall on true duplicates.
+    """
+    from apache_hive_1_2_2_src_spark.extensions.dedup import substring_span_stats
+
+    k = 8
+    overlay = _overlay_docs(spark)
+    toks = overlay.select("doc_id", _words().alias("w"))
+    out = substring_span_stats(toks, k=k).collect()
+    assert len(out) == overlay.count()  # one row per doc, short docs included
+    expected_occurrences = (
+        toks.select(
+            F.when(F.size("w") >= k, F.size("w") - (k - 1))
+            .otherwise(0)
+            .alias("n")
+        )
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    assert sum(r.n_grams for r in out) == expected_occurrences
+    long_docs = [r for r in out if r.n_grams > 0]
+    assert long_docs, "overlay should contain docs with >= 8 tokens"
+    assert all(r.n_dup_grams == r.n_grams for r in long_docs)
+    assert all(r.half_duplicated for r in long_docs)
+
+
+def test_tfidf_candidate_pairs_within_df_cap_bound(spark):
+    """TF-IDF inverted-index join on the 10x overlay (r6 VERDICT item 8):
+    candidate pairs (threshold < 0 => every pair sharing >= 1 surviving
+    term) must stay within Sum_term C(df, 2) over the capped vocabulary —
+    the Σdf² complexity claim in SCALE.md. The overlay also exercises the
+    cap's purpose: common terms (orig df >= 7) blow past df_max = 64 once
+    cloned 10x and must vanish from the index, while each original doc's
+    rare terms (df = 10 copies) survive, so every 10-copy clique whose
+    doc has >= 1 surviving term reports all C(10,2) pairs at cosine 1."""
+    from apache_hive_1_2_2_src_spark.extensions.text import tfidf_cosine_pairs
+
+    overlay = _overlay_docs(spark)
+    w0 = overlay.select("doc_id", _words().alias("w")).filter(F.size("w") >= 3)
+    df_min, df_max = 2, 64
+
+    # Independent df histogram over the same trigram tokenization.
+    grams3 = F.expr(
+        "transform(sequence(0, size(w) - 3), x -> "
+        "concat_ws(' ', w[x], w[x + 1], w[x + 2]))"
+    )
+    df_rows = (
+        w0.select("doc_id", F.explode(grams3).alias("term"))
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .collect()
+    )
+    capped = [r.df for r in df_rows if df_min <= r.df <= df_max]
+    assert capped, "some rare terms must survive the cap on the overlay"
+    # The 10x clone multiplies every df by 10: surviving df values are
+    # exact multiples of 10 in [10, 60].
+    assert all(d % N_COPIES == 0 for d in capped)
+    pair_bound = sum(d * (d - 1) // 2 for d in capped)
+
+    cand = tfidf_cosine_pairs(w0, threshold=-1.0).collect()
+    assert 0 < len(cand) <= pair_bound, (len(cand), pair_bound)
+
+    # Full duplicate recall at cosine == 1 for cliques with surviving terms.
+    surviving_docs = {
+        r.doc_id
+        for r in w0.select("doc_id", F.explode(grams3).alias("term"))
+        .join(
+            w0.select("doc_id", F.explode(grams3).alias("term"))
+            .groupBy("term")
+            .agg(F.countDistinct("doc_id").alias("df"))
+            .filter(F.col("df").between(df_min, df_max)),
+            "term",
+        )
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    got = {(r.doc_a, r.doc_b): r.cosine for r in cand}
+    expected = {
+        (r.doc_a, r.doc_b)
+        for r in _dup_pairs(overlay).collect()
+        if r.doc_a in surviving_docs and r.doc_b in surviving_docs
+    }
+    missing = expected - set(got)
+    assert not missing, f"{len(missing)} duplicate TF-IDF pairs lost"
+    assert all(abs(got[p] - 1.0) < 1e-6 for p in expected)
