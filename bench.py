@@ -46,6 +46,39 @@ HEADLINE = (
     "dedup_substring_spans",  # token-8-gram ExactSubstr span index (r6 cont.)
     "dedup_incremental_batch",  # probe-restricted LSH, daily-ingest shape (r6 cont.)
     "workload_scd2_dimension",  # SCD2 build, 3 window passes / 1 shuffle (r6 cont.)
+    "workload_basket_pairs",  # market-basket pair mining, order-keyed self-join (r7)
+    "events_dau_wau",  # DAU/WAU stickiness via the 7-day spread trick (r7)
+    "timeseries_gap_fill",  # calendar densification, sequence+explode (r7)
+    "events_attribution_last_touch",  # last-touch attribution, single window pass (r7)
+)
+
+# All 22 TPC-H query shapes in query order — timed as ONE sequential suite
+# (tpch_22_suite_sec) so a family-wide plan regression (e.g. a lost
+# broadcast after a code motion) shows up as a suite-level jump even for
+# shapes outside the headline set (VERDICT r6 item 6).
+TPCH_22 = (
+    "q1_pricing_summary",
+    "workload_min_cost_supplier",
+    "workload_shipping_priority",
+    "workload_order_priority_check",
+    "workload_local_supplier_volume",
+    "workload_revenue_forecast",
+    "workload_nation_volume_shipping",
+    "workload_market_share",
+    "workload_product_profit",
+    "workload_returned_items",
+    "workload_important_stock",
+    "workload_shipmode_priority",
+    "workload_customer_order_counts",
+    "workload_part_type_share",
+    "workload_top_supplier",
+    "workload_parts_supplier_cnt",
+    "workload_small_qty_revenue",
+    "workload_large_volume_customer",
+    "workload_disjunctive_revenue",
+    "workload_promotion_suppliers",
+    "workload_suppliers_kept_waiting",
+    "workload_idle_customers",
 )
 
 
@@ -68,6 +101,13 @@ def main() -> int:
     for name in HEADLINE[1:]:
         run(name)
 
+    # Warm-session sequential sweep of the 22 TPC-H shapes (Q1..Q22).
+    tpch_times: dict[str, float] = {}
+    for name in TPCH_22:
+        t0 = time.time()
+        reg[name].build(spark, sf_dir).count()
+        tpch_times[name] = round(time.time() - t0, 3)
+
     print(
         json.dumps(
             {
@@ -75,6 +115,8 @@ def main() -> int:
                 "value": round(sum(times.values()), 3),
                 "unit": "sec",
                 "queries": times,
+                "tpch_22_suite_sec": round(sum(tpch_times.values()), 3),
+                "tpch_22": tpch_times,
                 "sf": sf,
             }
         )
