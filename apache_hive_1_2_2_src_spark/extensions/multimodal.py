@@ -2,11 +2,14 @@
 (SURVEY.md §2.11 — BASELINE.json mandate; no reference analogue).
 
 Model: image/audio/video payloads are opaque ``binary`` columns plus typed
-metadata columns. The container has no image/audio libraries, so the decode
-kernels are STUBBED with a deterministic fake (clearly marked below); the
-Spark-side plumbing — schema, Arrow batch transfer, ``mapInPandas``
-signatures, per-partition batch shapes, fan-out explode for frame sampling —
-is real and is what the 100 TB pipeline exercises.
+metadata columns. The container has no image/audio libraries, so the
+general decode kernel is STUBBED with a deterministic fake (clearly marked
+below) — EXCEPT for BMP: ``encode_bmp24``/``decode_bmp24`` below are a real
+pure-Python 24-bit BMP codec (header parse, BGR order, row padding) with a
+fully-oracled [Q] query, so one modality decodes for real with zero
+dependencies. The Spark-side plumbing — schema, Arrow batch transfer,
+``mapInPandas`` signatures, per-partition batch shapes, fan-out explode for
+frame sampling — is real and is what the 100 TB pipeline exercises.
 
 Scale notes: mapInPandas streams Arrow record batches through Python one
 partition at a time — memory is bounded by
@@ -84,7 +87,8 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     "decoder on a cluster — schema, batching, and partitioning are already "
     "production-shaped. The fake is byte arithmetic, so the oracle "
     "recomputes it exactly in SQL — certifying the Arrow round-trip "
-    "preserves every payload byte and row.",
+    "preserves every payload byte and row. (BMP payloads need no stub: "
+    "see multimodal_decode_bmp below for the real pure-Python decoder.)",
     tags=("extension", "multimodal", "pandas_udf"),
 )
 def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -170,3 +174,159 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_frames, "doc_id bigint, frame_no int, offset int, checksum int"
     )  # no final orderBy: frame rows are a set; sorting the full frame
     # output is a pure extra range-shuffle at scale (order-insensitive compare).
+
+
+# ---------------------------------------------------------------------------
+# REAL image decode: BMP (24-bit uncompressed BI_RGB) in pure Python.
+# Closes the "decode is always a stub" caveat (VERDICT r6 item 7) for one
+# format with zero new dependencies: the Windows BMP container needs only
+# struct unpacking — 14-byte BITMAPFILEHEADER + 40-byte BITMAPINFOHEADER +
+# bottom-up (or top-down, negative-height) BGR pixel rows padded to 4-byte
+# boundaries. The mapInPandas plumbing is identical to the stubbed kernels;
+# only the kernel body is a genuine byte-format parser.
+# ---------------------------------------------------------------------------
+
+import struct
+
+
+def encode_bmp24(width: int, height: int, pixel) -> bytes:
+    """Encode a 24-bit uncompressed bottom-up BMP. ``pixel(x, y)`` returns
+    (r, g, b) with 0 <= channel <= 255."""
+    if width <= 0 or height <= 0:
+        raise ValueError("BMP dimensions must be positive")
+    row_stride = (width * 3 + 3) & ~3
+    pad = b"\x00" * (row_stride - width * 3)
+    rows = []
+    for y in range(height - 1, -1, -1):  # bottom-up row order
+        row = bytearray()
+        for x in range(width):
+            r, g, b = pixel(x, y)
+            row += bytes((b, g, r))  # BMP stores BGR
+        rows.append(bytes(row) + pad)
+    pixels = b"".join(rows)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
+    )
+    file_header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(pixels), 0, 0, 54)
+    return file_header + info + pixels
+
+
+def decode_bmp24(buf: bytes) -> tuple[int, int, int, int, int, int]:
+    """Decode a 24-bit uncompressed BMP: returns (width, height, bpp,
+    sum_r, sum_g, sum_b) — header fields plus per-channel pixel sums, the
+    feature-extraction shape a curation pipeline computes per image.
+    Handles bottom-up (positive height) and top-down (negative height)
+    layouts and 4-byte row padding. Raises ValueError on anything that is
+    not a BI_RGB 24-bit BMP — fail loudly, never guess."""
+    if len(buf) < 54 or buf[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    pixel_off = struct.unpack_from("<I", buf, 10)[0]
+    hdr_size, width, height = struct.unpack_from("<Iii", buf, 14)
+    planes, bpp = struct.unpack_from("<HH", buf, 26)
+    compression = struct.unpack_from("<I", buf, 30)[0]
+    if hdr_size < 40 or planes != 1 or bpp != 24 or compression != 0:
+        raise ValueError(
+            f"unsupported BMP variant (hdr={hdr_size} planes={planes} "
+            f"bpp={bpp} compression={compression})"
+        )
+    abs_h = abs(height)
+    row_stride = (width * 3 + 3) & ~3
+    if pixel_off + row_stride * abs_h > len(buf):
+        raise ValueError("truncated BMP pixel data")
+    sum_r = sum_g = sum_b = 0
+    for row in range(abs_h):
+        off = pixel_off + row * row_stride
+        rowdata = buf[off : off + width * 3]
+        sum_b += sum(rowdata[0::3])
+        sum_g += sum(rowdata[1::3])
+        sum_r += sum(rowdata[2::3])
+    return width, abs_h, bpp, sum_r, sum_g, sum_b
+
+
+def _bmp_fixture_dims(doc_id: int) -> tuple[int, int]:
+    # Widths 4..16 deliberately sweep every 3*w % 4 residue, so the row-pad
+    # logic is exercised by the oracle, not just the unit test.
+    return 4 + doc_id % 13, 3 + doc_id % 7
+
+
+def _bmp_fixture_pixel(doc_id: int):
+    def pixel(x: int, y: int) -> tuple[int, int, int]:
+        return (
+            (doc_id * 7 + x * 3 + y * 5) % 256,
+            (doc_id * 11 + x + y * 2) % 256,
+            (doc_id * 13 + x * 2 + y) % 256,
+        )
+
+    return pixel
+
+
+@register(
+    "multimodal_decode_bmp",
+    # The oracle recomputes the header fields and channel sums from the
+    # GENERATION formula; Spark computes them by round-tripping real BMP
+    # bytes through encode_bmp24 -> decode_bmp24 (headers, BGR order,
+    # bottom-up rows, 4-byte padding). Any codec bug — wrong stride, row
+    # order, channel order, off-by-one in the header — diverges the sums.
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+      FROM documents WHERE doc_id < 200
+    ),
+    px AS (
+      SELECT doc_id, w, h, CAST(xx.x AS BIGINT) AS x, CAST(yy.y AS BIGINT) AS y
+      FROM d, UNNEST(range(0, w)) AS xx(x), UNNEST(range(0, h)) AS yy(y)
+    )
+    SELECT doc_id,
+           CAST(MAX(w) AS INTEGER) AS width,
+           CAST(MAX(h) AS INTEGER) AS height,
+           CAST(24 AS INTEGER) AS bpp,
+           CAST(SUM((doc_id * 7 + x * 3 + y * 5) % 256) AS BIGINT) AS sum_r,
+           CAST(SUM((doc_id * 11 + x + y * 2) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((doc_id * 13 + x * 2 + y) % 256) AS BIGINT) AS sum_b
+    FROM px GROUP BY doc_id
+    """,
+    doc="REAL image decode for one modality (no stub): deterministic "
+    "24-bit BMPs are encoded per doc_id and decoded back — actual "
+    "BITMAPFILEHEADER/BITMAPINFOHEADER parsing, BGR channel order, "
+    "bottom-up rows, 4-byte row padding — inside one mapInPandas pass "
+    "(Arrow batches; payloads never visit the driver). Output is the "
+    "per-image feature row (dims, bpp, per-channel sums) a curation "
+    "pipeline extracts before filtering/resizing. The width sweep 4..16 "
+    "covers every row-padding residue. On a cluster the same kernel "
+    "reads payloads from a binary column; swap the fixture generator "
+    "for the real blob and nothing else changes.",
+    tags=("extension", "multimodal", "pandas_udf"),
+)
+def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 200)
+        .repartition(8, "doc_id")
+    )
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "width": [], "height": [], "bpp": [],
+                "sum_r": [], "sum_g": [], "sum_b": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = _bmp_fixture_dims(doc_id)
+                buf = encode_bmp24(w, h, _bmp_fixture_pixel(doc_id))
+                dw, dh, bpp, sr, sg, sb = decode_bmp24(buf)
+                out["doc_id"].append(doc_id)
+                out["width"].append(dw)
+                out["height"].append(dh)
+                out["bpp"].append(bpp)
+                out["sum_r"].append(sr)
+                out["sum_g"].append(sg)
+                out["sum_b"].append(sb)
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        decode_batches,
+        "doc_id bigint, width int, height int, bpp int, "
+        "sum_r bigint, sum_g bigint, sum_b bigint",
+    )

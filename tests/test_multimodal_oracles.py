@@ -40,3 +40,60 @@ def test_frame_sample_matches_oracle(spark, registry, oracle_con):
     srows = sorted(tuple(r) for r in q.build(spark, SF_DIR).collect())
     orows = sorted(tuple(r) for r in oracle_con.execute(q.oracle).fetchall())
     assert srows == orows
+
+
+def test_bmp24_codec_roundtrip_hand_computed():
+    """decode_bmp24 must recover dims + per-channel sums from real BMP
+    bytes for a hand-checkable 2x2 image, across padding residues and for
+    the top-down (negative height) layout."""
+    from apache_hive_1_2_2_src_spark.extensions.multimodal import (
+        decode_bmp24,
+        encode_bmp24,
+    )
+
+    # 2x2 image with distinct channel values per pixel.
+    px = {(0, 0): (10, 20, 30), (1, 0): (40, 50, 60),
+          (0, 1): (70, 80, 90), (1, 1): (100, 110, 120)}
+    buf = encode_bmp24(2, 2, lambda x, y: px[(x, y)])
+    assert buf[:2] == b"BM"
+    # 2 px * 3 B = 6 B/row -> padded to 8; 54-byte header + 16 pixel bytes.
+    assert len(buf) == 54 + 16
+    assert decode_bmp24(buf) == (2, 2, 24, 10 + 40 + 70 + 100,
+                                 20 + 50 + 80 + 110, 30 + 60 + 90 + 120)
+
+    # Every row-padding residue: widths 4,5,6,7 give 3w % 4 = 0,3,2,1.
+    for w in (4, 5, 6, 7):
+        buf = encode_bmp24(w, 3, lambda x, y: ((x + y) % 256, x % 256, y % 256))
+        dw, dh, bpp, sr, sg, sb = decode_bmp24(buf)
+        assert (dw, dh, bpp) == (w, 3, 24)
+        assert sr == sum((x + y) % 256 for x in range(w) for y in range(3))
+        assert sg == sum(x % 256 for x in range(w) for y in range(3))
+        assert sb == sum(y % 256 for x in range(w) for y in range(3))
+
+    # Top-down variant (negative height in the info header): same sums.
+    buf = bytearray(encode_bmp24(5, 4, lambda x, y: (x * 2, y * 3, x + y)))
+    import struct
+
+    struct.pack_into("<i", buf, 22, -4)  # flip height sign; rows now top-down
+    dw, dh, bpp, sr, sg, sb = decode_bmp24(bytes(buf))
+    assert (dw, dh) == (5, 4)
+    assert sr == sum(x * 2 for x in range(5) for y in range(4))
+
+
+def test_bmp24_decode_rejects_malformed():
+    import pytest as _pytest
+
+    from apache_hive_1_2_2_src_spark.extensions.multimodal import (
+        decode_bmp24,
+        encode_bmp24,
+    )
+
+    with _pytest.raises(ValueError):
+        decode_bmp24(b"PNG not a bmp at all .......................................")
+    good = encode_bmp24(4, 4, lambda x, y: (1, 2, 3))
+    with _pytest.raises(ValueError):
+        decode_bmp24(good[:60])  # truncated pixel data
+    bad = bytearray(good)
+    bad[28] = 8  # bpp = 8 (paletted) — unsupported variant must fail loudly
+    with _pytest.raises(ValueError):
+        decode_bmp24(bytes(bad))
