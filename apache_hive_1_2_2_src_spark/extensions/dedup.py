@@ -1073,3 +1073,203 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("doc").cast("long").alias("n_docs"))
     )
     return n_pairs.join(n_docs, "band")
+
+
+@register(
+    "dedup_span_trim",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_WORDS} AS w FROM documents),
+    grams AS (
+      SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+7], ' ') AS gram
+      FROM toks, UNNEST(range(1, len(w) - 8 + 2)) AS t(i)
+      WHERE len(w) >= 8
+    ),
+    dup AS (
+      SELECT gram FROM grams GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    cov AS (
+      SELECT DISTINCT g.doc_id, g.pos + j.j AS cpos
+      FROM grams g JOIN dup d USING (gram), UNNEST(range(0, 8)) AS j(j)
+    ),
+    covchars AS (
+      SELECT c.doc_id,
+             COUNT(*) AS n_covered,
+             SUM(length(t.w[CAST(c.cpos + 1 AS INTEGER)])) AS covered_chars
+      FROM cov c JOIN toks t USING (doc_id)
+      GROUP BY c.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.w) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(cc.n_covered, 0) AS BIGINT) AS n_covered,
+           CAST(len(t.w) - COALESCE(cc.n_covered, 0) AS BIGINT) AS n_kept,
+           CAST(COALESCE(list_sum(list_transform(t.w, x -> length(x))), 0)
+                - COALESCE(cc.covered_chars, 0) AS BIGINT) AS kept_chars
+    FROM toks t LEFT JOIN covchars cc ON cc.doc_id = t.doc_id
+    """,
+    doc="ExactSubstr span-trim APPLY (Lee et al. 2022 'Deduplicating "
+    "Training Data Makes Language Models Better', the REMOVE step after "
+    "dedup_substring_spans' detect step): a token position is 'covered' "
+    "when any corpus-duplicated 8-gram span contains it; the trimmed "
+    "document keeps exactly the uncovered tokens. Output per doc: token "
+    "count, covered count, kept count, and the kept CHAR total — the "
+    "byte-level reconciliation a pipeline uses to audit how much text the "
+    "trim deletes. Spark plan: positional grams (posexplode, codegen), "
+    "duplicated-gram index pre-aggregated to one row per gram (the same "
+    "linear-join guarantee as the detect step), covered positions via an "
+    "8-wide sequence explode + distinct (fan-out exactly 8x the dup-gram "
+    "occurrences, never quadratic), then two small per-doc aggregates. At "
+    "100 TB the gram index keys by xxhash64 like the detect step; "
+    "positions are doc-local ints so the distinct shuffles "
+    "|covered positions| <= |tokens| rows.",
+    tags=("extension", "dedup", "pipeline"),
+)
+def dedup_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = 8
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", _words().alias("w"))
+    idx = F.sequence(F.lit(0), F.size("w") - k)
+    gram = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(F.col("w"), i + F.lit(j + 1)) for j in range(k)]
+        ),
+    )
+    grams = (
+        toks.where(F.size("w") >= k)
+        .select("doc_id", F.posexplode(gram).alias("pos", "gram"))
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("gram")
+    )
+    covered = (
+        grams.join(dup, "gram")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("cpos"),
+        )
+        .distinct()
+    )
+    # Join covered positions against a LENGTHS-only array (ints), not the
+    # token strings — the shuffled payload per doc is |tokens|x4 bytes
+    # instead of the full text.
+    tok_lens = toks.select(
+        "doc_id", F.transform(F.col("w"), F.length).alias("wl")
+    )
+    covchars = (
+        covered.join(tok_lens, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_covered"),
+            F.sum(F.element_at(F.col("wl"), F.col("cpos") + 1)).alias(
+                "covered_chars"
+            ),
+        )
+    )
+    total_chars = F.aggregate(
+        F.col("w"), F.lit(0), lambda acc, x: acc + F.length(x)
+    )
+    return (
+        toks.select("doc_id", F.size("w").alias("n_tok"), total_chars.alias("tc"))
+        .join(covchars, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tok").cast("long").alias("n_tokens"),
+            F.coalesce("n_covered", F.lit(0)).cast("long").alias("n_covered"),
+            (F.col("n_tok") - F.coalesce("n_covered", F.lit(0)))
+            .cast("long")
+            .alias("n_kept"),
+            (F.col("tc") - F.coalesce("covered_chars", F.lit(0)))
+            .cast("long")
+            .alias("kept_chars"),
+        )
+    )
+
+
+def bloom_position_bits(
+    blocklist: DataFrame, col: str = "text", n_bits: int = 1 << 16, n_hashes: int = 3
+) -> DataFrame:
+    """One-row frame with the SORTED distinct bit-position array of a bloom
+    filter over ``blocklist[col]``: k seeded xxhash64 positions per value.
+    Kept as an explicit position set (array<int>) rather than a packed
+    bitmap because Spark exposes no public bloom_filter_agg SQL function —
+    semantics are identical (no false negatives; false positives possible)
+    and every probe stays JVM-side codegen."""
+    positions = blocklist.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col(col), F.lit(seed)), F.lit(n_bits)).cast(
+                        "int"
+                    )
+                    for seed in range(n_hashes)
+                ]
+            )
+        ).alias("bit")
+    )
+    return positions.agg(F.array_sort(F.collect_set("bit")).alias("bits"))
+
+
+@register(
+    "dedup_blocklist_bloom",
+    # Only the EXACT stage is emitted, so the query is fully oracled: the
+    # bloom is Spark-hash-specific (no DuckDB twin), but its no-false-
+    # negative property means bloom-then-verify == plain exact semi-join.
+    # bloom_sound additionally asserts in-plan that every exact match
+    # passed the bloom (it must, or the bloom lost a true member).
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 23 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text
+      FROM documents WHERE doc_id % 23 = 0 AND doc_id % 2 = 0
+    )
+    SELECT c.doc_id, TRUE AS bloom_sound
+    FROM corpus c
+    WHERE c.text IN (SELECT text FROM documents WHERE doc_id % 23 = 0)
+    """,
+    doc="Blocklist dedup via broadcast bloom pre-filter + exact verify "
+    "(the two-stage semi-join every 100 TB blocklist scrub uses: opt-out "
+    "lists, known-bad URLs, eval-set removal): docs with doc_id % 23 == 0 "
+    "play the blocklist. Stage 1 aggregates the blocklist into a 2^16-bit "
+    "bloom position set (3 seeded xxhash64 probes/doc — metadata-sized, "
+    "broadcast with the 1-row cross join) and prunes the corpus map-side "
+    "with forall(probe-bits, array_contains) — no shuffle touches the "
+    "~all-clean corpus. Stage 2 exact-verifies ONLY the bloom survivors "
+    "with a left-semi join on content, eliminating false positives; false "
+    "negatives are impossible by construction, which the bloom_sound "
+    "column pins (an exact match that failed the bloom would surface as "
+    "FALSE and hash-mismatch). At scale the verify side hashes content "
+    "first (xxhash64 equi-key, full-text confirm) so the semi-join "
+    "shuffles digests, not documents.",
+    tags=("extension", "dedup", "bloom"),
+)
+def dedup_blocklist_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_bits, n_hashes = 1 << 16, 3
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    block = d.filter(F.col("doc_id") % 23 == 0)
+    # Corpus = non-blocklist docs + a planted overlay of half the blocklist
+    # under fresh ids (testdata texts are all distinct, so without the
+    # plant the scrub would be vacuously empty — the dedup_exact pattern).
+    planted = block.filter(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    corpus = d.filter(F.col("doc_id") % 23 != 0).unionAll(planted)
+    bits = bloom_position_bits(block, "text", n_bits, n_hashes)
+    probes = F.array(
+        *[
+            F.pmod(F.xxhash64(F.col("text"), F.lit(seed)), F.lit(n_bits)).cast("int")
+            for seed in range(n_hashes)
+        ]
+    )
+    candidates = (
+        corpus.crossJoin(F.broadcast(bits))
+        .withColumn("bloom_pass", F.forall(probes, lambda p: F.array_contains("bits", p)))
+        .filter(F.col("bloom_pass"))
+    )
+    verified = candidates.join(
+        block.select("text").distinct(), "text", "left_semi"
+    )
+    return verified.select("doc_id", F.col("bloom_pass").alias("bloom_sound"))

@@ -514,3 +514,106 @@ def sample_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(leak))
     )
+
+
+@register(
+    "sample_mixture_allocate",
+    oracle="""
+    WITH t AS (
+      SELECT source,
+             COUNT(*) AS n_docs,
+             SUM(len(list_filter(string_split(text, ' '), x -> x <> '')))
+               AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    a AS (
+      SELECT source, n_docs, n_tokens,
+             CAST(FLOOR(200000 * n_tokens / SUM(n_tokens) OVER ()) AS BIGINT)
+               AS alloc_prop
+      FROM t
+    ),
+    c AS (
+      SELECT *,
+             alloc_prop > 60000 AS capped,
+             LEAST(alloc_prop, 60000) AS alloc_capped
+      FROM a
+    ),
+    r AS (
+      SELECT *,
+             200000 - SUM(alloc_capped) OVER () AS leftover,
+             SUM(CASE WHEN NOT capped THEN n_tokens ELSE 0 END) OVER ()
+               AS uncapped_tokens
+      FROM c
+    )
+    SELECT source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           alloc_prop,
+           capped,
+           CAST(alloc_capped + CASE WHEN capped OR uncapped_tokens = 0 THEN 0
+                ELSE FLOOR(leftover * n_tokens / uncapped_tokens) END
+                AS BIGINT) AS alloc_final
+    FROM r
+    """,
+    doc="Training-mixture token allocation with a per-domain cap + one "
+    "redistribution round (the Pile/DoReMi-style mixing rule: no domain "
+    "may exceed 30% of the 200k-token budget; the excess re-flows to "
+    "uncapped domains in proportion to their size): per-source token "
+    "totals -> proportional floor allocation -> cap at 60k -> leftover "
+    "redistributed over uncapped sources. ALL-INTEGER arithmetic (floor "
+    "divisions of exact BIGINT sums), so the allocation is bit-identical "
+    "cross-engine and run-over-run — no float shares anywhere. One "
+    "groupBy shuffle over |sources| keys; the window passes run on the "
+    "metadata-sized source table, exactly like sample_temperature_mix. "
+    "At 100 TB this result drives the per-row broadcast sampling "
+    "predicate; the allocation itself never touches the corpus again.",
+    tags=("extension", "sampling", "mixture"),
+)
+def sample_mixture_allocate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    budget, cap = 200000, 60000
+    t = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", F.size(_words()).alias("n_tok"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+    )
+    w = Window.partitionBy()
+    a = t.withColumn(
+        "alloc_prop",
+        F.floor(F.lit(budget) * F.col("n_tokens") / F.sum("n_tokens").over(w)).cast(
+            "long"
+        ),
+    )
+    c = a.withColumn("capped", F.col("alloc_prop") > cap).withColumn(
+        "alloc_capped", F.least(F.col("alloc_prop"), F.lit(cap))
+    )
+    r = c.withColumn(
+        "leftover", F.lit(budget) - F.sum("alloc_capped").over(w)
+    ).withColumn(
+        "uncapped_tokens",
+        F.sum(F.when(~F.col("capped"), F.col("n_tokens")).otherwise(0)).over(w),
+    )
+    return r.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "alloc_prop",
+        "capped",
+        (
+            F.col("alloc_capped")
+            + F.when(
+                F.col("capped") | (F.col("uncapped_tokens") == 0), F.lit(0)
+            ).otherwise(
+                F.floor(
+                    F.col("leftover") * F.col("n_tokens") / F.col("uncapped_tokens")
+                )
+            )
+        )
+        .cast("long")
+        .alias("alloc_final"),
+    )

@@ -492,3 +492,89 @@ def pivot_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_f"),
     )
+
+
+@register(
+    "join_range_interval",
+    oracle="""
+    WITH promos AS (
+      SELECT CAST(i.i AS INTEGER) AS promo_id,
+             TIMESTAMP '2024-01-01 00:00:00' + i.i * INTERVAL 60 HOUR AS start_ts,
+             TIMESTAMP '2024-01-01 00:00:00' + i.i * INTERVAL 60 HOUR
+               + (36 + (i.i % 5) * 12) * INTERVAL 1 HOUR AS end_ts
+      FROM UNNEST(range(0, 12)) AS i(i)
+    )
+    SELECT p.promo_id,
+           CAST(p.start_ts AS VARCHAR) AS start_ts,
+           CAST(COUNT(e.event_id) AS BIGINT) AS n_events,
+           CAST(COALESCE(SUM(CAST(e.value AS DECIMAL(18,2))), 0) AS DOUBLE)
+             AS sum_value
+    FROM promos p
+    LEFT JOIN events e ON e.ts >= p.start_ts AND e.ts < p.end_ts
+    GROUP BY p.promo_id, p.start_ts
+    """,
+    doc="Point-in-interval RANGE join via day-bucketization (the classic "
+    "operator Hive 1.2 could only run as a reducer-side theta join — "
+    "ql/exec/CommonJoinOperator.java residual-filter path — and naive "
+    "Spark runs as BroadcastNestedLoopJoin): 12 overlapping promotion "
+    "windows (60 h cadence, 36-84 h spans, so events match 0..2 promos) "
+    "joined to events on ts IN [start, end). Scale plan: each interval "
+    "EXPLODES into its covered calendar days (sequence(), bounded fan-out "
+    "= interval length in days), the join becomes an EQUI-join on the day "
+    "bucket with the range predicate left as a residual filter — shuffle "
+    "keyed by day, never a cartesian (plan-asserted in "
+    "tests/test_plan_shapes.py). A promo with zero events survives via "
+    "the final left join from the promo roster. At 100 TB the same shape "
+    "handles billions of points against thousands of intervals; for "
+    "long intervals bucket by week instead (fan-out/selectivity dial).",
+    tags=("join", "range", "interval"),
+)
+def join_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    promos = (
+        spark.range(12)
+        .select(F.col("id").cast("int").alias("promo_id"))
+        .select(
+            "promo_id",
+            F.expr(
+                "timestamp'2024-01-01 00:00:00'"
+                " + make_interval(0, 0, 0, 0, promo_id * 60, 0, 0)"
+            ).alias("start_ts"),
+            F.expr(
+                "timestamp'2024-01-01 00:00:00'"
+                " + make_interval(0, 0, 0, 0, promo_id * 60 + 36 + (promo_id % 5) * 12, 0, 0)"
+            ).alias("end_ts"),
+        )
+    )
+    # Bucketize: one row per (promo, covered day). Fan-out per interval is
+    # ceil(span/1d)+1 <= 5 here — bounded by interval length, not data.
+    promo_days = promos.select(
+        "promo_id",
+        "start_ts",
+        "end_ts",
+        F.explode(
+            F.sequence(
+                F.to_date("start_ts"), F.to_date("end_ts"), F.expr("interval 1 day")
+            )
+        ).alias("day"),
+    )
+    e = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    matched = e.join(
+        broadcast(promo_days),
+        (F.to_date(F.col("ts")) == F.col("day"))
+        & (F.col("ts") >= F.col("start_ts"))
+        & (F.col("ts") < F.col("end_ts")),
+    )
+    per_promo = matched.groupBy("promo_id").agg(
+        F.count(F.lit(1)).alias("n_ev"), F.sum(dec("value")).alias("sv")
+    )
+    return (
+        promos.join(per_promo, "promo_id", "left")
+        .select(
+            "promo_id",
+            F.col("start_ts").cast("string").alias("start_ts"),
+            F.coalesce("n_ev", F.lit(0)).cast("long").alias("n_events"),
+            F.coalesce(F.col("sv"), F.lit(0).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )

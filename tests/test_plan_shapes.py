@@ -426,3 +426,30 @@ def test_gap_fill_generates_calendar_without_collect(plans):
     # and no LocalTableScan of driver-collected dates.
     p = plans("timeseries_gap_fill")
     assert "Generate" in p and "sequence" in p
+
+
+def test_range_interval_join_is_equi_not_nested_loop(plans):
+    # Day-bucketized interval join: the range predicate must ride an
+    # equi-join on the day bucket as a residual — a BroadcastNestedLoopJoin
+    # or CartesianProduct means the bucketization broke and the plan is
+    # the O(|events| x |intervals|) naive form.
+    p = plans("join_range_interval")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_span_trim_no_cartesian(plans):
+    p = plans("dedup_span_trim")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_blocklist_bloom_prunes_before_verify(plans):
+    # The exact-verify join must consume the bloom-filtered candidates:
+    # the bloom forall() predicate appears as a Filter BELOW the semi-join
+    # (map-side pruning), and no nested-loop join exists anywhere.
+    p = plans("dedup_blocklist_bloom")
+    assert "CartesianProduct" not in p
+    assert "forall" in p or "array_contains" in p
+    assert "LeftSemi" in p or "left_semi" in p.lower()
