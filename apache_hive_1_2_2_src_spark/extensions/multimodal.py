@@ -4,10 +4,12 @@
 Model: image/audio/video payloads are opaque ``binary`` columns plus typed
 metadata columns. The container has no image/audio libraries, so the
 general decode kernel is STUBBED with a deterministic fake (clearly marked
-below) — EXCEPT for BMP: ``encode_bmp24``/``decode_bmp24`` below are a real
-pure-Python 24-bit BMP codec (header parse, BGR order, row padding) with a
-fully-oracled [Q] query, so one modality decodes for real with zero
-dependencies. The Spark-side plumbing — schema, Arrow batch transfer,
+below) — EXCEPT for BMP and binary PPM: ``encode_bmp24``/``decode_bmp24``
+and ``encode_ppm``/``decode_ppm`` below are real pure-Python codecs (header
+parse, BGR-vs-RGB order, padded-vs-packed rows), with ``decode_image``
+sniffing the magic bytes — each behind a fully-oracled [Q] query, so two
+genuinely different byte layouts decode for real with zero dependencies.
+The Spark-side plumbing — schema, Arrow batch transfer,
 ``mapInPandas`` signatures, per-partition batch shapes, fan-out explode for
 frame sampling — is real and is what the 100 TB pipeline exercises.
 
@@ -328,5 +330,148 @@ def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(
         decode_batches,
         "doc_id bigint, width int, height int, bpp int, "
+        "sum_r bigint, sum_g bigint, sum_b bigint",
+    )
+
+
+def encode_ppm(width: int, height: int, pixel) -> bytes:
+    """Encode a binary P6 PPM (maxval 255): ASCII header, then raw RGB
+    triples row-major top-down — no padding, no BGR swap (the contrast
+    with BMP is exactly what the sniffing decoder must get right)."""
+    if width <= 0 or height <= 0:
+        raise ValueError("PPM dimensions must be positive")
+    header = f"P6\n{width} {height}\n255\n".encode("ascii")
+    body = bytearray()
+    for y in range(height):
+        for x in range(width):
+            r, g, b = pixel(x, y)
+            body += bytes((r, g, b))
+    return header + bytes(body)
+
+
+def decode_ppm(buf: bytes) -> tuple[int, int, int, int, int, int]:
+    """Decode a binary P6 PPM: returns (width, height, bpp, sum_r, sum_g,
+    sum_b). Handles '#' comments and arbitrary whitespace in the header
+    (the format's real-world wrinkle). Raises ValueError on P3/P5/maxval
+    != 255/truncated data — fail loudly, never guess."""
+    if buf[:2] != b"P6":
+        raise ValueError("not a binary P6 PPM")
+    # Header: magic, width, height, maxval — tokens separated by
+    # whitespace, with '#...' comments allowed between tokens.
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(buf) and buf[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(buf) and buf[pos : pos + 1] == b"#":
+            while pos < len(buf) and buf[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(buf) and not buf[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PPM header")
+        fields.append(int(buf[start:pos]))
+    pos += 1  # single whitespace after maxval, then raw pixel data
+    width, height, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    n = width * height * 3
+    if pos + n > len(buf):
+        raise ValueError("truncated PPM pixel data")
+    body = buf[pos : pos + n]
+    return (
+        width,
+        height,
+        24,
+        sum(body[0::3]),
+        sum(body[1::3]),
+        sum(body[2::3]),
+    )
+
+
+def decode_image(buf: bytes) -> tuple[int, int, int, int, int, int]:
+    """Magic-byte dispatch over the real decoders — the sniffing entry
+    point a mixed-format media column needs."""
+    if buf[:2] == b"BM":
+        return decode_bmp24(buf)
+    if buf[:2] == b"P6":
+        return decode_ppm(buf)
+    raise ValueError(f"unrecognized image magic {buf[:2]!r}")
+
+
+@register(
+    "multimodal_decode_sniff",
+    # Same oracle construction as multimodal_decode_bmp: expected values
+    # from the generation formula, actual values from REAL byte parsing —
+    # but the payload alternates BMP/PPM by doc parity, so the magic
+    # dispatch, the BGR-vs-RGB channel order, and the padded-vs-packed row
+    # layout must all be right for the hash to match.
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h,
+             CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS fmt
+      FROM documents WHERE doc_id < 200
+    ),
+    px AS (
+      SELECT doc_id, w, h, fmt, CAST(xx.x AS BIGINT) AS x, CAST(yy.y AS BIGINT) AS y
+      FROM d, UNNEST(range(0, w)) AS xx(x), UNNEST(range(0, h)) AS yy(y)
+    )
+    SELECT doc_id,
+           MAX(fmt) AS fmt,
+           CAST(MAX(w) AS INTEGER) AS width,
+           CAST(MAX(h) AS INTEGER) AS height,
+           CAST(SUM((doc_id * 7 + x * 3 + y * 5) % 256) AS BIGINT) AS sum_r,
+           CAST(SUM((doc_id * 11 + x + y * 2) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((doc_id * 13 + x * 2 + y) % 256) AS BIGINT) AS sum_b
+    FROM px GROUP BY doc_id
+    """,
+    doc="Mixed-format image decode with magic-byte sniffing: payloads "
+    "alternate between real BMP (little-endian headers, BGR, padded "
+    "bottom-up rows) and real binary PPM (ASCII header, RGB, packed "
+    "top-down rows) by doc parity; decode_image dispatches on the magic "
+    "and both decoders must agree with the generation formula for the "
+    "value hash to match — certifying two genuinely different byte "
+    "layouts through one mapInPandas kernel. This is the heterogeneous-"
+    "corpus shape a real crawl has (mixed formats in one binary column); "
+    "the dispatch-then-decode kernel is the production pattern, and "
+    "unknown magics fail loudly rather than passing fake stats.",
+    tags=("extension", "multimodal", "pandas_udf"),
+)
+def multimodal_decode_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 200)
+        .repartition(8, "doc_id")
+    )
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "fmt": [], "width": [], "height": [],
+                "sum_r": [], "sum_g": [], "sum_b": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = _bmp_fixture_dims(doc_id)
+                pix = _bmp_fixture_pixel(doc_id)
+                if doc_id % 2 == 0:
+                    buf, fmt = encode_bmp24(w, h, pix), "bmp"
+                else:
+                    buf, fmt = encode_ppm(w, h, pix), "ppm"
+                dw, dh, _bpp, sr, sg, sb = decode_image(buf)
+                out["doc_id"].append(doc_id)
+                out["fmt"].append(fmt)
+                out["width"].append(dw)
+                out["height"].append(dh)
+                out["sum_r"].append(sr)
+                out["sum_g"].append(sg)
+                out["sum_b"].append(sb)
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        decode_batches,
+        "doc_id bigint, fmt string, width int, height int, "
         "sum_r bigint, sum_g bigint, sum_b bigint",
     )

@@ -419,3 +419,70 @@ def agg_distinct_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
         """
     )
+
+
+@register(
+    "agg_hll_sketch_rollup",
+    # Invariant-bounds oracle (the approx-NDV pattern of
+    # agg_approx_count_distinct): the estimates themselves are
+    # sketch-implementation-specific, so the oracled projection is the
+    # EXACT per-day NDV plus booleans pinning both the per-day estimates
+    # and the rolled-up (union-merged) estimate inside a 5% band. A sketch
+    # regression (wrong lgK, broken union, serialization bug) lands far
+    # outside 5% on this data and flips a boolean.
+    oracle="""
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_ndv,
+           TRUE AS est_ok
+    FROM events
+    GROUP BY CAST(ts AS DATE)
+    UNION ALL
+    SELECT 'ALL' AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_ndv,
+           TRUE AS est_ok
+    FROM events
+    """,
+    doc="HLL sketch build + lossless-rollup merge (Apache DataSketches via "
+    "Spark's hll_sketch_agg/hll_union_agg — the pre-aggregation pattern "
+    "every warehouse uses for distinct-count rollups): per-day sketches "
+    "of distinct users are built ONCE, then the monthly NDV comes from "
+    "hll_union_agg over the 30 day-sketches — never a rescan of raw "
+    "events. At 100 TB this is THE distinct-count architecture: persist "
+    "kilobyte sketches per (day, dimension) partition and answer any "
+    "rollup by merging sketches (associative, re-aggregable), versus "
+    "count-distinct's full shuffle per question. Note the merged estimate "
+    "may differ slightly from a direct whole-corpus sketch (the union "
+    "gadget densifies) — both are pinned within 5% of exact, which is "
+    "~3x the expected lgK=12 standard error (0.8%), so flakiness would "
+    "itself signal a sketch bug.",
+    tags=("agg", "sketch", "approx"),
+)
+def agg_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), F.col("user_id").cast("string").alias("uid")
+    )
+    per_day = e.groupBy("day").agg(
+        F.expr("hll_sketch_agg(uid)").alias("sk"),
+        F.countDistinct("uid").alias("exact_ndv"),
+    )
+    days = per_day.select(
+        F.col("day").cast("string").alias("day"),
+        F.col("exact_ndv").cast("long").alias("exact_ndv"),
+        (
+            F.abs(F.expr("hll_sketch_estimate(sk)") - F.col("exact_ndv"))
+            <= 0.05 * F.col("exact_ndv")
+        ).alias("est_ok"),
+    )
+    total_exact = e.agg(F.countDistinct("uid").alias("exact_ndv"))
+    merged = (
+        per_day.agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"))
+        .crossJoin(total_exact)
+        .select(
+            F.lit("ALL").alias("day"),
+            F.col("exact_ndv").cast("long").alias("exact_ndv"),
+            (F.abs(F.col("est") - F.col("exact_ndv")) <= 0.05 * F.col("exact_ndv")).alias(
+                "est_ok"
+            ),
+        )
+    )
+    return days.unionByName(merged)

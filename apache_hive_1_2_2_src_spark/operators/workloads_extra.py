@@ -1095,3 +1095,86 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("wau").cast("long").alias("wau"),
         F.floor(F.col("dau") * 100 / F.col("wau")).cast("long").alias("stickiness_pct"),
     )
+
+
+@register(
+    "workload_cdc_merge",
+    oracle="""
+    WITH batch AS (
+      SELECT c_custkey AS k,
+             CASE WHEN c_custkey % 10 = 0 THEN 'U'
+                  WHEN c_custkey % 10 = 1 THEN 'D' END AS op,
+             CAST(CAST(c_acctbal AS DECIMAL(18,2)) + 100 AS DECIMAL(18,2))
+               AS new_bal
+      FROM customer WHERE c_custkey % 10 IN (0, 1)
+      UNION ALL
+      SELECT c_custkey + 1000000 AS k, 'I' AS op,
+             CAST(50.00 AS DECIMAL(18,2)) AS new_bal
+      FROM customer WHERE c_custkey % 10 = 2
+    ),
+    merged AS (
+      SELECT COALESCE(b.k, c.c_custkey) AS k,
+             CASE WHEN b.op = 'I' THEN 'ins_batch'
+                  ELSE c.c_mktsegment END AS seg,
+             CASE WHEN b.op IN ('U', 'I') THEN b.new_bal
+                  ELSE CAST(c.c_acctbal AS DECIMAL(18,2)) END AS bal
+      FROM customer c FULL OUTER JOIN batch b ON b.k = c.c_custkey
+      WHERE COALESCE(b.op, '') <> 'D'
+    )
+    SELECT seg,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(bal) AS DOUBLE) AS total_bal
+    FROM merged
+    GROUP BY seg
+    """,
+    doc="Batch CDC MERGE (the MERGE INTO every dimension-maintenance job "
+    "runs; Hive 1.2's analogue was INSERT OVERWRITE from a full-outer "
+    "reconciliation — real MERGE arrived with ACID later): a derived "
+    "change batch (10% updates: +100 balance; 10% deletes; 10% inserts "
+    "under fresh keys) applied to the customer snapshot in ONE full-outer "
+    "join keyed on c_custkey + a CASE router — exactly the physical plan "
+    "Delta/Iceberg MERGE compiles to. One shuffle on the join key, no "
+    "iteration, insert/update/delete all in the same pass; the verdict "
+    "aggregate (per-segment row count + exact decimal balance total) "
+    "reconciles the merged table, so a dropped delete, double-applied "
+    "update, or lost insert shifts a count or a cent. At 100 TB the "
+    "snapshot side is bucketed on the key so the merge co-locates "
+    "shuffle-free (the bucketed_smb_join layout).",
+    tags=("workload", "cdc", "merge", "join"),
+)
+def workload_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    upd = c.filter(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("k"),
+        F.lit("U").alias("op"),
+        (dec("c_acctbal") + 100).cast("decimal(18,2)").alias("new_bal"),
+    )
+    dele = c.filter(F.col("c_custkey") % 10 == 1).select(
+        F.col("c_custkey").alias("k"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("decimal(18,2)").alias("new_bal"),
+    )
+    ins = c.filter(F.col("c_custkey") % 10 == 2).select(
+        (F.col("c_custkey") + 1000000).alias("k"),
+        F.lit("I").alias("op"),
+        F.lit("50.00").cast("decimal(18,2)").alias("new_bal"),
+    )
+    batch = upd.unionByName(dele).unionByName(ins)
+    merged = (
+        c.join(batch, batch.k == c.c_custkey, "full_outer")
+        .where(F.coalesce(F.col("op"), F.lit("")) != "D")
+        .select(
+            F.when(F.col("op") == "I", "ins_batch")
+            .otherwise(F.col("c_mktsegment"))
+            .alias("seg"),
+            F.when(F.col("op").isin("U", "I"), F.col("new_bal"))
+            .otherwise(dec("c_acctbal"))
+            .alias("bal"),
+        )
+    )
+    return merged.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("bal").cast("double").alias("total_bal"),
+    )

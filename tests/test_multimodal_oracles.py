@@ -97,3 +97,35 @@ def test_bmp24_decode_rejects_malformed():
     bad[28] = 8  # bpp = 8 (paletted) — unsupported variant must fail loudly
     with _pytest.raises(ValueError):
         decode_bmp24(bytes(bad))
+
+
+def test_ppm_codec_and_sniff_dispatch():
+    from apache_hive_1_2_2_src_spark.extensions.multimodal import (
+        decode_image,
+        decode_ppm,
+        encode_bmp24,
+        encode_ppm,
+    )
+
+    px = {(0, 0): (10, 20, 30), (1, 0): (40, 50, 60),
+          (0, 1): (70, 80, 90), (1, 1): (100, 110, 120)}
+    buf = encode_ppm(2, 2, lambda x, y: px[(x, y)])
+    assert buf.startswith(b"P6\n2 2\n255\n")
+    assert decode_ppm(buf) == (2, 2, 24, 220, 260, 300)
+    # Header comments + extra whitespace must parse (real-world PPMs).
+    commented = b"P6\n# made by hand\n 2  2 \n# another\n255\n" + buf[11:]
+    assert decode_ppm(commented) == (2, 2, 24, 220, 260, 300)
+    # Sniff dispatch: same pixels through either container decode equal.
+    bmp = encode_bmp24(2, 2, lambda x, y: px[(x, y)])
+    assert decode_image(bmp)[3:] == decode_image(buf)[3:]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_ppm(b"P3\n2 2\n255\n1 2 3")  # ASCII PPM unsupported
+    with _pytest.raises(ValueError):
+        decode_ppm(b"P6\n2 2\n65535\n" + b"\x00" * 24)  # 16-bit maxval
+    with _pytest.raises(ValueError):
+        decode_ppm(buf[:14])  # truncated pixels
+    with _pytest.raises(ValueError):
+        decode_image(b"GIF89a....")  # unknown magic fails loudly
