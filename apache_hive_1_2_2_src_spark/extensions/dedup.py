@@ -1273,3 +1273,88 @@ def dedup_blocklist_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         block.select("text").distinct(), "text", "left_semi"
     )
     return verified.select("doc_id", F.col("bloom_pass").alias("bloom_sound"))
+
+
+@register(
+    "dedup_levenshtein_blocked",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             array_to_string((list_filter(string_split(text, ' '),
+                              x -> x <> ''))[1:4], ' ') AS title
+      FROM documents
+    ),
+    titles AS (
+      SELECT doc_id, title FROM base
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             substring(title, 1, length(title) - 1) || 'x' AS title
+      FROM base WHERE doc_id % 17 = 0
+    ),
+    keyed AS (
+      SELECT doc_id, title,
+             string_split(title, ' ')[1] AS tok0,
+             length(title) AS tlen
+      FROM titles WHERE length(title) >= 8
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.title, b.title) AS INTEGER) AS lev
+    FROM keyed a JOIN keyed b
+      ON a.tok0 = b.tok0 AND a.tlen = b.tlen AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.title, b.title) <= 2
+    """,
+    doc="Blocked edit-distance near-dup over document 'titles' (first 4 "
+    "tokens; a planted one-char-variant overlay guarantees true near-"
+    "misses — the fuzzy-title/URL-variant dedup every metadata pipeline "
+    "runs): candidate pairs come from an EQUI-join on the block key "
+    "(first token, exact length) — never an all-pairs scan — and only "
+    "within-block pairs pay the O(len²) levenshtein verify, which both "
+    "Spark and DuckDB ship as a built-in. Same-length blocking is exact "
+    "for pure substitutions (the planted class) and standard practice "
+    "for the general case alongside a length±1 band. At 100 TB: block "
+    "keys get a hot-key cap exactly like the shingle-df cap, and the "
+    "verify is codegen (no UDF). Catches what token-set methods "
+    "(Jaccard/MinHash) structurally miss: single-character edits INSIDE "
+    "tokens.",
+    tags=("extension", "dedup", "fuzzy"),
+)
+def dedup_levenshtein_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", _words().alias("w"))
+    base = d.select(
+        "doc_id", F.concat_ws(" ", F.slice("w", 1, 4)).alias("title")
+    )
+    # Planted near-miss overlay: last char substituted with 'x' (same
+    # length, same first token -> guaranteed in-block, levenshtein <= 1).
+    variant = base.filter(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.expr("substring(title, 1, length(title) - 1)"), F.lit("x")).alias(
+            "title"
+        ),
+    )
+    keyed = (
+        base.unionByName(variant)
+        .filter(F.length("title") >= 8)
+        .select(
+            "doc_id",
+            "title",
+            F.split("title", " ")[0].alias("tok0"),
+            F.length("title").alias("tlen"),
+        )
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.tok0") == F.col("b.tok0"))
+            & (F.col("a.tlen") == F.col("b.tlen"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(F.levenshtein(F.col("a.title"), F.col("b.title")) <= 2)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.levenshtein(F.col("a.title"), F.col("b.title"))
+            .cast("int")
+            .alias("lev"),
+        )
+    )

@@ -453,3 +453,20 @@ def test_blocklist_bloom_prunes_before_verify(plans):
     assert "CartesianProduct" not in p
     assert "forall" in p or "array_contains" in p
     assert "LeftSemi" in p or "left_semi" in p.lower()
+
+
+def test_levenshtein_blocked_is_equi_join(plans):
+    # Fuzzy dedup must pair via the (tok0, tlen) equi block — an all-pairs
+    # nested loop means the blocking broke.
+    p = plans("dedup_levenshtein_blocked")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "levenshtein" in p
+
+
+def test_dynamic_session_single_exchange(plans):
+    # Native session_window: one user_id hash exchange feeding the merging
+    # session aggregation — no extra shuffle, no global window.
+    p = plans("events_session_dynamic_gap")
+    assert "Window" not in p  # native operator, not the islands rewrite
+    assert p.count("Exchange (") <= 2, p.count("Exchange (")
