@@ -486,3 +486,66 @@ def agg_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return days.unionByName(merged)
+
+
+@register(
+    "agg_weighted_median",
+    oracle="""
+    WITH vw AS (
+      SELECT l_returnflag AS grp, l_extendedprice AS val,
+             SUM(CAST(l_quantity AS BIGINT)) AS w
+      FROM lineitem GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT grp, val, w,
+             SUM(w) OVER (PARTITION BY grp ORDER BY val
+                          ROWS UNBOUNDED PRECEDING) AS cumw,
+             SUM(w) OVER (PARTITION BY grp) AS totw
+      FROM vw
+    )
+    SELECT grp,
+           MIN(val) AS weighted_median,
+           CAST(MAX(totw) AS BIGINT) AS total_weight
+    FROM c WHERE 2 * cumw >= totw
+    GROUP BY grp
+    """,
+    doc="Exact WEIGHTED median per group (quantity-weighted median "
+    "extended price per returnflag — the ops/pricing statistic neither "
+    "Hive 1.2's percentile (unweighted) nor percentile_approx computes): "
+    "collapse to (group, value, summed weight) first — this makes ties "
+    "deterministic AND shrinks the window input to distinct values — "
+    "then a running weight sum ordered by value picks the smallest value "
+    "with 2*cum >= total (integer cross-multiplication, no halves, no "
+    "interpolation; the value emitted is an actual data value so both "
+    "engines agree bit-exactly). Two shuffles (pre-agg + per-group "
+    "window); the window partitions by group, never global. At 100 TB "
+    "the pre-agg collapse is the lever: the window runs over distinct "
+    "values per group, not raw rows.",
+    tags=("agg", "window", "stats"),
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    vw = li.groupBy(
+        F.col("l_returnflag").alias("grp"), F.col("l_extendedprice").alias("val")
+    ).agg(F.sum(F.col("l_quantity").cast("bigint")).alias("w"))
+    win = (
+        Window.partitionBy("grp")
+        .orderBy("val")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = vw.select(
+        "grp",
+        "val",
+        F.sum("w").over(win).alias("cumw"),
+        F.sum("w").over(Window.partitionBy("grp")).alias("totw"),
+    )
+    return (
+        c.where(2 * F.col("cumw") >= F.col("totw"))
+        .groupBy("grp")
+        .agg(
+            F.min("val").alias("weighted_median"),
+            F.max("totw").cast("long").alias("total_weight"),
+        )
+    )

@@ -1178,3 +1178,104 @@ def workload_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.sum("bal").cast("double").alias("total_bal"),
     )
+
+
+@register(
+    "events_funnel_windowed",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+    ),
+    tv AS (
+      SELECT user_id, MIN(ts_us) AS t_view FROM e
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    tc AS (
+      SELECT e.user_id, MIN(e.ts_us) AS t_click
+      FROM e JOIN tv ON e.user_id = tv.user_id
+      WHERE e.event_type = 'click'
+        AND e.ts_us > tv.t_view
+        AND e.ts_us - tv.t_view <= 3600000000
+      GROUP BY e.user_id
+    ),
+    tp AS (
+      SELECT e.user_id, MIN(e.ts_us) AS t_purchase
+      FROM e JOIN tc ON e.user_id = tc.user_id
+      WHERE e.event_type = 'purchase'
+        AND e.ts_us > tc.t_click
+        AND e.ts_us - tc.t_click <= 86400000000
+      GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT COUNT(*) FROM tv) AS BIGINT) AS n_view,
+           CAST((SELECT COUNT(*) FROM tc) AS BIGINT) AS n_click_1h,
+           CAST((SELECT COUNT(*) FROM tp) AS BIGINT) AS n_purchase_24h,
+           -- // is integer floor division: CAST would ROUND the quotient in
+           -- DuckDB but TRUNCATE in Spark (the 666-vs-667 bp divergence)
+           CAST((SELECT COUNT(*) FROM tc) * 10000
+                // (SELECT COUNT(*) FROM tv) AS BIGINT) AS click_rate_bp,
+           CAST((SELECT COUNT(*) FROM tp) * 10000
+                // GREATEST((SELECT COUNT(*) FROM tc), 1) AS BIGINT)
+             AS purchase_rate_bp
+    """,
+    doc="TIME-CONSTRAINED conversion funnel (the attribution-window "
+    "variant of events_funnel: a click only converts within 1 h of the "
+    "first view, a purchase within 24 h of the converting click — the "
+    "definition ad-platform reporting actually uses, where an unbounded "
+    "funnel overcounts): same staged min-agg chain keyed on user_id, "
+    "each stage adding an integer-microsecond window predicate, so step "
+    "N's clock starts at step N-1's qualifying instant (cascading, not "
+    "anchored to the view). Conversion rates emitted as exact integer "
+    "basis points — no float division. Cost identical to the unbounded "
+    "funnel: the window predicate prunes rows before each partial agg.",
+    tags=("workload", "events", "funnel"),
+)
+def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hour_us, day_us = 3600000000, 86400000000
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    tv = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t_view"))
+    )
+    tc = (
+        e.where(F.col("event_type") == "click")
+        .join(tv, "user_id")
+        .where(
+            (F.col("ts_us") > F.col("t_view"))
+            & (F.col("ts_us") - F.col("t_view") <= hour_us)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t_click"))
+    )
+    tp = (
+        e.where(F.col("event_type") == "purchase")
+        .join(tc, "user_id")
+        .where(
+            (F.col("ts_us") > F.col("t_click"))
+            & (F.col("ts_us") - F.col("t_click") <= day_us)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t_purchase"))
+    )
+    counts = (
+        tv.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(tc.agg(F.count(F.lit(1)).alias("n_click_1h")))
+        .crossJoin(tp.agg(F.count(F.lit(1)).alias("n_purchase_24h")))
+    )
+    return counts.select(
+        F.col("n_view").cast("long").alias("n_view"),
+        F.col("n_click_1h").cast("long").alias("n_click_1h"),
+        F.col("n_purchase_24h").cast("long").alias("n_purchase_24h"),
+        F.floor(F.col("n_click_1h") * 10000 / F.col("n_view"))
+        .cast("long")
+        .alias("click_rate_bp"),
+        F.floor(
+            F.col("n_purchase_24h")
+            * 10000
+            / F.greatest(F.col("n_click_1h"), F.lit(1))
+        )
+        .cast("long")
+        .alias("purchase_rate_bp"),
+    )
