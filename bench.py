@@ -50,6 +50,11 @@ HEADLINE = (
     "events_dau_wau",  # DAU/WAU stickiness via the 7-day spread trick (r7)
     "timeseries_gap_fill",  # calendar densification, sequence+explode (r7)
     "events_attribution_last_touch",  # last-touch attribution, single window pass (r7)
+    "dedup_span_trim",  # ExactSubstr APPLY, bounded 8x covered-position explode (r7)
+    "dedup_blocklist_bloom",  # broadcast bloom pre-filter + exact verify (r7)
+    "join_range_interval",  # day-bucketized point-in-interval range join (r7)
+    "agg_hll_sketch_rollup",  # per-day HLL build + union-merge rollup (r7)
+    "events_session_dynamic_gap",  # native session_window, per-event gap (r7)
 )
 
 # All 22 TPC-H query shapes in query order — timed as ONE sequential suite
