@@ -990,3 +990,111 @@ def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_correct"),
         )
     )
+
+
+from apache_hive_1_2_2_src_spark.extensions.dedup import _jaccard_oracle
+
+@register(
+    "pipeline_release_gate",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_SQL_WORDS} AS w FROM documents),
+    train AS (SELECT doc_id, len(w) AS n_tok FROM w WHERE doc_id % 97 <> 0),
+    okr AS (SELECT * FROM w WHERE len(w) >= 4),
+    rg AS (
+      SELECT doc_id, 2 AS n, unnest(list_transform(range(1, len(w)),
+             i -> w[i] || ' ' || w[i+1])) AS gram
+      FROM okr
+      UNION ALL
+      SELECT doc_id, 3 AS n, unnest(list_transform(range(1, len(w) - 1),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+      FROM okr
+    ),
+    rc AS (SELECT doc_id, n, gram, COUNT(*) AS c FROM rg GROUP BY doc_id, n, gram),
+    rep AS (
+      SELECT doc_id,
+             (CAST(MAX(c) FILTER (n = 2) AS DOUBLE)
+                / SUM(c) FILTER (n = 2) > 0.20
+              OR CAST(COALESCE(SUM(c) FILTER (n = 3 AND c > 1), 0) AS DOUBLE)
+                / SUM(c) FILTER (n = 3) > 0.30) AS rep_bad
+      FROM rc GROUP BY doc_id
+    ),
+    cg AS (
+      SELECT doc_id,
+             UNNEST(list_distinct(list_transform(
+               generate_series(1, len(w) - 3),
+               i -> array_to_string(w[i:i+3], ' ')))) AS gram
+      FROM w
+    ),
+    eg AS (SELECT DISTINCT gram FROM cg WHERE doc_id % 97 = 0),
+    cont AS (
+      SELECT t.doc_id
+      FROM (SELECT doc_id, gram FROM cg WHERE doc_id % 97 <> 0) t
+      LEFT JOIN eg e ON t.gram = e.gram
+      GROUP BY t.doc_id
+      HAVING COUNT(e.gram) * 1.0 / COUNT(*) >= 0.25
+    ),
+    pairs AS ({_jaccard_oracle(0.8, shingle_df_cap=64)}),
+    dup AS (SELECT DISTINCT doc_b AS doc_id FROM pairs)
+    SELECT t.doc_id,
+           CASE WHEN t.n_tok < 12 THEN 'too_short'
+                WHEN COALESCE(rep.rep_bad, FALSE) THEN 'repetitive'
+                WHEN cont.doc_id IS NOT NULL THEN 'contaminated'
+                WHEN dup.doc_id IS NOT NULL THEN 'near_dup'
+                ELSE 'kept' END AS verdict
+    FROM train t
+    LEFT JOIN rep ON rep.doc_id = t.doc_id
+    LEFT JOIN cont ON cont.doc_id = t.doc_id
+    LEFT JOIN dup ON dup.doc_id = t.doc_id
+    """,
+    doc="Release gate with REASON CODES (the loss-accounting verdict table "
+    "a corpus release is reviewed on — not just keep/drop but WHY each "
+    "training doc was dropped, first failing rule in precedence): "
+    "too_short (< 12 tokens) -> repetitive (Gopher top-2-gram > 0.20 or "
+    "dup-3-gram > 0.30, via text_repetition_filter) -> contaminated "
+    "(>= 25% of distinct 4-grams shared with the eval holdout, via "
+    "text_contamination_check) -> near_dup (Jaccard >= 0.8 partner with "
+    "a lower doc_id — the pairwise keep-first policy; dedup_apply_keepers "
+    "is the full cluster-aware form) -> kept. COMPOSES the registered "
+    "rule builders directly (each independently oracled), so the gate "
+    "can't drift from the rules it reports on; every doc in the training "
+    "roster gets exactly one verdict via left joins (unscored docs "
+    "default to kept, the fail-open-on-missing-signal choice is "
+    "explicit). Each rule is 1-2 linear shuffles; the gate adds only "
+    "broadcast-sized left joins on doc_id.",
+    tags=("extension", "text", "pipeline", "gate"),
+)
+def pipeline_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_hive_1_2_2_src_spark.extensions.dedup import ngram_jaccard_pairs
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", _words().alias("w"))
+    train = d.filter(F.col("doc_id") % 97 != 0).select(
+        "doc_id", F.size("w").alias("n_tok")
+    )
+    rep = text_repetition_filter(spark, sf_dir).select(
+        "doc_id", (~F.col("keep")).alias("rep_bad")
+    )
+    cont = (
+        text_contamination_check(spark, sf_dir)
+        .filter(F.col("contamination_ratio") >= 0.25)
+        .select("doc_id", F.lit(True).alias("cont_bad"))
+    )
+    dup = (
+        ngram_jaccard_pairs(d, threshold=0.8, shingle_df_cap=64)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("dup_bad", F.lit(True))
+    )
+    return (
+        train.join(rep, "doc_id", "left")
+        .join(cont, "doc_id", "left")
+        .join(dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("n_tok") < 12, "too_short")
+            .when(F.coalesce("rep_bad", F.lit(False)), "repetitive")
+            .when(F.coalesce("cont_bad", F.lit(False)), "contaminated")
+            .when(F.coalesce("dup_bad", F.lit(False)), "near_dup")
+            .otherwise("kept")
+            .alias("verdict"),
+        )
+    )

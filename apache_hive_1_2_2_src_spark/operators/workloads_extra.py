@@ -1279,3 +1279,81 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("purchase_rate_bp"),
     )
+
+
+@register(
+    "workload_hierarchy_flatten",
+    oracle="""
+    WITH RECURSIVE walk AS (
+      SELECT doc_id AS node, doc_id AS root_id, 0 AS depth
+      FROM documents WHERE doc_id // 5 = 0
+      UNION ALL
+      SELECT d.doc_id, w.root_id, w.depth + 1
+      FROM documents d
+      JOIN walk w
+        ON w.node = ((d.doc_id // 5 - 1) // 2) * 5 + d.doc_id % 5
+      WHERE d.doc_id // 5 > 0
+    )
+    SELECT node AS doc_id,
+           CAST(root_id AS BIGINT) AS root_id,
+           CAST(depth AS INTEGER) AS depth
+    FROM walk
+    """,
+    doc="Hierarchy flattening (root + depth per node) over a synthetic "
+    "5-tree forest (tree = doc_id % 5, heap-shaped parents) — the "
+    "recursive-CTE workload (org charts, BOMs, category trees) that "
+    "Spark SQL cannot express declaratively (no WITH RECURSIVE) and "
+    "Hive 1.2 could not either: the scale-correct Spark form is POINTER "
+    "DOUBLING — each round joins every node's current ancestor pointer "
+    "to that ancestor's pointer, doubling the hop distance covered, so "
+    "an N-deep hierarchy flattens in ceil(log2(N)) self-joins instead of "
+    "N sequential ones (the same iterate-with-localCheckpoint discipline "
+    "as connected_components; a 1M-deep chain needs 20 rounds, not 1M). "
+    "Converged state is asserted, never assumed. The DuckDB oracle walks "
+    "the same forest with a real recursive CTE — two entirely different "
+    "algorithms, one fixpoint.",
+    tags=("workload", "graph", "iterative", "hierarchy"),
+)
+def workload_hierarchy_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes = load_table(spark, sf_dir, "documents").select("doc_id")
+    parent = F.expr(
+        "CASE WHEN doc_id div 5 = 0 THEN NULL "
+        "ELSE ((doc_id div 5 - 1) div 2) * 5 + doc_id % 5 END"
+    )
+    cur = nodes.select(
+        F.col("doc_id").alias("node"),
+        F.coalesce(parent, F.col("doc_id")).alias("anc"),
+        F.when(parent.isNull(), 0).otherwise(1).alias("d"),
+        parent.isNull().alias("done"),
+    ).localCheckpoint(eager=True)
+    for _ in range(40):  # ceil(log2(max_depth)) rounds; 40 covers depth 2^40
+        if cur.filter(~F.col("done")).count() == 0:
+            break
+        ptr = cur.select(
+            F.col("node").alias("anc"),
+            F.col("anc").alias("anc2"),
+            F.col("d").alias("d2"),
+            F.col("done").alias("done2"),
+        )
+        cur = (
+            cur.join(ptr, "anc")
+            .select(
+                "node",
+                F.when(F.col("done"), F.col("anc")).otherwise(F.col("anc2")).alias("anc"),
+                F.when(F.col("done"), F.col("d"))
+                .otherwise(F.col("d") + F.col("d2"))
+                .alias("d"),
+                F.when(F.col("done"), F.lit(True)).otherwise(F.col("done2")).alias("done"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    else:
+        raise RuntimeError("hierarchy_flatten: no fixpoint within 40 rounds")
+    remaining = cur.filter(~F.col("done")).count()
+    if remaining:
+        raise RuntimeError(f"hierarchy_flatten: {remaining} nodes unconverged")
+    return cur.select(
+        F.col("node").alias("doc_id"),
+        F.col("anc").cast("long").alias("root_id"),
+        F.col("d").cast("int").alias("depth"),
+    )
