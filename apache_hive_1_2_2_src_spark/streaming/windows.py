@@ -745,3 +745,90 @@ def streaming_partitioned_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@register(
+    "streaming_session_dynamic_gap",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts,
+             CASE WHEN event_type = 'purchase' THEN 1800 ELSE 600 END AS gap_s
+      FROM events
+    ),
+    o AS (
+      SELECT user_id, ts, gap_s,
+             MAX(epoch_us(ts) + gap_s * 1000000) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end_us
+      FROM e
+    ),
+    s AS (
+      SELECT *, CASE WHEN prev_end_us IS NULL
+                       OR epoch_us(ts) >= prev_end_us THEN 1 ELSE 0 END AS brk
+      FROM o
+    ),
+    g AS (
+      SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM s
+    ),
+    sess AS (
+      SELECT user_id,
+             MIN(ts) AS session_start,
+             MAX(ts + gap_s * INTERVAL 1 SECOND) AS session_end,
+             COUNT(*) AS n_ev
+      FROM g GROUP BY user_id, sid
+    ),
+    wm AS (SELECT MAX(ts) - INTERVAL 2 HOUR AS w FROM events)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_closed_sessions,
+           CAST(SUM(n_ev) AS BIGINT) AS n_events_emitted,
+           CAST(MIN(session_start) AS VARCHAR) AS first_session_start
+    FROM sess, wm
+    WHERE session_end <= w
+    """,
+    doc="STREAMING dynamic-gap sessionization (the stateful twin of the "
+    "batch events_session_dynamic_gap — Structured Streaming runs the "
+    "identical session_window(per-event gap) expression with state kept "
+    "per open session and evicted by the watermark): readStream over the "
+    "staged inbox -> withWatermark 2h -> session_window(purchase 30 min / "
+    "else 10 min) -> append sink, availableNow drain. Append mode emits "
+    "exactly the sessions whose END the final watermark (max ts - 2h) has "
+    "passed, which the oracle recomputes in batch SQL (running-MAX "
+    "islands + the watermark cutoff). Open sessions at the cut hold "
+    "state, never emit — the bounded-state contract that makes per-user "
+    "sessions runnable on an unbounded 100 TB/day feed.",
+    tags=("streaming", "session", "watermark"),
+)
+def streaming_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _tmp_base("hive_spark_sdyn_")
+    sink, ckpt = os.path.join(base, "sink"), os.path.join(base, "ckpt")
+    inbox = _stage_events_inbox(spark, sf_dir)
+    gap = F.when(F.col("event_type") == "purchase", "30 minutes").otherwise(
+        "10 minutes"
+    )
+    stream = (
+        _read_events_stream(spark, inbox)
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_ev"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("string").alias("session_start"),
+            "n_ev",
+        )
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    back = spark.read.parquet(sink)
+    return back.agg(
+        F.count(F.lit(1)).cast("long").alias("n_closed_sessions"),
+        F.sum("n_ev").cast("long").alias("n_events_emitted"),
+        F.min("session_start").alias("first_session_start"),
+    )
