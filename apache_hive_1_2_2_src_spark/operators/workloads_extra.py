@@ -1281,6 +1281,59 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def flatten_forest(
+    nodes: DataFrame, parent: "F.Column", *, max_iters: int = 40,
+    stats: dict | None = None
+) -> DataFrame:
+    """Pointer-doubling forest flatten over (node) rows with a parent
+    expression (NULL = root): each round joins every node's ancestor
+    pointer to that ancestor's pointer, doubling covered hop distance —
+    ceil(log2(max_depth)) + 1 rounds to fixpoint (the +1 is the final
+    all-done check round). ``stats`` receives {"rounds": r} so stress
+    tests can pin the bound (same contract as connected_components)."""
+    cur = nodes.select(
+        F.col(nodes.columns[0]).alias("node"),
+        F.coalesce(parent, F.col(nodes.columns[0])).alias("anc"),
+        F.when(parent.isNull(), 0).otherwise(1).alias("d"),
+        parent.isNull().alias("done"),
+    ).localCheckpoint(eager=True)
+    rounds = 0
+    for _ in range(max_iters):
+        if cur.filter(~F.col("done")).count() == 0:
+            break
+        rounds += 1
+        ptr = cur.select(
+            F.col("node").alias("anc"),
+            F.col("anc").alias("anc2"),
+            F.col("d").alias("d2"),
+            F.col("done").alias("done2"),
+        )
+        cur = (
+            cur.join(ptr, "anc")
+            .select(
+                "node",
+                F.when(F.col("done"), F.col("anc")).otherwise(F.col("anc2")).alias("anc"),
+                F.when(F.col("done"), F.col("d"))
+                .otherwise(F.col("d") + F.col("d2"))
+                .alias("d"),
+                F.when(F.col("done"), F.lit(True)).otherwise(F.col("done2")).alias("done"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    else:
+        raise RuntimeError(f"hierarchy_flatten: no fixpoint within {max_iters} rounds")
+    if stats is not None:
+        stats["rounds"] = rounds
+    remaining = cur.filter(~F.col("done")).count()
+    if remaining:
+        raise RuntimeError(f"hierarchy_flatten: {remaining} nodes unconverged")
+    return cur.select(
+        F.col("node").alias("doc_id"),
+        F.col("anc").cast("long").alias("root_id"),
+        F.col("d").cast("int").alias("depth"),
+    )
+
+
 @register(
     "workload_hierarchy_flatten",
     oracle="""
@@ -1320,40 +1373,4 @@ def workload_hierarchy_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CASE WHEN doc_id div 5 = 0 THEN NULL "
         "ELSE ((doc_id div 5 - 1) div 2) * 5 + doc_id % 5 END"
     )
-    cur = nodes.select(
-        F.col("doc_id").alias("node"),
-        F.coalesce(parent, F.col("doc_id")).alias("anc"),
-        F.when(parent.isNull(), 0).otherwise(1).alias("d"),
-        parent.isNull().alias("done"),
-    ).localCheckpoint(eager=True)
-    for _ in range(40):  # ceil(log2(max_depth)) rounds; 40 covers depth 2^40
-        if cur.filter(~F.col("done")).count() == 0:
-            break
-        ptr = cur.select(
-            F.col("node").alias("anc"),
-            F.col("anc").alias("anc2"),
-            F.col("d").alias("d2"),
-            F.col("done").alias("done2"),
-        )
-        cur = (
-            cur.join(ptr, "anc")
-            .select(
-                "node",
-                F.when(F.col("done"), F.col("anc")).otherwise(F.col("anc2")).alias("anc"),
-                F.when(F.col("done"), F.col("d"))
-                .otherwise(F.col("d") + F.col("d2"))
-                .alias("d"),
-                F.when(F.col("done"), F.lit(True)).otherwise(F.col("done2")).alias("done"),
-            )
-            .localCheckpoint(eager=True)
-        )
-    else:
-        raise RuntimeError("hierarchy_flatten: no fixpoint within 40 rounds")
-    remaining = cur.filter(~F.col("done")).count()
-    if remaining:
-        raise RuntimeError(f"hierarchy_flatten: {remaining} nodes unconverged")
-    return cur.select(
-        F.col("node").alias("doc_id"),
-        F.col("anc").cast("long").alias("root_id"),
-        F.col("d").cast("int").alias("depth"),
-    )
+    return flatten_forest(nodes, parent)

@@ -223,3 +223,21 @@ def test_tfidf_candidate_pairs_within_df_cap_bound(spark):
     missing = expected - set(got)
     assert not missing, f"{len(missing)} duplicate TF-IDF pairs lost"
     assert all(abs(got[p] - 1.0) < 1e-6 for p in expected)
+
+
+def test_hierarchy_flatten_chain_rounds_log_bound(spark):
+    """Pointer doubling on a 4096-node CHAIN (parent = n-1, depth up to
+    4095 — the worst shape for naive one-hop iteration, which would need
+    4095 joins): rounds must stay within ceil(log2(depth)) + 1, and every
+    node's (root, depth) must be exact."""
+    from apache_hive_1_2_2_src_spark.operators.workloads_extra import flatten_forest
+
+    n = 4096
+    nodes = spark.range(n).select(F.col("id").alias("node"))
+    parent = F.expr("CASE WHEN node = 0 THEN NULL ELSE node - 1 END")
+    stats: dict = {}
+    out = {r.doc_id: (r.root_id, r.depth) for r in
+           flatten_forest(nodes, parent, stats=stats).collect()}
+    assert len(out) == n
+    assert all(out[i] == (0, i) for i in range(n))
+    assert stats["rounds"] <= math.ceil(math.log2(n)) + 1, stats
