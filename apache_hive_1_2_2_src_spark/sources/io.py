@@ -373,3 +373,73 @@ def sequencefile_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _orders_agg(back)
+
+
+@register(
+    "csv_quoted_roundtrip",
+    oracle="""
+    WITH gnarly AS (
+      SELECT doc_id,
+             'v,' || CAST(doc_id AS VARCHAR) || ',"q' ||
+               CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'nl' ELSE '' END
+               AS payload
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(length(payload)) AS BIGINT) AS total_chars,
+           CAST(SUM(CASE WHEN payload LIKE '%' || chr(10) || '%'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_multiline,
+           MIN(payload) AS min_payload
+    FROM gnarly
+    """,
+    doc="Quoted-CSV roundtrip (OpenCSVSerDe parity — serde2/OpenCSVSerde."
+    "java; Hive 1.2's LazySimpleSerDe canNOT represent these values, "
+    "which is exactly why users reached for the CSV serde): payloads "
+    "containing the delimiter, the quote char itself, AND embedded "
+    "newlines are written with quoting+escaping and read back with "
+    "multiLine=true — every byte must survive, certified by length sums, "
+    "multiline counts, and a min-payload value check. Scale note: "
+    "multiLine CSV is NOT splittable (a file is one input split, unlike "
+    "line-oriented text) — documented here because it is the classic "
+    "ingest foot-gun: at 100 TB, land quoted CSV as many medium files, "
+    "or convert to parquet at the edge.",
+    tags=("source", "csv", "serde"),
+)
+def csv_quoted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 200)
+    )
+    gnarly = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("v,"),
+            F.col("doc_id").cast("string"),
+            F.lit(',"q'),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("\nnl")).otherwise(F.lit("")),
+        ).alias("payload"),
+    )
+    path = _tmp("csv_quoted")
+    (
+        gnarly.write.mode("overwrite")
+        .option("header", "true")
+        .option("quoteAll", "true")
+        .option("escape", '"')
+        .csv(path)
+    )
+    back = spark.read.csv(
+        path,
+        header=True,
+        multiLine=True,
+        escape='"',
+        schema="doc_id bigint, payload string",
+    )
+    return back.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.length("payload")).cast("long").alias("total_chars"),
+        F.sum(F.when(F.col("payload").contains("\n"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_multiline"),
+        F.min("payload").alias("min_payload"),
+    )
