@@ -1098,3 +1098,126 @@ def pipeline_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("verdict"),
         )
     )
+
+
+@register(
+    "text_url_canonical_dedup",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+             CASE doc_id % 4
+               WHEN 0 THEN 'HTTP://Site' || CAST(doc_id % 7 AS VARCHAR)
+                 || '.Example.COM:80/A/Path' || CAST(doc_id % 13 AS VARCHAR)
+                 || '/?utm_source=feed&id=' || CAST(doc_id % 13 AS VARCHAR)
+               WHEN 1 THEN 'http://site' || CAST(doc_id % 7 AS VARCHAR)
+                 || '.example.com/A/Path' || CAST(doc_id % 13 AS VARCHAR)
+                 || '?id=' || CAST(doc_id % 13 AS VARCHAR)
+               WHEN 2 THEN 'https://Site' || CAST(doc_id % 7 AS VARCHAR)
+                 || '.Example.com:443/A/Path' || CAST(doc_id % 13 AS VARCHAR)
+                 || '?id=' || CAST(doc_id % 13 AS VARCHAR) || '&utm_medium=x'
+               ELSE 'https://site' || CAST(doc_id % 7 AS VARCHAR)
+                 || '.example.com/A/Path' || CAST(doc_id % 13 AS VARCHAR)
+                 || '/?id=' || CAST(doc_id % 13 AS VARCHAR)
+             END AS url
+      FROM documents
+    ),
+    canon AS (
+      SELECT doc_id,
+             -- scheme + lowercased host (default ports stripped) + path
+             -- (trailing slash stripped) + sorted non-utm params
+             -- extract scheme/host from the LOWERED url (HTTP:// must
+             -- match); path keeps its case, extracted case-insensitively
+             regexp_extract(lower(url), '^(https?)://', 1) || '://' ||
+             regexp_replace(regexp_extract(lower(url), '^https?://([^/]+)', 1),
+                            ':(80|443)$', '') ||
+             regexp_replace(regexp_extract(url, '^(?i)https?://[^/]+([^?]*)', 1),
+                            '/$', '') ||
+             COALESCE('?' || NULLIF(array_to_string(list_sort(list_filter(
+               string_split(regexp_extract(url, '\\?(.*)$', 1), '&'),
+               p -> p <> '' AND NOT p LIKE 'utm_%')), '&'), ''), '')
+               AS curl
+      FROM raw
+    )
+    SELECT curl,
+           CAST(COUNT(*) AS BIGINT) AS n_variants,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_id
+    FROM canon GROUP BY curl
+    """,
+    doc="Canonical-URL dedup (the crawl-frontier collapse every web "
+    "pipeline runs before fetch/store: scheme-case, host-case, default "
+    "ports :80/:443, trailing slashes, and utm_* tracking params are all "
+    "the SAME page): deterministic URL variants are synthesized per doc "
+    "(4 spellings of the same logical URL share a (doc_id%7, doc_id%13) "
+    "page identity), normalized with pure regex/string codegen — "
+    "lowercase scheme+host, strip default port, strip trailing slash, "
+    "drop utm_* params, SORT the surviving query params (param order is "
+    "semantically irrelevant) — and grouped; keep-lowest-id wins. Every "
+    "step is a per-row map; the only shuffle is the final groupBy on the "
+    "canonical key, exactly the dedup_exact shape. At 100 TB group by "
+    "xxhash64(curl).",
+    tags=("extension", "text", "url", "dedup"),
+)
+def text_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    page = F.col("doc_id") % 13
+    site = F.col("doc_id") % 7
+    url = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit("HTTP://Site"), site, F.lit(".Example.COM:80/A/Path"), page,
+                F.lit("/?utm_source=feed&id="), page,
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit("http://site"), site, F.lit(".example.com/A/Path"), page,
+                F.lit("?id="), page,
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                F.lit("https://Site"), site, F.lit(".Example.com:443/A/Path"), page,
+                F.lit("?id="), page, F.lit("&utm_medium=x"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://site"), site, F.lit(".example.com/A/Path"), page,
+                F.lit("/?id="), page,
+            )
+        )
+    )
+    raw = d.select("doc_id", url.alias("url"))
+    lurl = F.lower(F.col("url"))
+    scheme = F.regexp_extract(lurl, r"^(https?)://", 1)
+    host = F.regexp_replace(
+        F.regexp_extract(lurl, r"^https?://([^/]+)", 1), r":(80|443)$", ""
+    )
+    path = F.regexp_replace(
+        F.regexp_extract("url", r"^(?i)https?://[^/]+([^?]*)", 1), r"/$", ""
+    )
+    params = F.array_sort(
+        F.filter(
+            F.split(F.regexp_extract("url", r"\?(.*)$", 1), "&"),
+            lambda p: (p != "") & ~p.startswith("utm_"),
+        )
+    )
+    curl = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&")))
+        .otherwise(F.lit("")),
+    )
+    return (
+        raw.select("doc_id", curl.alias("curl"))
+        .groupBy("curl")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_variants"),
+            F.min("doc_id").cast("long").alias("keeper_id"),
+        )
+    )

@@ -443,3 +443,69 @@ def csv_quoted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_multiline"),
         F.min("payload").alias("min_payload"),
     )
+
+
+@register(
+    "schema_evolution_merge",
+    oracle="""
+    WITH v1 AS (
+      SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_channel,
+             'v1' AS gen
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    v2 AS (
+      SELECT o_orderkey, o_totalprice,
+             CASE WHEN o_orderkey % 3 = 0 THEN 'web' ELSE 'store' END
+               AS o_channel,
+             'v2' AS gen
+      FROM orders WHERE o_orderkey % 2 = 1
+    ),
+    merged AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+    SELECT gen,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(o_channel) AS BIGINT) AS n_with_channel,
+           CAST(COUNT(CASE WHEN o_channel = 'web' THEN 1 END) AS BIGINT)
+             AS n_web,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price
+    FROM merged GROUP BY gen
+    """,
+    doc="Parquet schema evolution (ALTER TABLE ADD COLUMNS semantics — "
+    "metastore/.../MetaStoreUtils.java column-append path; Hive appends "
+    "the column and old files read NULL): generation 1 lands WITHOUT the "
+    "o_channel column, generation 2 WITH it, both under one table root; "
+    "the read uses mergeSchema=true and the v1 rows surface o_channel as "
+    "NULL — the backfill-free widening every long-lived table depends "
+    "on. Per-generation counts + a decimal total certify no row or value "
+    "was lost in the merge. Scale note: mergeSchema scans footers of all "
+    "files at planning time — at 100 TB pin the merged schema in the "
+    "metastore (as Hive did) and read with an explicit schema; the "
+    "NULL-backfill semantics are identical.",
+    tags=("source", "schema", "evolution"),
+)
+def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    path = _tmp("schema_evo")
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    v1 = o.filter(F.col("o_orderkey") % 2 == 0).withColumn("gen", F.lit("v1"))
+    v2 = (
+        o.filter(F.col("o_orderkey") % 2 == 1)
+        .withColumn(
+            "o_channel",
+            F.when(F.col("o_orderkey") % 3 == 0, "web").otherwise("store"),
+        )
+        .withColumn("gen", F.lit("v2"))
+    )
+    v1.write.mode("append").parquet(path)
+    v2.write.mode("append").parquet(path)
+    back = spark.read.option("mergeSchema", "true").parquet(path)
+    return back.groupBy("gen").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count("o_channel").cast("long").alias("n_with_channel"),
+        F.count(F.when(F.col("o_channel") == "web", 1)).cast("long").alias("n_web"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )

@@ -140,3 +140,24 @@ def test_weighted_median_hand_cases(spark):
     assert wmedian([("a", 1.0, 1), ("a", 2.0, 1)]) == {"a": 1.0}
     # Weight skewed to the last value.
     assert wmedian([("a", 1.0, 1), ("a", 2.0, 1), ("a", 9.0, 5)]) == {"a": 9.0}
+
+
+def test_url_canonical_dedup_collapses_all_variant_classes(spark, registry):
+    """Oracle parity can't catch a MIRRORED normalization bug (both engines
+    computing the same wrong canon — the round-7 case-sensitive-scheme bug
+    collapsed every HTTP:// variant into one '://?id=' key on both sides).
+    Pin the structural truth: 500 docs spell 7 sites x 13 pages x 2 schemes
+    = 182 logical URLs, every canonical key merges >= 2 spellings, every
+    key parses as scheme://host/path, and no key contains a utm_ param, an
+    uppercase host, a default port, or a trailing slash."""
+    rows = registry["text_url_canonical_dedup"].build(
+        spark, SF_DIR
+    ).collect()
+    assert len(rows) == 182
+    assert all(r.n_variants >= 2 for r in rows)
+    import re
+
+    for r in rows:
+        key = r.curl
+        assert re.match(r"^https?://site\d\.example\.com/A/Path\d+\?id=\d+$", key), key
+        assert "utm_" not in key and ":80" not in key and ":443" not in key
