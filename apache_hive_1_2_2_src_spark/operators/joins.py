@@ -432,6 +432,87 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_asof_forward",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, ts, event_id AS view_event_id
+      FROM (
+        SELECT user_id, ts, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id) AS rn
+        FROM events WHERE event_type = 'view'
+      ) WHERE rn = 1
+    ),
+    p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT p.event_id, p.user_id, CAST(p.ts AS VARCHAR) AS purchase_ts,
+           v.view_event_id,
+           CAST(CASE WHEN v.ts IS NULL THEN NULL
+                ELSE epoch_us(v.ts) - epoch_us(p.ts) END AS BIGINT)
+             AS wait_us
+    FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts <= v.ts
+    """,
+    doc="FORWARD AS-OF join (the 'next event at-or-after' direction: each "
+    "purchase picks the user's EARLIEST view at-or-after it — the "
+    "time-to-next-touch / label-lookahead query; join_asof is the "
+    "backward twin). Same single-shuffle union+window algebra with the "
+    "frame reversed: rows between CURRENT ROW AND UNBOUNDED FOLLOWING, "
+    "first_value(right-struct, ignorenulls), side ordered so a view AT "
+    "the purchase instant matches (ts, side desc puts views after "
+    "purchases at equal ts inside a following frame). Oracle: DuckDB "
+    "native ASOF LEFT JOIN with the <= comparator. Also emits the "
+    "integer-microsecond wait — the labeling pipeline's lookahead gap.",
+    tags=("join", "asof", "window"),
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    # Forward ties: the EARLIEST view per (user, ts) is the match target.
+    dedup_w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id"))
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .withColumn("rn", F.row_number().over(dedup_w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "ts",
+            F.struct(
+                F.col("event_id").alias("vid"),
+                F.unix_micros("ts").alias("vts_us"),
+            ).alias("vrec"),
+            F.lit(1).alias("side"),
+            F.lit(None).cast("bigint").alias("event_id"),
+        )
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("struct<vid:bigint,vts_us:bigint>").alias("vrec"),
+        F.lit(0).alias("side"),
+        "event_id",
+    )
+    # side: purchase=0 sorts BEFORE view=1 at equal ts, so an equal-ts view
+    # sits inside the purchase's following frame (at-or-after semantics).
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    merged = v.unionByName(p).withColumn(
+        "matched", F.first("vrec", ignorenulls=True).over(w)
+    )
+    return merged.filter(F.col("side") == 0).select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("string").alias("purchase_ts"),
+        F.col("matched.vid").alias("view_event_id"),
+        (F.col("matched.vts_us") - F.unix_micros("ts"))
+        .cast("long")
+        .alias("wait_us"),
+    )
+
+
+@register(
     "mapjoin_hint_sql",
     oracle="""
     SELECT r_name, COUNT(*) AS n_nations, COUNT(DISTINCT n_nationkey) AS n_keys

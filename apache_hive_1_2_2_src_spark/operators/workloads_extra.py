@@ -1374,3 +1374,70 @@ def workload_hierarchy_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ELSE ((doc_id div 5 - 1) div 2) * 5 + doc_id % 5 END"
     )
     return flatten_forest(nodes, parent)
+
+
+@register(
+    "events_anomaly_exact",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    w AS (
+      SELECT event_type, day, n,
+             SUM(n) OVER tw AS s,
+             SUM(n * n) OVER tw AS sq,
+             COUNT(*) OVER tw AS k
+      FROM daily
+      WINDOW tw AS (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type,
+           CAST(day AS VARCHAR) AS day,
+           CAST(n AS BIGINT) AS n,
+           CAST(k AS BIGINT) AS n_baseline_days,
+           (k >= 4 AND (n * k - s) * (n * k - s) > 4 * (k * sq - s * s))
+             AS is_anomaly
+    FROM w
+    """,
+    doc="Daily-volume anomaly flags with EXACT integer arithmetic (the "
+    "ops-monitoring query every event pipeline runs; naive z-scores "
+    "divide floats and diverge cross-engine in the last ulp): per "
+    "(event_type, day) counts against a trailing 7-day baseline window; "
+    "|x - mean| > 2*stddev is algebraically cross-multiplied to "
+    "(x*k - s)^2 > 4*(k*sq - s^2) over BIGINT sums — no division, no "
+    "sqrt, no float anywhere, so the flag is bit-identical at any "
+    "parallelism (the same trick as diagnostics_key_skew). Days with "
+    "fewer than 4 baseline days abstain. One groupBy shuffle + one "
+    "per-type window over ~|days| rows; at 100 TB the daily pre-agg is "
+    "the only pass over raw events.",
+    tags=("workload", "events", "anomaly", "window"),
+)
+def events_anomaly_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tw = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    w = daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.sum("n").over(tw).alias("s"),
+        F.sum(F.col("n") * F.col("n")).over(tw).alias("sq"),
+        F.count(F.lit(1)).over(tw).alias("k"),
+    )
+    dev = F.col("n") * F.col("k") - F.col("s")
+    var4 = 4 * (F.col("k") * F.col("sq") - F.col("s") * F.col("s"))
+    return w.select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("n_baseline_days"),
+        ((F.col("k") >= 4) & (dev * dev > var4)).alias("is_anomaly"),
+    )
