@@ -549,3 +549,53 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("totw").cast("long").alias("total_weight"),
         )
     )
+
+
+@register(
+    "agg_mode_exact",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderpriority AS grp, o_orderstatus AS val, COUNT(*) AS n
+      FROM orders GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT grp, val, n,
+             ROW_NUMBER() OVER (PARTITION BY grp ORDER BY n DESC, val) AS rk
+      FROM c
+    )
+    SELECT grp,
+           val AS mode_val,
+           CAST(n AS BIGINT) AS mode_count
+    FROM r WHERE rk = 1
+    """,
+    doc="Exact MODE per group with a DETERMINISTIC tie-break (count DESC, "
+    "value ASC): count-per-value pre-agg then a per-group row_number pick "
+    "— the portable form. Spark 3.4+ ships mode() and DuckDB ships "
+    "mode(), but their tie-breaks are implementation-defined and NEED NOT "
+    "agree (the registry's nondeterminism rule), so the explicit "
+    "two-stage form is what a cross-engine pipeline should run. Shuffles: "
+    "one partial-agg groupBy (|groups x values|) + one window over the "
+    "pre-agg — never over raw rows.",
+    tags=("agg", "stats", "window"),
+)
+def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    c = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("grp"),
+            F.col("o_orderstatus").alias("val"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("grp").orderBy(F.col("n").desc(), F.col("val"))
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "grp",
+            F.col("val").alias("mode_val"),
+            F.col("n").cast("long").alias("mode_count"),
+        )
+    )

@@ -1441,3 +1441,61 @@ def events_anomaly_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k").cast("long").alias("n_baseline_days"),
         ((F.col("k") >= 4) & (dev * dev > var4)).alias("is_anomaly"),
     )
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT from_type, to_type,
+           CAST(n AS BIGINT) AS n,
+           CAST(n * 10000 // SUM(n) OVER (PARTITION BY from_type) AS BIGINT)
+             AS p_bp
+    FROM pairs
+    """,
+    doc="Event-type transition matrix (first-order Markov estimate of user "
+    "behavior — the sequence-analytics summary behind next-action "
+    "prediction and funnel design): per-user event streams ordered by "
+    "(ts, event_id), LEAD pairs consecutive events, pair counts roll up "
+    "per (from, to), and transition probabilities are emitted as exact "
+    "integer BASIS POINTS (floor division — no float shares, the "
+    "events_funnel_windowed discipline). One user_id window shuffle + "
+    "one |types|^2-sized groupBy; the matrix is metadata-sized at any "
+    "corpus scale.",
+    tags=("workload", "events", "sequence", "window"),
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seq = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.lead("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("next_type"),
+    )
+    pairs = (
+        seq.where(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("long").alias("n"),
+        F.floor(F.col("n") * 10000 / F.sum("n").over(tot))
+        .cast("long")
+        .alias("p_bp"),
+    )
