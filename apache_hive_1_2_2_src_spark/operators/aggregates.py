@@ -599,3 +599,37 @@ def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("long").alias("mode_count"),
         )
     )
+
+
+@register(
+    "agg_approx_top_k",
+    # The sketch's counts are EXACT whenever distinct items fit inside
+    # maxItemsTracked (5 values << the 10k default), so the full value
+    # hash — not just an invariant — is checkable. The top-3 boundary is
+    # tie-free at every shipped SF (verified: rank-3 vs rank-4 counts
+    # differ at sf0.001/0.01/0.1); items are re-sorted deterministically
+    # because the sketch's own output order on equal counts is undefined.
+    oracle="""
+    SELECT o_orderpriority AS item, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM orders GROUP BY 1
+    ORDER BY cnt DESC, item LIMIT 3
+    """,
+    doc="Approximate top-k heavy hitters (Spark 4's approx_top_k sketch — "
+    "the frequency twin of the HLL rollup: one pass, mergeable partials, "
+    "bounded memory regardless of cardinality): top-3 order priorities "
+    "by count. On corpus-scale cardinalities the sketch bounds memory at "
+    "maxItemsTracked while exact GROUP BY ORDER BY LIMIT must shuffle "
+    "every distinct key; here distinct values fit the sketch, so counts "
+    "are exact and fully hash-checked against the exact top-3.",
+    tags=("agg", "sketch", "approx"),
+)
+def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    top = o.agg(F.expr("approx_top_k(o_orderpriority, 3)").alias("tk"))
+    return (
+        top.select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("item"),
+            F.col("e.count").cast("long").alias("cnt"),
+        )
+    )

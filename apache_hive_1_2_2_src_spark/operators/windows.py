@@ -610,3 +610,39 @@ def events_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_events").cast("long").alias("n_events"),
         )
     )
+
+
+@register(
+    "window_time_range_frame",
+    oracle="""
+    SELECT event_id,
+           CAST(COUNT(*) OVER tw AS BIGINT) AS n_1h,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER tw AS DOUBLE) AS sum_1h
+    FROM events
+    WINDOW tw AS (PARTITION BY user_id ORDER BY ts
+                  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+    doc="Time-interval RANGE frame (RANGE BETWEEN INTERVAL 1 HOUR "
+    "PRECEDING): per event, the trailing-hour event count and exact "
+    "decimal value sum for the same user — the rate-limiter / velocity "
+    "feature every fraud and engagement model computes. RANGE (not ROWS) "
+    "is the correctness point: the frame is defined by the TIME axis, so "
+    "same-timestamp ties are all included and gaps shrink the frame — "
+    "semantics a row-count frame cannot express (complements "
+    "window_range_frame's numeric-range form). One user_id window "
+    "Exchange; decimal partials keep the sum bit-exact cross-engine.",
+    tags=("window", "frame", "range"),
+)
+def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.expr(
+            "COUNT(*) OVER (PARTITION BY user_id ORDER BY ts "
+            "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"
+        ).cast("long").alias("n_1h"),
+        F.expr(
+            "SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id "
+            "ORDER BY ts RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"
+        ).cast("double").alias("sum_1h"),
+    )
