@@ -573,10 +573,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
-def connected_components(
+def connected_component_labels(
     pairs: DataFrame, *, max_iters: int = 24, stats: dict | None = None
 ) -> DataFrame:
-    """Alternating large-star/small-star connected components over an
+    """Per-MEMBER component labels (n, lbl) — the label frame behind
+    connected_components; exposed so cluster-aware operators (e.g.
+    quality-keeper selection) can join members to their cluster.
+
+    Alternating large-star/small-star connected components over an
     undirected edge list (doc_a, doc_b) — the round-5 upgrade from plain
     min-label propagation (public algorithm: Kiveris et al., "Connected
     Components in MapReduce and Beyond", SoCC'14).
@@ -592,9 +596,9 @@ def connected_components(
     that used to blow the iteration budget (see
     tests/test_cc_star.py::test_chain_converges_fast).
 
-    Returns one row per component: (cluster_id = component min id,
-    cluster_size, keeper_id). Raises if not converged within max_iters —
-    never returns silently-wrong labels. Each round's edge set is
+    Returns one row per clustered member: (n = member id, lbl = component
+    min id); singletons (docs in no pair) do not appear. Raises if not
+    converged within max_iters — never returns silently-wrong labels. Each round's edge set is
     localCheckpoint-ed: that BOTH materializes it AND truncates the logical
     plan, which is load-bearing — a persist-based loop was measured 5×
     slower because Catalyst re-analyzes N stacked rounds of lineage.
@@ -669,6 +673,25 @@ def connected_components(
         .union(edges.select(F.col("u").alias("n"), F.col("u").alias("lbl")))
         .distinct()
     )
+    # Truncate lineage so the iteration checkpoints can be released NOW: the
+    # returned DF owns only its (one-row-per-member) checkpoint blocks;
+    # dropping our references + gc.collect() lets the ContextCleaner
+    # reclaim every superseded round's blocks promptly.
+    labels = labels.localCheckpoint(eager=True)
+    del edges, new_edges
+    gc.collect()
+    return labels
+
+
+def connected_components(
+    pairs: DataFrame, *, max_iters: int = 24, stats: dict | None = None
+) -> DataFrame:
+    """One row per component: (cluster_id = component min id, cluster_size,
+    keeper_id = min member). Summary view over connected_component_labels —
+    see that function for the algorithm and convergence contract."""
+    import gc
+
+    labels = connected_component_labels(pairs, max_iters=max_iters, stats=stats)
     result = (
         labels.groupBy("lbl")
         .agg(F.count(F.lit(1)).alias("cluster_size"), F.min("n").alias("keeper_id"))
@@ -677,13 +700,8 @@ def connected_components(
             F.col("cluster_size").cast("bigint").alias("cluster_size"),
             "keeper_id",
         )
+        .localCheckpoint(eager=True)
     )
-    # Truncate lineage so the iteration checkpoints can be released NOW: the
-    # returned DF owns only its (tiny, one-row-per-component) checkpoint
-    # blocks; dropping our references + gc.collect() lets the ContextCleaner
-    # reclaim every superseded round's blocks promptly.
-    result = result.localCheckpoint(eager=True)
-    del edges, labels, new_edges
     gc.collect()
     return result
 
@@ -1357,4 +1375,74 @@ def dedup_levenshtein_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("int")
             .alias("lev"),
         )
+    )
+
+
+@register(
+    "dedup_keep_longest",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      SELECT doc_a, doc_b FROM ({_jaccard_oracle(0.8, shingle_df_cap=64)})
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT u AS n FROM edges),
+    reach(n, lbl) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.n
+    ),
+    comp AS (SELECT n AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY n),
+    toks AS (
+      SELECT doc_id, len({_SQL_WORDS}) AS n_tok FROM documents
+    ),
+    ranked AS (
+      SELECT c.cluster_id, c.doc_id, t.n_tok,
+             ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                ORDER BY t.n_tok DESC, c.doc_id) AS rk
+      FROM comp c JOIN toks t USING (doc_id)
+    )
+    SELECT cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS cluster_size,
+           CAST(MIN(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT) AS keeper_id,
+           CAST(MIN(CASE WHEN rk = 1 THEN n_tok END) AS BIGINT)
+             AS keeper_tokens
+    FROM ranked GROUP BY cluster_id
+    """,
+    doc="QUALITY-AWARE dedup keeper selection (keep the LONGEST copy per "
+    "near-dup cluster, tie-break min id — the policy real curation "
+    "pipelines ship, versus dedup_apply_keepers' keep-first: near-dups "
+    "are usually truncations/excerpts of one another, so min-id keeps an "
+    "arbitrary — often the clipped — copy while keep-longest keeps the "
+    "most complete text): ngram-Jaccard>=0.8 pairs -> star CC MEMBER "
+    "labels (connected_component_labels — the per-node frame the summary "
+    "view hides) -> join token counts -> per-cluster row_number argmax. "
+    "One extra broadcast-sized join + one window over cluster members vs "
+    "keep-first; swap n_tok for any scored column (quality, recency) and "
+    "the operator is the general best-of-cluster selector.",
+    tags=("extension", "dedup", "pipeline"),
+)
+def dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", _words().alias("w"))
+    pairs = ngram_jaccard_pairs(d, threshold=0.8, shingle_df_cap=64)
+    labels = connected_component_labels(pairs)
+    toks = d.select("doc_id", F.size("w").alias("n_tok"))
+    members = labels.select(
+        F.col("n").alias("doc_id"), F.col("lbl").alias("cluster_id")
+    ).join(toks, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_tok").desc(), F.col("doc_id")
+    )
+    ranked = members.withColumn("rk", F.row_number().over(w))
+    return ranked.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size"),
+        F.min(F.when(F.col("rk") == 1, F.col("doc_id")))
+        .cast("long")
+        .alias("keeper_id"),
+        F.min(F.when(F.col("rk") == 1, F.col("n_tok")))
+        .cast("long")
+        .alias("keeper_tokens"),
     )
