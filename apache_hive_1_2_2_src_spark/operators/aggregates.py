@@ -633,3 +633,98 @@ def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e.count").cast("long").alias("cnt"),
         )
     )
+
+
+@register(
+    "agg_stats_merge_incremental",
+    oracle="""
+    WITH part AS (
+      SELECT CASE WHEN doc_id % 7 = 0 THEN 'new' ELSE 'old' END AS p,
+             n_chars
+      FROM documents
+    ),
+    partials AS (
+      SELECT p,
+             COUNT(*) AS n,
+             SUM(n_chars) AS s,
+             SUM(n_chars * n_chars) AS sq,
+             MIN(n_chars) AS mn,
+             MAX(n_chars) AS mx
+      FROM part GROUP BY p
+    ),
+    merged AS (
+      SELECT SUM(n) AS n, SUM(s) AS s, SUM(sq) AS sq,
+             MIN(mn) AS mn, MAX(mx) AS mx
+      FROM partials
+    ),
+    direct AS (
+      SELECT COUNT(*) AS n, SUM(n_chars) AS s,
+             SUM(n_chars * n_chars) AS sq,
+             MIN(n_chars) AS mn, MAX(n_chars) AS mx
+      FROM documents
+    )
+    SELECT CAST(m.n AS BIGINT) AS n,
+           CAST(m.s AS BIGINT) AS sum_chars,
+           CAST(m.sq AS BIGINT) AS sum_sq,
+           CAST(m.mn AS BIGINT) AS min_chars,
+           CAST(m.mx AS BIGINT) AS max_chars,
+           (m.n = d.n AND m.s = d.s AND m.sq = d.sq
+            AND m.mn = d.mn AND m.mx = d.mx) AS merge_exact
+    FROM merged m, direct d
+    """,
+    doc="Incremental statistics maintenance (ANALYZE TABLE without the "
+    "rescan — StatsOptimizer.java's accumulate path, and the partial-"
+    "stats merge every partitioned metastore performs): per-partition "
+    "stat PARTIALS (count, sum, sum-of-squares, min, max — the mergeable "
+    "quintuple from which count/mean/variance/extrema all derive) are "
+    "combined by pure algebra (sums add, extrema fold), and merge_exact "
+    "pins that the merged result EQUALS the direct whole-table "
+    "computation bit-for-bit — true because every partial is an exact "
+    "BIGINT, the property that makes stats incrementally maintainable at "
+    "100 TB (re-analyze only changed partitions, fold into the stored "
+    "partials; nothing approximate, nothing rescanned).",
+    tags=("agg", "stats", "incremental"),
+)
+def agg_stats_merge_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    partials = (
+        d.withColumn(
+            "p", F.when(F.col("doc_id") % 7 == 0, "new").otherwise("old")
+        )
+        .groupBy("p")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("s"),
+            F.sum(F.col("n_chars") * F.col("n_chars")).alias("sq"),
+            F.min("n_chars").alias("mn"),
+            F.max("n_chars").alias("mx"),
+        )
+    )
+    merged = partials.agg(
+        F.sum("n").alias("n"),
+        F.sum("s").alias("s"),
+        F.sum("sq").alias("sq"),
+        F.min("mn").alias("mn"),
+        F.max("mx").alias("mx"),
+    )
+    direct = d.agg(
+        F.count(F.lit(1)).alias("dn"),
+        F.sum("n_chars").alias("ds"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("dsq"),
+        F.min("n_chars").alias("dmn"),
+        F.max("n_chars").alias("dmx"),
+    )
+    return merged.crossJoin(direct).select(
+        F.col("n").cast("long").alias("n"),
+        F.col("s").cast("long").alias("sum_chars"),
+        F.col("sq").cast("long").alias("sum_sq"),
+        F.col("mn").cast("long").alias("min_chars"),
+        F.col("mx").cast("long").alias("max_chars"),
+        (
+            (F.col("n") == F.col("dn"))
+            & (F.col("s") == F.col("ds"))
+            & (F.col("sq") == F.col("dsq"))
+            & (F.col("mn") == F.col("dmn"))
+            & (F.col("mx") == F.col("dmx"))
+        ).alias("merge_exact"),
+    )

@@ -1499,3 +1499,72 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("p_bp"),
     )
+
+
+@register(
+    "timeseries_ohlc_bars",
+    oracle="""
+    WITH t AS (
+      SELECT event_type,
+             time_bucket(INTERVAL 6 HOUR, ts) AS bar,
+             ts, event_id, value
+      FROM events
+    ),
+    ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY event_type, bar
+                                ORDER BY ts, event_id) AS rn_open,
+             ROW_NUMBER() OVER (PARTITION BY event_type, bar
+                                ORDER BY ts DESC, event_id DESC) AS rn_close
+      FROM t
+    )
+    SELECT event_type,
+           CAST(bar AS VARCHAR) AS bar_start,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(CASE WHEN rn_open = 1 THEN value END) AS DOUBLE) AS open,
+           CAST(MAX(value) AS DOUBLE) AS high,
+           CAST(MIN(value) AS DOUBLE) AS low,
+           CAST(MIN(CASE WHEN rn_close = 1 THEN value END) AS DOUBLE) AS close,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
+    FROM ranked
+    GROUP BY event_type, bar
+    """,
+    doc="OHLC bar aggregation (6-hour bars per event type — the "
+    "time-series downsample every monitoring/market pipeline runs): "
+    "open/close are the FIRST/LAST values by (ts, event_id) within the "
+    "bar — a deterministic total order, not first()/last()'s "
+    "encounter-order nondeterminism, which is the classic silent OHLC "
+    "bug on parallel engines (both row_number passes ride the same "
+    "(type, bar) Exchange); high/low/volume are plain min/max/decimal "
+    "sums. Bars via timestamp floor (Spark window(); oracle "
+    "time_bucket). One shuffle; bars are metadata-sized downstream.",
+    tags=("workload", "timeseries", "window"),
+)
+def timeseries_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id", "value"
+    )
+    t = e.withColumn("bar", F.window("ts", "6 hours").start)
+    w_open = Window.partitionBy("event_type", "bar").orderBy("ts", "event_id")
+    w_close = Window.partitionBy("event_type", "bar").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = t.withColumn("rn_open", F.row_number().over(w_open)).withColumn(
+        "rn_close", F.row_number().over(w_close)
+    )
+    return ranked.groupBy("event_type", "bar").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min(F.when(F.col("rn_open") == 1, F.col("value")))
+        .cast("double")
+        .alias("open"),
+        F.max("value").cast("double").alias("high"),
+        F.min("value").cast("double").alias("low"),
+        F.min(F.when(F.col("rn_close") == 1, F.col("value")))
+        .cast("double")
+        .alias("close"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("volume"),
+    ).select(
+        "event_type",
+        F.col("bar").cast("string").alias("bar_start"),
+        "n", "open", "high", "low", "close", "volume",
+    )
