@@ -470,3 +470,25 @@ def test_dynamic_session_single_exchange(plans):
     p = plans("events_session_dynamic_gap")
     assert "Window" not in p  # native operator, not the islands rewrite
     assert p.count("Exchange (") <= 2, p.count("Exchange (")
+
+
+def test_ohlc_single_exchange(plans):
+    # Both row_number passes and the final agg must ride ONE
+    # (event_type, bar) hash exchange — a second exchange means the
+    # open/close windows lost the shared partitioning.
+    p = plans("timeseries_ohlc_bars")
+    assert p.count("Exchange (") == 1, p.count("Exchange (")
+
+
+def test_markov_transitions_two_exchanges(plans):
+    # One user_id window exchange + one (from,to) agg exchange; the
+    # basis-point window runs over the metadata-sized matrix (AQE may
+    # fold it into the agg exchange).
+    p = plans("events_markov_transitions")
+    assert p.count("Exchange (") <= 3, p.count("Exchange (")
+    assert "CartesianProduct" not in p
+
+
+def test_time_range_frame_is_range_not_rows(plans):
+    p = plans("window_time_range_frame")
+    assert "RANGE BETWEEN" in p.upper() or "specifiedwindowframe(RangeFrame" in p
