@@ -728,3 +728,58 @@ def agg_stats_merge_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("mx") == F.col("dmx"))
         ).alias("merge_exact"),
     )
+
+
+@register(
+    "agg_ratio_to_parent",
+    oracle="""
+    WITH cell AS (
+      SELECT o_orderpriority AS prio, o_orderstatus AS status,
+             COUNT(*) AS n,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT prio, status,
+           CAST(n AS BIGINT) AS n,
+           CAST(rev AS DOUBLE) AS revenue,
+           CAST(n * 10000 // SUM(n) OVER (PARTITION BY prio) AS BIGINT)
+             AS share_of_prio_bp,
+           CAST(n * 10000 // SUM(n) OVER () AS BIGINT) AS share_of_total_bp
+    FROM cell
+    """,
+    doc="Ratio-to-parent report (the percent-of-parent rollup every BI "
+    "report renders next to a CUBE: each (priority, status) cell's share "
+    "of its priority parent AND of the grand total): one groupBy pass "
+    "computes the cells, then two window sums over the METADATA-SIZED "
+    "cell table (|prios|x|statuses| rows) derive both denominators — the "
+    "raw table is scanned exactly once, the windows cost nothing at any "
+    "scale. Shares as exact integer basis points (floor division both "
+    "engines); revenue decimal-exact.",
+    tags=("agg", "window", "report"),
+)
+def agg_ratio_to_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cell = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("prio"),
+            F.col("o_orderstatus").alias("status"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"),
+        )
+    )
+    return cell.select(
+        "prio",
+        "status",
+        F.col("n").cast("long").alias("n"),
+        F.col("rev").cast("double").alias("revenue"),
+        F.floor(F.col("n") * 10000 / F.sum("n").over(Window.partitionBy("prio")))
+        .cast("long")
+        .alias("share_of_prio_bp"),
+        F.floor(F.col("n") * 10000 / F.sum("n").over(Window.partitionBy()))
+        .cast("long")
+        .alias("share_of_total_bp"),
+    )
