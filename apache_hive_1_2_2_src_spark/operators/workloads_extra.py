@@ -1568,3 +1568,68 @@ def timeseries_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bar").cast("string").alias("bar_start"),
         "n", "open", "high", "low", "close", "volume",
     )
+
+
+@register(
+    "workload_open_orders_asof",
+    oracle="""
+    WITH fulfill AS (
+      SELECT l_orderkey, MAX(l_shipdate) AS done_date
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    spans AS (
+      SELECT o.o_orderkey, o.o_orderdate, o.o_totalprice, f.done_date
+      FROM orders o JOIN fulfill f ON f.l_orderkey = o.o_orderkey
+    ),
+    asof_dates AS (
+      SELECT CAST(y.y AS INTEGER) AS year_end,
+             CAST(CAST(y.y AS VARCHAR) || '-12-31' AS DATE) AS d
+      FROM UNNEST(range(1995, 2001)) AS y(y)
+    )
+    SELECT a.year_end,
+           CAST(COUNT(s.o_orderkey) AS BIGINT) AS n_open,
+           CAST(COALESCE(SUM(CAST(s.o_totalprice AS DECIMAL(18,2))), 0)
+                AS DOUBLE) AS open_value
+    FROM asof_dates a
+    LEFT JOIN spans s
+      ON s.o_orderdate <= a.d AND s.done_date > a.d
+    GROUP BY a.year_end
+    """,
+    doc="Point-in-time snapshot reconstruction (orders IN FLIGHT as of "
+    "each year-end — the time-travel/backlog query warehouses answer "
+    "from effective-dated facts without storing snapshots): an order is "
+    "open at D iff placed on-or-before D and not yet fully shipped "
+    "(max l_shipdate per order > D). The as-of roster is a 6-row "
+    "BROADCAST, so the interval predicate is a tiny nested-loop against "
+    "metadata — the fact side is scanned once for the per-order fulfill "
+    "date (one groupBy) and once for the probe, each linear; zero-open "
+    "dates survive via the roster left join. The SCD2 build "
+    "(workload_scd2_dimension) answers the same question for DIMENSION "
+    "history; this is the FACT-side twin.",
+    tags=("workload", "timeseries", "asof", "snapshot"),
+)
+def workload_open_orders_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    fulfill = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("done_date"))
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    spans = o.join(fulfill, F.col("l_orderkey") == F.col("o_orderkey"))
+    asof = spark.range(1995, 2001).select(
+        F.col("id").cast("int").alias("year_end"),
+        F.to_date(F.concat(F.col("id").cast("string"), F.lit("-12-31"))).alias("d"),
+    )
+    joined = F.broadcast(asof).join(
+        spans,
+        (F.col("o_orderdate") <= F.col("d")) & (F.col("done_date") > F.col("d")),
+        "left",
+    )
+    return joined.groupBy("year_end").agg(
+        F.count("o_orderkey").cast("long").alias("n_open"),
+        F.coalesce(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")),
+            F.lit(0).cast("decimal(18,2)"),
+        )
+        .cast("double")
+        .alias("open_value"),
+    )
