@@ -688,3 +688,61 @@ def diagnostics_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_heavy",
         (F.col("max_cnt") * F.col("n_keys") >= 4 * F.col("n_rows")).alias("skew_flag"),
     )
+
+
+@register(
+    "set_ops_all_bag",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderstatus AS st, o_orderpriority AS pr
+      FROM orders WHERE o_orderkey % 3 <> 0
+    ),
+    b AS (
+      SELECT o_orderstatus AS st, o_orderpriority AS pr
+      FROM orders WHERE o_orderkey % 2 <> 0
+    ),
+    i AS (SELECT * FROM a INTERSECT ALL SELECT * FROM b),
+    e AS (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+    SELECT st,
+           CAST((SELECT COUNT(*) FROM i i2 WHERE i2.st = s.st) AS BIGINT)
+             AS n_intersect_all,
+           CAST((SELECT COUNT(*) FROM e e2 WHERE e2.st = s.st) AS BIGINT)
+             AS n_except_all
+    FROM (SELECT DISTINCT st FROM a) s
+    """,
+    doc="BAG-semantics set operations (INTERSECT ALL / EXCEPT ALL — "
+    "Hive 1.2 had NEITHER; even its UNION was ALL-only, and the DISTINCT "
+    "set-op emulations (intersect_emulated/except_emulated) lose "
+    "multiplicities, which matters whenever rows are events rather than "
+    "entities): two overlapping order multisets (keys % 3 != 0 vs "
+    "% 2 != 0 — the shared keys appear in both with real multiplicity) "
+    "through Spark's native intersectAll/exceptAll, counted per status. "
+    "Bag semantics compile to a count-compare aggregation — ONE shuffle "
+    "per operand keyed on the full row, no join explosion; min/差-of-"
+    "counts math is exactly what the SQL-standard ALL forms specify.",
+    tags=("setop", "sql"),
+)
+def set_ops_all_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("st"),
+        F.col("o_orderpriority").alias("pr"),
+    )
+    a = o.filter(F.col("o_orderkey") % 3 != 0).select("st", "pr")
+    b = o.filter(F.col("o_orderkey") % 2 != 0).select("st", "pr")
+    i = a.intersectAll(b).groupBy("st").agg(
+        F.count(F.lit(1)).cast("long").alias("n_intersect_all")
+    )
+    e = a.exceptAll(b).groupBy("st").agg(
+        F.count(F.lit(1)).cast("long").alias("n_except_all")
+    )
+    base = a.select("st").distinct()
+    return (
+        base.join(i, "st", "left")
+        .join(e, "st", "left")
+        .select(
+            "st",
+            F.coalesce("n_intersect_all", F.lit(0)).alias("n_intersect_all"),
+            F.coalesce("n_except_all", F.lit(0)).alias("n_except_all"),
+        )
+    )
