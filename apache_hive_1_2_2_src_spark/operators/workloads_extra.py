@@ -1633,3 +1633,73 @@ def workload_open_orders_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("open_value"),
     )
+
+
+@register(
+    "workload_pareto_abc",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey AS cust,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS r
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT cust, r,
+             SUM(r) OVER (ORDER BY r DESC, cust
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(r) OVER () AS tot
+      FROM rev
+    ),
+    classed AS (
+      SELECT cust, r,
+             CASE WHEN cum * 100 <= tot * 80 THEN 'A'
+                  WHEN cum * 100 <= tot * 95 THEN 'B'
+                  ELSE 'C' END AS klass
+      FROM ranked
+    )
+    SELECT klass,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(r) AS DOUBLE) AS revenue
+    FROM classed GROUP BY klass
+    """,
+    doc="Pareto / ABC customer classification (the 80/95 revenue-"
+    "concentration report: class A = customers inside the first 80% of "
+    "cumulative revenue, B to 95%, C the tail): per-customer decimal "
+    "revenue, a deterministic running sum ordered by (revenue DESC, "
+    "custkey), and class boundaries via exact integer-scaled "
+    "cross-multiplication (cum*100 <= tot*80 — decimals compare exactly, "
+    "no float shares). The global window is over the PRE-AGGREGATED "
+    "customer table (|customers| rows, not |orders|); at 100 TB with "
+    "billions of customers the same report computes from a histogram of "
+    "revenue bands (two-pass: band counts, then classify bands) — the "
+    "documented scale path; the per-customer form here is the exact "
+    "small-dimension form.",
+    tags=("workload", "window", "report"),
+)
+def workload_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rev = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("cust"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("r"))
+    )
+    w_cum = (
+        Window.orderBy(F.col("r").desc(), F.col("cust"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = rev.select(
+        "cust",
+        "r",
+        F.sum("r").over(w_cum).alias("cum"),
+        F.sum("r").over(Window.partitionBy()).alias("tot"),
+    )
+    classed = ranked.select(
+        "r",
+        F.when(F.col("cum") * 100 <= F.col("tot") * 80, "A")
+        .when(F.col("cum") * 100 <= F.col("tot") * 95, "B")
+        .otherwise("C")
+        .alias("klass"),
+    )
+    return classed.groupBy("klass").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("r").cast("double").alias("revenue"),
+    )
