@@ -783,3 +783,70 @@ def agg_ratio_to_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("share_of_total_bp"),
     )
+
+
+@register(
+    "agg_regression_exact",
+    oracle="""
+    WITH pts AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS x,
+             CAST(ROUND(value * 100) AS BIGINT) AS y_cents
+      FROM events
+    ),
+    sums AS (
+      SELECT event_type,
+             COUNT(*) AS n, SUM(x) AS sx, SUM(y_cents) AS sy,
+             SUM(x * y_cents) AS sxy, SUM(x * x) AS sxx
+      FROM pts GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n,
+           CAST(ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                      / CAST(n * sxx - sx * sx AS DOUBLE), 9) AS DOUBLE)
+             AS slope_cents_per_hour,
+           CAST(ROUND((CAST(sy AS DOUBLE)
+                       - CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE)
+                         * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6)
+                AS DOUBLE) AS intercept_cents
+    FROM sums
+    """,
+    doc="Least-squares regression per group from EXACT integer sums (the "
+    "regr_slope/regr_intercept family — Hive added it only in 2.2, and "
+    "float-accumulating implementations are parallelism-order-dependent): "
+    "x = hour index, y = value in integer cents; n/Σx/Σy/Σxy/Σx² are "
+    "exact BIGINTs (map-side partials, one shuffle), and slope/intercept "
+    "are single IEEE divisions of those exact integers — bit-identical "
+    "at any parallelism, unlike a running float covariance. The "
+    "closed-form-from-sufficient-statistics shape is also the mergeable "
+    "one: partials from different partitions/days fold by addition "
+    "(agg_stats_merge_incremental's property, extended to regression).",
+    tags=("agg", "stats", "regression"),
+)
+def agg_regression_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.unix_micros("ts") / 3600000000).cast("long").alias("x"),
+        F.round(F.col("value") * 100).cast("long").alias("y_cents"),
+    )
+    s = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y_cents").alias("sy"),
+        F.sum(F.col("x") * F.col("y_cents")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    return s.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(slope, 9).alias("slope_cents_per_hour"),
+        F.round(
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n").cast("double"),
+            6,
+        ).alias("intercept_cents"),
+    )
