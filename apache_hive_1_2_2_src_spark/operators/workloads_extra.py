@@ -1703,3 +1703,62 @@ def workload_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_customers"),
         F.sum("r").cast("double").alias("revenue"),
     )
+
+
+@register(
+    "workload_order_cycle_time",
+    oracle="""
+    WITH cyc AS (
+      SELECT o.o_orderpriority AS prio,
+             CAST(MAX(l.l_shipdate) AS DATE) - CAST(o.o_orderdate AS DATE)
+               AS days
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate
+    )
+    SELECT prio,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MIN(days) AS BIGINT) AS min_days,
+           CAST(MAX(days) AS BIGINT) AS max_days,
+           CAST(SUM(days) AS BIGINT) AS total_days,
+           CAST(SUM(days) // COUNT(*) AS BIGINT) AS mean_days_floor,
+           CAST(SUM(CASE WHEN days > 90 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_over_90d
+    FROM cyc GROUP BY prio
+    """,
+    doc="Order cycle-time report (placement -> final shipment latency per "
+    "priority — the fulfillment-SLA query an ops team tracks; pure "
+    "Hive-1.2-expressible joins+aggs, included as the cycle-time "
+    "companion to the as-of backlog snapshot): per-order duration = "
+    "max(l_shipdate) - o_orderdate in integer DAYS (date subtraction — "
+    "exact, no timestamp float), then per-priority extrema, exact total, "
+    "floored mean, and an SLA-breach count (> 90 days). Two shuffles "
+    "(per-order max rides the l_orderkey agg, report rides prio); all "
+    "numbers integer-exact.",
+    tags=("workload", "report", "datetime"),
+)
+def workload_order_cycle_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cyc = (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("done"))
+        .select(
+            F.col("o_orderpriority").alias("prio"),
+            F.datediff(F.to_date("done"), F.to_date("o_orderdate")).alias("days"),
+        )
+    )
+    return cyc.groupBy("prio").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.min("days").cast("long").alias("min_days"),
+        F.max("days").cast("long").alias("max_days"),
+        F.sum("days").cast("long").alias("total_days"),
+        F.floor(F.sum("days") / F.count(F.lit(1))).cast("long").alias(
+            "mean_days_floor"
+        ),
+        F.sum(F.when(F.col("days") > 90, 1).otherwise(0))
+        .cast("long")
+        .alias("n_over_90d"),
+    )

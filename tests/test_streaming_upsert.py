@@ -45,3 +45,45 @@ def test_upsert_is_batch_count_independent(spark):
         f"multi-batch merge diverged from batch argmax: "
         f"only_in_merge={sorted(multi - want)[:3]} missing={sorted(want - multi)[:3]}"
     )
+
+
+def test_availablenow_redrain_is_exactly_once(spark):
+    """Structured Streaming's exactly-once contract (the property Hive's
+    hcatalog-streaming bought with ACID txn ids, bought here by the
+    checkpoint): draining the SAME inbox a second time against the SAME
+    checkpoint must add ZERO rows to the sink — the file source records
+    processed files in the checkpoint and re-offers nothing."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from apache_hive_1_2_2_src_spark.streaming.windows import (
+        _read_events_stream,
+        _stage_events_inbox,
+        _tmp_base,
+    )
+    from tests.conftest import SF_DIR
+
+    base = _tmp_base("hive_spark_e1x_")
+    sink, ckpt = os.path.join(base, "sink"), os.path.join(base, "ckpt")
+    inbox = _stage_events_inbox(spark, SF_DIR)
+
+    def drain():
+        q = (
+            _read_events_stream(spark, inbox)
+            .select("event_id", "user_id", "value")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        return spark.read.parquet(sink).count()
+
+    first = drain()
+    assert first > 0
+    second = drain()
+    assert second == first, (
+        f"re-drain added {second - first} rows — exactly-once broken"
+    )
