@@ -659,3 +659,66 @@ def join_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_value"),
         )
     )
+
+
+@register(
+    "subquery_not_in_null_trap",
+    oracle="""
+    WITH probe AS (
+      SELECT c_custkey, c_mktsegment FROM customer
+    ),
+    sub_with_null AS (
+      SELECT CASE WHEN o_orderkey % 100 = 0 THEN NULL
+                  ELSE o_custkey END AS k
+      FROM orders
+    ),
+    sub_no_null AS (SELECT k FROM sub_with_null WHERE k IS NOT NULL)
+    SELECT
+      CAST((SELECT COUNT(*) FROM probe
+            WHERE c_custkey NOT IN (SELECT k FROM sub_with_null))
+        AS BIGINT) AS n_not_in_with_null,
+      CAST((SELECT COUNT(*) FROM probe
+            WHERE c_custkey NOT IN (SELECT k FROM sub_no_null))
+        AS BIGINT) AS n_not_in_no_null,
+      CAST((SELECT COUNT(*) FROM probe p
+            WHERE NOT EXISTS (SELECT 1 FROM sub_with_null s
+                              WHERE s.k = p.c_custkey))
+        AS BIGINT) AS n_not_exists
+    """,
+    doc="The NOT IN null trap, pinned as a query (the single most common "
+    "silent-wrong-answer in SQL migrations, and a real Hive-parity "
+    "semantic: three-valued logic makes `x NOT IN (subquery)` yield ZERO "
+    "rows the moment the subquery contains one NULL, because x <> NULL "
+    "is UNKNOWN for every x): the same probe evaluated three ways — "
+    "NOT IN against a null-bearing subquery (must be 0), NOT IN against "
+    "the null-filtered subquery, and NOT EXISTS (null-immune; must equal "
+    "the filtered NOT IN). Spark compiles the null-bearing form to a "
+    "null-aware anti join (the expensive one) — which is WHY the "
+    "migration guidance is 'use NOT EXISTS': identical answers when the "
+    "key is non-nullable, a plain LeftAnti plan, and no surprise empty "
+    "result.",
+    tags=("join", "subquery", "nulls", "sql"),
+)
+def subquery_not_in_null_trap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c.createOrReplaceTempView("nt_probe")
+    o.selectExpr(
+        "CASE WHEN o_orderkey % 100 = 0 THEN NULL ELSE o_custkey END AS k"
+    ).createOrReplaceTempView("nt_sub")
+    return spark.sql(
+        """
+        SELECT
+          CAST((SELECT COUNT(*) FROM nt_probe
+                WHERE c_custkey NOT IN (SELECT k FROM nt_sub))
+            AS BIGINT) AS n_not_in_with_null,
+          CAST((SELECT COUNT(*) FROM nt_probe
+                WHERE c_custkey NOT IN (SELECT k FROM nt_sub
+                                        WHERE k IS NOT NULL))
+            AS BIGINT) AS n_not_in_no_null,
+          CAST((SELECT COUNT(*) FROM nt_probe p
+                WHERE NOT EXISTS (SELECT 1 FROM nt_sub s
+                                  WHERE s.k = p.c_custkey))
+            AS BIGINT) AS n_not_exists
+        """
+    )

@@ -1762,3 +1762,79 @@ def workload_order_cycle_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_over_90d"),
     )
+
+
+@register(
+    "events_cohort_ltv",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    rev AS (
+      SELECT e.user_id, f.cohort_day,
+             CAST(e.ts AS DATE) - f.cohort_day AS offset_days,
+             CAST(e.value AS DECIMAL(18,2)) AS v
+      FROM events e JOIN first_seen f ON f.user_id = e.user_id
+      WHERE e.event_type = 'purchase'
+    ),
+    weekly AS (
+      SELECT cohort_day, offset_days // 7 AS offset_week, user_id, v
+      FROM rev
+    )
+    SELECT CAST(cohort_day AS VARCHAR) AS cohort_day,
+           CAST(offset_week AS BIGINT) AS offset_week,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_buyers,
+           CAST(SUM(v) AS DOUBLE) AS revenue,
+           CAST(SUM(SUM(v)) OVER (PARTITION BY cohort_day
+                                  ORDER BY offset_week
+                                  ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             AS cum_revenue
+    FROM weekly
+    GROUP BY cohort_day, offset_week
+    """,
+    doc="Cohort LTV curves (cumulative revenue per first-seen-day cohort "
+    "by week offset — the lifetime-value matrix growth teams read next "
+    "to the retention matrix events_retention_cohorts, which counts "
+    "USERS where this sums REVENUE): first-seen day per user (one "
+    "user_id agg), purchase revenue bucketed into integer week offsets, "
+    "per-(cohort, week) buyer counts + decimal-exact revenue, and the "
+    "running LTV via a window over the METADATA-SIZED cohort matrix "
+    "(SUM(SUM(v)) OVER — the aggregate-then-window idiom, zero extra "
+    "scan). Day arithmetic is integer date subtraction; revenue sums are "
+    "decimal partials — both bit-exact cross-engine.",
+    tags=("workload", "events", "retention", "window"),
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    rev = (
+        e.where(F.col("event_type") == "purchase")
+        .join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.floor(
+                F.datediff(F.to_date("ts"), F.col("cohort_day")) / 7
+            ).alias("offset_week"),
+            F.col("value").cast("decimal(18,2)").alias("v"),
+        )
+    )
+    cell = rev.groupBy("cohort_day", "offset_week").agg(
+        F.countDistinct("user_id").cast("long").alias("n_buyers"),
+        F.sum("v").alias("rev"),
+    )
+    w = (
+        Window.partitionBy("cohort_day")
+        .orderBy("offset_week")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return cell.select(
+        F.col("cohort_day").cast("string").alias("cohort_day"),
+        F.col("offset_week").cast("long").alias("offset_week"),
+        "n_buyers",
+        F.col("rev").cast("double").alias("revenue"),
+        F.sum("rev").over(w).cast("double").alias("cum_revenue"),
+    )
