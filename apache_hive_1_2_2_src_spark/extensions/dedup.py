@@ -1446,3 +1446,58 @@ def dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("keeper_tokens"),
     )
+
+
+@register(
+    "dedup_cross_source_report",
+    oracle=f"""
+    WITH pairs AS ({_jaccard_oracle(0.7, shingle_df_cap=64)}),
+    tagged AS (
+      SELECT p.doc_a, p.doc_b,
+             da.source AS src_a, db.source AS src_b
+      FROM pairs p
+      JOIN documents da ON da.doc_id = p.doc_a
+      JOIN documents db ON db.doc_id = p.doc_b
+    )
+    SELECT LEAST(src_a, src_b) AS source_lo,
+           GREATEST(src_a, src_b) AS source_hi,
+           (src_a = src_b) AS same_source,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM tagged
+    GROUP BY 1, 2, 3
+    """,
+    doc="Cross-source near-dup report (syndication / content-farm "
+    "detection: WHICH source pairs share near-duplicate text? Within-"
+    "source dups mean scraper re-crawls; cross-source dups mean "
+    "syndication — different cleanup actions): the exact Jaccard>=0.7 "
+    "pair set joined to each side's source, grouped by the UNORDERED "
+    "source pair (least/greatest canonicalization, so (a,b) and (b,a) "
+    "land in one row). Two broadcast-sized dimension joins on doc_id "
+    "over the mined pair list; the report is |sources|^2-bounded. The "
+    "per-pair mining cost is the capped inverted index — nothing new "
+    "shuffles at 100 TB.",
+    tags=("extension", "dedup", "audit"),
+)
+def dedup_cross_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", _words().alias("w"))
+    pairs = ngram_jaccard_pairs(toks, threshold=0.7, shingle_df_cap=64)
+    src = d.select("doc_id", "source")
+    tagged = (
+        pairs.join(
+            src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a")),
+            "doc_a",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b")),
+            "doc_b",
+        )
+    )
+    return (
+        tagged.groupBy(
+            F.least("src_a", "src_b").alias("source_lo"),
+            F.greatest("src_a", "src_b").alias("source_hi"),
+            (F.col("src_a") == F.col("src_b")).alias("same_source"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )

@@ -475,3 +475,70 @@ def multimodal_decode_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id bigint, fmt string, width int, height int, "
         "sum_r bigint, sum_g bigint, sum_b bigint",
     )
+
+
+@register(
+    "multimodal_size_filter",
+    # Dims derive from the generation formula (as in decode_bmp/sniff), so
+    # the keep/drop partition is fully oracled while Spark derives it by
+    # actually parsing the bytes.
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h,
+             CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS fmt
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT fmt,
+           CAST(COUNT(*) AS BIGINT) AS n_images,
+           CAST(SUM(CASE WHEN w >= 8 AND h >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(SUM(CASE WHEN w >= 8 AND h >= 5 THEN w * h ELSE 0 END)
+             AS BIGINT) AS kept_pixels
+    FROM d GROUP BY fmt
+    """,
+    doc="Decode-then-filter curation step over REAL image bytes (the "
+    "min-resolution gate every multimodal pipeline applies before "
+    "training — LAION-style width/height floors): mixed BMP/PPM payloads "
+    "are decoded by the actual codecs inside mapInPandas and filtered on "
+    "parsed dimensions (w >= 8, h >= 5), reporting per-format keep "
+    "counts and kept-pixel totals. The filter consumes DECODED headers, "
+    "not metadata columns — if either codec misparsed dimensions the "
+    "keep partition (and the hash) shifts. Same Arrow-batch plumbing and "
+    "scale shape as the decode kernels; the filter is a per-row "
+    "predicate, zero shuffle before the tiny per-format agg.",
+    tags=("extension", "multimodal", "pandas_udf"),
+)
+def multimodal_size_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 200)
+        .repartition(8, "doc_id")
+    )
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"fmt": [], "width": [], "height": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = _bmp_fixture_dims(doc_id)
+                pix = _bmp_fixture_pixel(doc_id)
+                if doc_id % 2 == 0:
+                    buf, fmt = encode_bmp24(w, h, pix), "bmp"
+                else:
+                    buf, fmt = encode_ppm(w, h, pix), "ppm"
+                dw, dh, _bpp, _r, _g, _b = decode_image(buf)
+                out["fmt"].append(fmt)
+                out["width"].append(dw)
+                out["height"].append(dh)
+            yield pd.DataFrame(out)
+
+    decoded = d.mapInPandas(decode_batches, "fmt string, width int, height int")
+    keep = (F.col("width") >= 8) & (F.col("height") >= 5)
+    return decoded.groupBy("fmt").agg(
+        F.count(F.lit(1)).cast("long").alias("n_images"),
+        F.sum(keep.cast("int")).cast("long").alias("n_kept"),
+        F.sum(F.when(keep, F.col("width") * F.col("height")).otherwise(0))
+        .cast("long")
+        .alias("kept_pixels"),
+    )
