@@ -850,3 +850,39 @@ def agg_regression_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("intercept_cents"),
     )
+
+
+@register(
+    "agg_argmax_struct",
+    oracle="""
+    SELECT o_orderpriority AS prio,
+           CAST(MAX({'p': CAST(o_totalprice AS DECIMAL(18,2)),
+                     'k': o_orderkey}).p AS DOUBLE) AS top_price,
+           CAST(MAX({'p': CAST(o_totalprice AS DECIMAL(18,2)),
+                     'k': o_orderkey}).k AS BIGINT) AS top_orderkey
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="Argmax WITHOUT a window — the struct-max idiom (the scale answer "
+    "to max_by/arg_max, whose tie behavior is implementation-defined): "
+    "MAX over a (price, key) struct compares lexicographically in BOTH "
+    "engines, so the winning row is the highest price with ties broken "
+    "by highest key — fully deterministic, and it runs as an ordinary "
+    "partial-aggregable MAX (map-side combine, one shuffle of one struct "
+    "per group) instead of a per-group row_number window over all rows. "
+    "This is the idiom to reach for when top-1-per-group feeds a "
+    "100 TB aggregation; the window form (agg_mode_exact) is for "
+    "top-N > 1. Price decimal-cast so struct comparison is exact.",
+    tags=("agg", "argmax"),
+)
+def agg_argmax_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    m = F.max(
+        F.struct(
+            F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+            F.col("o_orderkey").alias("k"),
+        )
+    )
+    return o.groupBy(F.col("o_orderpriority").alias("prio")).agg(
+        m.getField("p").cast("double").alias("top_price"),
+        m.getField("k").cast("long").alias("top_orderkey"),
+    )

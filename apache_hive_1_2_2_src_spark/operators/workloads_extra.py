@@ -1838,3 +1838,50 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rev").cast("double").alias("revenue"),
         F.sum("rev").over(w).cast("double").alias("cum_revenue"),
     )
+
+
+@register(
+    "events_interarrival_stats",
+    oracle="""
+    WITH gaps AS (
+      SELECT event_type,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id) AS gap_us
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+           CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+           CAST(SUM(gap_us) AS BIGINT) AS total_gap_us,
+           CAST(SUM(gap_us) // COUNT(gap_us) AS BIGINT) AS mean_gap_us_floor
+    FROM gaps
+    GROUP BY event_type
+    """,
+    doc="Inter-arrival gap statistics per event type (the traffic-model "
+    "numbers behind capacity planning and anomaly thresholds): LAG over "
+    "(ts, event_id) — the registry's deterministic tie-break — yields "
+    "integer-microsecond gaps; extrema, exact totals, floored means. "
+    "Note total_gap_us telescopes to max(ts)-min(ts) per type ONLY when "
+    "the stream has no same-microsecond ties breaking the LAG chain "
+    "ordering by event_id — emitting the summed form keeps the oracle "
+    "honest either way. One window + one agg, both keyed by event_type.",
+    tags=("workload", "events", "window", "datetime"),
+)
+def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros("ts").alias("ts_us"), "event_id"
+    )
+    w = Window.partitionBy("event_type").orderBy("ts_us", "event_id")
+    gaps = e.select(
+        "event_type", (F.col("ts_us") - F.lag("ts_us").over(w)).alias("gap_us")
+    )
+    return gaps.groupBy("event_type").agg(
+        F.count("gap_us").cast("long").alias("n_gaps"),
+        F.min("gap_us").cast("long").alias("min_gap_us"),
+        F.max("gap_us").cast("long").alias("max_gap_us"),
+        F.sum("gap_us").cast("long").alias("total_gap_us"),
+        F.floor(F.sum("gap_us") / F.count("gap_us")).cast("long").alias(
+            "mean_gap_us_floor"
+        ),
+    )
