@@ -886,3 +886,60 @@ def agg_argmax_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         m.getField("p").cast("double").alias("top_price"),
         m.getField("k").cast("long").alias("top_orderkey"),
     )
+
+
+@register(
+    "agg_filter_clause_sql",
+    oracle="""
+    SELECT o_orderpriority AS prio,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+             AS n_f,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT)
+             AS n_o,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS sum_f,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                         THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+             AS DOUBLE) AS sum_f_case,
+           -- IS NOT DISTINCT FROM mirrors Spark's <=>: a group with no
+           -- 'F' rows yields NULL sums on both sides and must agree TRUE
+           (SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+              FILTER (WHERE o_orderstatus = 'F')
+            IS NOT DISTINCT FROM
+            SUM(CASE WHEN o_orderstatus = 'F'
+                     THEN CAST(o_totalprice AS DECIMAL(18,2)) END))
+             AS forms_agree
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="SQL-standard FILTER clause parity (agg FILTER (WHERE p) — absent "
+    "in Hive 1.2, whose users wrote SUM(CASE WHEN p THEN x END); both "
+    "engines now support the standard form and this query pins that the "
+    "two spellings are EXACTLY equal on decimal sums, emitting both "
+    "columns plus the equality bit): per-priority filtered counts and "
+    "sums. FILTER compiles to the same conditional-aggregate plan as the "
+    "CASE form — zero extra cost, purely dialect surface — which is "
+    "exactly what a migrating Hive user needs to know.",
+    tags=("agg", "sql", "dialect"),
+)
+def agg_filter_clause_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("fc_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority AS prio,
+               CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+                 AS n_f,
+               CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT)
+                 AS n_o,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                      FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS sum_f,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                             THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+                 AS DOUBLE) AS sum_f_case,
+               (SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  FILTER (WHERE o_orderstatus = 'F')
+                <=> SUM(CASE WHEN o_orderstatus = 'F'
+                             THEN CAST(o_totalprice AS DECIMAL(18,2)) END))
+                 AS forms_agree
+        FROM fc_orders GROUP BY o_orderpriority
+        """
+    )
