@@ -746,3 +746,68 @@ def set_ops_all_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_except_all", F.lit(0)).alias("n_except_all"),
         )
     )
+
+
+@register(
+    "profile_columns_unpivot",
+    oracle="""
+    WITH cells AS (
+      SELECT 'o_orderstatus' AS col, o_orderstatus AS val FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', o_orderpriority FROM orders
+      UNION ALL
+      SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+      UNION ALL
+      SELECT 'o_clerk_sim',
+             CASE WHEN o_orderkey % 50 = 0 THEN NULL
+                  ELSE 'clerk_' || CAST(o_orderkey % 11 AS VARCHAR) END
+      FROM orders
+    )
+    SELECT col,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(val) AS BIGINT) AS n_not_null,
+           CAST(COUNT(*) - COUNT(val) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT val) AS BIGINT) AS n_distinct,
+           MIN(val) AS min_val,
+           MAX(val) AS max_val
+    FROM cells GROUP BY col
+    """,
+    doc="One-pass column profile via UNPIVOT (the data-profiling query "
+    "behind every 'describe my table' tool, and what ANALYZE ... FOR "
+    "COLUMNS computes per column): columns stack into (col, val) rows "
+    "with stack() — one scan profiles them all, versus one scan per "
+    "column for the naive loop — then null counts, NDV, and extrema per "
+    "column name (values stringified so heterogeneous columns share one "
+    "frame; a derived nullable column is planted since orders has no "
+    "native NULLs). The explode multiplies rows by |columns|, but each "
+    "output row is 2 narrow strings and the downstream agg partial-"
+    "aggregates — profile cost stays ~|columns| x scan, the standard "
+    "profiling trade.",
+    tags=("relational", "profile", "udtf"),
+)
+def profile_columns_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.col("o_custkey").cast("string").alias("o_custkey_s"),
+        F.when(F.col("o_orderkey") % 50 == 0, F.lit(None))
+        .otherwise(F.concat(F.lit("clerk_"), (F.col("o_orderkey") % 11).cast("string")))
+        .alias("o_clerk_sim"),
+    )
+    cells = o.select(
+        F.expr(
+            "stack(4, 'o_orderstatus', o_orderstatus, "
+            "'o_orderpriority', o_orderpriority, "
+            "'o_custkey', o_custkey_s, "
+            "'o_clerk_sim', o_clerk_sim) AS (col, val)"
+        )
+    )
+    return cells.groupBy("col").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count("val").cast("long").alias("n_not_null"),
+        (F.count(F.lit(1)) - F.count("val")).cast("long").alias("n_nulls"),
+        F.countDistinct("val").cast("long").alias("n_distinct"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+    )

@@ -1994,3 +1994,70 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "peak_concurrent",
         "min_running",
     )
+
+
+@register(
+    "workload_yoy_growth",
+    oracle="""
+    WITH yearly AS (
+      SELECT n.n_name AS nation,
+             CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INTEGER) AS yr,
+             SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY n.n_name, EXTRACT(YEAR FROM o.o_orderdate)
+    )
+    SELECT nation, yr,
+           CAST(rev AS DOUBLE) AS revenue,
+           -- divide as DOUBLE from exact decimal operands: decimal/decimal
+           -- quotient ROUNDING differs between engines (5998-vs-5999 bp),
+           -- IEEE division of identical inputs does not
+           CAST(CASE WHEN LAG(rev) OVER w IS NULL
+                      OR LAG(yr) OVER w <> yr - 1 THEN NULL
+                ELSE FLOOR(CAST((rev - LAG(rev) OVER w) * 10000 AS DOUBLE)
+                           / CAST(LAG(rev) OVER w AS DOUBLE))
+                END AS BIGINT) AS yoy_growth_bp
+    FROM yearly
+    WINDOW w AS (PARTITION BY nation ORDER BY yr)
+    """,
+    doc="Year-over-year growth report (revenue per nation per year with "
+    "the YoY delta in exact integer basis points — the board-deck query): "
+    "broadcast dim chain into a (nation, year) agg, then LAG over the "
+    "METADATA-SIZED yearly table; a missing prior year (gap) yields NULL "
+    "growth rather than comparing across a hole (the LAG(yr) <> yr-1 "
+    "guard — the subtle bug in naive YoY queries). Decimal revenue, "
+    "floor-division bp on both engines.",
+    tags=("workload", "window", "report", "datetime"),
+)
+def workload_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    yearly = (
+        o.join(F.broadcast(c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)),
+               F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("yr"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    )
+    w = Window.partitionBy("nation").orderBy("yr")
+    prev_rev, prev_yr = F.lag("rev").over(w), F.lag("yr").over(w)
+    return yearly.select(
+        "nation",
+        "yr",
+        F.col("rev").cast("double").alias("revenue"),
+        F.when(
+            prev_rev.isNull() | (prev_yr != F.col("yr") - 1), F.lit(None)
+        )
+        .otherwise(
+            F.floor(
+                ((F.col("rev") - prev_rev) * 10000).cast("double")
+                / prev_rev.cast("double")
+            )
+        )
+        .cast("long")
+        .alias("yoy_growth_bp"),
+    )
