@@ -1282,3 +1282,99 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_short_docs"),
     )
+
+
+@register(
+    "text_vocab_growth_curve",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_SQL_WORDS}) AS t FROM documents
+    )
+    SELECT CAST(COUNT(DISTINCT CASE WHEN doc_id < 100 THEN t END) AS BIGINT)
+             AS vocab_100,
+           CAST(COUNT(DISTINCT CASE WHEN doc_id < 200 THEN t END) AS BIGINT)
+             AS vocab_200,
+           CAST(COUNT(DISTINCT CASE WHEN doc_id < 300 THEN t END) AS BIGINT)
+             AS vocab_300,
+           CAST(COUNT(DISTINCT t) AS BIGINT) AS vocab_all,
+           CAST(SUM(CASE WHEN doc_id < 100 THEN 1 ELSE 0 END) AS BIGINT)
+             AS tokens_100,
+           CAST(COUNT(*) AS BIGINT) AS tokens_all
+    FROM tok
+    """,
+    doc="Vocabulary growth curve (the Heaps'-law audit every corpus "
+    "report includes: distinct vocabulary vs cumulative tokens at corpus "
+    "prefixes — a curve that flattens too early means boilerplate "
+    "duplication, too late means noise/OCR garbage): token explode once, "
+    "then conditional COUNT(DISTINCT CASE WHEN prefix) checkpoints at "
+    "doc_id < 100/200/300/all in ONE aggregation pass (multi-distinct "
+    "compiles to Spark's expand — still a single scan, vs one job per "
+    "checkpoint naively). Prefix-by-doc_id is the corpus's stable "
+    "ingestion order, so the curve is reproducible.",
+    tags=("extension", "text", "report"),
+)
+def text_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(_words()).alias("t")
+    )
+    return tok.agg(
+        F.countDistinct(F.when(F.col("doc_id") < 100, F.col("t")))
+        .cast("long")
+        .alias("vocab_100"),
+        F.countDistinct(F.when(F.col("doc_id") < 200, F.col("t")))
+        .cast("long")
+        .alias("vocab_200"),
+        F.countDistinct(F.when(F.col("doc_id") < 300, F.col("t")))
+        .cast("long")
+        .alias("vocab_300"),
+        F.countDistinct("t").cast("long").alias("vocab_all"),
+        F.sum(F.when(F.col("doc_id") < 100, 1).otherwise(0))
+        .cast("long")
+        .alias("tokens_100"),
+        F.count(F.lit(1)).cast("long").alias("tokens_all"),
+    )
+
+
+@register(
+    "text_zipf_rank_frequency",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({_SQL_WORDS}) AS t FROM documents
+    ),
+    freq AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+    ranked AS (
+      SELECT t, c, ROW_NUMBER() OVER (ORDER BY c DESC, t) AS rnk
+      FROM freq
+    )
+    SELECT CAST(rnk AS INTEGER) AS rnk, t AS token,
+           CAST(c AS BIGINT) AS freq,
+           CAST(rnk * c AS BIGINT) AS rank_times_freq
+    FROM ranked WHERE rnk <= 20
+    """,
+    doc="Zipf rank-frequency table (top-20 tokens with rank x frequency — "
+    "near-constant under Zipf's law; a flat-frequency head signals "
+    "synthetic or template text, which is exactly what this corpus's "
+    "audit should reveal): one vocab groupBy, then TakeOrdered-style "
+    "top-20 via row_number with the deterministic (count DESC, token) "
+    "tie-break. The ranked window runs over |vocab| PRE-AGGREGATED rows; "
+    "rank*freq emitted as the integer invariant reviewers eyeball.",
+    tags=("extension", "text", "report"),
+)
+def text_zipf_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    freq = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(_words()).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ranked = freq.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.col("c").desc(), F.col("t")))
+    ).filter(F.col("rnk") <= 20)
+    return ranked.select(
+        F.col("rnk").cast("int").alias("rnk"),
+        F.col("t").alias("token"),
+        F.col("c").cast("long").alias("freq"),
+        (F.col("rnk") * F.col("c")).cast("long").alias("rank_times_freq"),
+    )
