@@ -2061,3 +2061,72 @@ def workload_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("yoy_growth_bp"),
     )
+
+
+@register(
+    "workload_rfm_segments",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c.c_mktsegment AS seg, o.o_custkey AS cust,
+             MAX(o.o_orderdate) AS last_order,
+             COUNT(*) AS freq,
+             SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS monetary
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_mktsegment, o.o_custkey
+    ),
+    scored AS (
+      SELECT seg, cust,
+             NTILE(5) OVER (PARTITION BY seg
+                            ORDER BY last_order DESC, cust) AS r_score,
+             NTILE(5) OVER (PARTITION BY seg
+                            ORDER BY freq DESC, cust) AS f_score,
+             NTILE(5) OVER (PARTITION BY seg
+                            ORDER BY monetary DESC, cust) AS m_score
+      FROM per_cust
+    )
+    SELECT seg,
+           CAST(r_score AS INTEGER) AS r_score,
+           CAST(f_score AS INTEGER) AS f_score,
+           CAST(m_score AS INTEGER) AS m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM scored
+    GROUP BY seg, r_score, f_score, m_score
+    """,
+    doc="RFM customer segmentation (recency/frequency/monetary quintiles "
+    "— the marketing-analytics standard): per-customer last order date, "
+    "order count, and decimal spend, then NTILE(5) per metric "
+    "PARTITIONED BY market segment — the scale-safe form (each segment's "
+    "quintiles run on its own executor partition; the GLOBAL-ntile form "
+    "is this repo's documented weak-list shape, and partitioning by the "
+    "reporting dimension is exactly how production avoids it). Every "
+    "ordering carries the (metric, custkey) tie-break so quintile "
+    "boundaries are deterministic; the 5x5x5 cell counts are the "
+    "campaign-planning output.",
+    tags=("workload", "window", "report"),
+)
+def workload_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    per_cust = (
+        o.join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy(F.col("c_mktsegment").alias("seg"), F.col("o_custkey").alias("cust"))
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
+        )
+    )
+    r_w = Window.partitionBy("seg").orderBy(F.col("last_order").desc(), "cust")
+    f_w = Window.partitionBy("seg").orderBy(F.col("freq").desc(), "cust")
+    m_w = Window.partitionBy("seg").orderBy(F.col("monetary").desc(), "cust")
+    scored = per_cust.select(
+        "seg",
+        F.ntile(5).over(r_w).cast("int").alias("r_score"),
+        F.ntile(5).over(f_w).cast("int").alias("f_score"),
+        F.ntile(5).over(m_w).cast("int").alias("m_score"),
+    )
+    return scored.groupBy("seg", "r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers")
+    )
