@@ -341,3 +341,81 @@ def json_typed_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").cast("long").alias("k_max"),
         )
     )
+
+
+@register(
+    "json_permissive_parse",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 13 = 0
+                  THEN '{"k": ' || CAST(doc_id % 97 AS VARCHAR)
+                  WHEN doc_id % 13 = 1
+                  THEN 'not json at all'
+                  ELSE '{"k": ' || CAST(doc_id % 97 AS VARCHAR)
+                       || ', "tag": "t' || CAST(doc_id % 5 AS VARCHAR) || '"}'
+             END AS j
+      FROM documents
+    ),
+    parsed AS (
+      SELECT doc_id, j,
+             CASE WHEN json_valid(j) THEN CAST(j AS JSON) END AS pj
+      FROM raw
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN pj IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_corrupt,
+           CAST(SUM(CASE WHEN pj IS NOT NULL
+                         THEN CAST(pj ->> 'k' AS BIGINT) ELSE 0 END)
+             AS BIGINT) AS sum_k,
+           CAST(COUNT(CASE WHEN pj IS NOT NULL THEN pj ->> 'tag' END)
+             AS BIGINT) AS n_with_tag
+    FROM parsed
+    """,
+    doc="PERMISSIVE JSON parsing with corrupt-record accounting (the "
+    "ingestion behavior that separates a pipeline that survives dirty "
+    "feeds from one that dies at row 3: Hive's JSON SerDe threw or "
+    "nulled silently; Spark's from_json in PERMISSIVE mode yields NULL "
+    "rows you must COUNT, not ignore): a derived feed where ~1/13 of "
+    "payloads are truncated JSON and another 1/13 are garbage; from_json "
+    "against the typed schema, corrupt rows surface as NULL structs, "
+    "and the audit reports total/corrupt counts plus exact sums over "
+    "the valid rows — the reconciliation that catches silent data loss. "
+    "Per-row codegen parse, one global agg; FAILFAST is one option "
+    "away when corruption should abort instead.",
+    tags=("functions", "json", "sql"),
+)
+def json_permissive_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    j = (
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(F.lit('{"k": '), (F.col("doc_id") % 97).cast("string")),
+        )
+        .when(F.col("doc_id") % 13 == 1, F.lit("not json at all"))
+        .otherwise(
+            F.concat(
+                F.lit('{"k": '),
+                (F.col("doc_id") % 97).cast("string"),
+                F.lit(', "tag": "t'),
+                (F.col("doc_id") % 5).cast("string"),
+                F.lit('"}'),
+            )
+        )
+    )
+    parsed = d.select(
+        "doc_id",
+        F.from_json(j, "k bigint, tag string").alias("pj"),
+    )
+    return parsed.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        # PERMISSIVE from_json yields a struct of NULL FIELDS (not a NULL
+        # struct) for corrupt input; `k` is present in every valid
+        # variant, so k IS NULL <=> corrupt — mirrored by the oracle's
+        # json_valid guard.
+        F.sum(F.when(F.col("pj.k").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_corrupt"),
+        F.sum(F.coalesce(F.col("pj.k"), F.lit(0))).cast("long").alias("sum_k"),
+        F.count(F.col("pj.tag")).cast("long").alias("n_with_tag"),
+    )

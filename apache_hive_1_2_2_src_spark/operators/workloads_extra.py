@@ -2130,3 +2130,51 @@ def workload_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("seg", "r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).cast("long").alias("n_customers")
     )
+
+
+@register(
+    "workload_longest_streak",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT o_custkey AS cust, CAST(o_orderdate AS DATE) AS d
+      FROM orders
+    ),
+    isl AS (
+      SELECT cust, d,
+             d - CAST(ROW_NUMBER() OVER (PARTITION BY cust ORDER BY d)
+                      AS INTEGER) AS grp
+      FROM days
+    ),
+    runs AS (
+      SELECT cust, grp, COUNT(*) AS len FROM isl GROUP BY cust, grp
+    ),
+    best AS (SELECT cust, MAX(len) AS streak FROM runs GROUP BY cust)
+    SELECT CAST(streak AS BIGINT) AS streak_days,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM best GROUP BY streak
+    """,
+    doc="Longest consecutive-day streak per customer, histogrammed (the "
+    "'longest run' gaps-and-islands classic — login streaks, daily-active "
+    "streaks, consecutive-order days): distinct (customer, day), the "
+    "date-minus-row_number island key (consecutive days share a constant "
+    "difference — the canonical O(n log n) streak algebra, no self-join, "
+    "no recursion), run lengths per island, per-customer max, then the "
+    "streak-length histogram. Two customer-keyed shuffles + one "
+    "histogram-sized agg; all integer date arithmetic.",
+    tags=("workload", "window", "islands", "datetime"),
+)
+def workload_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    days = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("cust"), F.to_date("o_orderdate").alias("d"))
+        .distinct()
+    )
+    w = Window.partitionBy("cust").orderBy("d")
+    isl = days.withColumn(
+        "grp", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    runs = isl.groupBy("cust", "grp").agg(F.count(F.lit(1)).alias("len"))
+    best = runs.groupBy("cust").agg(F.max("len").alias("streak"))
+    return best.groupBy("streak").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers")
+    ).select(F.col("streak").cast("long").alias("streak_days"), "n_customers")
