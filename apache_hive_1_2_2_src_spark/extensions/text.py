@@ -1378,3 +1378,84 @@ def text_zipf_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").cast("long").alias("freq"),
         (F.col("rnk") * F.col("c")).cast("long").alias("rank_times_freq"),
     )
+
+
+@register(
+    "text_collocations_pmi",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_SQL_WORDS} AS w FROM documents),
+    uni AS (
+      SELECT unnest(w) AS t FROM w
+    ),
+    uc AS (SELECT t, COUNT(*) AS c FROM uni GROUP BY t),
+    n_tok AS (SELECT COUNT(*) AS n FROM uni),
+    big AS (
+      SELECT unnest(list_transform(range(1, len(w)),
+                    i -> w[i] || ' ' || w[i+1])) AS bg
+      FROM w
+    ),
+    bc AS (SELECT bg, COUNT(*) AS c2 FROM big GROUP BY bg
+           HAVING COUNT(*) >= 5),
+    scored AS (
+      SELECT bc.bg, bc.c2,
+             CAST(bc.c2 * n.n * 1000000
+                  // (ua.c * ub.c) AS BIGINT) AS pmi_score
+      FROM bc, n_tok n
+      JOIN uc ua ON ua.t = string_split(bc.bg, ' ')[1]
+      JOIN uc ub ON ub.t = string_split(bc.bg, ' ')[2]
+    )
+    SELECT bg AS bigram, CAST(c2 AS BIGINT) AS n_occurrences, pmi_score
+    FROM scored
+    ORDER BY pmi_score DESC, bg LIMIT 15
+    """,
+    doc="Collocation mining by PMI (the phrase-discovery pass behind "
+    "tokenizer-merge candidates and stopword lists): bigram count c_xy "
+    "scored against unigram counts with the INTEGER-EXACT monotone "
+    "transform floor(c_xy*N*1e6/(c_x*c_y)) — order-isomorphic to PMI "
+    "(log is monotone) with zero float/log anywhere, so the ranking is "
+    "bit-deterministic cross-engine (a float-log PMI diverges in ties "
+    "and last-ulp order). Bigrams below 5 occurrences are dropped (the "
+    "standard sparse-PMI guard). Two explode+groupBys + broadcast-sized "
+    "unigram joins + TakeOrdered top-15.",
+    tags=("extension", "text", "ngrams"),
+)
+def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", _words().alias("w"))
+    uni = d.select(F.explode("w").alias("t"))
+    uc = uni.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    n_tok = uni.agg(F.count(F.lit(1)).alias("n"))
+    bigrams = d.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1), "
+                "i -> concat_ws(' ', w[i - 1], w[i]))"
+            )
+        ).alias("bg")
+    )
+    bc = (
+        bigrams.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .filter(F.col("c2") >= 5)
+    )
+    parts = bc.select(
+        "bg",
+        "c2",
+        F.split("bg", " ")[0].alias("t1"),
+        F.split("bg", " ")[1].alias("t2"),
+    )
+    scored = (
+        parts.join(F.broadcast(uc.withColumnRenamed("t", "t1").withColumnRenamed("c", "ca")), "t1")
+        .join(F.broadcast(uc.withColumnRenamed("t", "t2").withColumnRenamed("c", "cb")), "t2")
+        .crossJoin(F.broadcast(n_tok))
+        .select(
+            F.col("bg").alias("bigram"),
+            F.col("c2").cast("long").alias("n_occurrences"),
+            # integer `div`, not float-floor: the BIGINT product can
+            # near 2^53 where double division loses exactness vs
+            # DuckDB's integer //
+            F.expr("(c2 * n * 1000000L) div (ca * cb)")
+            .cast("long")
+            .alias("pmi_score"),
+        )
+    )
+    return scored.orderBy(F.col("pmi_score").desc(), "bigram").limit(15)

@@ -2178,3 +2178,63 @@ def workload_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best.groupBy("streak").agg(
         F.count(F.lit(1)).cast("long").alias("n_customers")
     ).select(F.col("streak").cast("long").alias("streak_days"), "n_customers")
+
+
+@register(
+    "events_top_paths",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    paths AS (
+      SELECT user_id,
+             string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM seq WHERE rn <= 5
+      GROUP BY user_id
+    )
+    SELECT path,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM paths
+    GROUP BY path
+    ORDER BY n_users DESC, path
+    LIMIT 15
+    """,
+    doc="User-path mining (top first-5-event journeys — the path analysis "
+    "behind funnel design and onboarding audits): each user's first five "
+    "events in deterministic (ts, event_id) order joined into a "
+    "'view>click>...' path string, then the 15 most common journeys. "
+    "Spark side builds the path with sort_array over (rn, type) structs "
+    "+ transform + array_join — pure codegen, no ordered string_agg "
+    "needed (collect_list is encounter-ordered, the classic parallel "
+    "trap; the sort_array form is the deterministic idiom). One user_id "
+    "window/agg + a TakeOrdered top-15.",
+    tags=("workload", "events", "sequence", "window"),
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = e.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+    paths = (
+        seq.groupBy("user_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("rn"), F.col("event_type").alias("t")))
+            ).alias("steps")
+        )
+        .select(
+            F.array_join(
+                F.transform(F.col("steps"), lambda s: s.getField("t")), ">"
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy(F.col("n_users").desc(), "path")
+        .limit(15)
+    )
