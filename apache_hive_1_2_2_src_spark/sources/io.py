@@ -509,3 +509,74 @@ def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_price"),
     )
+
+
+@register(
+    "fixedwidth_read",
+    oracle="""
+    WITH lines AS (
+      SELECT lpad(CAST(o_orderkey AS VARCHAR), 12, '0')
+             || rpad(o_orderstatus, 2, ' ')
+             || lpad(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT) AS VARCHAR),
+                     14, '0')
+             || rpad(o_orderpriority, 16, ' ') AS line
+      FROM orders
+    ),
+    parsed AS (
+      SELECT CAST(substring(line, 1, 12) AS BIGINT) AS k,
+             trim(substring(line, 13, 2)) AS st,
+             CAST(substring(line, 15, 14) AS BIGINT) AS cents,
+             trim(substring(line, 29, 16)) AS prio
+      FROM lines
+    )
+    SELECT st,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           CAST(MIN(k) AS BIGINT) AS min_key,
+           CAST(COUNT(DISTINCT prio) AS BIGINT) AS n_prios
+    FROM parsed GROUP BY st
+    """,
+    doc="Fixed-width record parsing (the mainframe/COBOL feed layout Hive "
+    "users handled with RegexSerDe or substr() views — no delimiters, "
+    "columns live at byte offsets): records are rendered to a padded "
+    "44-byte layout (zero-padded numeric fields, money as integer CENTS "
+    "— the fixed-width convention that sidesteps decimal-point drift), "
+    "round-tripped through an actual text file, and parsed back by "
+    "POSITION with substring+trim+cast — schema-on-read exactly as a "
+    "fixed-width SerDe does it. The parse is per-row codegen; the "
+    "aggregate reconciles counts, exact cent totals, and key extrema so "
+    "a one-byte offset error in any field shifts the hash.",
+    tags=("source", "fixedwidth", "serde"),
+)
+def fixedwidth_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    line = F.concat(
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0"),
+        F.rpad("o_orderstatus", 2, " "),
+        F.lpad(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .cast("string"),
+            14,
+            "0",
+        ),
+        F.rpad("o_orderpriority", 16, " "),
+    )
+    path = _tmp("fixedwidth_orders")
+    o.select(line.alias("value")).write.mode("overwrite").text(path)
+    back = spark.read.text(path)
+    parsed = back.select(
+        F.substring("value", 1, 12).cast("bigint").alias("k"),
+        F.trim(F.substring("value", 13, 2)).alias("st"),
+        F.substring("value", 15, 14).cast("bigint").alias("cents"),
+        F.trim(F.substring("value", 29, 16)).alias("prio"),
+    )
+    return parsed.groupBy("st").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.min("k").cast("long").alias("min_key"),
+        F.countDistinct("prio").cast("long").alias("n_prios"),
+    )
