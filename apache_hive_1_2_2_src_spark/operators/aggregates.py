@@ -943,3 +943,53 @@ def agg_filter_clause_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM fc_orders GROUP BY o_orderpriority
         """
     )
+
+
+@register(
+    "agg_map_canonical",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderpriority AS prio, o_orderstatus AS st, COUNT(*) AS n
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT prio,
+           string_agg(st || ':' || CAST(n AS VARCHAR), ','
+                      ORDER BY st) AS status_counts,
+           CAST(SUM(n) AS BIGINT) AS total
+    FROM c GROUP BY prio
+    """,
+    doc="Map-typed aggregation with CANONICAL serialization (the "
+    "status->count map per priority — Hive's map<string,bigint> UDAF "
+    "result shape): counts pre-aggregate per (group, key), then the map "
+    "is emitted as a KEY-SORTED 'k:v,...' string — map columns hash "
+    "ENGINE-DEPENDENTLY (entry order is undefined in both engines), so "
+    "the canonical-string projection is the only hashable contract; "
+    "Spark builds it from sort_array over (key, n) structs (never "
+    "encounter-ordered collect), DuckDB from ORDER BY string_agg. The "
+    "total column reconciles map completeness. Same plan as a real "
+    "map_from_entries output minus the unhashable type.",
+    tags=("agg", "map", "collection"),
+)
+def agg_map_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("prio"),
+            F.col("o_orderstatus").alias("st"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return c.groupBy("prio").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("st"), F.col("n")))
+                ),
+                lambda s: F.concat_ws(
+                    ":", s.getField("st"), s.getField("n").cast("string")
+                ),
+            ),
+            ",",
+        ).alias("status_counts"),
+        F.sum("n").cast("long").alias("total"),
+    )

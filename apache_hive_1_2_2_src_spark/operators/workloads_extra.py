@@ -2238,3 +2238,76 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_users").desc(), "path")
         .limit(15)
     )
+
+
+@register(
+    "events_churn_resurrection",
+    oracle="""
+    WITH bounds AS (SELECT MAX(CAST(ts AS DATE)) AS corpus_end FROM events),
+    per_user AS (
+      SELECT user_id,
+             MIN(CAST(ts AS DATE)) AS first_day,
+             MAX(CAST(ts AS DATE)) AS last_day,
+             COUNT(DISTINCT CAST(ts AS DATE)) AS active_days
+      FROM events GROUP BY user_id
+    ),
+    lagged AS (
+      SELECT user_id,
+             d - LAG(d) OVER (PARTITION BY user_id ORDER BY d) AS gap
+      FROM (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events) t
+    ),
+    gaps AS (
+      SELECT user_id, MAX(gap) AS max_gap_days FROM lagged GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN b.corpus_end - p.last_day > 7
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_churned,
+           CAST(SUM(CASE WHEN g.max_gap_days > 7 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_resurrected,
+           CAST(SUM(CASE WHEN b.corpus_end - p.last_day > 7
+                          AND g.max_gap_days > 7
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_churned_after_resurrection,
+           CAST(SUM(p.active_days) AS BIGINT) AS total_active_days
+    FROM per_user p JOIN gaps g USING (user_id), bounds b
+    """,
+    doc="Churn + resurrection accounting (the lifecycle states growth "
+    "teams segment on: churned = silent for > 7 days at corpus end; "
+    "resurrected = came back after a > 7-day gap at least once): "
+    "per-user first/last/active-day aggregates + the max inter-day gap "
+    "from a LAG over DISTINCT activity days (the distinct collapse keeps "
+    "the window input at |user-days|, not |events|), then one global "
+    "summary — every comparison in integer days against the corpus-end "
+    "anchor (data-derived, so the query is reproducible on any "
+    "snapshot). Two user-keyed shuffles + a 1-row broadcast.",
+    tags=("workload", "events", "retention", "window"),
+)
+def events_churn_resurrection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    bounds = e.agg(F.max("d").alias("corpus_end"))
+    per_user = e.groupBy("user_id").agg(
+        F.min("d").alias("first_day"),
+        F.max("d").alias("last_day"),
+        F.countDistinct("d").alias("active_days"),
+    )
+    ud = e.distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    gaps = (
+        ud.withColumn("gap", F.datediff(F.col("d"), F.lag("d").over(w)))
+        .groupBy("user_id")
+        .agg(F.max("gap").alias("max_gap_days"))
+    )
+    j = per_user.join(gaps, "user_id").crossJoin(F.broadcast(bounds))
+    churned = F.datediff(F.col("corpus_end"), F.col("last_day")) > 7
+    resurrected = F.col("max_gap_days") > 7
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(churned.cast("int")).cast("long").alias("n_churned"),
+        F.sum(resurrected.cast("int")).cast("long").alias("n_resurrected"),
+        F.sum((churned & resurrected).cast("int"))
+        .cast("long")
+        .alias("n_churned_after_resurrection"),
+        F.sum("active_days").cast("long").alias("total_active_days"),
+    )
