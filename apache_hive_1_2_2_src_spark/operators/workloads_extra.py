@@ -2311,3 +2311,104 @@ def events_churn_resurrection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_churned_after_resurrection"),
         F.sum("active_days").cast("long").alias("total_active_days"),
     )
+
+
+@register(
+    "workload_scd2_asof_query",
+    oracle="""
+    WITH ordered AS (
+      SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+             LAG(o_orderstatus) OVER w AS prev_status
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN prev_status IS NULL
+                       OR prev_status <> o_orderstatus THEN 1 ELSE 0 END AS chg
+      FROM ordered
+    ),
+    grouped AS (
+      SELECT *, SUM(chg) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey
+                               ROWS UNBOUNDED PRECEDING) AS grp
+      FROM flagged
+    ),
+    islands AS (
+      SELECT o_custkey, o_orderstatus AS status, grp,
+             MIN(o_orderdate) AS valid_from
+      FROM grouped GROUP BY o_custkey, o_orderstatus, grp
+    ),
+    dim AS (
+      SELECT o_custkey, status, valid_from,
+             LEAD(valid_from) OVER (PARTITION BY o_custkey
+                                    ORDER BY valid_from, grp) AS valid_to
+      FROM islands
+    ),
+    asof_dates AS (
+      SELECT CAST(y.y AS INTEGER) AS yr,
+             CAST(CAST(y.y AS VARCHAR) || '-07-01' AS TIMESTAMP) AS d
+      FROM UNNEST(range(1996, 2001)) AS y(y)
+    )
+    SELECT a.yr, dm.status,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM asof_dates a
+    JOIN dim dm
+      ON dm.valid_from <= a.d
+     AND (dm.valid_to IS NULL OR dm.valid_to > a.d)
+    GROUP BY a.yr, dm.status
+    """,
+    doc="Point-in-time DIMENSION query over the SCD2 table (the "
+    "consumption half of workload_scd2_dimension: 'what status did each "
+    "customer carry on July 1 of each year?' — the as-of dimension "
+    "lookup every historically-correct report performs): rebuild the "
+    "versioned dim (same lag/island/lead algebra), then probe it with a "
+    "5-row broadcast as-of roster on the half-open validity interval "
+    "[valid_from, valid_to) — one version matches per (customer, date) "
+    "BY CONSTRUCTION (the tiling invariant the SCD2 tests pin), so the "
+    "join cannot fan out. Status census per as-of date is the output; "
+    "at scale the dim is bucketed by the business key and the probe is "
+    "a broadcast — zero fact-side shuffle.",
+    tags=("workload", "scd2", "asof", "window"),
+)
+def workload_scd2_asof_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    flagged = o.withColumn(
+        "chg",
+        F.when(
+            F.lag("o_orderstatus").over(w).isNull()
+            | (F.lag("o_orderstatus").over(w) != F.col("o_orderstatus")),
+            1,
+        ).otherwise(0),
+    )
+    grouped = flagged.withColumn(
+        "grp",
+        F.sum("chg").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    islands = grouped.groupBy(
+        "o_custkey", F.col("o_orderstatus").alias("status"), "grp"
+    ).agg(F.min("o_orderdate").alias("valid_from"))
+    dim = islands.withColumn(
+        "valid_to",
+        F.lead("valid_from").over(
+            Window.partitionBy("o_custkey").orderBy("valid_from", "grp")
+        ),
+    )
+    asof = spark.range(1996, 2001).select(
+        F.col("id").cast("int").alias("yr"),
+        F.to_timestamp(F.concat(F.col("id").cast("string"), F.lit("-07-01"))).alias(
+            "d"
+        ),
+    )
+    probed = F.broadcast(asof).join(
+        dim,
+        (F.col("valid_from") <= F.col("d"))
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > F.col("d"))),
+    )
+    return probed.groupBy("yr", "status").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers")
+    )
