@@ -1,6 +1,8 @@
 """Composite analytical workloads, part 2: the remaining TPC-H query shapes
-expressible over this star schema (no ``partsupp`` table ships in testdata,
-so Q2/Q11/Q16/Q20 are out of reach).
+expressible over this star schema. (No ``partsupp`` table ships in testdata;
+the Q2/Q11/Q16/Q20 partsupp family lives in ``workloads_partsupp.py`` over a
+deterministically DERIVED partsupp — each part x 4 suppliers by an integer
+formula evaluated identically in Spark and the DuckDB oracle CTEs.)
 
 Shapes covered here (Hive 1.2.2 ran these plan families through
 SemanticAnalyzer join trees + map-side aggregation; reference layout anchors

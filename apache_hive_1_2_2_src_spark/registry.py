@@ -72,6 +72,7 @@ QUERY_MODULES = (
     "apache_hive_1_2_2_src_spark.operators.workloads",
     "apache_hive_1_2_2_src_spark.operators.workloads_extra",
     "apache_hive_1_2_2_src_spark.operators.workloads_partsupp",
+    "apache_hive_1_2_2_src_spark.operators.acid",
     "apache_hive_1_2_2_src_spark.operators.catalog",
     "apache_hive_1_2_2_src_spark.functions.scalar_conditional",
     "apache_hive_1_2_2_src_spark.functions.scalar_datetime",
@@ -115,59 +116,62 @@ SENTINELS = (
     "dedup_clusters",
 )
 
-# Round-7 rotation (COVERAGE.md r7 plan): 40 of the 99 queries that have
-# never earned a driver-green CORRECTNESS row after r6 — prioritizing the
-# round-6 registrations that were outside the r6 window (chunker, TF-IDF,
-# contamination apply, SequenceFile, streaming joins, uniontype, coercion
-# lattice, catalog dialects, events/pipeline workloads). All 40 slots are
-# oracled and never-driver-graded; the remaining ~59 rotate in r8 per
-# COVERAGE.md. (r6 window: see git history / CORRECTNESS_r06.json.)
+# Round-8 rotation (COVERAGE.md r8 plan): 40 of the 114 queries that have
+# never earned a driver-green CORRECTNESS row after r7 — leading with the
+# SEVEN whose only external evidence is a RED r2/r3 row under the old
+# canonicalizer (all rewritten since and green locally, never re-graded),
+# then the remaining TPC-H workload shapes, write-path/source ops, the
+# window-frame suite, and the round-7 aggregate family. All 40 slots are
+# oracled; the remaining ~74 rotate in r9/r10 per COVERAGE.md. (r7 window:
+# see git history / CORRECTNESS_r07.json — 50/50 green.)
 ROTATION = (
-    # round-6 extensions: text / dedup / similarity / sampling pipelines
-    "text_chunk_windows",
-    "text_tfidf_cosine",
-    "text_contamination_apply",
-    "text_lang_confusion",
-    "dedup_substring_spans",
-    "dedup_incremental_batch",
-    "dedup_threshold_sweep",
-    "similarity_knn_label_audit",
-    "sample_token_budget",
-    "sample_kfold_assign",
-    "pipeline_corpus_diff",
-    # events / time-series workloads
-    "events_sessionize",
-    "events_funnel",
-    "events_retention_cohorts",
-    "events_attribution_last_touch",
-    "events_dau_wau",
-    "timeseries_gap_fill",
-    "workload_scd2_dimension",
-    "workload_basket_pairs",
-    "diagnostics_key_skew",
-    # type-system + function suites
-    "uniontype_emulated",
-    "coercion_lattice_suite",
-    "str_json_suite",
-    "sentences_tokenize",
-    "json_typed_projection",
-    "agg_percentile_array",
-    "agg_distinct_grouping_sets",
-    "order_nulls_suite",
-    # SQL dialect / catalog / DDL
-    "ddl_show_describe",
-    "ddl_view_lifecycle",
-    "ddl_bucketed_dialect_lifecycle",
-    "ddl_insert_values",
-    "msck_repair_partitions",
-    "cte_with_clause_sql",
-    "sql_variable_substitution",
-    "script_reduce_sql",
-    "lateral_view_sql",
-    # sources & streaming
-    "sequencefile_roundtrip_agg",
-    "streaming_static_enrich",
-    "streaming_stream_join",
+    # the 7 red-history queries (failed r2/r3 pre-rewrite; fixed, unproven)
+    "agg_approx_count_distinct",
+    "agg_histogram_numeric",
+    "agg_percentile_approx",
+    "sort_by_distribute_by",
+    "cluster_by_sql",
+    "multi_insert_fanout",
+    "insert_overwrite_directory",
+    # remaining TPC-H workload shapes (Q4/Q7/Q12/Q15/Q17/Q18/Q19/Q22 + Q2-SQL)
+    "workload_order_priority_check",
+    "workload_nation_volume_shipping",
+    "workload_shipmode_priority",
+    "workload_top_supplier",
+    "workload_small_qty_revenue",
+    "workload_large_volume_customer",
+    "workload_disjunctive_revenue",
+    "workload_idle_customers",
+    "workload_min_cost_supplier_sql",
+    # write path / sources / DDL dialects
+    "virtual_columns_invariants",
+    "text_delimited_read",
+    "compact_small_files",
+    "csv_quoted_roundtrip",
+    "schema_evolution_merge",
+    "fixedwidth_read",
+    "json_permissive_parse",
+    "ddl_partitioned_insert",
+    "ddl_stored_as_hive_dialect",
+    # window-frame suite
+    "window_running_sum_rows_frame",
+    "window_agg_default_frame",
+    "window_ntile_partitioned",
+    "window_time_range_frame",
+    # round-7 aggregate family
+    "agg_hll_sketch_rollup",
+    "agg_weighted_median",
+    "agg_mode_exact",
+    "agg_approx_top_k",
+    "agg_stats_merge_incremental",
+    "agg_argmax_struct",
+    "agg_filter_clause_sql",
+    # generator/UDTF family (window breadth: the sentinel set has no UDTF)
+    "json_tuple_extract",
+    # joins / subqueries
+    "join_asof_forward",
+    "join_range_interval",
+    "subquery_not_in_null_trap",
 )
 
 PRIORITY = SENTINELS + ROTATION

@@ -1,0 +1,71 @@
+"""Hive-vs-Spark bucketing interop pins (SCALE.md "Hive-bucketing interop").
+
+Hive 1.2 places a row in bucket ``(ObjectInspectorUtils.hashCode(key) &
+Integer.MAX_VALUE) % n`` — for an int key the hash IS the int value
+(serde2/objectinspector/ObjectInspectorUtils.java anchor per SURVEY §1.1).
+Spark places it in ``pmod(murmur3_hash(key, seed=42), n)`` (Spark's
+``HashPartitioning.partitionIdExpression``; the SQL ``hash()`` builtin is
+the same murmur3/seed-42). These tests pin that (a) the two placements
+genuinely disagree — so declaring Spark bucket metadata over a
+Hive-written layout would mis-prune and silently drop rows — and (b) the
+supported interop path (read a foreign-bucketed layout as PLAIN files)
+stays exact.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+
+def test_spark_and_hive_bucket_placement_disagree(spark):
+    """pmod(hash(id), 8) != id % 8 for most int keys: bucket metadata is
+    not transferable between the engines in either direction."""
+    n = 8
+    df = spark.range(0, 1000).select(
+        F.col("id").cast("int").alias("id"),
+        F.pmod(F.hash(F.col("id").cast("int")), F.lit(n)).alias("spark_bucket"),
+        # Hive 1.2 int hash == the int value; ids here are non-negative so
+        # the & Integer.MAX_VALUE mask is the identity.
+        (F.col("id") % n).cast("int").alias("hive_bucket"),
+    )
+    disagree = df.filter(F.col("spark_bucket") != F.col("hive_bucket")).count()
+    # If the placements agreed, bucket pruning would transfer; pin that
+    # they don't (murmur3 scatters ~7/8 of keys off the identity bucket).
+    assert disagree > 500, f"only {disagree}/1000 keys moved buckets"
+
+
+def test_hive_bucketed_layout_reads_exact_as_plain_files(spark):
+    """A directory laid out by HIVE's bucket rule (one file per id%4
+    bucket) must be read as plain unbucketed files: full row count and
+    checksum survive, while a Spark-bucket-pruned read of the same
+    layout would drop rows (previous test: the placements disagree)."""
+    src = spark.range(0, 400).select(
+        F.col("id").cast("int").alias("id"),
+        (F.col("id") * 3).cast("long").alias("v"),
+    )
+    with tempfile.TemporaryDirectory() as d:
+        # Simulate a Hive writer: rows routed to files by Hive's hash.
+        for b in range(4):
+            src.filter(F.col("id") % 4 == b).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(d, f"bucket_{b:05d}")
+            )
+        back = spark.read.parquet(*[os.path.join(d, f"bucket_{b:05d}") for b in range(4)])
+        got = back.agg(
+            F.count("*").alias("n"), F.sum("v").cast("long").alias("s")
+        ).first()
+        assert got["n"] == 400
+        assert got["s"] == 3 * (399 * 400) // 2
+
+        # The trap the SCALE.md rule forbids, made concrete: a Spark
+        # bucket-pruned scan for id=7 would look only in
+        # pmod(hash(7), 4) — if that differs from Hive's 7%4=3 placement,
+        # the row is invisible. Assert the mismatch exists for this key
+        # set so the doc's "silently DROP rows" claim is literal.
+        sb = spark.range(0, 400).select(
+            F.pmod(F.hash(F.col("id").cast("int")), F.lit(4)).alias("sb"),
+            (F.col("id") % 4).cast("int").alias("hb"),
+        )
+        assert sb.filter(F.col("sb") != F.col("hb")).count() > 0
