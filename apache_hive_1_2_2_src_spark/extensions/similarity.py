@@ -648,3 +648,81 @@ def similarity_knn_label_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(correct).alias("n_correct"),
         F.round(F.sum(correct) * 1.0 / F.count(F.lit(1)), 6).alias("knn_accuracy"),
     )
+
+
+@register(
+    "dedup_embedding_near",
+    # The full LSH pipeline is mirrored in SQL (signature, cap, Hamming-1
+    # multi-probe, exact-cosine verify), then the keep-first dedup verdict
+    # and a decimal-exact cosine checksum — so the SCALE path itself is
+    # oracled, not just its brute-force twin (similarity_cosine_threshold
+    # remains the recall oracle: any pair it finds at Hamming<=1 must
+    # appear here too).
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding, CAST({_SIG_SQL} AS INT) AS sig FROM embeddings
+    ),
+    capped AS (
+      SELECT vec_id, embedding, sig
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY sig ORDER BY vec_id) AS rk
+            FROM e)
+      WHERE rk <= {_LSH_BUCKET_CAP}
+    ),
+    probes AS (
+      SELECT vec_id, embedding, sig, unnest({_PROBE_SQL}) AS probe FROM capped
+    ),
+    verified AS (
+      SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+             ROUND({_sql_cos("x.embedding", "y.embedding")}, 6) AS cosine
+      FROM probes x JOIN capped y ON x.probe = y.sig AND x.vec_id < y.vec_id
+      WHERE ROUND({_sql_cos("x.embedding", "y.embedding")}, 6) >= 0.4
+    ),
+    dups AS (SELECT DISTINCT vec_b FROM verified)
+    SELECT
+      (SELECT COUNT(*) FROM e) AS n_vectors,
+      (SELECT COUNT(*) FROM verified) AS n_verified_pairs,
+      (SELECT COUNT(*) FROM dups) AS n_duplicates,
+      (SELECT COUNT(*) FROM e) - (SELECT COUNT(*) FROM dups) AS n_survivors,
+      CAST((SELECT COALESCE(SUM(CAST(cosine AS DECIMAL(18,6))), 0)
+            FROM verified) AS DOUBLE) AS cosine_checksum
+    """,
+    doc="Embedding-cosine near-dup at SCALE: the production twin of "
+    "similarity_cosine_threshold (which is all-pairs N^2 by construction "
+    "and kept only as the recall oracle). Candidates come from the sign-bit "
+    "LSH family (16-bit signature, Hamming-1 multi-probe, 128-per-bucket "
+    "skew cap — signbit_lsh_pairs, the exact machinery the ANN query "
+    "plan-asserts cartesian-free); each candidate pair is exact-cosine "
+    "verified at tau=0.4; the keep-first policy (lower vec_id survives, "
+    "the dedup_exact convention) yields the duplicate set. Output is the "
+    "scrub report: vector/pair/duplicate/survivor counts plus a "
+    "decimal-exact checksum of verified cosines, so a single changed pair "
+    "hash-mismatches. At 100 TB: the probe explode is 17x of 8-byte keys, "
+    "the bucket equi-join is the only shuffle, verify cost is bounded by "
+    "cap^2 per bucket, and the DISTINCT duplicate set is a groupBy on "
+    "vec_b — no stage is quadratic in corpus size.",
+    tags=("extension", "dedup", "similarity", "lsh"),
+)
+def dedup_embedding_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    verified = signbit_lsh_pairs(e).filter(F.col("cosine") >= 0.4)
+    # All three counts stay lazy 1-row aggregates stitched with cross joins
+    # (metadata-sized sides, broadcast by AQE) — no driver-side .count().
+    totals = e.agg(F.count(F.lit(1)).alias("n_vectors"))
+    dup_n = (
+        verified.select("vec_b")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_duplicates"))
+    )
+    pair_stats = verified.agg(
+        F.count(F.lit(1)).alias("n_verified_pairs"),
+        F.coalesce(F.sum(F.col("cosine").cast("decimal(18,6)")), F.lit(0))
+        .cast("double")
+        .alias("cosine_checksum"),
+    )
+    return totals.crossJoin(dup_n).crossJoin(pair_stats).select(
+        "n_vectors",
+        "n_verified_pairs",
+        "n_duplicates",
+        (F.col("n_vectors") - F.col("n_duplicates")).alias("n_survivors"),
+        "cosine_checksum",
+    )

@@ -80,3 +80,40 @@ def test_emitted_pairs_are_sound(spark):
     for r in signbit_lsh_pairs(d).collect():
         ham = bin(sigs[r.vec_a] ^ sigs[r.vec_b]).count("1")
         assert ham == r.hamming and ham <= 1
+
+
+def test_dedup_embedding_near_recall_vs_brute_force(spark, registry):
+    """The scale-path dedup (LSH candidates + exact verify) must FIND every
+    near-dup pair the all-pairs oracle finds whose signatures differ in <=1
+    bit, and must never report a pair the brute-force threshold rejects."""
+    from pyspark.sql import functions as F
+
+    from apache_hive_1_2_2_src_spark.extensions.similarity import signbit_lsh_pairs
+    from apache_hive_1_2_2_src_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    brute = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in registry["similarity_cosine_threshold"].build(spark, sf).collect()
+    }
+    e = load_table(spark, sf, "embeddings")
+    lsh_verified = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in signbit_lsh_pairs(e).filter(F.col("cosine") >= 0.4).collect()
+    }
+    # Soundness: every verified LSH pair is a true brute-force pair.
+    assert set(lsh_verified) <= set(brute)
+    for k, c in lsh_verified.items():
+        assert abs(brute[k] - c) < 1e-9
+    # Recall contract: brute pairs at Hamming<=1 are all found. (Pairs at
+    # larger signature distance are the documented recall tradeoff.)
+    lsh_all = {
+        (r.vec_a, r.vec_b) for r in signbit_lsh_pairs(e).collect()
+    }
+    missed_within_probe = {k for k in brute if k in lsh_all} - set(lsh_verified)
+    assert not missed_within_probe
+    # And the registered report's counts agree with the recomputed sets.
+    rep = registry["dedup_embedding_near"].build(spark, sf).collect()[0]
+    assert rep.n_verified_pairs == len(lsh_verified)
+    assert rep.n_duplicates == len({b for _, b in lsh_verified})
+    assert rep.n_survivors == rep.n_vectors - rep.n_duplicates

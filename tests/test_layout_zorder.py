@@ -1,0 +1,104 @@
+"""Z-order layout: morton bit math pins + the PARQUET footer-statistics
+proof that the clustering actually enables row-group skipping (the claim
+extensions/layout.py makes; Hive 1.2.2 has no analogue — Delta/Iceberg
+ZORDER is the modern equivalent)."""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from apache_hive_1_2_2_src_spark.extensions.layout import morton32, zorder_layout
+from apache_hive_1_2_2_src_spark.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_morton32_hand_computed(spark):
+    # x=0b1010 -> even bits 2,6 ; y=0b0110 -> odd bits 3,5 ; total 108.
+    row = (
+        spark.range(1)
+        .select(morton32(F.lit(10), F.lit(6)).alias("m"))
+        .collect()[0]
+    )
+    assert row.m == 4 + 64 + 8 + 32 == 108
+    # Interleave is a bijection on 16-bit pairs: distinct inputs, distinct codes.
+    df = spark.range(256).select(
+        (F.col("id") % 16).alias("x"), (F.col("id") / 16).cast("int").alias("y")
+    )
+    n = df.select(morton32(F.col("x"), F.col("y")).alias("m")).distinct().count()
+    assert n == 256
+
+
+def _rowgroup_spans(path_glob: str, col: str) -> list[tuple[int, int]]:
+    spans = []
+    for f in glob.glob(path_glob):
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}[col]
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            assert st is not None and st.has_min_max
+            spans.append((st.min, st.max))
+    return spans
+
+
+def test_parquet_rowgroup_skipping_vs_single_column_sort(spark, tmp_path):
+    """The data-skipping claim, measured from real parquet footers: under a
+    z-order layout every file bounds BOTH columns, so a predicate on the
+    SECOND column (the one a single-column sort ignores) overlaps far fewer
+    row groups."""
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_partkey")
+    lo, hi = li.agg(F.min("l_partkey"), F.max("l_partkey")).collect()[0]
+
+    zdir = str(tmp_path / "zorder")
+    zorder_layout(li, "l_orderkey", "l_partkey", 8).drop("__morton").write.parquet(
+        zdir
+    )
+    xdir = str(tmp_path / "xsort")
+    li.repartitionByRange(8, "l_orderkey").sortWithinPartitions(
+        "l_orderkey"
+    ).write.parquet(xdir)
+
+    z_spans = _rowgroup_spans(zdir + "/*.parquet", "l_partkey")
+    x_spans = _rowgroup_spans(xdir + "/*.parquet", "l_partkey")
+    assert len(z_spans) >= 4 and len(x_spans) >= 4
+
+    rng = max(hi - lo, 1)
+    z_frac = sum((mx - mn) / rng for mn, mx in z_spans) / len(z_spans)
+    x_frac = sum((mx - mn) / rng for mn, mx in x_spans) / len(x_spans)
+    # x-sorted files know nothing about partkey: each covers ~the full range.
+    assert x_frac > 0.9
+    # z-ordered files bound partkey too (8 files -> top 3 morton bits pin
+    # y to ~1/4 of its range per aligned curve segment; range-partition
+    # boundaries are approximate, so allow slack).
+    assert z_frac < 0.6 * x_frac
+
+    # A y-only band predicate (middle 10% of partkey) can skip row groups
+    # under z-order, and cannot skip ANY under the x-sort.
+    band_lo = lo + int(0.45 * rng)
+    band_hi = lo + int(0.55 * rng)
+    z_hit = sum(1 for mn, mx in z_spans if not (mx < band_lo or mn > band_hi))
+    x_hit = sum(1 for mn, mx in x_spans if not (mx < band_lo or mn > band_hi))
+    assert x_hit == len(x_spans)
+    assert z_hit < len(z_spans)
+
+    # Correctness: the clustered rewrite is a permutation, not a mutation.
+    z_back = spark.read.parquet(zdir)
+    assert z_back.count() == li.count()
+    orig_sum = li.agg(F.sum("l_partkey"), F.sum("l_orderkey")).collect()[0]
+    back_sum = z_back.agg(F.sum("l_partkey"), F.sum("l_orderkey")).collect()[0]
+    assert tuple(orig_sum) == tuple(back_sum)
+
+
+def test_zorder_query_spans_bounded(spark, registry):
+    """The registered layout metric's own guarantee: with top-5-bit buckets
+    y is pinned to <=1/8 of its range and x to <=1/4 (+1 quantum)."""
+    df = registry["layout_zorder_clustering"].build(spark, SF_DIR)
+    rows = df.collect()
+    assert 1 <= len(rows) <= 32
+    for r in rows:
+        assert r.x_span_frac <= 0.25 + 2e-5
+        assert r.y_span_frac <= 0.125 + 2e-5

