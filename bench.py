@@ -55,6 +55,9 @@ HEADLINE = (
     "join_range_interval",  # day-bucketized point-in-interval range join (r7)
     "agg_hll_sketch_rollup",  # per-day HLL build + union-merge rollup (r7)
     "events_session_dynamic_gap",  # native session_window, per-event gap (r7)
+    "dedup_embedding_near",  # embedding near-dup: LSH + exact verify scale path (r8)
+    "layout_zorder_clustering",  # Morton-curve layout span metric (r8)
+    "acid_read_compacted",  # base+delta merge-on-read, version argmax (r8)
 )
 
 # All 22 TPC-H query shapes in query order — timed as ONE sequential suite
