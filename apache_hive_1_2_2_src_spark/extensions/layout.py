@@ -60,7 +60,13 @@ def _scale16_expr(v: str, vmin: str, vmax: str) -> str:
 
 
 def morton32(sx: Column, sy: Column) -> Column:
-    """Interleave two 16-bit ints into a 32-bit Morton code (y = odd bits)."""
+    """Interleave two 16-bit ints into a 32-bit Morton code (y = odd bits).
+
+    Inputs are widened to BIGINT first: on INT inputs the y15 term lands on
+    bit 31 — the int32 sign bit — and the code goes negative (caught by the
+    hypothesis extremes test). The registered query feeds BIGINTs (DIV on
+    bigint), but the helper must not depend on that."""
+    sx, sy = sx.cast("long"), sy.cast("long")
     terms = []
     for i in range(_BITS):
         terms.append(F.shiftleft(F.shiftright(sx, i).bitwiseAND(F.lit(1)), 2 * i))
