@@ -617,3 +617,77 @@ def sample_mixture_allocate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("alloc_final"),
     )
+
+
+@register(
+    "pipeline_publish_shards",
+    # The manifest is computed from the RE-READ published directory, so the
+    # oracle (which recomputes from the source table) certifies the entire
+    # publish loop: gate -> shard -> partitioned write -> read-back. Any
+    # row lost or duplicated by the write path breaks the hash.
+    oracle="""
+    WITH kept AS (
+      SELECT doc_id, lang, text, n_chars FROM documents
+      WHERE n_chars >= 120 AND lang IS NOT NULL
+    ),
+    s AS (
+      SELECT doc_id, lang, n_chars,
+             len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok,
+             ((strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+              + strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) % 8
+               AS shard_id
+      FROM kept
+    )
+    SELECT CAST(shard_id AS INT) AS shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           COUNT(DISTINCT lang) AS n_langs,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM s GROUP BY shard_id
+    """,
+    doc="Publish capstone — the last step of the training-data pipeline: "
+    "quality-gate the corpus (n_chars >= 120, lang present), assign "
+    "content-hash shards (md5 first byte mod 8, the pipeline_shard_assign "
+    "math), WRITE the dataset partitionBy(shard_id) parquet, RE-READ the "
+    "published directory, and emit the release manifest (per-shard doc/"
+    "token/char counts, language spread, id range) from the re-read data. "
+    "Because the manifest derives from what was actually published — not "
+    "from the pre-write DataFrame — the oracle certifies the whole loop: "
+    "a row dropped by the writer, a shard routed wrong, or a partition "
+    "column mangled on read-back all break the value hash. At 100 TB this "
+    "is one shuffle (the partitionBy exchange); the manifest aggregation "
+    "reads footer-pruned columns only, and consumers open shard "
+    "directories directly (partition pruning on shard_id).",
+    tags=("extension", "pipeline", "sampling", "sink"),
+)
+def pipeline_publish_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_hive_1_2_2_src_spark.sources.io import _tmp
+
+    d = load_table(spark, sf_dir, "documents")
+    kept = d.filter((F.col("n_chars") >= 120) & F.col("lang").isNotNull())
+    shard = F.conv(F.substring(F.md5("text"), 1, 2), 16, 10).cast("int") % 8
+    staged = kept.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(_words()).alias("n_tok"),
+        shard.alias("shard_id"),
+    )
+    out = _tmp("published_shards")
+    # repartition by the partition column first: without it every task can
+    # open up to 8 writers (small-files explosion at scale — the
+    # maxRecordsPerFile / AQE coalesce territory); with it, one writer per
+    # shard directory.
+    staged.repartition(8, "shard_id").write.mode("overwrite").partitionBy(
+        "shard_id"
+    ).parquet(out)
+    published = spark.read.parquet(out)
+    return published.groupBy(F.col("shard_id").cast("int").alias("shard_id")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
