@@ -169,3 +169,49 @@ def test_ppm_codec_and_sniff_dispatch():
         decode_ppm(buf[:14])  # truncated pixels
     with _pytest.raises(ValueError):
         decode_image(b"GIF89a....")  # unknown magic fails loudly
+
+
+def test_wav_codec_roundtrip_hand_computed():
+    """encode/decode WAV PCM16 must recover rate/channels/frames and exact
+    integer sample stats for a hand-checkable fixture, survive foreign
+    chunks (word-aligned walk), and reject non-PCM input loudly."""
+    import struct
+
+    from apache_hive_1_2_2_src_spark.extensions.multimodal import (
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+    )
+
+    frames = [(100, -200), (-32768, 32767), (0, 5)]
+    buf = encode_wav_pcm16(16000, 2, frames)
+    rate, ch, nf, sum_abs, peak = decode_wav_pcm16(buf)
+    assert (rate, ch, nf) == (16000, 2, 3)
+    assert sum_abs == 100 + 200 + 32768 + 32767 + 0 + 5
+    assert peak == 32768
+
+    # Foreign odd-sized chunk between fmt and data: the walker must skip it
+    # word-aligned (RIFF pads odd chunks) and still find data.
+    fmt_end = 12 + 8 + 16
+    foreign = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    buf2 = buf[:fmt_end] + foreign + buf[fmt_end:]
+    # fix the RIFF size field
+    buf2 = buf2[:4] + struct.pack("<I", len(buf2) - 8) + buf2[8:]
+    assert decode_wav_pcm16(buf2) == (16000, 2, 3, sum_abs, 32768)
+
+    # Mono path + empty data.
+    r, c, n, s, p = decode_wav_pcm16(encode_wav_pcm16(8000, 1, []))
+    assert (r, c, n, s, p) == (8000, 1, 0, 0, 0)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_wav_pcm16(b"not a wav at all....")
+    # 8-bit / non-PCM formats must fail loudly, not emit fake stats.
+    bad_fmt = struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)  # mu-law, 8-bit
+    bad = (
+        b"RIFF" + struct.pack("<I", 4 + 24 + 8) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + bad_fmt
+        + b"data" + struct.pack("<I", 0)
+    )
+    with _pytest.raises(ValueError):
+        decode_wav_pcm16(bad)
