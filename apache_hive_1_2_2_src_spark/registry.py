@@ -89,6 +89,7 @@ QUERY_MODULES = (
     "apache_hive_1_2_2_src_spark.extensions.text",
     "apache_hive_1_2_2_src_spark.extensions.multimodal",
     "apache_hive_1_2_2_src_spark.extensions.layout",
+    "apache_hive_1_2_2_src_spark.sources.hive_bucketing",
     "apache_hive_1_2_2_src_spark.extensions.sampling",
 )
 

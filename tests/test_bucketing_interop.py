@@ -69,3 +69,67 @@ def test_hive_bucketed_layout_reads_exact_as_plain_files(spark):
             (F.col("id") % 4).cast("int").alias("hb"),
         )
         assert sb.filter(F.col("sb") != F.col("hb")).count() > 0
+
+
+def _java_hash(s: str) -> int:
+    h = 0
+    for ch in s:
+        h = (h * 31 + ord(ch)) & 0xFFFFFFFF
+    return h
+
+
+def test_hive_string_hash_matches_java_spec(spark):
+    """Round 8: hive_string_hash must equal Java String.hashCode (as
+    unsigned mod 2^32) — pinned against hardcoded JVM values and a Python
+    reimplementation, including the empty string and 31-overflow cases."""
+    from apache_hive_1_2_2_src_spark.sources.hive_bucketing import (
+        hive_bucket_id,
+        hive_string_hash,
+    )
+
+    cases = ["", "a", "ab", "hello", "1-URGENT", "Customer#000000001",
+             "a longer string that overflows int32 many times over"]
+    df = spark.createDataFrame([(s,) for s in cases], "s string")
+    got = {r.s: r.h for r in df.select("s", hive_string_hash("s").alias("h")).collect()}
+    assert got[""] == 0
+    assert got["ab"] == 3105  # "ab".hashCode()
+    assert got["hello"] == 99162322  # "hello".hashCode()
+    for s in cases:
+        assert got[s] == _java_hash(s), s
+
+    # bucket routing: (h & Integer.MAX_VALUE) % n == (h_u % 2^31) % n
+    bid = {r.s: r.b for r in df.select("s", hive_bucket_id("s", 16).alias("b")).collect()}
+    for s in cases:
+        assert bid[s] == (_java_hash(s) % (1 << 31)) % 16, s
+
+
+def test_write_hive_bucketed_layout_contract(spark, tmp_path):
+    """write_hive_bucketed must produce exactly n positional files where
+    file i contains precisely Hive's bucket-i rows (the CLUSTERED BY
+    contract a Hive 1.2 reader assumes), losing nothing."""
+    import glob as _glob
+
+    from apache_hive_1_2_2_src_spark.sources.hive_bucketing import (
+        write_hive_bucketed,
+    )
+    from apache_hive_1_2_2_src_spark.tables import load_table
+
+    src = (
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+        .select("doc_id", "source")
+        .filter(F.col("doc_id") < 500)
+    )
+    out = str(tmp_path / "hive_bucketed")
+    n = 8
+    write_hive_bucketed(src, "source", n, out, kind="string")
+
+    files = sorted(_glob.glob(out + "/*_0"))
+    assert [os.path.basename(f) for f in files] == [f"{b:06d}_0" for b in range(n)]
+
+    total = 0
+    for b, f in enumerate(files):
+        rows = spark.read.parquet(f).collect()
+        total += len(rows)
+        for r in rows:
+            assert (_java_hash(r.source) % (1 << 31)) % n == b, (r.source, b)
+    assert total == src.count()
