@@ -133,3 +133,35 @@ def test_write_hive_bucketed_layout_contract(spark, tmp_path):
         for r in rows:
             assert (_java_hash(r.source) % (1 << 31)) % n == b, (r.source, b)
     assert total == src.count()
+
+
+def test_write_hive_bucketed_empty_buckets_still_materialize(spark, tmp_path):
+    """With more buckets than distinct keys most buckets are EMPTY — Hive's
+    reader still requires all n positional files; each empty file must
+    carry the full row schema."""
+    from apache_hive_1_2_2_src_spark.sources.hive_bucketing import (
+        write_hive_bucketed,
+    )
+
+    src = spark.createDataFrame(
+        [(i, f"src_{i % 3}") for i in range(60)], "doc_id long, source string"
+    )
+    out = str(tmp_path / "sparse_buckets")
+    n = 16
+    write_hive_bucketed(src, "source", n, out, kind="string")
+    import glob as _glob
+
+    files = sorted(_glob.glob(out + "/*_0"))
+    assert len(files) == n
+    total = 0
+    occupied = 0
+    for b, f in enumerate(files):
+        df = spark.read.parquet(f)
+        assert df.columns == ["doc_id", "source"]
+        rows = df.collect()
+        total += len(rows)
+        occupied += bool(rows)
+        for r in rows:
+            assert (_java_hash(r.source) % (1 << 31)) % n == b
+    assert total == 60
+    assert occupied <= 3  # 3 distinct keys -> at most 3 non-empty buckets

@@ -102,3 +102,17 @@ def test_zorder_query_spans_bounded(spark, registry):
     for r in rows:
         assert r.x_span_frac <= 0.25 + 2e-5
         assert r.y_span_frac <= 0.125 + 2e-5
+
+
+def test_zorder_constant_column_degenerate(spark):
+    """xmax == xmin must not divide by zero (greatest-1 guard): the morton
+    code collapses to the y-only bits and bucketing still works."""
+    df = spark.createDataFrame(
+        [(7, y) for y in range(100)], "x long, y long"
+    )
+    out = zorder_layout(df, "x", "y", 4)
+    rows = out.collect()
+    assert len(rows) == 100
+    assert {r.x for r in rows} == {7}
+    # morton of (sx=0, sy) has only odd bits set; values still distinct per y
+    assert len({r["__morton"] for r in rows}) == 100
