@@ -118,62 +118,63 @@ SENTINELS = (
     "dedup_clusters",
 )
 
-# Round-8 rotation (COVERAGE.md r8 plan): 40 of the 114 queries that have
-# never earned a driver-green CORRECTNESS row after r7 — leading with the
-# SEVEN whose only external evidence is a RED r2/r3 row under the old
-# canonicalizer (all rewritten since and green locally, never re-graded),
-# then the remaining TPC-H workload shapes, write-path/source ops, the
-# window-frame suite, and the round-7 aggregate family. All 40 slots are
-# oracled; the remaining ~74 rotate in r9/r10 per COVERAGE.md. (r7 window:
-# see git history / CORRECTNESS_r07.json — 50/50 green.)
+# Round-9 rotation (COVERAGE.md r9 plan): 40 of the 82 queries that have
+# never earned a driver-green CORRECTNESS row after r8 — leading with the
+# 8 round-8 registrations (ACID trio, embedding near-dup, z-order layout,
+# publish capstone, WAV codec, hive bucket-hash interop), then the round-7
+# aggregate/workload/events/dedup stragglers. All 40 slots are oracled;
+# the remaining 42 rotate in r10 (the final rotation — after it, every
+# registered query has a driver-green row and the window reverts to a
+# stable breadth-first sentinel set). (r8 window: see git history /
+# CORRECTNESS_r08.json — 50/50 green.)
 ROTATION = (
-    # the 7 red-history queries (failed r2/r3 pre-rewrite; fixed, unproven)
-    "agg_approx_count_distinct",
-    "agg_histogram_numeric",
-    "agg_percentile_approx",
-    "sort_by_distribute_by",
-    "cluster_by_sql",
-    "multi_insert_fanout",
-    "insert_overwrite_directory",
-    # remaining TPC-H workload shapes (Q4/Q7/Q12/Q15/Q17/Q18/Q19/Q22 + Q2-SQL)
-    "workload_order_priority_check",
-    "workload_nation_volume_shipping",
-    "workload_shipmode_priority",
-    "workload_top_supplier",
-    "workload_small_qty_revenue",
-    "workload_large_volume_customer",
-    "workload_disjunctive_revenue",
-    "workload_idle_customers",
-    "workload_min_cost_supplier_sql",
-    # write path / sources / DDL dialects
-    "virtual_columns_invariants",
-    "text_delimited_read",
-    "compact_small_files",
-    "csv_quoted_roundtrip",
-    "schema_evolution_merge",
-    "fixedwidth_read",
-    "json_permissive_parse",
-    "ddl_partitioned_insert",
-    "ddl_stored_as_hive_dialect",
-    # window-frame suite
-    "window_running_sum_rows_frame",
-    "window_agg_default_frame",
-    "window_ntile_partitioned",
-    "window_time_range_frame",
-    # round-7 aggregate family
-    "agg_hll_sketch_rollup",
-    "agg_weighted_median",
-    "agg_mode_exact",
-    "agg_approx_top_k",
-    "agg_stats_merge_incremental",
-    "agg_argmax_struct",
-    "agg_filter_clause_sql",
-    # generator/UDTF family (window breadth: the sentinel set has no UDTF)
-    "json_tuple_extract",
-    # joins / subqueries
-    "join_asof_forward",
-    "join_range_interval",
-    "subquery_not_in_null_trap",
+    # round-8 registrations (newest code, never externally graded)
+    "acid_read_compacted",
+    "acid_minor_compaction",
+    "acid_major_compaction",
+    "dedup_embedding_near",
+    "layout_zorder_clustering",
+    "pipeline_publish_shards",
+    "multimodal_decode_wav",
+    "hive_bucket_id_compat",
+    # round-7 aggregate family stragglers
+    "agg_ratio_to_parent",
+    "agg_regression_exact",
+    "agg_map_canonical",
+    "set_ops_all_bag",
+    "profile_columns_unpivot",
+    # workload stragglers (CDC merge, recursive hierarchy, time-travel, ABC,
+    # SLA, YoY, RFM, streaks, SCD2-as-of, OHLC)
+    "workload_cdc_merge",
+    "workload_hierarchy_flatten",
+    "workload_open_orders_asof",
+    "workload_pareto_abc",
+    "workload_order_cycle_time",
+    "workload_yoy_growth",
+    "workload_rfm_segments",
+    "workload_longest_streak",
+    "workload_scd2_asof_query",
+    "timeseries_ohlc_bars",
+    # events/clickstream family
+    "events_session_dynamic_gap",
+    "events_funnel_windowed",
+    "events_anomaly_exact",
+    "events_markov_transitions",
+    "events_cohort_ltv",
+    "events_interarrival_stats",
+    "events_peak_concurrency",
+    "events_top_paths",
+    "events_churn_resurrection",
+    # dedup family stragglers
+    "dedup_apply_keepers",
+    "dedup_span_trim",
+    "dedup_blocklist_bloom",
+    "dedup_levenshtein_blocked",
+    "dedup_keep_longest",
+    "dedup_cross_source_report",
+    # pipeline / text stragglers
+    "pipeline_release_gate",
+    "text_url_canonical_dedup",
 )
 
 PRIORITY = SENTINELS + ROTATION
