@@ -1,45 +1,53 @@
 """Hive-1.2-compatible bucketing: compute Hive's bucket ids inside Spark,
-and write flat bucketed layouts Hive 1.2 can read bucket-aware.
+write flat bucketed layouts Hive 1.2 can read bucket-aware, and read such
+layouts back WITH bucket pruning.
 
 SURVEY §1.1 / SCALE.md §interop establish the hash mismatch: Spark's
 ``bucketBy`` routes rows by Murmur3 while Hive 1.2 buckets by
 ``ObjectInspectorUtils.hashCode`` (reference anchors:
 ``serde2/objectinspector/ObjectInspectorUtils.java`` — ``intValue`` for
-ints, the Java ``String.hashCode`` 31-fold for strings;
-``ql/exec/ReduceSinkOperator`` routes with ``(hash & Integer.MAX_VALUE) %
-numBuckets``). Mixing the two layouts silently misplaces rows. This module
-makes the boundary crossable in the Hive-ward direction:
+ints, ``(int)(v ^ (v >>> 32))`` for longs, the Java ``String.hashCode``
+31-fold over UTF-16 code units for strings; ``ql/exec/ReduceSinkOperator``
+routes with ``(hash & Integer.MAX_VALUE) % numBuckets``; a NULL key hashes
+to 0 → bucket 0). Mixing the two layouts silently misplaces rows. This
+module makes the boundary crossable in BOTH directions:
 
-- ``hive_string_hash(col)`` / ``hive_int_hash(col)`` — Hive's hash as pure
-  Spark codegen expressions (the string fold runs as a higher-order
-  ``aggregate`` over code points, mod-2^32 each step so the BIGINT
-  accumulator never overflows; the low 31 bits of the unsigned value equal
-  Java's ``hash & Integer.MAX_VALUE``).
-- ``hive_bucket_id(col, n, kind)`` — the resulting bucket id.
+- ``hive_string_hash(col)`` / ``hive_int_hash(col)`` / ``hive_long_hash``
+  — Hive's hash as pure Spark codegen expressions. The string fold runs
+  over the UTF-16BE encoding of the value (hex + per-unit ``conv``), so it
+  is exact for EVERY string Java can represent — including non-Latin
+  scripts and surrogate pairs, which each contribute their two code units
+  exactly as ``String.hashCode`` does. (The round-8 version folded
+  ``ascii()`` code points and was exact only below U+0080.)
+- ``hive_bucket_id(col, n, kind)`` — the resulting bucket id, with NULL
+  keys routed to bucket 0 like Hive.
 - ``write_hive_bucketed(df, key, n, path)`` — a FLAT directory of exactly
   ``n`` files named ``000000_0 … 00000{n-1}_0`` where file *i* holds
   precisely the rows Hive assigns to bucket *i* (Hive 1.2 maps buckets to
   files by lexicographic name order) — i.e. a layout that satisfies the
   ``CLUSTERED BY`` contract, which tests/test_bucketing_interop.py proves
-  Spark's own ``bucketBy`` does NOT.
-
-Only ASCII/Latin-1-safe strings are exact: the Spark fold uses ``ascii()``
-code points; Java hashes UTF-16 code units. They agree for all codepoints
-< 128 (the tesdata corpus and typical key columns). The registered query
-pins both hash families against a DuckDB ``list_reduce`` replica of the
-same fold — two independent implementations of the Java spec.
+  Spark's own ``bucketBy`` does NOT. The flatten pass goes through the
+  Hadoop FileSystem API (not local ``glob``/``shutil``), so it works on
+  any Hadoop-supported store (HDFS, file://, s3a:// with a
+  rename-supporting committer); all buckets are validated BEFORE the
+  first rename and a failed flatten removes the partial output, so a Hive
+  reader can never observe a half-built layout.
+- ``read_hive_bucketed(spark, path, …, buckets=…)`` — bucket-PRUNED scan
+  of such a layout: for a literal key predicate only ``len(buckets)`` of
+  the ``n`` files are opened (the ``BucketMapJoinOptimizer.java`` /
+  table-sample-on-bucket read contract); ``hive_hash_value()`` is the
+  driver-side replica that picks the bucket for a literal.
 
 Scale: the bucket id is one codegen expression; the write shuffles once
-(repartition on the bucket id); migrating a 100 TB Hive table INTO Spark
-``bucketBy`` (or out of it) stays a one-time rewrite either way — this
-module just means the rewrite can go in either direction.
+(repartition on the bucket id). The pruned read is a metadata-level win:
+probing one key in a 100 TB table bucketed 1024-ways opens 1/1024 of the
+files — no scan, no shuffle. Hive's flat layout requires exactly one file
+per bucket, so each bucket serializes through one write task; at very
+large scale prefer many buckets (files stay ~HDFS-block-sized) — the same
+tradeoff Hive itself has.
 """
 
 from __future__ import annotations
-
-import glob
-import os
-import shutil
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -49,35 +57,115 @@ from apache_hive_1_2_2_src_spark.tables import load_table
 
 _2_32 = 4_294_967_296
 _2_31 = 2_147_483_648
+_I32_MIN, _I32_MAX = -2_147_483_648, 2_147_483_647
 
 
 def hive_string_hash(col: str) -> Column:
     """Java ``String.hashCode`` (= Hive 1.2 Text hash) as unsigned mod 2^32.
 
-    ``h = Σ s[i]·31^(n-1-i)`` with int32 wraparound — computed by folding
-    ``acc·31 + codepoint`` mod 2^32 (keeps the BIGINT accumulator < 1.4e11,
-    far from overflow). Exact for codepoints < 128 (ascii() = UTF-16 unit).
+    ``h = Σ u[i]·31^(n-1-i)`` over UTF-16 code units with int32 wraparound —
+    computed by folding ``acc·31 + unit`` mod 2^32 (keeps the BIGINT
+    accumulator < 1.4e11, far from overflow). The units come from
+    ``hex(encode(col, 'UTF-16BE'))``: 4 hex chars per code unit, decoded
+    with ``conv(…, 16, 10)``. UTF-16BE is BOM-free and encodes
+    supplementary characters as their surrogate pair, so the fold sees
+    exactly the units ``String.hashCode`` sees — exact for ALL strings,
+    not just Latin-1. The outer single-element ``transform`` binds the hex
+    string once per row (not once per unit).
     """
     fold = (
-        f"aggregate(transform(sequence(1, length({col})), "
-        f"i -> ascii(substring({col}, i, 1))), "
-        f"CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + x) % {_2_32})"
+        f"transform(array(hex(encode({col}, 'UTF-16BE'))), h -> "
+        f"aggregate(transform(sequence(1, length(h) DIV 4), "
+        f"i -> CAST(conv(substring(h, i * 4 - 3, 4), 16, 10) AS BIGINT)), "
+        f"CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + x) % {_2_32}))[0]"
     )
     # sequence(1, 0) is DESCENDING [1, 0] in Spark, not empty — guard "".
     return F.when(F.length(col) == 0, F.lit(0).cast("long")).otherwise(F.expr(fold))
 
 
 def hive_int_hash(col: str) -> Column:
-    """Hive 1.2 int/long hash: the value itself (IntWritable.hashCode),
-    as unsigned mod 2^32 so the bucket math below is sign-correct."""
-    return F.pmod(F.col(col).cast("long"), F.lit(_2_32))
+    """Hive 1.2 INT hash: the value itself (``IntWritable.hashCode``), as
+    unsigned mod 2^32 so the bucket math below is sign-correct.
+
+    Values outside int32 raise at runtime instead of silently mis-routing:
+    a Hive INT column can never hold them, and a BIGINT column hashes
+    differently (use ``kind='long'``)."""
+    v = F.col(col).cast("long")
+    return F.when(
+        (v < _I32_MIN) | (v > _I32_MAX),
+        F.expr(
+            f"raise_error(concat('hive_int_hash: value out of int32 range "
+            f"(use kind=long for BIGINT keys): ', CAST({col} AS STRING)))"
+        ).cast("long"),
+    ).otherwise(F.pmod(v, F.lit(_2_32)))
+
+
+def hive_long_hash(col: str) -> Column:
+    """Hive 1.2 BIGINT hash: ``(int)(v ^ (v >>> 32))``
+    (``LongWritable.hashCode``), as unsigned mod 2^32. Note Int(-5) and
+    Long(-5) hash DIFFERENTLY in Hive (-5 vs 4) — kind must follow the
+    Hive column type, not the value range."""
+    v = f"CAST({col} AS BIGINT)"
+    return F.pmod(F.expr(f"{v} ^ shiftrightunsigned({v}, 32)"), F.lit(_2_32))
+
+
+_HASHES = {"string": hive_string_hash, "int": hive_int_hash, "long": hive_long_hash}
 
 
 def hive_bucket_id(col: str, n_buckets: int, kind: str = "string") -> Column:
     """Hive's ``(hash & Integer.MAX_VALUE) % numBuckets``: masking bit 31
-    of the unsigned 32-bit value is exactly mod 2^31."""
-    h = hive_string_hash(col) if kind == "string" else hive_int_hash(col)
+    of the unsigned 32-bit value is exactly mod 2^31. NULL keys hash to 0
+    (ObjectInspectorUtils.hashCode(null) == 0) → bucket 0."""
+    h = F.coalesce(_HASHES[kind](col), F.lit(0).cast("long"))
     return ((h % _2_31) % n_buckets).cast("int")
+
+
+def hive_hash_value(value, kind: str = "string") -> int:
+    """Driver-side replica of the Hive hash for a LITERAL key value —
+    used to pick the bucket file(s) for a pruned read. Unsigned mod 2^32,
+    same contract as the Column forms above."""
+    if value is None:
+        return 0
+    if kind == "string":
+        data = str(value).encode("utf-16-be")
+        h = 0
+        for i in range(0, len(data), 2):
+            h = (h * 31 + int.from_bytes(data[i : i + 2], "big")) & 0xFFFFFFFF
+        return h
+    v = int(value)
+    if kind == "int":
+        if not (_I32_MIN <= v <= _I32_MAX):
+            raise ValueError(f"int key out of int32 range: {v}")
+        return v & 0xFFFFFFFF
+    if kind == "long":
+        return (v ^ ((v & 0xFFFFFFFFFFFFFFFF) >> 32)) & 0xFFFFFFFF
+    raise ValueError(f"unknown kind: {kind}")
+
+
+def hive_bucket_of(value, n_buckets: int, kind: str = "string") -> int:
+    """Bucket number Hive assigns to a literal key value."""
+    return (hive_hash_value(value, kind) % _2_31) % n_buckets
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(jvm, FileSystem, Path-class) for ``path`` — works for file://,
+    hdfs://, s3a://… anywhere a Hadoop FS implementation is on the
+    classpath, unlike local glob/shutil."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return jvm, fs, jvm.org.apache.hadoop.fs.Path
+
+
+def _parquet_files(fs, path_cls, d: str) -> list[str]:
+    p = path_cls(d)
+    if not fs.exists(p):
+        return []
+    return sorted(
+        st.getPath().toString()
+        for st in fs.listStatus(p)
+        if st.getPath().getName().endswith(".parquet")
+    )
 
 
 def write_hive_bucketed(
@@ -88,9 +176,17 @@ def write_hive_bucketed(
 
     partitionBy gives exact bucket→directory routing (a plain
     ``repartition(n, col)`` re-hashes the bucket id with Spark's hash, so
-    file order would NOT be bucket order); the rename pass then flattens
-    directories into Hive's positional file naming. Empty buckets still
-    get a file (Hive's reader requires all n present)."""
+    file order would NOT be bucket order); the flatten pass then renames
+    directories into Hive's positional file naming via the Hadoop
+    FileSystem API. NULL keys route to bucket 0 (Hive's rule) — they never
+    reach partitionBy's __HIVE_DEFAULT_PARTITION__ path, which the round-8
+    version silently dropped. Empty buckets still get a schema-bearing
+    file (Hive's reader requires all n present). Every bucket is validated
+    single-file BEFORE the first rename, and any failure removes the
+    partial output and the staging dir (try/finally), so a concurrent
+    reader can never mistake a half-flattened directory for a complete
+    bucketed table."""
+    spark = df.sparkSession
     staging = path + ".__staging"
     (
         df.withColumn("__hb", hive_bucket_id(key, n_buckets, kind))
@@ -99,27 +195,64 @@ def write_hive_bucketed(
         .partitionBy("__hb")
         .parquet(staging)
     )
-    os.makedirs(path, exist_ok=True)
-    for b in range(n_buckets):
-        files = sorted(glob.glob(os.path.join(staging, f"__hb={b}", "*.parquet")))
-        dest = os.path.join(path, f"{b:06d}_0")
-        if files:
-            # one file per bucket: partitionBy+repartition(n, __hb) puts the
-            # whole bucket in one task's output file
-            shutil.move(files[0], dest)
-            for extra in files[1:]:  # defensive: merge would be needed
-                raise RuntimeError(f"bucket {b} split across files: {extra}")
-        else:
-            # bucket files carry the full row schema (partitionBy strips
-            # only __hb); an empty bucket still needs a schema-bearing file
-            df.limit(0).write.mode("overwrite").parquet(
-                os.path.join(staging, "__empty")
-            )
-            src = sorted(
-                glob.glob(os.path.join(staging, "__empty", "*.parquet"))
-            )[0]
-            shutil.move(src, dest)
-    shutil.rmtree(staging, ignore_errors=True)
+    jvm, fs, P = _hadoop_fs(spark, path)
+    try:
+        bucket_files = {
+            b: _parquet_files(fs, P, f"{staging}/__hb={b}") for b in range(n_buckets)
+        }
+        split = {b: fls for b, fls in bucket_files.items() if len(fls) > 1}
+        if split:
+            # repartition(n, __hb) + partitionBy puts each bucket in one
+            # task's output; >1 file means that invariant broke — refuse
+            # BEFORE any rename so no partial flat layout ever exists.
+            raise RuntimeError(f"buckets split across multiple files: {split}")
+        template = None
+        if any(not fls for fls in bucket_files.values()):
+            # partitionBy strips only __hb, so bucket files carry the full
+            # row schema; empty buckets get a 0-row copy of that schema.
+            df.limit(0).write.mode("overwrite").parquet(f"{staging}/__empty")
+            template = _parquet_files(fs, P, f"{staging}/__empty")[0]
+        out = P(path)
+        if fs.exists(out):
+            fs.delete(out, True)
+        fs.mkdirs(out)
+        try:
+            for b in range(n_buckets):
+                dest = P(f"{path}/{b:06d}_0")
+                if bucket_files[b]:
+                    if not fs.rename(P(bucket_files[b][0]), dest):
+                        raise RuntimeError(f"rename failed for bucket {b}")
+                else:
+                    jvm.org.apache.hadoop.fs.FileUtil.copy(
+                        fs, P(template), fs, dest, False,
+                        spark._jsc.hadoopConfiguration(),
+                    )
+        except BaseException:
+            fs.delete(out, True)  # never leave a partial flat layout
+            raise
+    finally:
+        fs.delete(P(staging), True)
+
+
+def read_hive_bucketed(
+    spark: SparkSession,
+    path: str,
+    n_buckets: int,
+    buckets: list[int] | None = None,
+) -> DataFrame:
+    """Bucket-pruned read of a flat Hive-1.2 bucketed layout: open ONLY
+    the positional files for ``buckets`` (all n if None). For a literal
+    key predicate, pick the bucket with ``hive_bucket_of(value, n, kind)``
+    — the read-side half of the CLUSTERED BY contract
+    (BucketMapJoinOptimizer.java / TABLESAMPLE(BUCKET x OUT OF n) both
+    assume exactly this file↔bucket mapping). The caller must still apply
+    the key filter: a bucket holds every key that hashes to it."""
+    if buckets is None:
+        buckets = list(range(n_buckets))
+    bad = [b for b in buckets if not (0 <= b < n_buckets)]
+    if bad:
+        raise ValueError(f"bucket ids out of range: {bad}")
+    return spark.read.parquet(*[f"{path}/{b:06d}_0" for b in sorted(set(buckets))])
 
 
 @register(
@@ -127,6 +260,10 @@ def write_hive_bucketed(
     # Independent DuckDB replica of the Java spec: the same 31-fold via
     # list_reduce (prepend-0 gives the explicit zero accumulator) — two
     # implementations of String.hashCode that must agree value-for-value.
+    # (DuckDB folds code POINTS via ord(); the Spark side folds UTF-16
+    # code UNITS — identical on this all-ASCII corpus, and the unit form
+    # is the Java-exact one, property-tested in
+    # tests/test_bucketing_interop.py on non-ASCII and surrogate pairs.)
     oracle=f"""
     WITH h AS (
       SELECT o_orderkey,
@@ -173,4 +310,84 @@ def hive_bucket_id_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b.groupBy("str_bucket", "int_bucket").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("sh").cast("long").alias("hash_checksum"),
+    )
+
+
+_READ_PRUNE_KEY = "1-URGENT"
+_READ_PRUNE_BUCKETS = 8
+
+
+@register(
+    "hive_bucketed_read_prune",
+    # The oracle recomputes BOTH halves of the pruned-read contract from
+    # the raw table: (a) the '1-URGENT' slice the caller actually wants,
+    # and (b) the full population of the ONE bucket file the pruned scan
+    # opened — every row whose Java-hash bucket equals the literal key's
+    # bucket (the same list_reduce String.hashCode replica as
+    # hive_bucket_id_compat). If the writer misplaced one row, or the
+    # reader opened the wrong file, bucket_rows or the sums diverge.
+    oracle=f"""
+    WITH h AS (
+      SELECT o_orderpriority, o_totalprice,
+             CAST((list_reduce(
+               list_prepend(CAST(0 AS BIGINT), list_transform(
+                 range(1, length(o_orderpriority) + 1),
+                 i -> CAST(ord(substr(o_orderpriority, i, 1)) AS BIGINT))),
+               (a, b) -> (a * 31 + b) % {_2_32}) % {_2_31})
+               % {_READ_PRUNE_BUCKETS} AS INT) AS bucket
+      FROM orders
+    ),
+    lit AS (
+      SELECT CAST((list_reduce(
+               list_prepend(CAST(0 AS BIGINT), list_transform(
+                 range(1, length('{_READ_PRUNE_KEY}') + 1),
+                 i -> CAST(ord(substr('{_READ_PRUNE_KEY}', i, 1)) AS BIGINT))),
+               (a, b) -> (a * 31 + b) % {_2_32}) % {_2_31})
+               % {_READ_PRUNE_BUCKETS} AS INT) AS key_bucket
+    )
+    SELECT (SELECT key_bucket FROM lit) AS key_bucket,
+           CAST(1 AS INT) AS files_opened,
+           CAST(COUNT(*) AS BIGINT) AS bucket_rows,
+           CAST(COUNT(*) FILTER (WHERE o_orderpriority = '{_READ_PRUNE_KEY}')
+                AS BIGINT) AS key_rows,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                FILTER (WHERE o_orderpriority = '{_READ_PRUNE_KEY}')
+                AS DECIMAL(18,2)) AS DOUBLE) AS key_revenue
+    FROM h WHERE bucket = (SELECT key_bucket FROM lit)
+    """,
+    doc="Bucket-PRUNED read of a Hive-1.2 flat bucketed layout (read-side "
+    "CLUSTERED BY contract, BucketMapJoinOptimizer.java anchor): orders is "
+    "written 8-way Hive-bucketed on o_orderpriority, then the scan for the "
+    "'1-URGENT' key opens ONLY that key's positional bucket file — "
+    "files_opened is asserted = 1 from the actual Spark inputFiles() of "
+    "the pruned DataFrame, 1/8th of the table touched. Output reconciles "
+    "the pruned scan against the raw table: the bucket file's full row "
+    "count (every priority that co-hashes there) plus the key slice's "
+    "exact count and DECIMAL-summed revenue. The oracle recomputes bucket "
+    "membership from the raw table via the DuckDB String.hashCode replica "
+    "— a writer misroute OR a reader wrong-file both break the hash.",
+    tags=("source", "bucketing", "interop", "write-path"),
+)
+def hive_bucketed_read_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_hive_1_2_2_src_spark.sources.io import _tmp
+
+    n = _READ_PRUNE_BUCKETS
+    out = _tmp("hive_bucketed_orders")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    write_hive_bucketed(o, "o_orderpriority", n, out, kind="string")
+    kb = hive_bucket_of(_READ_PRUNE_KEY, n, "string")
+    pruned = read_hive_bucketed(spark, out, n, buckets=[kb])
+    files_opened = len(pruned.inputFiles())  # the pruning proof: 1 of 8
+    key = F.col("o_orderpriority") == _READ_PRUNE_KEY
+    return pruned.agg(
+        F.lit(kb).cast("int").alias("key_bucket"),
+        F.lit(files_opened).cast("int").alias("files_opened"),
+        F.count(F.lit(1)).alias("bucket_rows"),
+        F.count(F.when(key, 1)).alias("key_rows"),
+        F.sum(F.when(key, F.col("o_totalprice")).cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .cast("double")
+        .alias("key_revenue"),
     )

@@ -72,9 +72,12 @@ def test_hive_bucketed_layout_reads_exact_as_plain_files(spark):
 
 
 def _java_hash(s: str) -> int:
+    """String.hashCode over UTF-16 code units (what Java actually folds —
+    ord() would diverge on supplementary characters), unsigned mod 2^32."""
+    data = s.encode("utf-16-be")
     h = 0
-    for ch in s:
-        h = (h * 31 + ord(ch)) & 0xFFFFFFFF
+    for i in range(0, len(data), 2):
+        h = (h * 31 + int.from_bytes(data[i : i + 2], "big")) & 0xFFFFFFFF
     return h
 
 
@@ -165,3 +168,145 @@ def test_write_hive_bucketed_empty_buckets_still_materialize(spark, tmp_path):
             assert (_java_hash(r.source) % (1 << 31)) % n == b
     assert total == 60
     assert occupied <= 3  # 3 distinct keys -> at most 3 non-empty buckets
+
+
+def test_hive_string_hash_utf16_exact_beyond_latin1(spark):
+    """Round 9: the fold runs over UTF-16BE code units, so non-Latin keys
+    hash identically to Java — including a supplementary character whose
+    surrogate PAIR must contribute two units (ord()-based folds get this
+    wrong). Java ground truth values are hardcoded for the first three."""
+    from apache_hive_1_2_2_src_spark.sources.hive_bucketing import hive_string_hash
+
+    cases = [
+        "é",            # U+00E9: "é".hashCode() == 233
+        "日本語",        # "日本語".hashCode() == 25921943
+        "𝄞",            # U+1D11E: surrogate pair D834 DD1E -> 3624867
+        "naïve café",
+        "ключ-значение",
+        "中文分桶键",
+        "mixed ascii + ünïcode + 絵文字 + 🚀",
+    ]
+    df = spark.createDataFrame([(s,) for s in cases], "s string")
+    got = {r.s: r.h for r in df.select("s", hive_string_hash("s").alias("h")).collect()}
+    assert got["é"] == 233
+    assert got["日本語"] == 25921943  # ((0x65E5*31)+0x672C)*31+0x8A9E
+    assert got["𝄞"] == (0xD834 * 31 + 0xDD1E) & 0xFFFFFFFF
+    for s in cases:
+        assert got[s] == _java_hash(s), s
+
+
+def test_hive_long_hash_matches_longwritable(spark):
+    """LongWritable.hashCode == (int)(v ^ (v >>> 32)): exact for values
+    beyond int32 and for negative longs — where the int identity hash
+    would silently mis-route (Long(-5) hashes to 4, Int(-5) to -5)."""
+    from apache_hive_1_2_2_src_spark.sources.hive_bucketing import (
+        hive_bucket_id,
+        hive_hash_value,
+        hive_long_hash,
+    )
+
+    vals = [0, 1, -1, -5, 2**31 - 1, 2**31, 2**32, 2**32 + 7,
+            -(2**31) - 1, 2**62 + 12345, -(2**62) - 9876]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {r.v: r.h for r in df.select("v", hive_long_hash("v").alias("h")).collect()}
+
+    def java_long_hash(v: int) -> int:
+        return (v ^ ((v & 0xFFFFFFFFFFFFFFFF) >> 32)) & 0xFFFFFFFF
+
+    assert java_long_hash(-5) == 4  # the Int-vs-Long divergence, literal
+    for v in vals:
+        assert got[v] == java_long_hash(v) == hive_hash_value(v, "long"), v
+
+    bid = {r.v: r.b for r in df.select("v", hive_bucket_id("v", 16, "long").alias("b")).collect()}
+    for v in vals:
+        assert bid[v] == (java_long_hash(v) % (1 << 31)) % 16, v
+
+
+def test_hive_int_hash_rejects_out_of_range(spark):
+    """A BIGINT value outside int32 passed as kind='int' must raise, not
+    silently route to a wrong bucket (ADVICE round 8)."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from apache_hive_1_2_2_src_spark.sources.hive_bucketing import hive_int_hash
+
+    df = spark.createDataFrame([(2**32 + 3,)], "v long")
+    with pytest.raises(SparkRuntimeException, match="int32 range"):
+        df.select(hive_int_hash("v").alias("h")).collect()
+    # in-range values (incl. negatives) still hash as the identity
+    ok = spark.createDataFrame([(7,), (-7,)], "v long")
+    got = sorted(r.h for r in ok.select(hive_int_hash("v").alias("h")).collect())
+    assert got == [7, (1 << 32) - 7]
+
+
+def test_write_hive_bucketed_null_keys_route_to_bucket_zero(spark, tmp_path):
+    """Hive hashes a NULL key to 0 -> bucket 0. The round-8 writer dropped
+    NULL-key rows (partitionBy sent them to __HIVE_DEFAULT_PARTITION__,
+    which the flatten never collected); now they must land in file 0."""
+    from apache_hive_1_2_2_src_spark.sources.hive_bucketing import (
+        read_hive_bucketed,
+        write_hive_bucketed,
+    )
+
+    src = spark.createDataFrame(
+        [(1, "alpha"), (2, None), (3, "beta"), (4, None), (5, "gamma")],
+        "id long, k string",
+    )
+    out = str(tmp_path / "null_buckets")
+    n = 4
+    write_hive_bucketed(src, "k", n, out, kind="string")
+    back = read_hive_bucketed(spark, out, n)
+    assert back.count() == 5  # nothing dropped
+    bucket0 = read_hive_bucketed(spark, out, n, buckets=[0])
+    null_ids = sorted(r.id for r in bucket0.filter(F.col("k").isNull()).collect())
+    assert null_ids == [2, 4]
+    for b in range(1, n):
+        rows = read_hive_bucketed(spark, out, n, buckets=[b]).filter(
+            F.col("k").isNull()
+        )
+        assert rows.count() == 0, f"NULL key leaked into bucket {b}"
+
+
+def test_read_hive_bucketed_prunes_to_one_file(spark, tmp_path):
+    """The read-side contract: a single-bucket read opens exactly ONE of
+    the n positional files (inputFiles() is the proof), and its contents
+    are precisely the rows whose Java-hash bucket matches."""
+    from apache_hive_1_2_2_src_spark.sources.hive_bucketing import (
+        hive_bucket_of,
+        read_hive_bucketed,
+        write_hive_bucketed,
+    )
+    from apache_hive_1_2_2_src_spark.tables import load_table
+
+    src = (
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+        .select("doc_id", "source")
+        .filter(F.col("doc_id") < 500)
+    )
+    out = str(tmp_path / "pruned_read")
+    n = 8
+    write_hive_bucketed(src, "source", n, out, kind="string")
+
+    some_key = src.select("source").first().source
+    kb = hive_bucket_of(some_key, n, "string")
+    pruned = read_hive_bucketed(spark, out, n, buckets=[kb])
+    assert len(pruned.inputFiles()) == 1  # 1 of 8 files touched
+    assert pruned.inputFiles()[0].endswith(f"{kb:06d}_0")
+
+    # bucket contents == the hash-derived membership, and the key's rows
+    # are ALL there (pruning lost nothing)
+    expected_key_rows = src.filter(F.col("source") == some_key).count()
+    got_key_rows = pruned.filter(F.col("source") == some_key).count()
+    assert got_key_rows == expected_key_rows
+    for r in pruned.select("source").distinct().collect():
+        assert hive_bucket_of(r.source, n, "string") == kb
+
+    # full read opens all n files and loses nothing
+    full = read_hive_bucketed(spark, out, n)
+    assert len(full.inputFiles()) == n
+    assert full.count() == src.count()
+
+    import pytest
+
+    with pytest.raises(ValueError, match="out of range"):
+        read_hive_bucketed(spark, out, n, buckets=[n])
