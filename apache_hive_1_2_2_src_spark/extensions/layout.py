@@ -55,8 +55,16 @@ _SCALE_MAX = (1 << _BITS) - 1  # 65535
 
 
 def _scale16_expr(v: str, vmin: str, vmax: str) -> str:
-    """Min-max scale to [0, 65535], integer-only (Spark SQL DIV)."""
-    return f"(({v} - {vmin}) * {_SCALE_MAX}) DIV greatest({vmax} - {vmin}, 1)"
+    """Min-max scale to [0, 65535], integer-only (Spark SQL DIV).
+
+    Everything is widened to BIGINT *inside* the expression: with native
+    INT32 inputs and a range above ~32767, ``(v - vmin) * 65535`` would
+    silently wrap (ANSI off) and produce garbage morton codes. The widened
+    intermediate is bounded by 2^31 * 65535 < 2^47 — far from BIGINT
+    overflow for any pair of 64-bit inputs whose difference fits int64."""
+    d = f"(CAST({v} AS BIGINT) - CAST({vmin} AS BIGINT))"
+    r = f"(CAST({vmax} AS BIGINT) - CAST({vmin} AS BIGINT))"
+    return f"({d} * {_SCALE_MAX}) DIV greatest({r}, 1)"
 
 
 def morton32(sx: Column, sy: Column) -> Column:

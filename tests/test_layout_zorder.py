@@ -116,3 +116,32 @@ def test_zorder_constant_column_degenerate(spark):
     assert {r.x for r in rows} == {7}
     # morton of (sx=0, sy) has only odd bits set; values still distinct per y
     assert len({r["__morton"] for r in rows}) == 100
+
+
+def test_scale16_survives_int32_inputs_with_wide_range(spark):
+    """ADVICE round 8: with native INT columns and a range > 32767,
+    (v - vmin) * 65535 in int32 arithmetic silently wraps (ANSI off).
+    The expression must widen to BIGINT internally: scaled values stay in
+    [0, 65535] and are monotone in v even at int32 extremes."""
+    from pyspark.sql import functions as F
+
+    from apache_hive_1_2_2_src_spark.extensions.layout import _scale16_expr
+
+    lo, hi = -(2**31), 2**31 - 1
+    vals = [lo, lo // 2, -1, 0, 1, 40000, 2**30, hi - 1, hi]
+    df = spark.createDataFrame([(v,) for v in vals], "v int").withColumn(
+        "vmin", F.lit(lo).cast("int")
+    ).withColumn("vmax", F.lit(hi).cast("int"))
+    got = [
+        (r.v, r.s)
+        for r in df.select("v", F.expr(_scale16_expr("v", "vmin", "vmax")).alias("s"))
+        .orderBy("v")
+        .collect()
+    ]
+    for v, s in got:
+        expected = ((v - lo) * 65535) // (hi - lo)  # exact python bigints
+        assert s == expected, (v, s, expected)
+        assert 0 <= s <= 65535
+    scaled = [s for _, s in got]
+    assert scaled == sorted(scaled)  # monotone, no wraparound
+    assert scaled[0] == 0 and scaled[-1] == 65535
