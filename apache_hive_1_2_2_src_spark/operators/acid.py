@@ -11,16 +11,27 @@ shape: the SAME algebra expressed as a union + per-key argmax over a
 version column — no lock manager needed for the read path, and Catalyst
 plans the merge as one shuffle with map-side partial ``max_by``.
 
+Round 9 makes the directory half REAL: every query materializes the edit
+history as an actual ``base_0/ + delta_1_1/ + delta_2_2/`` parquet tree
+(versions live in the directory NAMES, not the files) and reads it back
+through ``resolve_acid_state()`` — highest-base selection, covered-delta
+elimination, widest-range preference, junk-dir filtering — the parts of
+``AcidUtils.getAcidState`` with historical bugs, now exercised against
+files on disk (tests/test_acid_dirs.py pins each rule in isolation).
+
 Three registered queries certify the three halves of the story:
 
-- ``acid_read_compacted``   — merge-on-read: base ∪ delta_1 ∪ delta_2,
-  highest version wins per key, delete tombstones drop the row.
-- ``acid_minor_compaction`` — compact(delta_1, delta_2) first (deltas-only
-  argmax, base untouched — Hive's MINOR compactor), then merge with base;
-  MUST produce the identical snapshot (same oracle, hash-checked).
-- ``acid_major_compaction`` — materialize the merged snapshot as the new
-  base (Hive's MAJOR compactor: rewrite base_N, drop deltas), re-read it
-  from parquet, and reconcile — proving compaction is a pure rewrite.
+- ``acid_read_compacted``   — merge-on-read: resolve the tree, merge
+  base ∪ delta_1_1 ∪ delta_2_2, highest version wins per key, delete
+  tombstones drop the row, the ``_tmp_junk`` decoy is skipped.
+- ``acid_minor_compaction`` — the compactor reads the delta chain from
+  disk, writes ``delta_1_2/`` BESIDE the originals (the cleaner, not the
+  compactor, removes them later); the re-read must prefer the widest
+  range or edits double-apply. Same oracle, hash-checked.
+- ``acid_major_compaction`` — materialize the merged snapshot as
+  ``base_2/`` inside the tree, leave the stale ``base_0/`` + deltas in
+  place, re-resolve: only ``base_2`` may be read — a leaking stale base
+  is hash-visible. Proves compaction is a pure rewrite.
 
 Determinism: the edit batches derive from ``orders`` by integer-modulus
 rules evaluated identically in Spark and the DuckDB oracle CTEs (no rand,
@@ -36,11 +47,14 @@ map-side partial, so shuffle volume is ~|distinct keys touched|, not
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from apache_hive_1_2_2_src_spark.operators.helpers import dec
 from apache_hive_1_2_2_src_spark.registry import register
+from apache_hive_1_2_2_src_spark.sources.hive_bucketing import _hadoop_fs
 from apache_hive_1_2_2_src_spark.sources.io import _tmp
 from apache_hive_1_2_2_src_spark.tables import load_table
 
@@ -137,6 +151,95 @@ def _acid_versions(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFra
     return base, d1, d2
 
 
+_BASE_RE = re.compile(r"^base_(\d+)$")
+_DELTA_RE = re.compile(r"^delta_(\d+)_(\d+)$")
+
+
+def resolve_acid_state(
+    spark: SparkSession, table_path: str
+) -> tuple[str | None, int, list[tuple[int, int, str]]]:
+    """``AcidUtils.getAcidState`` directory resolution over a REAL tree
+    (reference anchor: ql/io/AcidUtils.java): pick the highest ``base_N``;
+    a delta is obsolete if its whole txn range is covered by that base or
+    by an already-selected wider delta (minor compaction leaves
+    ``delta_1_1`` and ``delta_2_2`` beside the ``delta_1_2`` it produced
+    until the cleaner runs — readers must prefer the widest range, never
+    double-count); anything not matching ``base_N``/``delta_M1_M2``
+    (staging dirs, _tmp junk) is ignored. Aborted-txn filtering needs a
+    txn manager and is out of scope (SURVEY §1.1 architecture swap).
+
+    Returns ``(base_dirname | None, base_txn, [(min, max, dirname), …])``
+    with the surviving deltas in txn order.
+    """
+    _, fs, P = _hadoop_fs(spark, table_path)
+    root = P(table_path)
+    if not fs.exists(root):
+        raise FileNotFoundError(table_path)
+    names = [
+        st.getPath().getName() for st in fs.listStatus(root) if st.isDirectory()
+    ]
+    bases: list[tuple[int, str]] = []
+    deltas: list[tuple[int, int, str]] = []
+    for nm in names:
+        if m := _BASE_RE.match(nm):
+            bases.append((int(m.group(1)), nm))
+        elif m := _DELTA_RE.match(nm):
+            deltas.append((int(m.group(1)), int(m.group(2)), nm))
+    base_txn, base_dir = max(bases) if bases else (-1, None)
+    live = sorted(
+        (d for d in deltas if d[1] > base_txn), key=lambda d: (d[0], -d[1])
+    )
+    chosen: list[tuple[int, int, str]] = []
+    covered = base_txn
+    for mn, mx, nm in live:
+        if mx <= covered:
+            continue  # contained in the base or a wider already-chosen delta
+        chosen.append((mn, mx, nm))
+        covered = mx
+    return base_dir, base_txn, chosen
+
+
+def read_acid_table(spark: SparkSession, table_path: str) -> DataFrame:
+    """Merge-on-read over a real base/delta directory tree: resolve the
+    live directories (resolve_acid_state), attach each row's version from
+    its DIRECTORY name (base_N → N, delta_M1_M2 → M2 — the files
+    themselves carry only (k, st, p, op), like Hive's txn-id-in-the-path
+    layout), then highest-version-wins merge with one shuffle."""
+    base_dir, base_txn, deltas = resolve_acid_state(spark, table_path)
+    parts: list[DataFrame] = []
+    if base_dir is not None:
+        parts.append(
+            spark.read.parquet(f"{table_path}/{base_dir}").withColumn(
+                "ver", F.lit(base_txn)
+            )
+        )
+    for _mn, mx, nm in deltas:
+        parts.append(
+            spark.read.parquet(f"{table_path}/{nm}").withColumn("ver", F.lit(mx))
+        )
+    if not parts:
+        raise FileNotFoundError(f"no base_N/delta_M_M dirs under {table_path}")
+    return _merge_latest(*parts)
+
+
+def materialize_acid_layout(spark: SparkSession, sf_dir: str, path: str) -> str:
+    """Write the derived edit history as a REAL Hive-ACID-shaped tree:
+    ``base_0/`` + ``delta_1_1/`` + ``delta_2_2/`` parquet dirs whose files
+    hold (k, st, p, op) — versions live in the directory names — plus a
+    ``_tmp_junk`` decoy dir the resolver must ignore. The tree is rebuilt
+    from scratch each call (the compaction queries mutate it)."""
+    _, fs, P = _hadoop_fs(spark, path)
+    fs.delete(P(path), True)
+    base, d1, d2 = _acid_versions(spark, sf_dir)
+    base.drop("ver").write.parquet(f"{path}/base_0")
+    d1.drop("ver").write.parquet(f"{path}/delta_1_1")
+    d2.drop("ver").write.parquet(f"{path}/delta_2_2")
+    # AcidUtils ignores non-acid names (staging/tmp); prove it with a decoy
+    # whose schema would break the union if it leaked into the merge.
+    spark.range(3).write.parquet(f"{path}/_tmp_junk")
+    return path
+
+
 def _merge_latest(*versions: DataFrame) -> DataFrame:
     """Highest-version-wins merge (OrcRawRecordMerger semantics): one
     shuffle on the row key; max_by(struct) keeps the partial-aggregation
@@ -164,20 +267,23 @@ def _verdict(snapshot: DataFrame) -> DataFrame:
 @register(
     "acid_read_compacted",
     oracle=_ACID_ORACLE,
-    doc="ACID merge-on-read (ql/io/AcidUtils.java directory resolution + "
-    "ql/io/orc/OrcRawRecordMerger.java highest-txn-wins, re-expressed "
-    "Delta-style): base snapshot ∪ two derived delta batches (updates, "
-    "delete tombstones, and a re-insert over a prior delete), merged with "
-    "ONE shuffle via groupBy(key).max_by(struct, version); tombstone "
+    doc="ACID merge-on-read over a REAL directory tree (ql/io/AcidUtils."
+    "java getAcidState + ql/io/orc/OrcRawRecordMerger.java highest-txn-"
+    "wins): the derived edit history is materialized as base_0/ + "
+    "delta_1_1/ + delta_2_2/ parquet dirs (files carry only the row data; "
+    "versions come from the DIRECTORY names, plus a _tmp_junk decoy the "
+    "resolver must skip), then resolved by directory listing and merged "
+    "with ONE shuffle via groupBy(key).max_by(struct, version); tombstone "
     "winners drop. The verdict aggregate (per-status count, exact decimal "
     "total, key span) shifts if a tombstone leaks, an update double-"
-    "applies, or a resurrected key is lost. Oracle replays the identical "
-    "version algebra with a ROW_NUMBER window in DuckDB.",
+    "applies, a resurrected key is lost, or the resolver reads a wrong "
+    "dir. Oracle replays the identical version algebra with a ROW_NUMBER "
+    "window in DuckDB.",
     tags=("workload", "acid", "merge"),
 )
 def acid_read_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    base, d1, d2 = _acid_versions(spark, sf_dir)
-    return _verdict(_merge_latest(base, d1, d2))
+    table = materialize_acid_layout(spark, sf_dir, _tmp("acid_read_table"))
+    return _verdict(read_acid_table(spark, table))
 
 
 @register(
@@ -189,41 +295,54 @@ def acid_read_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "then merge base ∪ compacted-delta. Registered against the SAME "
     "oracle as acid_read_compacted: hash-equality certifies the algebra "
     "compact(d1,d2) ∘ merge(base) ≡ merge(base,d1,d2), i.e. minor "
-    "compaction never changes a read. The subtle bug this pins: dropping "
-    "tombstones during minor compaction (they look like dead rows but "
-    "still mask the base) resurrects every deleted key.",
+    "compaction never changes a read. Round 9 runs it over the REAL tree: "
+    "the compactor reads delta_1_1/ + delta_2_2/, writes delta_1_2/ "
+    "BESIDE them (Hive's cleaner removes the narrow deltas later, not the "
+    "compactor), and the re-read's resolver must prefer the widest range "
+    "— selecting delta_1_2 and skipping both covered originals, or every "
+    "edit double-applies. Two subtle bugs pinned: dropping tombstones "
+    "during minor compaction (they still mask base rows) resurrects every "
+    "deleted key; reading narrow+wide deltas together double-counts.",
     tags=("workload", "acid", "compaction"),
 )
 def acid_minor_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    base, d1, d2 = _acid_versions(spark, sf_dir)
+    table = materialize_acid_layout(spark, sf_dir, _tmp("acid_minor_table"))
+    # The compactor's input is the resolved delta CHAIN from disk; version
+    # still comes from each directory name.
+    d1 = spark.read.parquet(f"{table}/delta_1_1").withColumn("ver", F.lit(1))
+    d2 = spark.read.parquet(f"{table}/delta_2_2").withColumn("ver", F.lit(2))
     # Deltas-only argmax — keep tombstones (filter op != 'D' here would be
-    # the resurrect-deleted-keys bug); retain the max version number so the
-    # final merge still orders compacted-delta above base.
-    deltas = d1.unionByName(d2)
-    compacted_delta = (
-        deltas.groupBy("k")
-        .agg(F.max_by(F.struct("op", "st", "p"), F.col("ver")).alias("w"),
-             F.max("ver").alias("ver"))
-        .select("k", "w.op", "w.st", "w.p", "ver")
+    # the resurrect-deleted-keys bug).
+    compacted = (
+        d1.unionByName(d2)
+        .groupBy("k")
+        .agg(F.max_by(F.struct("op", "st", "p"), F.col("ver")).alias("w"))
+        .select("k", "w.op", "w.st", "w.p")
     )
-    return _verdict(_merge_latest(base, compacted_delta))
+    compacted.write.parquet(f"{table}/delta_1_2")
+    return _verdict(read_acid_table(spark, table))
 
 
 @register(
     "acid_major_compaction",
     oracle=_ACID_ORACLE,
     doc="MAJOR compaction (ql/txn/compactor/Worker.java, major mode): "
-    "materialize the merged snapshot as the NEW base (parquet rewrite — "
-    "tombstones and overwritten versions physically gone), then re-read "
-    "it from disk and run the same verdict aggregate. Same oracle as "
-    "acid_read_compacted: hash-equality across the write+read roundtrip "
-    "proves compaction is a pure rewrite (no row, cent, or status drifts "
-    "through the file boundary). At 100 TB the rewrite is partitioned + "
-    "bucketed on the key so post-compaction reads prune AND co-locate.",
+    "materialize the merged snapshot as the NEW base_2/ INSIDE the table "
+    "tree (parquet rewrite — tombstones and overwritten versions "
+    "physically gone), leaving the stale base_0/ and both delta dirs in "
+    "place exactly as Hive does until the cleaner runs, then re-resolve "
+    "and re-read. Same oracle as acid_read_compacted: hash-equality "
+    "across the write+read roundtrip proves compaction is a pure rewrite "
+    "AND that the resolver picks the highest base while discarding the "
+    "stale base and every delta the new base covers — the historical "
+    "AcidUtils bug class (old base_N leaking after major compaction) is "
+    "hash-visible. At 100 TB the rewrite is partitioned + bucketed on the "
+    "key so post-compaction reads prune AND co-locate.",
     tags=("workload", "acid", "compaction", "sink"),
 )
 def acid_major_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    base, d1, d2 = _acid_versions(spark, sf_dir)
-    new_base = _tmp("acid_major_base")
-    _merge_latest(base, d1, d2).write.mode("overwrite").parquet(new_base)
-    return _verdict(spark.read.parquet(new_base))
+    table = materialize_acid_layout(spark, sf_dir, _tmp("acid_major_table"))
+    read_acid_table(spark, table).write.parquet(f"{table}/base_2")
+    # Stale base_0/, delta_1_1/, delta_2_2/ still on disk: the re-read's
+    # resolution must see ONLY base_2 (highest base, all deltas <= 2).
+    return _verdict(read_acid_table(spark, table))

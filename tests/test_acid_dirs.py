@@ -1,0 +1,114 @@
+"""AcidUtils.getAcidState directory-resolution pins (round 9).
+
+The registered acid_* queries exercise resolution end-to-end over the
+derived orders history; these tests isolate each resolution RULE on tiny
+hand-built trees — the part of ql/io/AcidUtils.java with historical bugs:
+stale-base leaks after major compaction, double-reads of narrow deltas
+beside the wide delta minor compaction produced, and junk directories
+polluting the merge.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from apache_hive_1_2_2_src_spark.operators.acid import (
+    read_acid_table,
+    resolve_acid_state,
+)
+
+
+def _rows(spark, triples):
+    """(k, st, p, op) rows with the acid file schema."""
+    from decimal import Decimal
+
+    data = [(k, st, Decimal(p).quantize(Decimal("0.01")), op) for (k, st, p, op) in triples]
+    return spark.createDataFrame(
+        data, "k long, st string, p decimal(18,2), op string"
+    )
+
+
+def test_highest_base_wins_and_stale_base_ignored(spark, tmp_path):
+    """After major compaction base_0 and the covered deltas linger until
+    the cleaner runs — resolution must read ONLY the new base_5."""
+    t = str(tmp_path / "acid")
+    _rows(spark, [(1, "O", 10, "U"), (2, "O", 20, "U")]).write.parquet(f"{t}/base_0")
+    _rows(spark, [(1, "F", 11, "U")]).write.parquet(f"{t}/delta_3_3")
+    # the compacted snapshot: k=1 updated, k=2 untouched, k=3 inserted later? no —
+    # base_5 covers txns <= 5, so it already contains the delta_3_3 edit.
+    _rows(spark, [(1, "F", 11, "U"), (2, "O", 20, "U")]).write.parquet(f"{t}/base_5")
+
+    base_dir, base_txn, deltas = resolve_acid_state(spark, t)
+    assert (base_dir, base_txn) == ("base_5", 5)
+    assert deltas == []  # delta_3_3 is covered by base_5
+
+    got = {r.k: (r.st, float(r.p)) for r in read_acid_table(spark, t).collect()}
+    assert got == {1: ("F", 11.0), 2: ("O", 20.0)}
+
+
+def test_delta_after_base_still_applies(spark, tmp_path):
+    """A delta with txns ABOVE the chosen base must still merge on top."""
+    t = str(tmp_path / "acid")
+    _rows(spark, [(1, "O", 10, "U"), (2, "O", 20, "U")]).write.parquet(f"{t}/base_5")
+    _rows(spark, [(2, "X", 99, "U"), (1, "O", 10, "D")]).write.parquet(f"{t}/delta_6_6")
+
+    base_dir, base_txn, deltas = resolve_acid_state(spark, t)
+    assert base_dir == "base_5"
+    assert [d[2] for d in deltas] == ["delta_6_6"]
+
+    got = {r.k: (r.st, float(r.p)) for r in read_acid_table(spark, t).collect()}
+    assert got == {2: ("X", 99.0)}  # k=1 tombstoned by the live delta
+
+
+def test_wide_delta_preferred_over_contained_narrow_deltas(spark, tmp_path):
+    """Minor compaction leaves delta_1_1 + delta_2_2 beside delta_1_2:
+    reading narrow+wide together would double-apply every edit — the
+    resolver must select ONLY the widest range."""
+    t = str(tmp_path / "acid")
+    _rows(spark, [(1, "O", 10, "U")]).write.parquet(f"{t}/base_0")
+    _rows(spark, [(1, "A", 11, "U")]).write.parquet(f"{t}/delta_1_1")
+    _rows(spark, [(1, "B", 12, "U")]).write.parquet(f"{t}/delta_2_2")
+    _rows(spark, [(1, "B", 12, "U")]).write.parquet(f"{t}/delta_1_2")
+
+    _, _, deltas = resolve_acid_state(spark, t)
+    assert [d[2] for d in deltas] == ["delta_1_2"]
+
+    got = {r.k: r.st for r in read_acid_table(spark, t).collect()}
+    assert got == {1: "B"}
+
+
+def test_junk_dirs_ignored_and_delta_only_table_reads(spark, tmp_path):
+    """Non-acid directory names (staging, _tmp) never reach the merge —
+    the junk here has an incompatible schema, so leaking it would throw —
+    and a table with deltas but no base yet (streaming ingest) resolves."""
+    t = str(tmp_path / "acid")
+    _rows(spark, [(7, "O", 70, "U")]).write.parquet(f"{t}/delta_1_1")
+    spark.range(3).write.parquet(f"{t}/_tmp_junk")
+    spark.range(2).write.parquet(f"{t}/.hive-staging_0")
+
+    base_dir, base_txn, deltas = resolve_acid_state(spark, t)
+    assert base_dir is None and base_txn == -1
+    assert [d[2] for d in deltas] == ["delta_1_1"]
+    got = {r.k: r.st for r in read_acid_table(spark, t).collect()}
+    assert got == {7: "O"}
+
+
+def test_missing_or_empty_table_raises(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        resolve_acid_state(spark, str(tmp_path / "nope"))
+    empty = tmp_path / "empty_table"
+    empty.mkdir()
+    with pytest.raises(FileNotFoundError, match="no base"):
+        read_acid_table(spark, str(empty))
+
+
+def test_tombstone_survives_minor_compaction_semantics(spark, tmp_path):
+    """The resurrect-deleted-keys bug, on disk: a compacted delta that
+    KEEPS its tombstone must still mask the base row after resolution."""
+    t = str(tmp_path / "acid")
+    _rows(spark, [(1, "O", 10, "U"), (2, "O", 20, "U")]).write.parquet(f"{t}/base_0")
+    _rows(spark, [(1, "O", 10, "D"), (2, "Z", 21, "U")]).write.parquet(f"{t}/delta_1_2")
+
+    got = {r.k: r.st for r in read_acid_table(spark, t).collect()}
+    assert got == {2: "Z"}
