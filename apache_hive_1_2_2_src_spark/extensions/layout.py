@@ -152,6 +152,100 @@ def layout_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BITS3 = 10  # 3 dims x 10 bits = 30-bit code; top 6 bits -> 64 segments
+
+
+def _scale_expr(v: str, vmin: str, vmax: str, maxval: int) -> str:
+    """Min-max scale to [0, maxval], BIGINT-widened like _scale16_expr."""
+    d = f"(CAST({v} AS BIGINT) - CAST({vmin} AS BIGINT))"
+    r = f"(CAST({vmax} AS BIGINT) - CAST({vmin} AS BIGINT))"
+    return f"({d} * {maxval}) DIV greatest({r}, 1)"
+
+
+def morton3(sx: Column, sy: Column, sz: Column) -> Column:
+    """Interleave three 10-bit ints into a 30-bit Morton code
+    (bit 3i = x_i, 3i+1 = y_i, 3i+2 = z_i)."""
+    sx, sy, sz = sx.cast("long"), sy.cast("long"), sz.cast("long")
+    terms = []
+    for i in range(_BITS3):
+        terms.append(F.shiftleft(F.shiftright(sx, i).bitwiseAND(F.lit(1)), 3 * i))
+        terms.append(F.shiftleft(F.shiftright(sy, i).bitwiseAND(F.lit(1)), 3 * i + 1))
+        terms.append(F.shiftleft(F.shiftright(sz, i).bitwiseAND(F.lit(1)), 3 * i + 2))
+    return reduce(add, terms)
+
+
+_MORTON3_SQL = " + ".join(
+    f"(((sx >> {i}) & 1) << {3 * i}) + (((sy >> {i}) & 1) << {3 * i + 1})"
+    f" + (((sz >> {i}) & 1) << {3 * i + 2})"
+    for i in range(_BITS3)
+)
+
+
+@register(
+    "layout_zorder3d_clustering",
+    oracle=f"""
+    WITH src AS (
+      SELECT l_orderkey AS x, l_partkey AS y, l_suppkey AS z FROM lineitem
+    ),
+    ext AS (
+      SELECT MIN(x) AS xmin, MAX(x) AS xmax, MIN(y) AS ymin, MAX(y) AS ymax,
+             MIN(z) AS zmin, MAX(z) AS zmax
+      FROM src
+    ),
+    scaled AS (
+      SELECT ((x - xmin) * 1023) // greatest(xmax - xmin, 1) AS sx,
+             ((y - ymin) * 1023) // greatest(ymax - ymin, 1) AS sy,
+             ((z - zmin) * 1023) // greatest(zmax - zmin, 1) AS sz
+      FROM src, ext
+    ),
+    m AS (SELECT sx, sy, sz, ({_MORTON3_SQL}) AS morton FROM scaled)
+    SELECT CAST(morton >> 24 AS BIGINT) AS zbucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND((MAX(sx) - MIN(sx)) / 1023.0, 6) AS x_span_frac,
+           ROUND((MAX(sy) - MIN(sy)) / 1023.0, 6) AS y_span_frac,
+           ROUND((MAX(sz) - MIN(sz)) / 1023.0, 6) AS z_span_frac
+    FROM m GROUP BY zbucket
+    """,
+    doc="3-D Z-order clustering (round 9, extends the 2-D layout row): "
+    "lineitem (l_orderkey, l_partkey, l_suppkey) scaled to 10 bits each "
+    "and interleaved into a 30-bit Morton code; buckets = top 6 bits (the "
+    "64 curve segments a 64-file write produces). Fixing 6 leading bits "
+    "pins each dimension's top TWO bits, so every bucket's span is <= 1/4 "
+    "of EVERY dimension's range (+1 scaling quantum) — row-group stats "
+    "prune scans with a predicate on ANY of the three columns. Same "
+    "broadcast-bounds + codegen-bit-math shape as the 2-D query: one "
+    "metadata aggregate, one groupBy shuffle, nothing quadratic.",
+    tags=("extension", "layout", "zorder"),
+)
+def layout_zorder3d_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("x"),
+        F.col("l_partkey").alias("y"),
+        F.col("l_suppkey").alias("z"),
+    )
+    ext = li.agg(
+        F.min("x").alias("xmin"), F.max("x").alias("xmax"),
+        F.min("y").alias("ymin"), F.max("y").alias("ymax"),
+        F.min("z").alias("zmin"), F.max("z").alias("zmax"),
+    )
+    mx = 1023
+    scaled = li.crossJoin(F.broadcast(ext)).select(
+        F.expr(_scale_expr("x", "xmin", "xmax", mx)).alias("sx"),
+        F.expr(_scale_expr("y", "ymin", "ymax", mx)).alias("sy"),
+        F.expr(_scale_expr("z", "zmin", "zmax", mx)).alias("sz"),
+    )
+    m = scaled.select(
+        "sx", "sy", "sz",
+        morton3(F.col("sx"), F.col("sy"), F.col("sz")).alias("morton"),
+    )
+    return m.groupBy(F.shiftright(F.col("morton"), 24).cast("long").alias("zbucket")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round((F.max("sx") - F.min("sx")) / 1023.0, 6).alias("x_span_frac"),
+        F.round((F.max("sy") - F.min("sy")) / 1023.0, 6).alias("y_span_frac"),
+        F.round((F.max("sz") - F.min("sz")) / 1023.0, 6).alias("z_span_frac"),
+    )
+
+
 def zorder_layout(df: DataFrame, xcol: str, ycol: str, n_files: int) -> DataFrame:
     """Production z-order write recipe: attach the morton column and
     range-cluster into ``n_files`` contiguous curve segments. Caller writes

@@ -993,3 +993,65 @@ def agg_map_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("status_counts"),
         F.sum("n").cast("long").alias("total"),
     )
+
+
+@register(
+    "agg_width_bucket_histogram",
+    # Identical integer bucket math in both engines: cents are exact
+    # BIGINTs, so 1 + (c - lo) * n DIV (hi - lo) is bit-reproducible
+    # (never float width math, which drifts at bucket boundaries).
+    oracle="""
+    WITH c AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+    ),
+    b AS (
+      SELECT CASE WHEN cents < 200000 THEN 0
+                  WHEN cents >= 40000000 THEN 9
+                  ELSE CAST(1 + (cents - 200000) * 8
+                            // (40000000 - 200000) AS BIGINT)
+             END AS bucket, cents
+      FROM c
+    )
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           CAST(MIN(cents) AS BIGINT) AS min_cents,
+           CAST(MAX(cents) AS BIGINT) AS max_cents
+    FROM b GROUP BY bucket
+    """,
+    doc="width_bucket histogram bucketing (post-1.2.2 SQL-standard fn, "
+    "flipping a [-] COVERAGE row as an emulation): o_totalprice in exact "
+    "integer cents routed into 8 equal-width buckets over [2000.00, "
+    "400000.00) plus the standard underflow bucket 0 and overflow bucket "
+    "n+1 — the formula 1 + (c-lo)*n DIV (hi-lo) is pure integer codegen, "
+    "identical in both engines (Spark's NATIVE width_bucket computes the "
+    "same partition in double math; equality with the emulation is "
+    "pinned in tests/test_width_bucket.py over boundary values, where "
+    "float width math is allowed to differ only at exact bucket edges "
+    "that cents arithmetic avoids). One scan, one groupBy shuffle on a "
+    "10-value key; per-bucket counts, exact sums, and extrema certify "
+    "both boundary routings.",
+    tags=("agg", "histogram", "beyond-reference"),
+)
+def agg_width_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lo, hi, n = 200_000, 40_000_000, 8
+    c = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    bucket = (
+        F.when(F.col("cents") < lo, F.lit(0))
+        .when(F.col("cents") >= hi, F.lit(n + 1))
+        # integer DIV, not `/`: float division could round the quotient to
+        # an adjacent representable at bucket edges; DuckDB's // is exact
+        .otherwise(F.expr(f"1 + (cents - {lo}) * {n} DIV {hi - lo}"))
+    )
+    return (
+        c.withColumn("bucket", bucket.cast("int"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+            F.min("cents").cast("long").alias("min_cents"),
+            F.max("cents").cast("long").alias("max_cents"),
+        )
+    )

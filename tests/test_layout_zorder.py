@@ -145,3 +145,18 @@ def test_scale16_survives_int32_inputs_with_wide_range(spark):
     scaled = [s for _, s in got]
     assert scaled == sorted(scaled)  # monotone, no wraparound
     assert scaled[0] == 0 and scaled[-1] == 65535
+
+
+def test_zorder3d_buckets_bound_every_dimension(spark):
+    """Top-6-bit buckets of the 30-bit 3-D Morton code pin each dim's top
+    two bits: every bucket spans <= 1/4 (+1 quantum) of ALL THREE ranges."""
+    from apache_hive_1_2_2_src_spark.registry import load_all
+
+    reg = load_all()
+    rows = reg["layout_zorder3d_clustering"].build(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) > 1
+    for r in rows:
+        for dim in ("x_span_frac", "y_span_frac", "z_span_frac"):
+            assert r[dim] <= 0.25 + 2 / 1023.0, (r["zbucket"], dim, r[dim])
