@@ -57,7 +57,10 @@ HEADLINE = (
     "events_session_dynamic_gap",  # native session_window, per-event gap (r7)
     "dedup_embedding_near",  # embedding near-dup: LSH + exact verify scale path (r8)
     "layout_zorder_clustering",  # Morton-curve layout span metric (r8)
-    "acid_read_compacted",  # base+delta merge-on-read, version argmax (r8)
+    "acid_read_compacted",  # base+delta merge-on-read over a real dir tree (r8/r9)
+    "hive_bucketed_read_prune",  # Hive-bucketed write + 1-of-8-file pruned read (r9)
+    "layout_zorder3d_clustering",  # 3-D Morton layout span metric (r9)
+    "agg_width_bucket_histogram",  # integer-exact width_bucket histogram (r9)
 )
 
 # All 22 TPC-H query shapes in query order — timed as ONE sequential suite
