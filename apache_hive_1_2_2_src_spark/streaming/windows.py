@@ -832,3 +832,74 @@ def streaming_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame
         F.sum("n_ev").cast("long").alias("n_events_emitted"),
         F.min("session_start").alias("first_session_start"),
     )
+
+
+@register(
+    "streaming_acid_delta_ingest",
+    # Exactly-once through the WHOLE chain: every event lands in exactly
+    # one delta dir, resolution unions the deltas, and the merged table
+    # must reproduce the source aggregates bit-for-bit. Cents are floored
+    # from the double in BOTH engines (identical IEEE math), never summed
+    # as doubles.
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_keys,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM events
+    """,
+    doc="Streaming ingest INTO an ACID delta tree — the full "
+    "hcatalog-streaming parity (HiveEndPoint.java / TransactionBatch."
+    "java write delta_M_M/ directories per committed txn batch; "
+    "AcidUtils resolves them at read): foreachBatch writes micro-batch "
+    "i as delta_{i+1}_{i+1}/ parquet under the table root (append-only "
+    "rows keyed by the unique event_id, op='U'), the drain is split "
+    "into multiple micro-batches via maxFilesPerTrigger, and the final "
+    "read goes through resolve_acid_state + highest-version merge — so "
+    "a row lost or duplicated ANYWHERE in the chain (stream checkpoint, "
+    "delta naming, directory resolution, merge) breaks the exact "
+    "aggregates vs the batch source. The batch COUNT is deliberately "
+    "not an output (file-split-dependent); the invariants are "
+    "batch-count-independent. At scale this is Hive's streaming-ingest "
+    "model verbatim: small deltas land continuously, readers always see "
+    "a consistent merge, compaction (acid_minor/major_compaction) bounds "
+    "the delta chain.",
+    tags=("streaming", "acid", "ingest"),
+)
+def streaming_acid_delta_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_hive_1_2_2_src_spark.operators.acid import read_acid_table
+    from apache_hive_1_2_2_src_spark.sources.hive_bucketing import _hadoop_fs
+
+    base = _tmp_base("hive_spark_stream_acid_")
+    table, ckpt = os.path.join(base, "table"), os.path.join(base, "ckpt")
+    _, fs, P = _hadoop_fs(spark, table)
+    fs.delete(P(table), True)
+    fs.mkdirs(P(table))
+    inbox = _stage_events_inbox(spark, sf_dir)
+
+    def write_delta(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.select(
+                F.col("event_id").alias("k"),
+                F.col("event_type").alias("st"),
+                F.floor(F.col("value") * 100).cast("long").alias("p"),
+                F.lit("U").alias("op"),
+            ).write.parquet(f"{table}/delta_{batch_id + 1}_{batch_id + 1}")
+        )
+
+    q = (
+        _read_events_stream(spark, inbox, max_files_per_trigger=8)
+        .writeStream.foreachBatch(write_delta)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    merged = read_acid_table(spark, table)
+    return merged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("k").alias("n_keys"),
+        F.countDistinct("st").alias("n_types"),
+        F.sum("p").cast("long").alias("sum_cents"),
+    )
