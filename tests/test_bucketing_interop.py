@@ -310,3 +310,43 @@ def test_read_hive_bucketed_prunes_to_one_file(spark, tmp_path):
 
     with pytest.raises(ValueError, match="out of range"):
         read_hive_bucketed(spark, out, n, buckets=[n])
+
+
+def test_hive_string_hash_property_full_unicode(spark):
+    """Hypothesis property: for ARBITRARY unicode strings (surrogate pairs,
+    astral planes, combining marks), the Spark fold equals the Python
+    String.hashCode replica over UTF-16 code units. One batched Spark job
+    for the whole corpus."""
+    from hypothesis import given, settings, strategies as st
+
+    from apache_hive_1_2_2_src_spark.sources.hive_bucketing import (
+        hive_hash_value,
+        hive_string_hash,
+    )
+
+    corpus: list[str] = []
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.text(
+            # exclude lone surrogates (Cs): not encodable as real strings;
+            # PAIRED surrogates still appear via astral-plane codepoints
+            alphabet=st.characters(
+                min_codepoint=0x80,
+                max_codepoint=0x10FFFF,
+                exclude_categories=("Cs",),
+            ),
+            min_size=1,
+            max_size=24,
+        )
+    )
+    def collect(s: str) -> None:
+        corpus.append(s)
+
+    collect()
+    corpus = sorted(set(corpus))
+    assert corpus
+    df = spark.createDataFrame([(s,) for s in corpus], "s string")
+    got = {r.s: r.h for r in df.select("s", hive_string_hash("s").alias("h")).collect()}
+    for s in corpus:
+        assert got[s] == _java_hash(s) == hive_hash_value(s, "string"), repr(s)
