@@ -152,9 +152,13 @@ ROTATION = (
     "workload_order_cycle_time",
     "workload_yoy_growth",
     "workload_rfm_segments",
-    "workload_longest_streak",
     "workload_scd2_asof_query",
     "timeseries_ohlc_bars",
+    # window breadth (test_registry rotation policy): the r9 rotation must
+    # still cover the functions + udtf surfaces, so one never-green suite
+    # from each rides this round; workload_longest_streak and
+    # events_top_paths move to the r10 (final) rotation.
+    "str_advanced_suite",
     # events/clickstream family
     "events_session_dynamic_gap",
     "events_funnel_windowed",
@@ -163,8 +167,8 @@ ROTATION = (
     "events_cohort_ltv",
     "events_interarrival_stats",
     "events_peak_concurrency",
-    "events_top_paths",
     "events_churn_resurrection",
+    "posexplode_words",
     # dedup family stragglers
     "dedup_apply_keepers",
     "dedup_span_trim",
