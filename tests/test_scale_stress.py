@@ -241,3 +241,41 @@ def test_hierarchy_flatten_chain_rounds_log_bound(spark):
     assert len(out) == n
     assert all(out[i] == (0, i) for i in range(n))
     assert stats["rounds"] <= math.ceil(math.log2(n)) + 1, stats
+
+
+def test_semdedup_within_cluster_pairs_bounded_by_cap(spark):
+    """SemDeDup's 100 TB guarantee is that candidate-pair work is
+    O(N · cell_cap), never O(N²): with embeddings cloned 10x (dense
+    duplicate mass inside every cluster), (a) the per-cluster member cap
+    holds, and (b) clones of the SAME vector are always near-dup pairs
+    within their (shared) cluster, so at least one member of every clone
+    family must be pruned."""
+    from apache_hive_1_2_2_src_spark.registry import load_all
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    n_src = e.count()
+    overlay_dir = None
+    import tempfile
+
+    overlay_dir = tempfile.mkdtemp(prefix="semdedup_overlay_")
+    clones = e.crossJoin(
+        spark.range(N_COPIES).select(F.col("id").alias("copy"))
+    ).select(
+        (F.col("vec_id") * N_COPIES + F.col("copy")).alias("vec_id"),
+        "embedding",
+        "label",
+    )
+    clones.write.mode("overwrite").parquet(f"{overlay_dir}/embeddings.parquet")
+
+    rows = load_all()["dedup_semdedup_prune"].build(spark, overlay_dir).collect()
+    total_members = sum(r.n_members for r in rows)
+    total_removed = sum(r.n_removed for r in rows)
+    # (a) cap respected: no cluster reports more than the 128 cap
+    assert all(r.n_members <= 128 for r in rows)
+    # capped total is <= 8 clusters * 128
+    assert total_members <= 8 * 128
+    # (b) clone families are same-vector (cosine 1 >= tau) and co-cluster;
+    # within the capped membership, every family with >= 2 capped members
+    # must lose all but (at most) its single most atypical member — so
+    # removals dominate: at least half of capped members prune away.
+    assert total_removed >= total_members * 0.5, (total_removed, total_members)
