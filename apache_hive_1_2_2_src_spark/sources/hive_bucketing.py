@@ -391,3 +391,84 @@ def hive_bucketed_read_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("key_revenue"),
     )
+
+
+def hive_bucket_map_join(
+    spark: SparkSession,
+    path_a: str,
+    path_b: str,
+    n_buckets: int,
+    on_a: str,
+    on_b: str,
+) -> DataFrame:
+    """Hive's BUCKET MAP JOIN over two Hive-written flat layouts
+    (``BucketMapJoinOptimizer.java`` / ``MapJoinProcessor``): both tables
+    are CLUSTERED BY the join key INTO the same n, so bucket i of A can
+    only match bucket i of B — the join runs as n independent per-bucket
+    joins (small side broadcast per bucket) and the FACT side never
+    shuffles. This is exactly the plan Hive 1.2 picks when
+    hive.optimize.bucketmapjoin=true; here it also proves the two writers
+    routed identically — one misrouted row loses its match and breaks the
+    caller's aggregate. At 1024 buckets this is a union of 1024 map-side
+    joins; AQE coalesces the tiny tasks, and no Exchange on the key ever
+    appears (plan-asserted in tests/test_bucketing_interop.py)."""
+    parts = []
+    for b in range(n_buckets):
+        a = read_hive_bucketed(spark, path_a, n_buckets, buckets=[b])
+        bb = read_hive_bucketed(spark, path_b, n_buckets, buckets=[b])
+        parts.append(a.join(F.broadcast(bb), F.col(on_a) == F.col(on_b)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+_BMJ_BUCKETS = 8
+
+
+@register(
+    "hive_bucket_map_join",
+    # The oracle is the PLAIN join over the raw tables: hash-equality
+    # certifies that (a) both writers routed every row to the Hive bucket
+    # its key demands (a misroute loses the pair), and (b) the n
+    # per-bucket joins exactly tile the full join (no pair crosses
+    # buckets; none is double-counted).
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    doc="BUCKET MAP JOIN over Hive-written layouts (BucketMapJoinOptimizer"
+    ".java parity, completing the interop trilogy: write + pruned read + "
+    "co-located join): orders and customer are both written with "
+    "write_hive_bucketed on the customer key (kind='long' — "
+    "LongWritable.hashCode routing), then joined bucket-by-bucket (8 "
+    "independent per-bucket joins, dimension side broadcast per bucket) "
+    "with the fact side never shuffling on the key. The oracle is the "
+    "plain unbucketed join: one row misrouted by EITHER writer, or one "
+    "bucket pair skipped/doubled by the join, shifts the per-segment "
+    "counts and revenue. tests/test_bucketing_interop.py asserts the "
+    "no-shuffle plan shape.",
+    tags=("source", "bucketing", "interop", "join"),
+)
+def hive_bucket_map_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_hive_1_2_2_src_spark.sources.io import _tmp
+
+    n = _BMJ_BUCKETS
+    op, cp = _tmp("bmj_orders"), _tmp("bmj_customer")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    write_hive_bucketed(o, "o_custkey", n, op, kind="long")
+    write_hive_bucketed(c, "c_custkey", n, cp, kind="long")
+    joined = hive_bucket_map_join(spark, op, cp, n, "o_custkey", "c_custkey")
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("revenue_cents"),
+    )

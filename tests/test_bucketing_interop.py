@@ -350,3 +350,34 @@ def test_hive_string_hash_property_full_unicode(spark):
     got = {r.s: r.h for r in df.select("s", hive_string_hash("s").alias("h")).collect()}
     for s in corpus:
         assert got[s] == _java_hash(s) == hive_hash_value(s, "string"), repr(s)
+
+
+def test_bucket_map_join_plan_has_no_key_shuffle(spark, tmp_path):
+    """The bucket-map join must be a union of per-bucket BROADCAST joins:
+    no SortMergeJoin and no Exchange hash-partitioned on the join key
+    anywhere in the join subtree (the fact side never shuffles) — Hive's
+    hive.optimize.bucketmapjoin plan shape."""
+    from apache_hive_1_2_2_src_spark.sources.hive_bucketing import (
+        hive_bucket_map_join,
+        write_hive_bucketed,
+    )
+    from apache_hive_1_2_2_src_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    n = 4
+    op, cp = str(tmp_path / "o"), str(tmp_path / "c")
+    o = load_table(spark, sf, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    write_hive_bucketed(o, "o_custkey", n, op, kind="long")
+    write_hive_bucketed(c, "c_custkey", n, cp, kind="long")
+
+    joined = hive_bucket_map_join(spark, op, cp, n, "o_custkey", "c_custkey")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "hashpartitioning(o_custkey" not in plan
+    assert "hashpartitioning(c_custkey" not in plan
+
+    # and the result is exactly the plain join
+    expected = o.join(c, F.col("o_custkey") == F.col("c_custkey")).count()
+    assert joined.count() == expected
