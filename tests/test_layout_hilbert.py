@@ -1,0 +1,61 @@
+"""Hilbert layout pins (round 9).
+
+Three layers: (1) the Python reference walk IS a Hilbert curve
+(bijective, unit-step adjacent — a wrong rotation variant cannot pass);
+(2) the packed-BIGINT SQL fold equals that reference in Spark (the DuckDB
+side is equality-pinned by the registered oracle itself); (3) the
+registered query's 32 curve segments all bound BOTH dimensions.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from apache_hive_1_2_2_src_spark.extensions.layout import (
+    hilbert_fold_sql,
+    hilbert_xy2d_py,
+)
+
+
+def test_python_reference_is_a_hilbert_curve():
+    order = 5  # exhaustive 32x32 grid
+    n = 1 << order
+    pos = {}
+    for x in range(n):
+        for y in range(n):
+            d = hilbert_xy2d_py(x, y, bits=order)
+            assert d not in pos, "not injective"
+            pos[d] = (x, y)
+    assert len(pos) == n * n  # bijective onto [0, n^2)
+    for i in range(n * n - 1):
+        (x0, y0), (x1, y1) = pos[i], pos[i + 1]
+        assert abs(x0 - x1) + abs(y0 - y1) == 1, (i, pos[i], pos[i + 1])
+
+
+def test_sql_fold_matches_python_reference(spark):
+    random.seed(11)
+    pts = [(random.randrange(4096), random.randrange(4096)) for _ in range(300)]
+    pts += [(0, 0), (4095, 4095), (0, 4095), (4095, 0), (1, 0), (0, 1)]
+    df = spark.createDataFrame(pts, "sx long, sy long")
+    rows = df.selectExpr(
+        "sx", "sy", f"{hilbert_fold_sql('sx', 'sy', 'spark')} AS d"
+    ).collect()
+    for r in rows:
+        assert r.d == hilbert_xy2d_py(r.sx, r.sy), (r.sx, r.sy)
+
+
+def test_hilbert_buckets_bound_both_dimensions(spark):
+    from apache_hive_1_2_2_src_spark.registry import load_all
+
+    rows = load_all()["layout_hilbert_clustering"].build(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) > 8
+    for r in rows:
+        # a 1/32 Hilbert segment covers area 1/32 and is CONNECTED; its
+        # bounding box never spans half of either dimension (Morton's seam
+        # jumps are exactly what this rules out)
+        assert r.x_span_frac <= 0.5, (r.hbucket, r.x_span_frac)
+        assert r.y_span_frac <= 0.5, (r.hbucket, r.y_span_frac)
