@@ -455,3 +455,29 @@ def layout_hilbert_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.max("sx") - F.min("sx")) / float(_HMAX), 6).alias("x_span_frac"),
         F.round((F.max("sy") - F.min("sy")) / float(_HMAX), 6).alias("y_span_frac"),
     )
+
+
+def hilbert_layout(df: DataFrame, xcol: str, ycol: str, n_files: int) -> DataFrame:
+    """Production Hilbert write recipe (mirror of zorder_layout): attach
+    the packed Hilbert code and range-cluster into n_files contiguous —
+    and, unlike Morton, CONNECTED — curve segments. Caller writes with
+    ``.drop("__hilbert").write.parquet(...)``."""
+    ext = df.agg(
+        F.min(xcol).alias("xmin"),
+        F.max(xcol).alias("xmax"),
+        F.min(ycol).alias("ymin"),
+        F.max(ycol).alias("ymax"),
+    )
+    sx = _scale_expr(xcol, "xmin", "xmax", _HMAX)
+    sy = _scale_expr(ycol, "ymin", "ymax", _HMAX)
+    with_h = (
+        df.crossJoin(F.broadcast(ext))
+        .withColumn(
+            "__hilbert",
+            F.expr(hilbert_fold_sql(f"({sx})", f"({sy})", "spark")),
+        )
+        .drop("xmin", "xmax", "ymin", "ymax")
+    )
+    return with_h.repartitionByRange(n_files, "__hilbert").sortWithinPartitions(
+        "__hilbert"
+    )

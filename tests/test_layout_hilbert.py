@@ -59,3 +59,25 @@ def test_hilbert_buckets_bound_both_dimensions(spark):
         # jumps are exactly what this rules out)
         assert r.x_span_frac <= 0.5, (r.hbucket, r.x_span_frac)
         assert r.y_span_frac <= 0.5, (r.hbucket, r.y_span_frac)
+
+
+def test_hilbert_layout_recipe_produces_clustered_partitions(spark):
+    """The write recipe's range partitioning makes every partition a
+    contiguous Hilbert span: per-partition code ranges never overlap."""
+    from apache_hive_1_2_2_src_spark.extensions.layout import hilbert_layout
+    from apache_hive_1_2_2_src_spark.tables import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    out = hilbert_layout(li, "l_orderkey", "l_partkey", 8)
+    parts = (
+        out.select(F.spark_partition_id().alias("pid"), "__hilbert")
+        .groupBy("pid")
+        .agg(F.min("__hilbert").alias("lo"), F.max("__hilbert").alias("hi"))
+        .orderBy("lo")
+        .collect()
+    )
+    assert len(parts) > 1
+    for a, b in zip(parts, parts[1:]):
+        assert a.hi <= b.lo, (a, b)  # disjoint contiguous spans

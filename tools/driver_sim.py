@@ -108,8 +108,17 @@ def value_hash(df: pd.DataFrame) -> int:
 
 
 def main() -> int:
+    """driver_sim.py [sf_dir] [n_entries | query_name ...] — a numeric
+    second arg caps the positional prefix (the driver's shape); query
+    names instead restrict the run to exactly those queries (round 9:
+    targeted driver-fidelity checks for late registrations)."""
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    cap = int(sys.argv[2]) if len(sys.argv) > 2 else 50
+    cap, name_filter = 50, None
+    if len(sys.argv) > 2:
+        if sys.argv[2].isdigit():
+            cap = int(sys.argv[2])
+        else:
+            name_filter = sys.argv[2:]
 
     from pyspark.sql import SparkSession
 
@@ -125,7 +134,13 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
     reg = load_all()
-    names = list(reg)[:cap]
+    if name_filter is not None:
+        missing = [n for n in name_filter if n not in reg]
+        if missing:
+            raise SystemExit(f"unknown query names: {missing}")
+        names = name_filter
+    else:
+        names = list(reg)[:cap]
     n_ok = n_no_oracle = n_bad = n_err = 0
     for pos, name in enumerate(names):
         q = reg[name]
