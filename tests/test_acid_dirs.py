@@ -112,3 +112,56 @@ def test_tombstone_survives_minor_compaction_semantics(spark, tmp_path):
 
     got = {r.k: r.st for r in read_acid_table(spark, t).collect()}
     assert got == {2: "Z"}
+
+
+def test_streaming_acid_redrain_adds_no_deltas(spark, tmp_path):
+    """Exactly-once for the delta-tree ingest: a second availableNow drain
+    against the SAME checkpoint (no new inbox files) must write ZERO new
+    delta directories, and the resolved merge must be unchanged."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from apache_hive_1_2_2_src_spark.streaming.windows import (
+        _read_events_stream,
+        _stage_events_inbox,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    inbox = _stage_events_inbox(spark, sf)
+    table = str(tmp_path / "acid_stream")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(table, exist_ok=True)
+
+    def write_delta(batch_df, batch_id):
+        (
+            batch_df.select(
+                F.col("event_id").alias("k"),
+                F.col("event_type").alias("st"),
+                F.floor(F.col("value") * 100).cast("long").alias("p"),
+                F.lit("U").alias("op"),
+            ).write.parquet(f"{table}/delta_{batch_id + 1}_{batch_id + 1}")
+        )
+
+    def drain():
+        q = (
+            _read_events_stream(spark, inbox, max_files_per_trigger=8)
+            .writeStream.foreachBatch(write_delta)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    deltas_after_first = sorted(
+        d for d in os.listdir(table) if d.startswith("delta_")
+    )
+    total_first = read_acid_table(spark, table).count()
+
+    drain()  # same checkpoint, no new files: must be a no-op
+    deltas_after_second = sorted(
+        d for d in os.listdir(table) if d.startswith("delta_")
+    )
+    assert deltas_after_second == deltas_after_first
+    assert read_acid_table(spark, table).count() == total_first
