@@ -55,16 +55,8 @@ _SCALE_MAX = (1 << _BITS) - 1  # 65535
 
 
 def _scale16_expr(v: str, vmin: str, vmax: str) -> str:
-    """Min-max scale to [0, 65535], integer-only (Spark SQL DIV).
-
-    Everything is widened to BIGINT *inside* the expression: with native
-    INT32 inputs and a range above ~32767, ``(v - vmin) * 65535`` would
-    silently wrap (ANSI off) and produce garbage morton codes. The widened
-    intermediate is bounded by 2^31 * 65535 < 2^47 — far from BIGINT
-    overflow for any pair of 64-bit inputs whose difference fits int64."""
-    d = f"(CAST({v} AS BIGINT) - CAST({vmin} AS BIGINT))"
-    r = f"(CAST({vmax} AS BIGINT) - CAST({vmin} AS BIGINT))"
-    return f"({d} * {_SCALE_MAX}) DIV greatest({r}, 1)"
+    """Min-max scale to [0, 65535] — the 16-bit instance of _scale_expr."""
+    return _scale_expr(v, vmin, vmax, _SCALE_MAX)
 
 
 def morton32(sx: Column, sy: Column) -> Column:
@@ -156,7 +148,13 @@ _BITS3 = 10  # 3 dims x 10 bits = 30-bit code; top 6 bits -> 64 segments
 
 
 def _scale_expr(v: str, vmin: str, vmax: str, maxval: int) -> str:
-    """Min-max scale to [0, maxval], BIGINT-widened like _scale16_expr."""
+    """Min-max scale to [0, maxval], integer-only (Spark SQL DIV).
+
+    Everything is widened to BIGINT *inside* the expression: with native
+    INT32 inputs and a range above ~32767, ``(v - vmin) * maxval`` would
+    silently wrap (ANSI off) and produce garbage curve codes. The widened
+    intermediate is bounded by 2^31 * 65535 < 2^47 — far from BIGINT
+    overflow for any pair of 64-bit inputs whose difference fits int64."""
     d = f"(CAST({v} AS BIGINT) - CAST({vmin} AS BIGINT))"
     r = f"(CAST({vmax} AS BIGINT) - CAST({vmin} AS BIGINT))"
     return f"({d} * {maxval}) DIV greatest({r}, 1)"

@@ -432,11 +432,14 @@ def stage_payloads(spark: SparkSession, sf_dir: str, kind: str) -> str:
     here, in a separate distributed write pass, exactly where a crawler
     would have written real media. Idempotent per (process, sf, kind);
     kinds: 'bmp' (all BMP), 'img' (BMP/PPM by doc parity), 'wav'."""
+    import hashlib
     import os
 
     from apache_hive_1_2_2_src_spark.sources.io import _tmp
 
-    tag = os.path.basename(os.path.normpath(sf_dir))
+    # key on the FULL normalized path (hashed), not the basename: two data
+    # dirs named sf0.01 under different roots must not share a payload table
+    tag = hashlib.md5(os.path.normpath(sf_dir).encode()).hexdigest()[:12]
     path = _tmp(f"mm_payloads_{kind}_{tag}")
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path

@@ -731,6 +731,21 @@ def dedup_embedding_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SEMDEDUP_TAU = 0.4
 _SEMDEDUP_CAP = 128
 
+# The capped clustering is a branch point consumed THREE times (both pair
+# sides + the final membership join); without a pin Spark re-runs the
+# |N|·k centroid-assignment crossJoin for each consumer. Same
+# cache-lifetime contract as dedup._PINNED_INDEXES: at most one pinned
+# clustering per session, released on the next call.
+_PINNED_CLUSTERING: list[DataFrame] = []
+
+
+def _pin_clustering(df: DataFrame) -> DataFrame:
+    while _PINNED_CLUSTERING:
+        _PINNED_CLUSTERING.pop().unpersist(blocking=False)
+    df = df.persist()
+    _PINNED_CLUSTERING.append(df)
+    return df
+
 
 @register(
     "dedup_semdedup_prune",
@@ -805,7 +820,7 @@ def dedup_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
     )
     clustered = _nearest_cid(e, centroids).withColumnRenamed("cos", "ccos")
-    capped = (
+    capped = _pin_clustering(
         clustered.withColumn(
             "member_rk",
             F.row_number().over(Window.partitionBy("cid").orderBy("vec_id")),

@@ -885,7 +885,14 @@ def streaming_acid_delta_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("event_type").alias("st"),
                 F.floor(F.col("value") * 100).cast("long").alias("p"),
                 F.lit("U").alias("op"),
-            ).write.parquet(f"{table}/delta_{batch_id + 1}_{batch_id + 1}")
+            )
+            # overwrite, keyed by batch_id: Structured Streaming re-invokes
+            # foreachBatch with the SAME batch_id on retry/restart — the
+            # replay must clobber a half-written delta dir, not error on it
+            # (and a partial dir left behind would match _DELTA_RE and leak
+            # partial rows into every later merge).
+            .write.mode("overwrite")
+            .parquet(f"{table}/delta_{batch_id + 1}_{batch_id + 1}")
         )
 
     q = (
@@ -895,7 +902,12 @@ def streaming_acid_delta_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    if not q.awaitTermination(180):
+        # falling through would list/merge the delta tree while foreachBatch
+        # is still writing dirs into it (module convention — see the other
+        # streaming queries)
+        q.stop()
+        raise TimeoutError("acid delta ingest drain did not finish in 180s")
     merged = read_acid_table(spark, table)
     return merged.agg(
         F.count(F.lit(1)).alias("n_rows"),

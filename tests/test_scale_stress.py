@@ -254,14 +254,17 @@ def test_semdedup_within_cluster_pairs_bounded_by_cap(spark):
 
     e = load_table(spark, SF_DIR, "embeddings")
     n_src = e.count()
-    overlay_dir = None
     import tempfile
 
     overlay_dir = tempfile.mkdtemp(prefix="semdedup_overlay_")
+    # id = copy * n_src + vec_id: clone ids 0..7 stay DISTINCT original
+    # vectors, so the query's fixed-seed centroids (vec_id < 8) give the
+    # intended multi-cluster geometry (vec_id * N + copy would make all 8
+    # centroids clones of original 0 and collapse everything to one cell).
     clones = e.crossJoin(
         spark.range(N_COPIES).select(F.col("id").alias("copy"))
     ).select(
-        (F.col("vec_id") * N_COPIES + F.col("copy")).alias("vec_id"),
+        (F.col("copy") * n_src + F.col("vec_id")).alias("vec_id"),
         "embedding",
         "label",
     )
@@ -270,12 +273,16 @@ def test_semdedup_within_cluster_pairs_bounded_by_cap(spark):
     rows = load_all()["dedup_semdedup_prune"].build(spark, overlay_dir).collect()
     total_members = sum(r.n_members for r in rows)
     total_removed = sum(r.n_removed for r in rows)
-    # (a) cap respected: no cluster reports more than the 128 cap
+    # multi-cluster shape: all 8 cells populated, cap respected in each
+    assert len(rows) == 8
     assert all(r.n_members <= 128 for r in rows)
-    # capped total is <= 8 clusters * 128
     assert total_members <= 8 * 128
-    # (b) clone families are same-vector (cosine 1 >= tau) and co-cluster;
-    # within the capped membership, every family with >= 2 capped members
-    # must lose all but (at most) its single most atypical member — so
-    # removals dominate: at least half of capped members prune away.
-    assert total_removed >= total_members * 0.5, (total_removed, total_members)
+    # clone families are same-vector (cosine 1 >= tau) and co-cluster; every
+    # family with >= 2 capped members loses all but its tie-broken keeper.
+    # Worst capped mix (cluster of ~70 originals -> 58 two-member families)
+    # still removes >= 40% of capped members; denser mixes remove more.
+    assert total_removed >= total_members * 0.4, (total_removed, total_members)
+    # and every cluster with duplicate mass actually pruned something
+    for r in rows:
+        if r.n_members >= 2 * (n_src // 8):  # has clone families in the cap
+            assert r.n_removed > 0, r
