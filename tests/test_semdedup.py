@@ -56,3 +56,40 @@ def test_semdedup_removes_more_typical_member(spark, tmp_path):
         r = got[cid]
         assert (r.n_members, r.n_removed, r.n_kept) == (1, 0, 1)
         assert r.kept_id_sum == cid
+
+
+def test_clustering_pin_lifetime(spark):
+    """At most ONE pinned clustering per session: a second call releases
+    the first (the dedup-module cache-lifetime contract)."""
+    from apache_hive_1_2_2_src_spark.extensions import similarity as sim
+
+    df1 = spark.range(3).persist()  # stand-ins; _pin_clustering persists
+    df1.unpersist()
+    a = sim._pin_clustering(spark.range(4))
+    assert len(sim._PINNED_CLUSTERING) == 1 and sim._PINNED_CLUSTERING[0] is a
+    b = sim._pin_clustering(spark.range(5))
+    assert len(sim._PINNED_CLUSTERING) == 1 and sim._PINNED_CLUSTERING[0] is b
+    assert a.storageLevel.useMemory is False  # released
+    assert b.storageLevel.useMemory is True
+    sim._PINNED_CLUSTERING.pop().unpersist(blocking=False)
+
+
+def test_stage_payloads_distinct_dirs_same_basename(spark, tmp_path):
+    """Two data dirs with the SAME basename must not share a staged
+    payload table (round-9 review finding: the cache key was the
+    basename)."""
+    import pyspark.sql.functions as F
+
+    from apache_hive_1_2_2_src_spark.extensions.multimodal import stage_payloads
+    from apache_hive_1_2_2_src_spark.tables import load_table
+
+    src = load_table(spark, "/root/testdata/sf0.001", "documents")
+    a_dir, b_dir = tmp_path / "a" / "sfX", tmp_path / "b" / "sfX"
+    src.filter(F.col("doc_id") < 10).write.parquet(f"{a_dir}/documents.parquet")
+    src.filter(F.col("doc_id") < 30).write.parquet(f"{b_dir}/documents.parquet")
+
+    pa = stage_payloads(spark, str(a_dir), "bmp")
+    pb = stage_payloads(spark, str(b_dir), "bmp")
+    assert pa != pb
+    assert spark.read.parquet(pa).count() == 10
+    assert spark.read.parquet(pb).count() == 30
