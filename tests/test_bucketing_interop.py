@@ -381,3 +381,30 @@ def test_bucket_map_join_plan_has_no_key_shuffle(spark, tmp_path):
     # and the result is exactly the plain join
     expected = o.join(c, F.col("o_custkey") == F.col("c_custkey")).count()
     assert joined.count() == expected
+
+
+def test_write_hive_bucketed_routes_non_ascii_keys(spark, tmp_path):
+    """End-to-end writer check on a non-Latin corpus: every row lands in
+    the file its UTF-16 Java hash demands (the round-8 ascii() fold would
+    misroute ALL of these keys)."""
+    from apache_hive_1_2_2_src_spark.sources.hive_bucketing import (
+        read_hive_bucketed,
+        write_hive_bucketed,
+    )
+
+    keys = ["日本語", "中文分桶键", "ключ", "naïve", "café", "𝄞clef",
+            "ünïcode", "絵文字🚀", "한국어", "ελληνικά"]
+    src = spark.createDataFrame(
+        [(i, keys[i % len(keys)]) for i in range(200)], "id long, k string"
+    )
+    out = str(tmp_path / "unicode_buckets")
+    n = 8
+    write_hive_bucketed(src, "k", n, out, kind="string")
+
+    total = 0
+    for b in range(n):
+        rows = read_hive_bucketed(spark, out, n, buckets=[b]).collect()
+        total += len(rows)
+        for r in rows:
+            assert (_java_hash(r.k) % (1 << 31)) % n == b, (r.k, b)
+    assert total == 200
