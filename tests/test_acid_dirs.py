@@ -165,3 +165,46 @@ def test_streaming_acid_redrain_adds_no_deltas(spark, tmp_path):
     )
     assert deltas_after_second == deltas_after_first
     assert read_acid_table(spark, table).count() == total_first
+
+
+def test_resolution_matches_python_replay_on_random_trees(spark, tmp_path):
+    """Hypothesis-style randomized trees (deterministic seed): resolution
+    over arbitrary base/delta layouts must equal a Python replay of the
+    AcidUtils rules — highest base, live deltas sorted (min ASC, max
+    DESC), skip ranges covered by the running max."""
+    import random
+
+    rng = random.Random(42)
+    for trial in range(12):
+        t = str(tmp_path / f"acid_{trial}")
+        n_bases = rng.randrange(0, 3)
+        bases = sorted(rng.sample(range(0, 20, 2), n_bases)) if n_bases else []
+        deltas = set()
+        for _ in range(rng.randrange(1, 6)):
+            lo = rng.randrange(1, 22)
+            hi = lo + rng.randrange(0, 4)
+            deltas.add((lo, hi))
+        for bn in bases:
+            _rows(spark, [(1, f"b{bn}", bn, "U")]).write.parquet(f"{t}/base_{bn}")
+        for lo, hi in deltas:
+            _rows(spark, [(1, f"d{lo}_{hi}", hi, "U")]).write.parquet(
+                f"{t}/delta_{lo}_{hi}"
+            )
+
+        # python replay of the documented rules
+        base_txn = max(bases) if bases else -1
+        live = sorted(
+            (d for d in deltas if d[1] > base_txn), key=lambda d: (d[0], -d[1])
+        )
+        chosen, covered = [], base_txn
+        for lo, hi in live:
+            if hi <= covered:
+                continue
+            chosen.append((lo, hi))
+            covered = hi
+
+        base_dir, got_txn, got_deltas = resolve_acid_state(spark, t)
+        assert got_txn == base_txn, (trial, bases, deltas)
+        assert [(a, b) for a, b, _ in got_deltas] == chosen, (trial, bases, deltas)
+        if bases:
+            assert base_dir == f"base_{base_txn}"
