@@ -81,3 +81,60 @@ def test_hilbert_layout_recipe_produces_clustered_partitions(spark):
     assert len(parts) > 1
     for a, b in zip(parts, parts[1:]):
         assert a.hi <= b.lo, (a, b)  # disjoint contiguous spans
+
+
+def test_hilbert_beats_morton_on_row_balanced_range_splits(spark):
+    """Where the locality advantage actually lives: ALIGNED top-bit
+    segments tile identically for both curves (measured equal), but the
+    write recipe's row-balanced repartitionByRange cuts the curve at
+    arbitrary code boundaries — a Morton cut can straddle the seam and
+    produce a file spanning ~the whole x range, while every Hilbert range
+    is connected. Measured on sf0.01 lineitem, 32 files: Morton worst
+    combined span ≈1.16, Hilbert ≈0.50."""
+    from apache_hive_1_2_2_src_spark.extensions.layout import (
+        _scale_expr,
+        hilbert_fold_sql,
+        morton32,
+    )
+    from apache_hive_1_2_2_src_spark.tables import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.01", "lineitem").select(
+        F.col("l_orderkey").alias("x"), F.col("l_partkey").alias("y")
+    )
+    ext = li.agg(
+        F.min("x").alias("xmin"), F.max("x").alias("xmax"),
+        F.min("y").alias("ymin"), F.max("y").alias("ymax"),
+    )
+    sc = li.crossJoin(F.broadcast(ext)).select(
+        F.expr(_scale_expr("x", "xmin", "xmax", 4095)).alias("sx"),
+        F.expr(_scale_expr("y", "ymin", "ymax", 4095)).alias("sy"),
+    )
+    both = sc.select(
+        "sx", "sy",
+        morton32(F.col("sx"), F.col("sy")).alias("m"),
+        F.expr(hilbert_fold_sql("sx", "sy", "spark")).alias("h"),
+    ).cache()
+    try:
+        spans = {}
+        for code in ("m", "h"):
+            parts = (
+                both.repartitionByRange(32, F.col(code))
+                .select(F.spark_partition_id().alias("pid"), "sx", "sy")
+                .groupBy("pid")
+                .agg(
+                    (
+                        (F.max("sx") - F.min("sx")) / 4095.0
+                        + (F.max("sy") - F.min("sy")) / 4095.0
+                    ).alias("s")
+                )
+                .collect()
+            )
+            vals = [r.s for r in parts]
+            spans[code] = (sum(vals) / len(vals), max(vals))
+        m_avg, m_max = spans["m"]
+        h_avg, h_max = spans["h"]
+        assert h_max <= 0.65, spans       # every Hilbert file stays compact
+        assert m_max >= 0.90, spans       # a Morton file straddles the seam
+        assert h_avg < m_avg, spans
+    finally:
+        both.unpersist()
