@@ -413,9 +413,12 @@ _HILBERT_ORACLE = f"""
     "layout_hilbert_clustering",
     oracle=_HILBERT_ORACLE,
     doc="Hilbert-curve clustering layout (round 9 — the locality upgrade "
-    "over Morton: a contiguous Hilbert segment is a CONNECTED compact "
-    "region, no Morton seam jumps, so the same 32-file segmentation "
-    "yields tighter per-file bounding boxes on average): lineitem keys "
+    "over Morton: every contiguous Hilbert range is a CONNECTED compact "
+    "region. Measured: ALIGNED top-bit segments — what this query "
+    "reports — tile identically to Morton's, but production file splits "
+    "cut the curve at arbitrary row-balanced boundaries, where Morton's "
+    "seam-straddling worst file spans ~the whole x range and Hilbert's "
+    "stays 2.3x tighter — tests/test_layout_hilbert.py): lineitem keys "
     "min-max scaled to 12 bits, the classic rotate/flip xy->d walk run "
     "as a packed-BIGINT fold (sequential state per level — identical "
     "integer arithmetic in Spark aggregate() and DuckDB list_reduce(), "
