@@ -408,3 +408,41 @@ def test_write_hive_bucketed_routes_non_ascii_keys(spark, tmp_path):
         for r in rows:
             assert (_java_hash(r.k) % (1 << 31)) % n == b, (r.k, b)
     assert total == 200
+
+
+def test_multi_bucket_pruned_read_and_sparse_bucket_map_join(spark, tmp_path):
+    """Edge coverage for the interop read path: (a) a multi-bucket pruned
+    read opens exactly the requested files with exact membership; (b) the
+    bucket-map join stays exact when n_buckets exceeds the distinct key
+    count (most per-bucket joins run over EMPTY schema-bearing files)."""
+    from apache_hive_1_2_2_src_spark.sources.hive_bucketing import (
+        hive_bucket_map_join,
+        hive_bucket_of,
+        read_hive_bucketed,
+        write_hive_bucketed,
+    )
+
+    n = 8
+    left = spark.createDataFrame(
+        [(i, i % 3, f"L{i}") for i in range(60)], "id long, k long, tag string"
+    )
+    right = spark.createDataFrame(
+        [(j, f"R{j}") for j in range(3)], "rk long, rtag string"
+    )
+    lp, rp = str(tmp_path / "l"), str(tmp_path / "r")
+    write_hive_bucketed(left, "k", n, lp, kind="long")
+    write_hive_bucketed(right, "rk", n, rp, kind="long")
+
+    # (a) multi-bucket read: exactly 2 files, only keys hashing there
+    bsel = sorted({hive_bucket_of(0, n, "long"), hive_bucket_of(1, n, "long")})
+    pruned = read_hive_bucketed(spark, lp, n, buckets=bsel)
+    assert len(pruned.inputFiles()) == len(bsel)
+    for r in pruned.select("k").distinct().collect():
+        assert hive_bucket_of(r.k, n, "long") in bsel
+
+    # (b) sparse join: 3 distinct keys over 8 buckets — empty buckets must
+    # contribute nothing and lose nothing
+    joined = hive_bucket_map_join(spark, lp, rp, n, "k", "rk")
+    assert joined.count() == 60  # every left row matches its dimension row
+    got = {(r.id, r.rtag) for r in joined.select("id", "rtag").collect()}
+    assert got == {(i, f"R{i % 3}") for i in range(60)}
