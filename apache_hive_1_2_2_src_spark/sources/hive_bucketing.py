@@ -411,7 +411,26 @@ def hive_bucket_map_join(
     routed identically — one misrouted row loses its match and breaks the
     caller's aggregate. At 1024 buckets this is a union of 1024 map-side
     joins; AQE coalesces the tiny tasks, and no Exchange on the key ever
-    appears (plan-asserted in tests/test_bucketing_interop.py)."""
+    appears (plan-asserted in tests/test_bucketing_interop.py).
+
+    Both layouts must have exactly ``n_buckets`` positional files —
+    verified up front: joining an m-bucketed layout as n-bucketed would
+    silently lose every pair whose two hashes disagree mod m vs mod n
+    (Hive raises the same error via CLUSTERED BY metadata)."""
+    spark_ = spark
+    _, fs, P = _hadoop_fs(spark_, path_a)
+    for side, path in (("left", path_a), ("right", path_b)):
+        found = sorted(
+            st.getPath().getName()
+            for st in fs.listStatus(P(path))
+            if st.getPath().getName().endswith("_0")
+        )
+        want = [f"{b:06d}_0" for b in range(n_buckets)]
+        if found != want:
+            raise ValueError(
+                f"{side} layout at {path} is not {n_buckets}-bucketed: "
+                f"found {len(found)} positional files"
+            )
     parts = []
     for b in range(n_buckets):
         a = read_hive_bucketed(spark, path_a, n_buckets, buckets=[b])

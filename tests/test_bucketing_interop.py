@@ -446,3 +446,22 @@ def test_multi_bucket_pruned_read_and_sparse_bucket_map_join(spark, tmp_path):
     assert joined.count() == 60  # every left row matches its dimension row
     got = {(r.id, r.rtag) for r in joined.select("id", "rtag").collect()}
     assert got == {(i, f"R{i % 3}") for i in range(60)}
+
+
+def test_bucket_map_join_rejects_mismatched_bucket_counts(spark, tmp_path):
+    """Joining an m-bucketed layout as n-bucketed silently loses pairs —
+    the join must refuse a layout whose positional file count disagrees."""
+    import pytest
+
+    from apache_hive_1_2_2_src_spark.sources.hive_bucketing import (
+        hive_bucket_map_join,
+        write_hive_bucketed,
+    )
+
+    a = spark.createDataFrame([(i, i) for i in range(20)], "k long, v long")
+    b = spark.createDataFrame([(i, i) for i in range(4)], "rk long, w long")
+    ap, bp = str(tmp_path / "a"), str(tmp_path / "b")
+    write_hive_bucketed(a, "k", 8, ap, kind="long")
+    write_hive_bucketed(b, "rk", 4, bp, kind="long")  # DIFFERENT n
+    with pytest.raises(ValueError, match="not 8-bucketed"):
+        hive_bucket_map_join(spark, ap, bp, 8, "k", "rk")

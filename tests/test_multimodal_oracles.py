@@ -215,3 +215,37 @@ def test_wav_codec_roundtrip_hand_computed():
     )
     with _pytest.raises(ValueError):
         decode_wav_pcm16(bad)
+
+
+def test_codecs_fail_loudly_on_corrupt_payloads():
+    """The decode kernels must never pass fake stats for bytes they cannot
+    parse: truncated/garbled payloads raise ValueError (pure-Python check,
+    same functions the mapInPandas kernels call)."""
+    import pytest
+
+    from apache_hive_1_2_2_src_spark.extensions.multimodal import (
+        decode_bmp24,
+        decode_image,
+        decode_ppm,
+        decode_wav_pcm16,
+        encode_bmp24,
+        encode_wav_pcm16,
+    )
+
+    with pytest.raises(ValueError):
+        decode_image(b"GIF89a....")  # unsupported magic
+    with pytest.raises(ValueError):
+        decode_wav_pcm16(b"RIFF\x00\x00\x00\x00NOPE")  # not WAVE
+    with pytest.raises(ValueError):
+        decode_ppm(b"P6\n4 4\n65535\n" + b"\x00" * 48)  # bad maxval
+    with pytest.raises(ValueError):
+        decode_ppm(b"P6\n100 100\n255\n\x00\x00")  # truncated pixels
+    good_bmp = encode_bmp24(4, 3, lambda x, y: (1, 2, 3))
+    with pytest.raises(ValueError):
+        decode_bmp24(good_bmp[:20])  # truncated header
+    wav = encode_wav_pcm16(8000, 1, [(0,), (5,)])
+    # fmt chunk advertising 8-bit audio must be rejected, not misread
+    broken = bytearray(wav)
+    broken[34] = 8  # bits-per-sample field inside fmt
+    with pytest.raises(ValueError):
+        decode_wav_pcm16(bytes(broken))
