@@ -152,12 +152,36 @@ def _scale_expr(v: str, vmin: str, vmax: str, maxval: int) -> str:
 
     Everything is widened to BIGINT *inside* the expression: with native
     INT32 inputs and a range above ~32767, ``(v - vmin) * maxval`` would
-    silently wrap (ANSI off) and produce garbage curve codes. The widened
-    intermediate is bounded by 2^31 * 65535 < 2^47 — far from BIGINT
-    overflow for any pair of 64-bit inputs whose difference fits int64."""
+    silently wrap (ANSI off) and produce garbage curve codes. Widening
+    makes the expression exact for any INT32 column (intermediate bounded
+    by 2^32 * 65535 < 2^48), but NOT for arbitrary BIGINT columns: once
+    ``vmax - vmin`` exceeds ``(2^63 - 1) DIV maxval`` (~2^47 at the 16-bit
+    scale) the product itself wraps int64 and the codes are garbage with no
+    error. Callers that cannot bound the column range statically must check
+    it first — the public write recipes (``zorder_layout`` /
+    ``hilbert_layout``) collect the one-row extent and go through
+    ``_check_scale_range``, which raises instead of wrapping."""
     d = f"(CAST({v} AS BIGINT) - CAST({vmin} AS BIGINT))"
     r = f"(CAST({vmax} AS BIGINT) - CAST({vmin} AS BIGINT))"
     return f"({d} * {maxval}) DIV greatest({r}, 1)"
+
+
+def _check_scale_range(bounds: dict, maxval: int) -> None:
+    """Refuse ranges whose ``(v - vmin) * maxval`` would wrap int64.
+
+    ``bounds`` maps names to python ints/None (one collected extent row);
+    checked pairwise as (xmin, xmax), (ymin, ymax), ... in key order."""
+    limit = ((1 << 63) - 1) // maxval
+    vals = list(bounds.items())
+    for (lo_k, lo), (hi_k, hi) in zip(vals[::2], vals[1::2]):
+        if lo is None or hi is None:
+            raise ValueError(f"curve layout: all-NULL key column ({lo_k}/{hi_k})")
+        if int(hi) - int(lo) > limit:
+            raise ValueError(
+                f"curve layout: range of {lo_k[:-3]} is {int(hi) - int(lo)}, "
+                f"above the int64-safe limit {limit} for a {maxval + 1}-cell "
+                "grid; rescale the key (e.g. DIV a constant) first"
+            )
 
 
 def morton3(sx: Column, sy: Column, sz: Column) -> Column:
@@ -248,19 +272,30 @@ def zorder_layout(df: DataFrame, xcol: str, ycol: str, n_files: int) -> DataFram
     """Production z-order write recipe: attach the morton column and
     range-cluster into ``n_files`` contiguous curve segments. Caller writes
     with ``.drop("__morton").write.parquet(...)`` (or keeps the column).
-    The scaling bounds come from one metadata-sized aggregate."""
-    ext = df.agg(
+
+    The scaling bounds come from one metadata-sized aggregate that is
+    COLLECTED (one row, four longs — negligible at any scale): driver-side
+    bounds let us refuse key ranges wide enough to wrap the int64 scaling
+    arithmetic (see ``_scale_expr``) instead of silently producing garbage
+    codes, and inlining them as literals drops the broadcast-crossJoin from
+    the per-row path. The function therefore triggers one Spark job when
+    called — fine for a write recipe."""
+    b = df.agg(
         F.min(xcol).alias("xmin"),
         F.max(xcol).alias("xmax"),
         F.min(ycol).alias("ymin"),
         F.max(ycol).alias("ymax"),
-    )
+    ).first()
+    _check_scale_range(b.asDict(), _SCALE_MAX)
     with_z = (
-        df.crossJoin(F.broadcast(ext))
-        .withColumn("__sx", F.expr(_scale16_expr(xcol, "xmin", "xmax")))
-        .withColumn("__sy", F.expr(_scale16_expr(ycol, "ymin", "ymax")))
+        df.withColumn(
+            "__sx", F.expr(_scale16_expr(xcol, str(b["xmin"]), str(b["xmax"])))
+        )
+        .withColumn(
+            "__sy", F.expr(_scale16_expr(ycol, str(b["ymin"]), str(b["ymax"])))
+        )
         .withColumn("__morton", morton32(F.col("__sx"), F.col("__sy")))
-        .drop("xmin", "xmax", "ymin", "ymax", "__sx", "__sy")
+        .drop("__sx", "__sy")
     )
     return with_z.repartitionByRange(n_files, "__morton").sortWithinPartitions(
         "__morton"
@@ -462,22 +497,22 @@ def hilbert_layout(df: DataFrame, xcol: str, ycol: str, n_files: int) -> DataFra
     """Production Hilbert write recipe (mirror of zorder_layout): attach
     the packed Hilbert code and range-cluster into n_files contiguous —
     and, unlike Morton, CONNECTED — curve segments. Caller writes with
-    ``.drop("__hilbert").write.parquet(...)``."""
-    ext = df.agg(
+    ``.drop("__hilbert").write.parquet(...)``. Like ``zorder_layout``, the
+    one-row extent is collected so over-wide key ranges raise
+    (``_check_scale_range``) instead of wrapping int64, and the bounds are
+    inlined as literals (no crossJoin on the per-row path)."""
+    b = df.agg(
         F.min(xcol).alias("xmin"),
         F.max(xcol).alias("xmax"),
         F.min(ycol).alias("ymin"),
         F.max(ycol).alias("ymax"),
-    )
-    sx = _scale_expr(xcol, "xmin", "xmax", _HMAX)
-    sy = _scale_expr(ycol, "ymin", "ymax", _HMAX)
-    with_h = (
-        df.crossJoin(F.broadcast(ext))
-        .withColumn(
-            "__hilbert",
-            F.expr(hilbert_fold_sql(f"({sx})", f"({sy})", "spark")),
-        )
-        .drop("xmin", "xmax", "ymin", "ymax")
+    ).first()
+    _check_scale_range(b.asDict(), _HMAX)
+    sx = _scale_expr(xcol, str(b["xmin"]), str(b["xmax"]), _HMAX)
+    sy = _scale_expr(ycol, str(b["ymin"]), str(b["ymax"]), _HMAX)
+    with_h = df.withColumn(
+        "__hilbert",
+        F.expr(hilbert_fold_sql(f"({sx})", f"({sy})", "spark")),
     )
     return with_h.repartitionByRange(n_files, "__hilbert").sortWithinPartitions(
         "__hilbert"

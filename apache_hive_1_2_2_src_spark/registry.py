@@ -105,82 +105,148 @@ QUERY_MODULES = (
 # COVERAGE.md). Everything not listed follows in registration order,
 # oracled queries before rows-only ones. A PRIORITY name that doesn't
 # exist is a hard error (phantom-entry guard, mirroring QUERY_MODULES).
-SENTINELS = (
+# Round-10 FINAL rotation (COVERAGE.md r10 plan, frozen in r9 and
+# re-derived this round from the CORRECTNESS_r01–r09 union — the recount
+# matches the frozen list name-for-name): SENTINELS shrinks to the flagship
+# alone and ALL 49 never-driver-green queries ride the rotation. After r10
+# grades green, every one of the 293 registered queries has a driver-green
+# CORRECTNESS row and PRIORITY reverts to STABLE_WINDOW below.
+# Registration stays frozen at 293 until certification completes.
+SENTINELS = ("q1_pricing_summary",)
+
+ROTATION = (
+    # round-9 registrations + the two suites deferred from r9
+    "agg_width_bucket_histogram",
+    "workload_longest_streak",
+    "events_top_paths",
+    "hive_bucketed_read_prune",
+    "hive_bucket_map_join",
+    # scalar-function suites (date / math / misc)
+    "date_format_suite",
+    "date_tz_suite",
+    "nondeterministic_fns_invariants",
+    "math_int_bits_suite",
+    "math_compare_ops",
+    "math_conv_suite",
+    "str_parse_url",
+    "str_to_map_extract",
+    "str_misc_rows_only",
+    "udf_pandas_scalar_demo",
+    "script_transform_mapinpandas",
+    "hash_misc_rows_only",
+    "str_leftover_fns",
+    # generator / UDTF breadth
+    "explode_map_kv",
+    "inline_structs",
+    "parse_url_tuple",
+    # collection suites
+    "collection_array_suite",
+    "collection_map_suite",
+    "collection_struct_suite",
+    # windows + streaming set
+    "window_sliding_agg",
+    "streaming_ingest_demo",
+    "streaming_stateful_user_agg",
+    "window_multires_rollup",
+    "streaming_dedup_exact",
+    "streaming_partitioned_ingest",
+    "streaming_session_dynamic_gap",
+    "streaming_acid_delta_ingest",
+    # similarity / embedding tail
+    "embedding_quantize_audit",
+    "similarity_ann_ivf_probe2",
+    "dedup_semdedup_prune",
+    # text-analysis tail
+    "text_contamination_check",
+    "pipeline_dataset_card",
+    "text_vocab_growth_curve",
+    "text_zipf_rank_frequency",
+    "text_collocations_pmi",
+    # multimodal codecs
+    "multimodal_decode_bmp",
+    "multimodal_decode_sniff",
+    "multimodal_size_filter",
+    # layout curves (round-9)
+    "layout_zorder3d_clustering",
+    "layout_hilbert_clustering",
+    # sampling / packing set
+    "sample_stratified_by_source",
+    "sample_temperature_mix",
+    "pipeline_shard_assign",
+    "sample_mixture_allocate",
+)
+
+# Post-certification STABLE window (r11+). Once CORRECTNESS_r10 lands
+# 50/50, flip PRIORITY to STABLE_WINDOW: a fixed breadth-first set that
+# keeps every SURVEY §2 subsection plus the scale showcases under
+# continuous external grading, ordered newest-/riskiest-code first so
+# regressions in recent work surface immediately. One-two representatives
+# per surface, all oracled; tests/test_registry.py guards the tuple
+# (exists-in-registry, 50 unique, surface breadth). First substitutes if a
+# slot ever retires: pipeline_release_gate, pipeline_curate.
+STABLE_WINDOW = (
+    # flagship + TPC-H shapes
     "q1_pricing_summary",
+    "workload_product_profit",
     "flagship_sql_text",
-    "join_three_way",
-    "agg_grouping_sets",
-    "window_row_number_topk",
+    # newest machinery (r8-r9): ACID, Hive-bucket interop, curves, dedup
+    "acid_read_compacted",
+    "streaming_acid_delta_ingest",
+    "hive_bucket_id_compat",
+    "hive_bucketed_read_prune",
+    "hive_bucket_map_join",
     "bucketed_smb_join",
+    "layout_hilbert_clustering",
+    "layout_zorder_clustering",
+    "dedup_semdedup_prune",
+    "dedup_embedding_near",
+    "pipeline_publish_shards",
+    # §2.3 joins
+    "join_three_way",
+    "join_asof",
+    "join_salted_skew",
+    "subquery_not_in_null_trap",
+    # §2.4 aggregates
+    "agg_grouping_sets",
+    "agg_percentile_approx",
+    "agg_hll_sketch_rollup",
+    "agg_regression_exact",
+    # §2.5 windows/PTF
+    "window_row_number_topk",
+    "window_time_range_frame",
+    "ptf_matchpath_grammar",
+    "window_session_agg",
+    # §2.6/2.7 sort/sample/set
+    "sort_by_distribute_by",
+    "tablesample_bucket",
+    "set_ops_all_bag",
+    # §2.8/2.9 functions/UDTF
+    "str_advanced_suite",
+    "date_format_suite",
+    "collection_array_suite",
+    "lateral_view_sql",
+    "udf_pandas_scalar_demo",
+    # §2.2 sources/sinks
+    "csv_quoted_roundtrip",
+    "json_permissive_parse",
+    "partitioned_write_prune",
+    "compact_small_files",
+    # §2.10 streaming
+    "streaming_watermark_window",
+    "streaming_foreachbatch_upsert",
+    # §2.12 catalog
     "ddl_lifecycle",
-    "window_tumbling_agg",
+    "msck_repair_partitions",
+    # LLM-pipeline showcases
     "dedup_minhash_lsh",
     "dedup_clusters",
+    "dedup_substring_spans",
+    "text_tfidf_cosine",
+    "similarity_cosine_topk",
+    "similarity_ann_lsh_signbits",
+    "text_contamination_check",
+    "sample_token_budget",
 )
-
-# Round-9 rotation (COVERAGE.md r9 plan): 40 of the 82 queries that have
-# never earned a driver-green CORRECTNESS row after r8 — leading with the
-# 8 round-8 registrations (ACID trio, embedding near-dup, z-order layout,
-# publish capstone, WAV codec, hive bucket-hash interop), then the round-7
-# aggregate/workload/events/dedup stragglers. All 40 slots are oracled;
-# the remaining 42 rotate in r10 (the final rotation — after it, every
-# registered query has a driver-green row and the window reverts to a
-# stable breadth-first sentinel set). (r8 window: see git history /
-# CORRECTNESS_r08.json — 50/50 green.)
-ROTATION = (
-    # round-8 registrations (newest code, never externally graded)
-    "acid_read_compacted",
-    "acid_minor_compaction",
-    "acid_major_compaction",
-    "dedup_embedding_near",
-    "layout_zorder_clustering",
-    "pipeline_publish_shards",
-    "multimodal_decode_wav",
-    "hive_bucket_id_compat",
-    # round-7 aggregate family stragglers
-    "agg_ratio_to_parent",
-    "agg_regression_exact",
-    "agg_map_canonical",
-    "set_ops_all_bag",
-    "profile_columns_unpivot",
-    # workload stragglers (CDC merge, recursive hierarchy, time-travel, ABC,
-    # SLA, YoY, RFM, streaks, SCD2-as-of, OHLC)
-    "workload_cdc_merge",
-    "workload_hierarchy_flatten",
-    "workload_open_orders_asof",
-    "workload_pareto_abc",
-    "workload_order_cycle_time",
-    "workload_yoy_growth",
-    "workload_rfm_segments",
-    "workload_scd2_asof_query",
-    "timeseries_ohlc_bars",
-    # window breadth (test_registry rotation policy): the r9 rotation must
-    # still cover the functions + udtf surfaces, so one never-green suite
-    # from each rides this round; workload_longest_streak and
-    # events_top_paths move to the r10 (final) rotation.
-    "str_advanced_suite",
-    # events/clickstream family
-    "events_session_dynamic_gap",
-    "events_funnel_windowed",
-    "events_anomaly_exact",
-    "events_markov_transitions",
-    "events_cohort_ltv",
-    "events_interarrival_stats",
-    "events_peak_concurrency",
-    "events_churn_resurrection",
-    "posexplode_words",
-    # dedup family stragglers
-    "dedup_apply_keepers",
-    "dedup_span_trim",
-    "dedup_blocklist_bloom",
-    "dedup_levenshtein_blocked",
-    "dedup_keep_longest",
-    "dedup_cross_source_report",
-    # pipeline / text stragglers
-    "pipeline_release_gate",
-    "text_url_canonical_dedup",
-)
-
 PRIORITY = SENTINELS + ROTATION
 
 

@@ -433,9 +433,21 @@ def hive_bucket_map_join(
             )
     parts = []
     for b in range(n_buckets):
-        a = read_hive_bucketed(spark, path_a, n_buckets, buckets=[b])
-        bb = read_hive_bucketed(spark, path_b, n_buckets, buckets=[b])
-        parts.append(a.join(F.broadcast(bb), F.col(on_a) == F.col(on_b)))
+        # Alias the two sides so the join resolves even when both layouts
+        # use the SAME key column name (the common CLUSTERED BY setup):
+        # a bare F.col(on_a) == F.col(on_b) is ambiguous in that case.
+        a = read_hive_bucketed(spark, path_a, n_buckets, buckets=[b]).alias("__bmj_l")
+        bb = read_hive_bucketed(spark, path_b, n_buckets, buckets=[b]).alias("__bmj_r")
+        joined = a.join(
+            F.broadcast(bb),
+            F.col(f"__bmj_l.{on_a}") == F.col(f"__bmj_r.{on_b}"),
+        )
+        if on_a == on_b:
+            # Equi-join on a shared column name: keep one copy of the key
+            # (the values are equal by the join condition) so the result
+            # has unique column names and the per-bucket unionByName works.
+            joined = joined.drop(F.col(f"__bmj_r.{on_b}"))
+        parts.append(joined)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

@@ -465,3 +465,28 @@ def test_bucket_map_join_rejects_mismatched_bucket_counts(spark, tmp_path):
     write_hive_bucketed(b, "rk", 4, bp, kind="long")  # DIFFERENT n
     with pytest.raises(ValueError, match="not 8-bucketed"):
         hive_bucket_map_join(spark, ap, bp, 8, "k", "rk")
+
+
+def test_bucket_map_join_same_key_column_name(spark, tmp_path):
+    """The common CLUSTERED BY setup uses the SAME key column name on both
+    sides; the per-bucket join condition must resolve via the side aliases
+    instead of raising AnalysisException on the ambiguous bare column
+    (round-9 ADVICE item — public-API surface only, so pinned here)."""
+    from apache_hive_1_2_2_src_spark.sources.hive_bucketing import (
+        hive_bucket_map_join,
+        write_hive_bucketed,
+    )
+
+    n = 4
+    left = spark.createDataFrame(
+        [(i % 5, f"L{i}") for i in range(40)], "k long, tag string"
+    )
+    right = spark.createDataFrame([(j, f"R{j}") for j in range(5)], "k long, rtag string")
+    lp, rp = str(tmp_path / "same_l"), str(tmp_path / "same_r")
+    write_hive_bucketed(left, "k", n, lp, kind="long")
+    write_hive_bucketed(right, "k", n, rp, kind="long")
+
+    joined = hive_bucket_map_join(spark, lp, rp, n, "k", "k")
+    assert joined.count() == 40
+    got = {(r.tag, r.rtag) for r in joined.select("tag", "rtag").collect()}
+    assert got == {(f"L{i}", f"R{i % 5}") for i in range(40)}

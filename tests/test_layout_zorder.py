@@ -160,3 +160,39 @@ def test_zorder3d_buckets_bound_every_dimension(spark):
     for r in rows:
         for dim in ("x_span_frac", "y_span_frac", "z_span_frac"):
             assert r[dim] <= 0.25 + 2 / 1023.0, (r["zbucket"], dim, r[dim])
+
+
+def test_layout_recipes_refuse_int64_wrapping_ranges(spark):
+    """ADVICE round 9: (v - vmin) * 65535 wraps int64 silently (ANSI off)
+    once the column range exceeds (2^63-1) DIV 65535 (~2^47) — garbage
+    curve codes with no error. The public write recipes collect the extent
+    first and must RAISE on such ranges instead of clustering on noise;
+    an all-NULL key column is refused the same way."""
+    import pytest
+
+    from apache_hive_1_2_2_src_spark.extensions.layout import (
+        _check_scale_range,
+        hilbert_layout,
+    )
+
+    wide = spark.createDataFrame(
+        [(0, 0), ((1 << 62), 1)], "x long, y long"
+    )
+    with pytest.raises(ValueError, match="int64-safe limit"):
+        zorder_layout(wide, "x", "y", 4)
+    with pytest.raises(ValueError, match="int64-safe limit"):
+        hilbert_layout(wide, "x", "y", 4)
+
+    # boundary: exactly at the limit passes, one above raises
+    limit = ((1 << 63) - 1) // 65535
+    _check_scale_range({"xmin": 0, "xmax": limit, "ymin": 0, "ymax": 1}, 65535)
+    with pytest.raises(ValueError, match="int64-safe limit"):
+        _check_scale_range(
+            {"xmin": 0, "xmax": limit + 1, "ymin": 0, "ymax": 1}, 65535
+        )
+    with pytest.raises(ValueError, match="all-NULL"):
+        _check_scale_range({"xmin": None, "xmax": None, "ymin": 0, "ymax": 1}, 65535)
+
+    # sanity: the safe path is unaffected (codes still produced)
+    ok = spark.createDataFrame([(i, i * 3) for i in range(50)], "x long, y long")
+    assert zorder_layout(ok, "x", "y", 2).count() == 50
