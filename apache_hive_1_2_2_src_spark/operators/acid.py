@@ -37,6 +37,18 @@ Determinism: the edit batches derive from ``orders`` by integer-modulus
 rules evaluated identically in Spark and the DuckDB oracle CTEs (no rand,
 no time); money flows through DECIMAL(18,2) (registry.py rules).
 
+Scope (deliberate): ABORTED-transaction filtering is NOT emulated.
+``AcidUtils.getAcidState`` takes a ``ValidTxnList`` from the metastore's
+transaction manager and skips deltas written by aborted/open txns; that
+requires a live lock/txn manager, which this engine intentionally does not
+carry (SURVEY §1.1 architecture swap). Every ``delta_M_M`` in these trees
+is treated as committed. A real deployment replaces the whole mechanism
+with a snapshot-isolation table format (Delta Lake / Iceberg): their
+atomic-commit log means an aborted writer simply never publishes a
+snapshot, so the invalid-delta case cannot arise — strictly stronger than
+filtering it at read time. See SCALE.md "ACID realism" for the one-line
+operational note.
+
 Scale (100 TB): the merge shuffles once on the row key; at cluster scale
 the base is bucketed on the key so merge-on-read co-locates shuffle-free
 (the ``bucketed_smb_join`` layout), and deltas stay small between

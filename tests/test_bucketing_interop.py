@@ -490,3 +490,42 @@ def test_bucket_map_join_same_key_column_name(spark, tmp_path):
     assert joined.count() == 40
     got = {(r.tag, r.rtag) for r in joined.select("tag", "rtag").collect()}
     assert got == {(f"L{i}", f"R{i % 5}") for i in range(40)}
+
+
+def test_bucket_map_join_chunked_matches_per_bucket(spark, tmp_path):
+    """chunk_buckets>1 reads c buckets per side per join and joins on the
+    key alone — correct because the key determines the bucket, so no pair
+    spans chunks and each appears exactly once. The chunked result must be
+    row-identical to the strict per-bucket (c=1) form, including over
+    chunk sizes that don't divide n. chunk_buckets=n degenerates to a
+    single whole-table broadcast join and must also agree."""
+    from apache_hive_1_2_2_src_spark.sources.hive_bucketing import (
+        hive_bucket_map_join,
+        write_hive_bucketed,
+    )
+
+    n = 8
+    left = spark.createDataFrame(
+        [(i % 13, f"L{i}") for i in range(80)], "k long, tag string"
+    )
+    right = spark.createDataFrame(
+        [(j, f"R{j}") for j in range(13)], "rk long, rtag string"
+    )
+    lp, rp = str(tmp_path / "ch_l"), str(tmp_path / "ch_r")
+    write_hive_bucketed(left, "k", n, lp, kind="long")
+    write_hive_bucketed(right, "rk", n, rp, kind="long")
+
+    def rows(c):
+        df = hive_bucket_map_join(spark, lp, rp, n, "k", "rk", chunk_buckets=c)
+        return sorted((r.tag, r.rtag) for r in df.select("tag", "rtag").collect())
+
+    expect = rows(1)
+    assert len(expect) == 80
+    for c in (3, 4, 8):
+        assert rows(c) == expect, f"chunk_buckets={c} diverges from per-bucket"
+    import pytest
+
+    with pytest.raises(ValueError, match="chunk_buckets"):
+        hive_bucket_map_join(spark, lp, rp, n, "k", "rk", chunk_buckets=0)
+    with pytest.raises(ValueError, match="chunk_buckets"):
+        hive_bucket_map_join(spark, lp, rp, n, "k", "rk", chunk_buckets=9)
