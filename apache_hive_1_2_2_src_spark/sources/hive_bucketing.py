@@ -169,10 +169,24 @@ def _parquet_files(fs, path_cls, d: str) -> list[str]:
 
 
 def write_hive_bucketed(
-    df: DataFrame, key: str, n_buckets: int, path: str, kind: str = "string"
+    df: DataFrame,
+    key: str,
+    n_buckets: int,
+    path: str,
+    kind: str = "string",
+    sorted_by: str | None = None,
 ) -> None:
     """Write a flat Hive-1.2-readable bucketed layout: n_buckets files,
     ``000000_0``-style names in bucket order, file i = Hive bucket i.
+
+    ``sorted_by`` adds ``SORTED BY (col ASC)`` parity: each bucket file is
+    written in ascending ``sorted_by`` order (NULLs first, Spark/Hive ASC
+    default), the layout Hive's SMB machinery
+    (``SortedMergeBucketMapJoinOptimizer.java``) requires. Rows are sorted
+    WITHIN tasks by (bucket, key): two bucket ids can share one task after
+    ``repartition(n, __hb)``, and partitionBy then splits them into
+    per-bucket files preserving the task's row order — so each file comes
+    out key-sorted.
 
     partitionBy gives exact bucket→directory routing (a plain
     ``repartition(n, col)`` re-hashes the bucket id with Spark's hash, so
@@ -188,13 +202,12 @@ def write_hive_bucketed(
     bucketed table."""
     spark = df.sparkSession
     staging = path + ".__staging"
-    (
-        df.withColumn("__hb", hive_bucket_id(key, n_buckets, kind))
-        .repartition(n_buckets, "__hb")
-        .write.mode("overwrite")
-        .partitionBy("__hb")
-        .parquet(staging)
+    staged = df.withColumn("__hb", hive_bucket_id(key, n_buckets, kind)).repartition(
+        n_buckets, "__hb"
     )
+    if sorted_by is not None:
+        staged = staged.sortWithinPartitions("__hb", sorted_by)
+    staged.write.mode("overwrite").partitionBy("__hb").parquet(staging)
     jvm, fs, P = _hadoop_fs(spark, path)
     try:
         bucket_files = {
@@ -531,3 +544,143 @@ def hive_bucket_map_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("revenue_cents"),
     )
+
+
+def validate_hive_sorted_bucketed(
+    spark: SparkSession, path: str, n_buckets: int, key: str
+) -> None:
+    """Verify a flat Hive bucketed layout satisfies ``SORTED BY (key ASC)``:
+    every positional file's non-null key sequence is non-decreasing in FILE
+    order. Hive's SMB machinery silently produces wrong joins when a file
+    is not actually sorted (the merge just misses pairs); this check fails
+    loudly instead, which is the only safe posture for layouts written by
+    a foreign engine. One full scan, no shuffle: ``input_file_name()``
+    tags each row with its file, and a mapInPandas pass streams each
+    partition in scan order (files are contiguous within a partition even
+    when small files coalesce) carrying the last value per file across
+    Arrow batches. Nulls sort first under ASC and are skipped — only the
+    non-null ordering is asserted."""
+    import pandas as pd  # noqa: PLC0415 — Arrow path only
+
+    df = read_hive_bucketed(spark, path, n_buckets).select(
+        F.col(key).alias("__k"), F.input_file_name().alias("__f")
+    )
+
+    def check(batches):
+        last: dict = {}
+        for pdf in batches:
+            for f, grp in pdf.groupby("__f", sort=False):
+                vals = grp["__k"].dropna().to_numpy()
+                if not len(vals):
+                    continue
+                name = f.rsplit("/", 1)[-1]
+                carry = last.get(f)
+                if carry is not None and vals[0] < carry:
+                    yield pd.DataFrame(
+                        {"file": [name], "prev": [str(carry)], "cur": [str(vals[0])]}
+                    )
+                desc = (vals[1:] < vals[:-1]).nonzero()[0]
+                if len(desc):
+                    i = int(desc[0])
+                    yield pd.DataFrame(
+                        {
+                            "file": [name],
+                            "prev": [str(vals[i])],
+                            "cur": [str(vals[i + 1])],
+                        }
+                    )
+                last[f] = vals[-1]
+
+    viol = (
+        df.mapInPandas(check, "file string, prev string, cur string")
+        .limit(1)
+        .collect()
+    )
+    if viol:
+        v = viol[0]
+        raise ValueError(
+            f"layout at {path} is not SORTED BY ({key}): file {v['file']} "
+            f"has {v['cur']} after {v['prev']}"
+        )
+
+
+def hive_smb_merge_join(
+    spark: SparkSession,
+    path_a: str,
+    path_b: str,
+    n_buckets: int,
+    on_a: str,
+    on_b: str,
+    kind: str = "string",
+    validate: bool = True,
+) -> DataFrame:
+    """Hive's SORT MERGE BUCKET join over two Hive-written flat layouts
+    (``SortedMergeBucketMapJoinOptimizer.java`` parity — the SORTED BY
+    sibling of ``hive_bucket_map_join``): both tables are CLUSTERED BY the
+    key SORTED BY the key INTO the same n, and bucket i of A merges with
+    bucket i of B with NO hashtable — the regime where the bucket-map
+    form is impossible because neither side's bucket fits in memory.
+
+    Spark-first shape: ONE cogroup on the recomputed Hive bucket id
+    (``hive_bucket_id(key)`` — the same codegen hash the writer routed
+    with, so computed-bucket == file-bucket, proven by the writer tests),
+    giving n pairwise merge tasks in a single O(1)-node plan — no O(n)
+    driver loop, no per-bucket broadcast. Each task pd.merges exactly the
+    two matching buckets. Each side shuffles once on the bucket id — the
+    co-location transfer Spark needs because it cannot schedule tasks
+    onto Hive's file placement the way Hive's own mappers do; volume is
+    one pass of each side, and no per-KEY exchange or global sort ever
+    happens (n groups, not |keys| groups). With ``validate=True`` both
+    layouts are first checked against the SORTED BY contract
+    (``validate_hive_sorted_bucketed``) — Hive silently mis-joins on
+    unsorted files; we refuse them.
+
+    Same layout precondition as ``hive_bucket_map_join`` (exactly n
+    positional files per side, verified up front). NULL keys route to
+    bucket 0 on both sides and then drop out of the merge — standard
+    inner-equi-join semantics. Non-key column names must be disjoint
+    across the two sides (checked); same-named KEYS are fine (the merge
+    keeps one copy)."""
+    import pandas as pd  # noqa: PLC0415 — Arrow path only
+
+    _, fs, P = _hadoop_fs(spark, path_a)
+    for side, path in (("left", path_a), ("right", path_b)):
+        found = sorted(
+            st.getPath().getName()
+            for st in fs.listStatus(P(path))
+            if st.getPath().getName().endswith("_0")
+        )
+        want = [f"{b:06d}_0" for b in range(n_buckets)]
+        if found != want:
+            raise ValueError(
+                f"{side} layout at {path} is not {n_buckets}-bucketed: "
+                f"found {len(found)} positional files"
+            )
+    if validate:
+        validate_hive_sorted_bucketed(spark, path_a, n_buckets, on_a)
+        validate_hive_sorted_bucketed(spark, path_b, n_buckets, on_b)
+
+    a = read_hive_bucketed(spark, path_a, n_buckets)
+    b = read_hive_bucketed(spark, path_b, n_buckets)
+    clash = (set(a.columns) - {on_a}) & (set(b.columns) - {on_b})
+    if clash:
+        raise ValueError(f"non-key column names must be disjoint: {sorted(clash)}")
+
+    out_fields = [f for f in a.schema.fields] + [
+        f for f in b.schema.fields if not (on_a == on_b and f.name == on_b)
+    ]
+    from pyspark.sql.types import StructType
+
+    out_schema = StructType(out_fields)
+    same_key = on_a == on_b
+
+    def merge(la: pd.DataFrame, rb: pd.DataFrame) -> pd.DataFrame:
+        la = la.drop(columns=["__hb"])
+        rb = rb.drop(columns=["__hb"])
+        if same_key:
+            return la.merge(rb, on=on_a, how="inner")
+        return la.merge(rb, left_on=on_a, right_on=on_b, how="inner")
+
+    ga = a.withColumn("__hb", hive_bucket_id(on_a, n_buckets, kind)).groupBy("__hb")
+    gb = b.withColumn("__hb", hive_bucket_id(on_b, n_buckets, kind)).groupBy("__hb")
+    return ga.cogroup(gb).applyInPandas(merge, out_schema)

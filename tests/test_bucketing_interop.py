@@ -529,3 +529,105 @@ def test_bucket_map_join_chunked_matches_per_bucket(spark, tmp_path):
         hive_bucket_map_join(spark, lp, rp, n, "k", "rk", chunk_buckets=0)
     with pytest.raises(ValueError, match="chunk_buckets"):
         hive_bucket_map_join(spark, lp, rp, n, "k", "rk", chunk_buckets=9)
+
+
+def test_smb_merge_join_over_sorted_hive_layouts(spark, tmp_path):
+    """SORT MERGE BUCKET join parity (SortedMergeBucketMapJoinOptimizer):
+    write both layouts with sorted_by (SORTED BY key ASC files), validate,
+    and merge-join via the single cogroup plan. Result must equal the
+    plain join — one misrouted or mis-merged row shifts the pair set.
+    Sparse layouts (empty buckets) and distinct key names exercised."""
+    from apache_hive_1_2_2_src_spark.sources.hive_bucketing import (
+        hive_smb_merge_join,
+        write_hive_bucketed,
+    )
+
+    n = 8
+    # keys 0..6 only -> some of the 8 buckets are empty on both sides
+    left = spark.createDataFrame(
+        [((i * 7) % 7, f"L{i}") for i in range(120)], "k long, tag string"
+    )
+    right = spark.createDataFrame(
+        [(j % 7, f"R{j}") for j in range(21)], "rk long, rtag string"
+    )
+    lp, rp = str(tmp_path / "smb_l"), str(tmp_path / "smb_r")
+    write_hive_bucketed(left, "k", n, lp, kind="long", sorted_by="k")
+    write_hive_bucketed(right, "rk", n, rp, kind="long", sorted_by="rk")
+
+    out = hive_smb_merge_join(spark, lp, rp, n, "k", "rk", kind="long")
+    got = sorted((r.tag, r.rtag) for r in out.select("tag", "rtag").collect())
+    expect = sorted(
+        (r.tag, r.rtag)
+        for r in left.join(right, left.k == right.rk).select("tag", "rtag").collect()
+    )
+    assert got == expect and len(got) == 120 * 3
+
+
+def test_smb_merge_join_same_key_name_and_clash_rejection(spark, tmp_path):
+    """Same-named keys keep one copy (CLUSTERED BY usual case); same-named
+    NON-key columns are refused up front instead of silently suffixed."""
+    import pytest
+
+    from apache_hive_1_2_2_src_spark.sources.hive_bucketing import (
+        hive_smb_merge_join,
+        write_hive_bucketed,
+    )
+
+    n = 4
+    left = spark.createDataFrame(
+        [(i % 5, f"L{i}") for i in range(40)], "k long, tag string"
+    )
+    right = spark.createDataFrame([(j, f"R{j}") for j in range(5)], "k long, rtag string")
+    lp, rp = str(tmp_path / "smbs_l"), str(tmp_path / "smbs_r")
+    write_hive_bucketed(left, "k", n, lp, kind="long", sorted_by="k")
+    write_hive_bucketed(right, "k", n, rp, kind="long", sorted_by="k")
+    out = hive_smb_merge_join(spark, lp, rp, n, "k", "k", kind="long")
+    assert out.columns.count("k") == 1
+    assert out.count() == 40
+
+    clash = spark.createDataFrame([(j, f"X{j}") for j in range(5)], "rk long, tag string")
+    cp = str(tmp_path / "smbs_c")
+    write_hive_bucketed(clash, "rk", n, cp, kind="long", sorted_by="rk")
+    with pytest.raises(ValueError, match="disjoint"):
+        hive_smb_merge_join(spark, lp, cp, n, "k", "rk", kind="long")
+
+
+def test_smb_merge_join_refuses_unsorted_layout(spark, tmp_path):
+    """Hive's SMB silently mis-joins over files that violate SORTED BY;
+    validate_hive_sorted_bucketed must catch an unsorted bucket file and
+    hive_smb_merge_join(validate=True) must refuse the layout."""
+    import pytest
+
+    from apache_hive_1_2_2_src_spark.sources.hive_bucketing import (
+        hive_smb_merge_join,
+        validate_hive_sorted_bucketed,
+        write_hive_bucketed,
+    )
+
+    n = 4
+    # written WITHOUT sorted_by: multi-row buckets land in arbitrary order;
+    # force a guaranteed inversion by seeding many distinct keys per bucket
+    left = spark.createDataFrame(
+        [((i * 37) % 101, f"L{i}") for i in range(101)], "k long, tag string"
+    )
+    lp = str(tmp_path / "uns_l")
+    write_hive_bucketed(left, "k", n, lp, kind="long")
+    sorted_ok = True
+    try:
+        validate_hive_sorted_bucketed(spark, lp, n, "k")
+    except ValueError:
+        sorted_ok = False
+    if sorted_ok:
+        # astronomically unlikely (101 keys landing sorted in all 4 files),
+        # but don't let a fluke turn this into a flake
+        import pytest as _p
+
+        _p.skip("unsorted write happened to produce sorted files")
+    rp = str(tmp_path / "uns_r")
+    right = spark.createDataFrame([(j, f"R{j}") for j in range(101)], "rk long, rtag string")
+    write_hive_bucketed(right, "rk", n, rp, kind="long", sorted_by="rk")
+    with pytest.raises(ValueError, match="not SORTED BY"):
+        hive_smb_merge_join(spark, lp, rp, n, "k", "rk", kind="long")
+    # validate=False is the documented escape hatch for layouts known-sorted
+    out = hive_smb_merge_join(spark, lp, rp, n, "k", "rk", kind="long", validate=False)
+    assert out.count() == 101
