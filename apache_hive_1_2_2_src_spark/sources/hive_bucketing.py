@@ -613,6 +613,7 @@ def hive_smb_merge_join(
     on_b: str,
     kind: str = "string",
     validate: bool = True,
+    sub_split: int = 1,
 ) -> DataFrame:
     """Hive's SORT MERGE BUCKET join over two Hive-written flat layouts
     (``SortedMergeBucketMapJoinOptimizer.java`` parity — the SORTED BY
@@ -635,6 +636,19 @@ def hive_smb_merge_join(
     (``validate_hive_sorted_bucketed``) — Hive silently mis-joins on
     unsorted files; we refuse them.
 
+    ``sub_split`` bounds PER-TASK memory: each cogroup task holds one full
+    bucket pair as pandas frames, and the writer fixed n, so a 100 TB
+    table bucketed 256-ways would hand a task ~400 GB — the one place the
+    cogroup form is weaker than Hive's true streaming merge (Spark has no
+    streaming cogroup primitive). With ``sub_split=k`` the group key
+    becomes (bucket, xxhash64(key) mod k): matching rows agree on the KEY,
+    hence on both components, so the k·n finer groups still tile the join
+    exactly while each task holds ~1/k of a bucket pair. k is free to be
+    set per-READ (it never touches the on-disk layout) — dial it so
+    |bucket|/k fits the executor; the shuffle volume is identical (same
+    rows, finer keys). NULL keys hash to xxhash64's seed constant on both
+    sides — they stay co-grouped and then drop out of the inner merge.
+
     Same layout precondition as ``hive_bucket_map_join`` (exactly n
     positional files per side, verified up front). NULL keys route to
     bucket 0 on both sides and then drop out of the merge — standard
@@ -643,6 +657,8 @@ def hive_smb_merge_join(
     keeps one copy)."""
     import pandas as pd  # noqa: PLC0415 — Arrow path only
 
+    if sub_split < 1:
+        raise ValueError(f"sub_split must be >= 1, got {sub_split}")
     _, fs, P = _hadoop_fs(spark, path_a)
     for side, path in (("left", path_a), ("right", path_b)):
         found = sorted(
@@ -674,13 +690,21 @@ def hive_smb_merge_join(
     out_schema = StructType(out_fields)
     same_key = on_a == on_b
 
+    aux = ["__hb"] + (["__sub"] if sub_split > 1 else [])
+
     def merge(la: pd.DataFrame, rb: pd.DataFrame) -> pd.DataFrame:
-        la = la.drop(columns=["__hb"])
-        rb = rb.drop(columns=["__hb"])
+        la = la.drop(columns=aux)
+        rb = rb.drop(columns=aux)
         if same_key:
             return la.merge(rb, on=on_a, how="inner")
         return la.merge(rb, left_on=on_a, right_on=on_b, how="inner")
 
-    ga = a.withColumn("__hb", hive_bucket_id(on_a, n_buckets, kind)).groupBy("__hb")
-    gb = b.withColumn("__hb", hive_bucket_id(on_b, n_buckets, kind)).groupBy("__hb")
-    return ga.cogroup(gb).applyInPandas(merge, out_schema)
+    def keyed(df: DataFrame, on: str):
+        df = df.withColumn("__hb", hive_bucket_id(on, n_buckets, kind))
+        if sub_split > 1:
+            df = df.withColumn(
+                "__sub", F.pmod(F.xxhash64(F.col(on)), F.lit(sub_split))
+            )
+        return df.groupBy(*aux)
+
+    return keyed(a, on_a).cogroup(keyed(b, on_b)).applyInPandas(merge, out_schema)

@@ -631,3 +631,46 @@ def test_smb_merge_join_refuses_unsorted_layout(spark, tmp_path):
     # validate=False is the documented escape hatch for layouts known-sorted
     out = hive_smb_merge_join(spark, lp, rp, n, "k", "rk", kind="long", validate=False)
     assert out.count() == 101
+
+
+def test_smb_merge_join_sub_split_equivalence(spark, tmp_path):
+    """sub_split=k refines the cogroup key to (bucket, xxhash64(key) mod k)
+    so each merge task holds ~1/k of a bucket pair — the per-task memory
+    bound for buckets too big for one pandas frame. Matching rows agree on
+    the key, hence on both components, so the finer tiling must produce
+    EXACTLY the plain-join pair set: one pair lost to a sub-bucket
+    disagreement or doubled across tiles shifts the multiset."""
+    import pytest
+
+    from apache_hive_1_2_2_src_spark.sources.hive_bucketing import (
+        hive_smb_merge_join,
+        write_hive_bucketed,
+    )
+
+    n = 4
+    # heavy key skew: key 3 repeats 60x on the left, 5x on the right, so
+    # sub-splitting actually splits work inside its bucket
+    left = spark.createDataFrame(
+        [(3 if i % 2 else i % 13, f"L{i}") for i in range(120)], "k long, tag string"
+    )
+    right = spark.createDataFrame(
+        [(j % 13, f"R{j}") for j in range(65)], "rk long, rtag string"
+    )
+    lp, rp = str(tmp_path / "sub_l"), str(tmp_path / "sub_r")
+    write_hive_bucketed(left, "k", n, lp, kind="long", sorted_by="k")
+    write_hive_bucketed(right, "rk", n, rp, kind="long", sorted_by="rk")
+
+    expect = sorted(
+        (r.tag, r.rtag)
+        for r in left.join(right, left.k == right.rk).select("tag", "rtag").collect()
+    )
+    for k in (1, 4, 7):
+        out = hive_smb_merge_join(
+            spark, lp, rp, n, "k", "rk", kind="long", sub_split=k
+        )
+        got = sorted((r.tag, r.rtag) for r in out.select("tag", "rtag").collect())
+        assert got == expect, f"sub_split={k} diverged"
+        assert "__sub" not in out.columns and "__hb" not in out.columns
+
+    with pytest.raises(ValueError, match="sub_split"):
+        hive_smb_merge_join(spark, lp, rp, n, "k", "rk", kind="long", sub_split=0)
