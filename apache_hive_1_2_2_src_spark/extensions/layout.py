@@ -167,7 +167,14 @@ def _scale_expr(v: str, vmin: str, vmax: str, maxval: int) -> str:
 
 
 def _check_scale_range(bounds: dict, maxval: int) -> None:
-    """Refuse ranges whose ``(v - vmin) * maxval`` would wrap int64.
+    """Refuse ranges whose ``(v - vmin) * maxval`` would wrap int64, and
+    refuse NON-INTEGER key columns outright: the write recipes inline the
+    collected bounds as bare SQL literals (``str(b[...])``), which only
+    round-trips for ints — a date/timestamp/decimal bound would produce an
+    unquoted literal that fails to parse or silently changes value. Keys
+    of those types must be cast to BIGINT first (``unix_timestamp``,
+    ``datediff``, ``CAST(dec AS BIGINT)``) — which is also what the
+    integer scaling arithmetic in ``_scale_expr`` assumes.
 
     ``bounds`` maps names to python ints/None (one collected extent row);
     checked pairwise as (xmin, xmax), (ymin, ymax), ... in key order."""
@@ -176,6 +183,15 @@ def _check_scale_range(bounds: dict, maxval: int) -> None:
     for (lo_k, lo), (hi_k, hi) in zip(vals[::2], vals[1::2]):
         if lo is None or hi is None:
             raise ValueError(f"curve layout: all-NULL key column ({lo_k}/{hi_k})")
+        for k, v in ((lo_k, lo), (hi_k, hi)):
+            if not isinstance(v, int) or isinstance(v, bool):
+                raise TypeError(
+                    f"curve layout: key column for {k} has non-integer "
+                    f"bound {v!r} ({type(v).__name__}); z-order/Hilbert "
+                    "layouts take INTEGER keys only — cast dates/"
+                    "timestamps/decimals to BIGINT (unix_timestamp, "
+                    "datediff, CAST(x AS BIGINT)) before clustering"
+                )
         if int(hi) - int(lo) > limit:
             raise ValueError(
                 f"curve layout: range of {lo_k[:-3]} is {int(hi) - int(lo)}, "
@@ -272,6 +288,8 @@ def zorder_layout(df: DataFrame, xcol: str, ycol: str, n_files: int) -> DataFram
     """Production z-order write recipe: attach the morton column and
     range-cluster into ``n_files`` contiguous curve segments. Caller writes
     with ``.drop("__morton").write.parquet(...)`` (or keeps the column).
+    Keys must be INTEGER columns (``_check_scale_range`` raises TypeError
+    otherwise) — cast dates/timestamps/decimals to BIGINT first.
 
     The scaling bounds come from one metadata-sized aggregate that is
     COLLECTED (one row, four longs — negligible at any scale): driver-side
@@ -500,7 +518,8 @@ def hilbert_layout(df: DataFrame, xcol: str, ycol: str, n_files: int) -> DataFra
     ``.drop("__hilbert").write.parquet(...)``. Like ``zorder_layout``, the
     one-row extent is collected so over-wide key ranges raise
     (``_check_scale_range``) instead of wrapping int64, and the bounds are
-    inlined as literals (no crossJoin on the per-row path)."""
+    inlined as literals (no crossJoin on the per-row path). Integer keys
+    only — same TypeError contract as ``zorder_layout``."""
     b = df.agg(
         F.min(xcol).alias("xmin"),
         F.max(xcol).alias("xmax"),

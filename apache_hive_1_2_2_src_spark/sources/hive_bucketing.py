@@ -559,8 +559,30 @@ def validate_hive_sorted_bucketed(
     partition in scan order (files are contiguous within a partition even
     when small files coalesce) carrying the last value per file across
     Arrow batches. Nulls sort first under ASC and are skipped — only the
-    non-null ordering is asserted."""
+    non-null ordering is asserted.
+
+    The carry dict is per-TASK, so this scan must never SPLIT one file
+    across tasks: a violation straddling a split boundary would land in
+    two tasks that each see a sorted half (whole files coalescing into
+    one task is fine — the per-file groupby handles that). Spark splits
+    parquet at ``spark.sql.files.maxPartitionBytes`` (128 MB default) —
+    exactly the regime SMB buckets live in — so for the duration of this
+    one scan the conf is raised above the largest bucket file and then
+    restored; pinned by the split-straddling test in
+    tests/test_bucketing_interop.py."""
     import pandas as pd  # noqa: PLC0415 — Arrow path only
+
+    _, fs, P = _hadoop_fs(spark, path)
+    max_len = max(
+        (
+            st.getLen()
+            for st in fs.listStatus(P(path))
+            if st.getPath().getName().endswith("_0")
+        ),
+        default=0,
+    )
+    conf_key = "spark.sql.files.maxPartitionBytes"
+    prev = spark.conf.get(conf_key)
 
     df = read_hive_bucketed(spark, path, n_buckets).select(
         F.col(key).alias("__k"), F.input_file_name().alias("__f")
@@ -591,11 +613,17 @@ def validate_hive_sorted_bucketed(
                     )
                 last[f] = vals[-1]
 
-    viol = (
-        df.mapInPandas(check, "file string, prev string, cur string")
-        .limit(1)
-        .collect()
-    )
+    try:
+        # One split per file: the split size is read at action time, so
+        # raising it here covers exactly this collect.
+        spark.conf.set(conf_key, str(max(int(max_len) + 1, 128 * 1024 * 1024)))
+        viol = (
+            df.mapInPandas(check, "file string, prev string, cur string")
+            .limit(1)
+            .collect()
+        )
+    finally:
+        spark.conf.set(conf_key, prev)
     if viol:
         v = viol[0]
         raise ValueError(
@@ -646,13 +674,23 @@ def hive_smb_merge_join(
     exactly while each task holds ~1/k of a bucket pair. k is free to be
     set per-READ (it never touches the on-disk layout) — dial it so
     |bucket|/k fits the executor; the shuffle volume is identical (same
-    rows, finer keys). NULL keys hash to xxhash64's seed constant on both
-    sides — they stay co-grouped and then drop out of the inner merge.
+    rows, finer keys). The sub-hash is computed over the key CAST to the
+    canonical type for ``kind`` (BIGINT for int/long, STRING for string):
+    xxhash64 is type-sensitive, so hashing the raw columns would route
+    equal values to different sub-groups whenever the two sides' physical
+    types differ (INT vs BIGINT — both legal under kind='long').
+
+    NULL keys are FILTERED OUT up front on both sides. That is the
+    standard inner-equi-join result (NULL never equals NULL), but here it
+    is load-bearing, not just an optimization: nullable long keys arrive
+    in applyInPandas as float64 with NaN, and ``pd.merge`` MATCHES NaN
+    join keys — letting NULLs reach the merge would fabricate NULL=NULL
+    output rows that Spark, Hive, and ``hive_bucket_map_join`` all
+    (correctly) never produce. Pinned by the NULL-key test in
+    tests/test_bucketing_interop.py.
 
     Same layout precondition as ``hive_bucket_map_join`` (exactly n
-    positional files per side, verified up front). NULL keys route to
-    bucket 0 on both sides and then drop out of the merge — standard
-    inner-equi-join semantics. Non-key column names must be disjoint
+    positional files per side, verified up front). Non-key column names must be disjoint
     across the two sides (checked); same-named KEYS are fine (the merge
     keeps one copy)."""
     import pandas as pd  # noqa: PLC0415 — Arrow path only
@@ -676,8 +714,10 @@ def hive_smb_merge_join(
         validate_hive_sorted_bucketed(spark, path_a, n_buckets, on_a)
         validate_hive_sorted_bucketed(spark, path_b, n_buckets, on_b)
 
-    a = read_hive_bucketed(spark, path_a, n_buckets)
-    b = read_hive_bucketed(spark, path_b, n_buckets)
+    # NULL keys out BEFORE the cogroup: pd.merge matches NaN keys (see
+    # docstring), so inner-join semantics must be enforced Spark-side.
+    a = read_hive_bucketed(spark, path_a, n_buckets).where(F.col(on_a).isNotNull())
+    b = read_hive_bucketed(spark, path_b, n_buckets).where(F.col(on_b).isNotNull())
     clash = (set(a.columns) - {on_a}) & (set(b.columns) - {on_b})
     if clash:
         raise ValueError(f"non-key column names must be disjoint: {sorted(clash)}")
@@ -699,11 +739,18 @@ def hive_smb_merge_join(
             return la.merge(rb, on=on_a, how="inner")
         return la.merge(rb, left_on=on_a, right_on=on_b, how="inner")
 
+    # Canonical key type per kind for the sub-split hash: xxhash64 hashes
+    # INT 7 and BIGINT 7 differently, and kind='long' admits both physical
+    # types (hive_long_hash casts), so without this cast matching pairs
+    # whose sides differ in physical type silently vanish when sub_split>1.
+    sub_cast = {"string": "string", "int": "bigint", "long": "bigint"}[kind]
+
     def keyed(df: DataFrame, on: str):
         df = df.withColumn("__hb", hive_bucket_id(on, n_buckets, kind))
         if sub_split > 1:
             df = df.withColumn(
-                "__sub", F.pmod(F.xxhash64(F.col(on)), F.lit(sub_split))
+                "__sub",
+                F.pmod(F.xxhash64(F.col(on).cast(sub_cast)), F.lit(sub_split)),
             )
         return df.groupBy(*aux)
 

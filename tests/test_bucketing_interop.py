@@ -674,3 +674,110 @@ def test_smb_merge_join_sub_split_equivalence(spark, tmp_path):
 
     with pytest.raises(ValueError, match="sub_split"):
         hive_smb_merge_join(spark, lp, rp, n, "k", "rk", kind="long", sub_split=0)
+
+
+def test_smb_merge_join_null_keys_drop(spark, tmp_path):
+    """NULL join keys must produce NO output rows (inner equi-join). This
+    is a real trap in the cogroup form: nullable long keys reach
+    applyInPandas as float64 NaN and pd.merge MATCHES NaN keys, so without
+    the Spark-side isNotNull filter the merge fabricates NULL=NULL pairs
+    that Spark/Hive/hive_bucket_map_join never produce (ADVICE r10 high)."""
+    from apache_hive_1_2_2_src_spark.sources.hive_bucketing import (
+        hive_smb_merge_join,
+        write_hive_bucketed,
+    )
+
+    n = 4
+    left = spark.createDataFrame(
+        [(None, "Lnull_a"), (None, "Lnull_b")]
+        + [(i % 5, f"L{i}") for i in range(40)],
+        "k long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(None, "Rnull_a"), (None, "Rnull_b"), (None, "Rnull_c")]
+        + [(j, f"R{j}") for j in range(5)],
+        "rk long, rtag string",
+    )
+    lp, rp = str(tmp_path / "null_l"), str(tmp_path / "null_r")
+    write_hive_bucketed(left, "k", n, lp, kind="long", sorted_by="k")
+    write_hive_bucketed(right, "rk", n, rp, kind="long", sorted_by="rk")
+
+    out = hive_smb_merge_join(spark, lp, rp, n, "k", "rk", kind="long")
+    got = sorted((r.tag, r.rtag) for r in out.select("tag", "rtag").collect())
+    expect = sorted(
+        (r.tag, r.rtag)
+        for r in left.join(right, left.k == right.rk).select("tag", "rtag").collect()
+    )
+    assert got == expect and len(got) == 40  # 2x3 NULL pairs NOT fabricated
+    assert out.where(F.col("k").isNull()).count() == 0
+    # same must hold with sub_split active (NaN also hashes somewhere)
+    out2 = hive_smb_merge_join(spark, lp, rp, n, "k", "rk", kind="long", sub_split=3)
+    assert sorted((r.tag, r.rtag) for r in out2.select("tag", "rtag").collect()) == expect
+
+
+def test_smb_merge_join_sub_split_mixed_physical_key_types(spark, tmp_path):
+    """kind='long' admits INT and BIGINT physical key columns (both cast
+    through hive_long_hash for bucket routing), but xxhash64 is
+    TYPE-sensitive — xxhash64(INT 7) != xxhash64(BIGINT 7) — so the
+    sub_split hash must cast both sides to the canonical BIGINT or
+    matching pairs silently vanish whenever sub_split>1 (ADVICE r10
+    medium)."""
+    from apache_hive_1_2_2_src_spark.sources.hive_bucketing import (
+        hive_smb_merge_join,
+        write_hive_bucketed,
+    )
+
+    n = 4
+    left = spark.createDataFrame(
+        [(i % 9, f"L{i}") for i in range(72)], "k int, tag string"
+    )
+    right = spark.createDataFrame(
+        [(j % 9, f"R{j}") for j in range(18)], "rk long, rtag string"
+    )
+    lp, rp = str(tmp_path / "mix_l"), str(tmp_path / "mix_r")
+    write_hive_bucketed(left, "k", n, lp, kind="long", sorted_by="k")
+    write_hive_bucketed(right, "rk", n, rp, kind="long", sorted_by="rk")
+
+    expect = sorted(
+        (r.tag, r.rtag)
+        for r in left.join(right, left.k == right.rk).select("tag", "rtag").collect()
+    )
+    assert len(expect) == 72 * 2
+    for k in (1, 4):
+        out = hive_smb_merge_join(spark, lp, rp, n, "k", "rk", kind="long", sub_split=k)
+        got = sorted((r.tag, r.rtag) for r in out.select("tag", "rtag").collect())
+        assert got == expect, f"sub_split={k} dropped pairs across INT/BIGINT sides"
+
+
+def test_validator_catches_violation_straddling_file_splits(spark, tmp_path):
+    """validate_hive_sorted_bucketed's carry dict is per-task, so a big
+    bucket file split across input partitions could hide an inversion at
+    the split boundary — exactly the regime SMB targets (ADVICE r10
+    medium). The validator now forces one split per file by raising
+    spark.sql.files.maxPartitionBytes for its one scan. Construct the
+    failure deliberately: two internally-sorted row groups with the ONLY
+    inversion at the row-group boundary, and an ambient split size small
+    enough that the row groups would land in different tasks."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from apache_hive_1_2_2_src_spark.sources.hive_bucketing import (
+        validate_hive_sorted_bucketed,
+    )
+
+    d = tmp_path / "straddle"
+    d.mkdir()
+    vals = list(range(50_000, 100_000)) + list(range(50_000))
+    pq.write_table(pa.table({"k": vals}), str(d / "000000_0"), row_group_size=50_000)
+
+    conf_key = "spark.sql.files.maxPartitionBytes"
+    prev = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, "65536")  # would split the file ~10 ways
+    try:
+        with pytest.raises(ValueError, match="not SORTED BY"):
+            validate_hive_sorted_bucketed(spark, str(d), 1, "k")
+        # the validator restored the AMBIENT conf, not its own override
+        assert spark.conf.get(conf_key) == "65536"
+    finally:
+        spark.conf.set(conf_key, prev)

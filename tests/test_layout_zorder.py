@@ -196,3 +196,30 @@ def test_layout_recipes_refuse_int64_wrapping_ranges(spark):
     # sanity: the safe path is unaffected (codes still produced)
     ok = spark.createDataFrame([(i, i * 3) for i in range(50)], "x long, y long")
     assert zorder_layout(ok, "x", "y", 2).count() == 50
+
+
+def test_layout_recipes_refuse_non_integer_keys(spark):
+    """The write recipes inline collected bounds as bare SQL literals, so
+    only integer keys round-trip; a DATE key must raise a clear TypeError
+    (ADVICE r10 low) instead of producing an unparseable/silently-wrong
+    literal. The message tells the user the BIGINT-cast escape hatch."""
+    import pytest
+
+    from apache_hive_1_2_2_src_spark.extensions.layout import (
+        hilbert_layout,
+        zorder_layout,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).select(
+        F.col("id").alias("x"),
+        F.date_add(F.lit("2024-01-01").cast("date"), F.col("id").cast("int")).alias("d"),
+    )
+    for recipe in (zorder_layout, hilbert_layout):
+        with pytest.raises(TypeError, match="non-integer"):
+            recipe(df, "x", "d", 4)
+    # the documented escape hatch works
+    ok = zorder_layout(
+        df.withColumn("d", F.datediff("d", F.lit("1970-01-01"))), "x", "d", 4
+    )
+    assert ok.count() == 100
