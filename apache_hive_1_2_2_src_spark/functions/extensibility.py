@@ -420,3 +420,106 @@ def sql_variable_substitution(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderstatus
         """
     )
+
+
+@register(
+    "xpath_typed_suite",
+    # Every extraction is reconstructible relationally because the XML is
+    # synthesized from nation columns (same certification trick as
+    # xpath_suite), INCLUDING the Hive edge semantics pinned here: a
+    # missing node is 0 for the integer variants, NaN for the double
+    # variants (projected through isnan — NaN never crosses the driver
+    # compare), and xpath_short narrows through int16 truncation
+    # ((nk + 70000) mod 2^16 = nk + 4464 on this 0..24 key range).
+    oracle="""
+    SELECT n_nationkey,
+           CAST(n_nationkey AS SMALLINT) AS x_short,
+           CAST(n_nationkey + 4464 AS SMALLINT) AS x_short_wrap,
+           CAST(n_nationkey * 100000000000 AS BIGINT) AS x_long,
+           CAST(n_regionkey || '.5' AS REAL) AS x_float,
+           CAST(n_nationkey || '.25' AS DOUBLE) AS x_double,
+           CAST(n_nationkey + n_regionkey AS INT) AS x_union_sum,
+           CAST(3 AS INT) AS x_count,
+           CAST(0 AS INT) AS x_missing_int,
+           TRUE AS x_missing_double_is_nan,
+           n_nationkey > 10 AS x_pred_gt10,
+           '' AS x_missing_str
+    FROM nation
+    """,
+    doc="xpath typed variants (ql/udf/xml/UDFXPathShort/Long/Float/Double"
+    ".java — the [R]->[Q] completion of the xpath family): xpath_short/"
+    "xpath_long/xpath_float/xpath_double over per-row synthesized XML, "
+    "plus real XPath 1.0 EXPRESSION evaluation (sum() over a node-set "
+    "union, count(), a comparison predicate through xpath_boolean) and "
+    "the Hive edge contract — missing node -> 0 (integer variants) / "
+    "NaN (double variants, projected via isnan) / '' (string) / false "
+    "(boolean), and short narrowing = int16 truncation. All codegen-side "
+    "JVM evaluation; nothing leaves the executor.",
+    tags=("functions", "xml"),
+)
+def xpath_typed_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    xml = (
+        "concat('<n><k>', n_nationkey, '</k><kw>', n_nationkey + 70000, "
+        "'</kw><kl>', n_nationkey * 100000000000, '</kl><f>', n_regionkey, "
+        "'.5</f><d>', n_nationkey, '.25</d><r>', n_regionkey, "
+        "'</r><name>', n_name, '</name></n>')"
+    )
+    return n.withColumn("xml", F.expr(xml)).select(
+        "n_nationkey",
+        F.expr("xpath_short(xml, '/n/k')").alias("x_short"),
+        F.expr("xpath_short(xml, '/n/kw')").alias("x_short_wrap"),
+        F.expr("xpath_long(xml, '/n/kl')").alias("x_long"),
+        F.expr("xpath_float(xml, '/n/f')").alias("x_float"),
+        F.expr("xpath_double(xml, '/n/d')").alias("x_double"),
+        F.expr("xpath_int(xml, 'sum(/n/k | /n/r)')").alias("x_union_sum"),
+        F.expr("xpath_int(xml, 'count(/n/k | /n/r | /n/name)')").alias("x_count"),
+        F.expr("xpath_int(xml, '/n/zz')").alias("x_missing_int"),
+        F.isnan(F.expr("xpath_double(xml, '/n/zz')")).alias(
+            "x_missing_double_is_nan"
+        ),
+        F.expr("xpath_boolean(xml, '/n/k > 10')").alias("x_pred_gt10"),
+        F.expr("xpath_string(xml, '/n/zz')").alias("x_missing_str"),
+    )
+
+
+@register(
+    "sentences_locale_suite",
+    # Same provable-equality trick as sentences_tokenize: the documents
+    # corpus is punctuation-free, so BreakIterator segmentation under an
+    # EXPLICIT locale equals the whitespace tokenizer; the locale-arg
+    # machinery itself is certified on a constant two-sentence phrase
+    # (punctuation present) whose segmentation is locale-independent
+    # among the locales exercised — projected to counts and booleans.
+    oracle="""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+             AS INT) AS n_tokens_en_us,
+           TRUE AS locale_matches_default,
+           CAST(2 AS INT) AS n_const_sentences,
+           CAST(4 AS INT) AS n_const_tokens
+    FROM documents WHERE doc_id < 100
+    """,
+    doc="sentences(text, lang, country) locale-argument parity "
+    "(GenericUDFSentences.java takes optional lang/country and builds the "
+    "BreakIterator for that java.util.Locale — Spark kept the exact "
+    "3-arg signature): explicit 'en','US' segmentation vs the default-"
+    "locale form on the corpus (must agree token-for-token, projected as "
+    "a boolean), plus a constant punctuated phrase proving the sentence "
+    "split actually runs (2 sentences / 4 words).",
+    tags=("functions", "text"),
+)
+def sentences_locale_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    const = F.expr("sentences('Customer record. Is complete?', 'en', 'US')")
+    return d.select(
+        "doc_id",
+        F.size(F.flatten(F.expr("sentences(text, 'en', 'US')"))).alias(
+            "n_tokens_en_us"
+        ),
+        (
+            F.expr("sentences(text, 'en', 'US')") == F.sentences(F.col("text"))
+        ).alias("locale_matches_default"),
+        F.size(const).alias("n_const_sentences"),
+        F.size(F.flatten(const)).alias("n_const_tokens"),
+    )

@@ -811,3 +811,59 @@ def profile_columns_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("val").alias("min_val"),
         F.max("val").alias("max_val"),
     )
+
+
+@register(
+    "tablesample_bucket_rand",
+    # rand() output is engine/instant-specific by definition, so the query
+    # projects the sampling CONTRACT into oracle-checkable values
+    # (nondeterministic_fns_invariants pattern): the exact total row count,
+    # plus a binomial plausibility bound on the sampled fraction. p=1/16,
+    # |6 sigma| tolerance: P(fail) < 2e-9 per run — a real routing bug
+    # (empty sample, all rows, p off by 2x) trips it deterministically.
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+           TRUE AS sampled_frac_ok,
+           TRUE AS sample_is_filter
+    FROM orders
+    """,
+    doc="TABLESAMPLE(BUCKET 1 OUT OF 16 ON rand()) — the NONdeterministic "
+    "sample form (SemanticAnalyzer.genSamplePredicate builds "
+    "((hash(rand()) & Integer.MAX_VALUE) % 16) == 0 when the ON clause "
+    "is rand(); the deterministic ON-column twin is tablesample_bucket): "
+    "emulated with the same predicate shape over Spark's rand(). One "
+    "pass: each row computes its bucket-0 membership bit, a single "
+    "aggregate counts total and sampled, and the sampled count is "
+    "checked against the 6-sigma binomial envelope around n/16. Scale: "
+    "a codegen filter with NO shuffle and no materialization — the "
+    "sample predicate pushes into the scan exactly like Hive's; at "
+    "100 TB prefer the ON-column form for reproducibility (documented "
+    "in the reference too: rand() samples are not repeatable).",
+    tags=("sample", "functions"),
+)
+def tablesample_bucket_rand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    # Hive's predicate shape: ((hash(rand()) & MAX_INT) % 16) == 0. One
+    # aggregate consumes the membership bit so rand() is evaluated exactly
+    # once per row in a single action (re-evaluation across actions would
+    # give a DIFFERENT sample — which is why every derived output here is
+    # computed from the same pass).
+    p = 1.0 / 16.0
+    # Projected BEFORE the aggregate: Spark (correctly) refuses rand()
+    # inside an aggregate function, and the projection also guarantees one
+    # evaluation per row feeding both counters.
+    bits = o.select(
+        (F.pmod(F.hash(F.rand()), F.lit(16)) == 0).cast("int").alias("in_bucket")
+    )
+    agg = bits.agg(
+        F.count(F.lit(1)).alias("n_total"), F.sum("in_bucket").alias("n_sampled")
+    )
+    mean = F.col("n_total") * F.lit(p)
+    sigma = F.sqrt(F.col("n_total") * F.lit(p * (1 - p)))
+    return agg.select(
+        F.col("n_total").cast("long").alias("n_total"),
+        (F.abs(F.col("n_sampled") - mean) <= sigma * 6).alias("sampled_frac_ok"),
+        # a filter can never invent rows: sampled <= total, trivially true
+        # for this plan shape but load-bearing if the emulation ever drifts
+        (F.col("n_sampled") <= F.col("n_total")).alias("sample_is_filter"),
+    )

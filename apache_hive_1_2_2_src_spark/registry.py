@@ -94,96 +94,18 @@ QUERY_MODULES = (
 )
 
 
-# ROTATING priority order (round 6 onward). External correctness sweeps
-# grade only a positional 50-entry prefix of the registry, so a frozen
-# prefix can never certify the full surface: after round 5, 84 of 175
-# registered queries had never received a driver-graded row. The prefix is
-# now SENTINELS (permanent: flagship + one representative per SURVEY §2
-# subsection + the iterative-CC scale showcase) followed by this round's
-# ROTATION slots (new queries this round + never-driver-graded queries,
-# round-robin until every query has earned a driver-green row — schedule in
-# COVERAGE.md). Everything not listed follows in registration order,
-# oracled queries before rows-only ones. A PRIORITY name that doesn't
-# exist is a hard error (phantom-entry guard, mirroring QUERY_MODULES).
-# Round-10 FINAL rotation (COVERAGE.md r10 plan, frozen in r9 and
-# re-derived this round from the CORRECTNESS_r01–r09 union — the recount
-# matches the frozen list name-for-name): SENTINELS shrinks to the flagship
-# alone and ALL 49 never-driver-green queries ride the rotation. After r10
-# grades green, every one of the 293 registered queries has a driver-green
-# CORRECTNESS row and PRIORITY reverts to STABLE_WINDOW below.
-# Registration stays frozen at 293 until certification completes.
-SENTINELS = ("q1_pricing_summary",)
-
-ROTATION = (
-    # round-9 registrations + the two suites deferred from r9
-    "agg_width_bucket_histogram",
-    "workload_longest_streak",
-    "events_top_paths",
-    "hive_bucketed_read_prune",
-    "hive_bucket_map_join",
-    # scalar-function suites (date / math / misc)
-    "date_format_suite",
-    "date_tz_suite",
-    "nondeterministic_fns_invariants",
-    "math_int_bits_suite",
-    "math_compare_ops",
-    "math_conv_suite",
-    "str_parse_url",
-    "str_to_map_extract",
-    "str_misc_rows_only",
-    "udf_pandas_scalar_demo",
-    "script_transform_mapinpandas",
-    "hash_misc_rows_only",
-    "str_leftover_fns",
-    # generator / UDTF breadth
-    "explode_map_kv",
-    "inline_structs",
-    "parse_url_tuple",
-    # collection suites
-    "collection_array_suite",
-    "collection_map_suite",
-    "collection_struct_suite",
-    # windows + streaming set
-    "window_sliding_agg",
-    "streaming_ingest_demo",
-    "streaming_stateful_user_agg",
-    "window_multires_rollup",
-    "streaming_dedup_exact",
-    "streaming_partitioned_ingest",
-    "streaming_session_dynamic_gap",
-    "streaming_acid_delta_ingest",
-    # similarity / embedding tail
-    "embedding_quantize_audit",
-    "similarity_ann_ivf_probe2",
-    "dedup_semdedup_prune",
-    # text-analysis tail
-    "text_contamination_check",
-    "pipeline_dataset_card",
-    "text_vocab_growth_curve",
-    "text_zipf_rank_frequency",
-    "text_collocations_pmi",
-    # multimodal codecs
-    "multimodal_decode_bmp",
-    "multimodal_decode_sniff",
-    "multimodal_size_filter",
-    # layout curves (round-9)
-    "layout_zorder3d_clustering",
-    "layout_hilbert_clustering",
-    # sampling / packing set
-    "sample_stratified_by_source",
-    "sample_temperature_mix",
-    "pipeline_shard_assign",
-    "sample_mixture_allocate",
-)
-
-# Post-certification STABLE window (r11+). Once CORRECTNESS_r10 lands
-# 50/50, flip PRIORITY to STABLE_WINDOW: a fixed breadth-first set that
-# keeps every SURVEY §2 subsection plus the scale showcases under
-# continuous external grading, ordered newest-/riskiest-code first so
-# regressions in recent work surface immediately. One-two representatives
-# per surface, all oracled; tests/test_registry.py guards the tuple
-# (exists-in-registry, 50 unique, surface breadth). First substitutes if a
-# slot ever retires: pipeline_release_gate, pipeline_curate.
+# Post-certification STABLE window (r11+; the rotating-prefix machinery of
+# rounds 6-10 retired once CORRECTNESS_r10 certified all 293 registered
+# queries driver-green — its schedule history lives in COVERAGE.md). A
+# fixed breadth-first set that keeps every SURVEY §2 subsection plus the
+# scale showcases under continuous external grading, ordered
+# newest-/riskiest-code first so regressions in recent work surface
+# immediately. One-two representatives per surface, all oracled;
+# tests/test_registry.py guards the tuple (exists-in-registry, 50 unique,
+# surface breadth). First substitutes if a slot ever retires:
+# pipeline_release_gate, pipeline_curate. r11 swap: hive_smb_merge_join
+# (new) in, bucketed_smb_join out (like-for-like SMB slot; the native
+# no-Exchange plan stays pytest-guarded).
 STABLE_WINDOW = (
     # flagship + TPC-H shapes
     "q1_pricing_summary",
@@ -195,7 +117,7 @@ STABLE_WINDOW = (
     "hive_bucket_id_compat",
     "hive_bucketed_read_prune",
     "hive_bucket_map_join",
-    "bucketed_smb_join",
+    "hive_smb_merge_join",
     "layout_hilbert_clustering",
     "layout_zorder_clustering",
     "dedup_semdedup_prune",
@@ -247,7 +169,25 @@ STABLE_WINDOW = (
     "text_contamination_check",
     "sample_token_budget",
 )
-PRIORITY = SENTINELS + ROTATION
+
+# This round's NEW registrations: they ride directly behind the flagship so
+# every fresh query earns a driver-green CORRECTNESS row in its first round
+# (the never-green guard in tests/test_registry.py makes forgetting this a
+# hard test failure). The displaced STABLE_WINDOW tail returns next round
+# when FRESH empties — stable names stay registered and check.py-covered
+# either way.
+FRESH = (
+    "xpath_typed_suite",
+    "sentences_locale_suite",
+    "tablesample_bucket_rand",
+    "streaming_dedup_lsh_incremental",
+)
+
+PRIORITY = (
+    STABLE_WINDOW[0],
+    *FRESH,
+    *[n for n in STABLE_WINDOW[1:] if n not in FRESH][: 50 - 1 - len(FRESH)],
+)
 
 
 def load_all() -> dict[str, Query]:

