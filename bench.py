@@ -61,6 +61,8 @@ HEADLINE = (
     "hive_bucketed_read_prune",  # Hive-bucketed write + 1-of-8-file pruned read (r9)
     "layout_zorder3d_clustering",  # 3-D Morton layout span metric (r9)
     "agg_width_bucket_histogram",  # integer-exact width_bucket histogram (r9)
+    "hive_smb_merge_join",  # SMB merge over Hive SORTED layouts: 2 writes + 2 validations + cogroup (r11)
+    "streaming_dedup_lsh_incremental",  # 3-drop foreachBatch LSH probe vs accumulated index (r11)
 )
 
 # All 22 TPC-H query shapes in query order — timed as ONE sequential suite
