@@ -918,10 +918,24 @@ def streaming_acid_delta_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_probe_dedup(
-    spark: SparkSession, sf_dir: str, n_batches: int
+    spark: SparkSession, sf_dir: str, n_batches: int, store_buckets: int = 8
 ) -> DataFrame:
     """Build + drain the incremental LSH-dedup stream; shared by the
-    registered query and the batch-count-independence pytest."""
+    registered query and the batch-count-independence pytest.
+
+    ``store_buckets`` is the STATE-STORE partitioning dial — the thing that
+    makes the probe O(|batch|) instead of O(|corpus|) at scale. Both state
+    stores are written hash-partitioned (signature store by
+    xxhash64(sig) mod k, shingle store by doc_id mod k), and each probe
+    reads only the partitions it can touch: the signature probe prunes to
+    the batch's own signature buckets, and the Jaccard verify prunes to
+    the partitions holding the (few) candidate partner docs. Partition
+    pruning is plan-level (PartitionFilters on the parquet scan — files in
+    other ``sb=``/``db=`` dirs are never listed into the scan). At test
+    scale k=8; at 100 TB pick k so a shingle partition ≈ one task's worth
+    (say 4096) — the verify then reads |partners| partitions out of 4096
+    instead of the whole corpus-sized store. Verdicts are k-invariant
+    (pinned store_buckets=1 vs 8 in tests/test_streaming_lsh_dedup.py)."""
     from apache_hive_1_2_2_src_spark.extensions.dedup import _shingles, _words
 
     K, BANDS, ROWS = 16, 4, 4
@@ -974,16 +988,27 @@ def _lsh_probe_dedup(
                 for bb in range(BANDS)
             ]
         )
-        buckets_b = minh.select("doc_id", F.explode(band_sigs).alias("bs")).select(
-            "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+        buckets_b = (
+            minh.select("doc_id", F.explode(band_sigs).alias("bs"))
+            .select(
+                "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+            )
+            .withColumn("sb", F.pmod(F.xxhash64(F.col("sig")), F.lit(store_buckets)))
+            .persist()
         )
-        if os.path.isdir(sig_dir):
-            prior_sig = sp.read.parquet(sig_dir).select("doc_id", "band", "sig")
-            prior_sh = sp.read.parquet(sh_dir).select("doc_id", "sh")
+        # Signature-store probe, PRUNED: equal sig => equal sb, so only the
+        # store partitions holding the batch's own signature buckets can
+        # contain a candidate — the read lists no other sb= dirs.
+        needed_sb = [r.sb for r in buckets_b.select("sb").distinct().collect()]
+        if os.path.isdir(sig_dir) and needed_sb:
+            prior_sig = (
+                sp.read.parquet(sig_dir)
+                .where(F.col("sb").isin(needed_sb))
+                .select("doc_id", "band", "sig")
+            )
         else:
             prior_sig = sp.createDataFrame([], "doc_id bigint, band int, sig string")
-            prior_sh = sp.createDataFrame([], "doc_id bigint, sh string")
-        all_sig = prior_sig.unionByName(buckets_b)
+        all_sig = prior_sig.unionByName(buckets_b.select("doc_id", "band", "sig"))
         # Probe: batch docs vs (index ∪ batch), partner strictly earlier
         # (smaller doc_id == earlier drop or earlier within this drop).
         cand = (
@@ -999,7 +1024,29 @@ def _lsh_probe_dedup(
                 F.col("ob.doc_id").alias("old_id"),
             )
             .distinct()
+            .persist()
         )
+        # Shingle-store verify read, PRUNED to the candidate partners' doc
+        # partitions — the big win: the shingle store is corpus-sized, but
+        # near-dup partners are few, so this reads |partner dbs| of the k
+        # db= dirs instead of the whole store. Batch docs' shingles come
+        # from sh_b (not yet in the store).
+        partner_dbs = [
+            r.db
+            for r in cand.select(
+                F.pmod(F.col("old_id"), F.lit(store_buckets)).alias("db")
+            )
+            .distinct()
+            .collect()
+        ]
+        if os.path.isdir(sh_dir) and partner_dbs:
+            prior_sh = (
+                sp.read.parquet(sh_dir)
+                .where(F.col("db").isin(partner_dbs))
+                .select("doc_id", "sh")
+            )
+        else:
+            prior_sh = sp.createDataFrame([], "doc_id bigint, sh string")
         all_sh = prior_sh.unionByName(sh_b)
         n_sh = all_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
         common = (
@@ -1041,11 +1088,20 @@ def _lsh_probe_dedup(
         verdicts.write.mode("overwrite").parquet(
             os.path.join(out_dir, f"epoch={epoch_id}")
         )
-        buckets_b.write.mode("overwrite").parquet(
-            os.path.join(sig_dir, f"epoch={epoch_id}")
-        )
-        sh_b.write.mode("overwrite").parquet(os.path.join(sh_dir, f"epoch={epoch_id}"))
+        # repartition on the store key first: one file per partition dir
+        # per epoch instead of |tasks| small files — the store read-side
+        # cost is file count, not bytes, at this row size
+        buckets_b.repartition(store_buckets, "sb").write.partitionBy("sb").mode(
+            "overwrite"
+        ).parquet(os.path.join(sig_dir, f"epoch={epoch_id}"))
+        sh_b.withColumn(
+            "db", F.pmod(F.col("doc_id"), F.lit(store_buckets))
+        ).repartition(store_buckets, "db").write.partitionBy("db").mode(
+            "overwrite"
+        ).parquet(os.path.join(sh_dir, f"epoch={epoch_id}"))
         sh_b.unpersist()
+        buckets_b.unpersist()
+        cand.unpersist()
 
     q = (
         spark.readStream.schema("doc_id bigint, text string")

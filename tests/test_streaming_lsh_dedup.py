@@ -22,6 +22,13 @@ def test_lsh_dedup_is_batch_count_independent(spark):
         for r in _lsh_probe_dedup(spark, SF_DIR, n_batches=3).collect()
     }
     assert one == three
+    # store partitioning is a pure read-pruning dial: k=1 (single
+    # partition, no pruning possible) must produce identical verdicts
+    unpartitioned = {
+        (r.doc_id, r.n_dup_prior, r.verdict)
+        for r in _lsh_probe_dedup(spark, SF_DIR, n_batches=2, store_buckets=1).collect()
+    }
+    assert unpartitioned == one
     # every doc got exactly one verdict, and dedup actually fired
     assert len(one) == len({d for d, _, _ in one})
     assert any(v == "drop" for _, _, v in one)
