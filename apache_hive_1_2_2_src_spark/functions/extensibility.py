@@ -523,3 +523,102 @@ def sentences_locale_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(const).alias("n_const_sentences"),
         F.size(F.flatten(const)).alias("n_const_tokens"),
     )
+
+
+@register(
+    "in_file_membership",
+    # The file's contents are DERIVED deterministically from the nation
+    # table (names of regions 0-1), so the oracle can recompute membership
+    # relationally without seeing the run-specific tmp path.
+    oracle="""
+    SELECT n.n_name,
+           n.n_regionkey <= 1 AS in_blocklist,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name, n.n_regionkey
+    """,
+    doc="in_file(str, filename) (GenericUDFInFile.java: loads the file's "
+    "lines into an in-memory set, returns line membership — Hive's "
+    "blocklist idiom): emulated Spark-first as a BROADCAST left-semi "
+    "membership flag against spark.read.text over the same file — "
+    "distributed-safe where Hive's driver-side HashSet caps at heap, and "
+    "identical semantics for the line-per-value contract (exact match, "
+    "no trimming beyond the newline). The file is staged from nation "
+    "names of regions 0-1, and the oracle recomputes membership "
+    "relationally. At 100 TB the broadcast form is the right one: the "
+    "'file' is a dimension table, and membership is a broadcast hash "
+    "join, not |rows| file reads.",
+    tags=("functions", "misc", "source"),
+)
+def in_file_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    n = load_table(spark, sf_dir, "nation")
+    path = os.path.join(
+        tempfile.mkdtemp(prefix="hive_spark_infile_"), "blocklist.txt"
+    )
+    names = [
+        r.n_name
+        for r in n.filter(F.col("n_regionkey") <= 1).select("n_name").collect()
+    ]
+    with open(path, "w") as f:
+        f.write("\n".join(names) + "\n")
+    blocklist = spark.read.text(path).select(F.col("value").alias("bl_name"))
+    c = load_table(spark, sf_dir, "customer")
+    joined = c.join(n, c.c_custkey.isNotNull() & (c.c_nationkey == n.n_nationkey))
+    flagged = joined.join(
+        F.broadcast(blocklist),
+        F.col("n_name") == F.col("bl_name"),
+        "left",
+    ).select("n_name", F.col("bl_name").isNotNull().alias("in_blocklist"))
+    return flagged.groupBy("n_name", "in_blocklist").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+@register(
+    "sql_macro_functions",
+    # Macro bodies are integer/decimal-exact so both engines inline the
+    # same arithmetic (no libm calls — exp/log differ in last-ulp across
+    # engines and have no place in a hash-compared oracle).
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(FLOOR(o_totalprice * 100) AS BIGINT) * 107 // 100
+             AS BIGINT) AS taxed_cents,
+           CASE WHEN o_totalprice < 50000 THEN 'small'
+                WHEN o_totalprice < 200000 THEN 'medium'
+                ELSE 'large' END AS size_band
+    FROM orders WHERE o_orderkey <= 200
+    """,
+    doc="CREATE TEMPORARY MACRO parity (GenericUDFMacro / HIVE-2655, new "
+    "in 0.12 — a named SQL expression inlined at plan time): Spark 4's "
+    "SQL UDFs (CREATE TEMPORARY FUNCTION ... RETURNS ... RETURN expr) "
+    "are the exact analogue — the body is inlined into the plan by "
+    "Catalyst, stays whole-stage-codegen (NO Python boundary, unlike "
+    "spark.udf.register), and composes with any expression. Two macros "
+    "exercised: an integer-exact tax computation and a CASE banding — "
+    "both applied per-row over orders and recomputed inline by the "
+    "oracle.",
+    tags=("functions", "extensibility"),
+)
+def sql_macro_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_hive_1_2_2_src_spark.tables import register_tables
+
+    register_tables(spark, sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION taxed_cents(p DOUBLE) "
+        "RETURNS BIGINT RETURN CAST(FLOOR(p * 100) * 107 DIV 100 AS BIGINT)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION size_band(p DOUBLE) "
+        "RETURNS STRING RETURN CASE WHEN p < 50000 THEN 'small' "
+        "WHEN p < 200000 THEN 'medium' ELSE 'large' END"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderkey, taxed_cents(o_totalprice) AS taxed_cents,
+               size_band(o_totalprice) AS size_band
+        FROM orders WHERE o_orderkey <= 200
+        """
+    )

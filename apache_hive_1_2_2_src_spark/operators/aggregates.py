@@ -1055,3 +1055,49 @@ def agg_width_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cents").cast("long").alias("max_cents"),
         )
     )
+
+
+@register(
+    "grouping_id_hive12_compat",
+    # DuckDB's grouping_id() is ANSI like Spark's, so the oracle applies
+    # the IDENTICAL bit translation — two independent implementations of
+    # the HIVE-12833 legacy encoding that must agree row-for-row.
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT)
+             AS ansi_gid,
+           CAST((1 - ((grouping_id(o_orderstatus, o_orderpriority) >> 1) & 1))
+                + 2 * (1 - (grouping_id(o_orderstatus, o_orderpriority) & 1))
+             AS BIGINT) AS hive12_grouping__id,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), (o_orderpriority), ())
+    """,
+    doc="Hive-1.2 GROUPING__ID encoding compat (HIVE-12833: before Hive "
+    "2.3, GROUPING__ID set bit j (LSB = FIRST column in GROUP BY) to 1 "
+    "when column j IS present in the grouping set — the exact INVERSE "
+    "and REVERSE of the ANSI encoding Spark/DuckDB/Hive>=2.3 use, where "
+    "the MSB is the first column and 1 means aggregated-away). A 1.2 "
+    "user migrating queries that branch on GROUPING__ID needs the "
+    "translation, not a silent renumbering: hive12 = sum over columns j "
+    "of (1 - ansi_bit(j)) << j with j counted from the FIRST column at "
+    "the LSB. Emitted alongside the ANSI id over a 4-set GROUPING SETS "
+    "so every encoding value appears; the oracle recomputes the "
+    "translation independently in DuckDB.",
+    tags=("agg", "compat"),
+)
+def grouping_id_hive12_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    gid = F.grouping_id()
+    # 2 grouping columns: ANSI bit for col0 (o_orderstatus) is the MSB
+    # (bit 1), col1 the LSB (bit 0); Hive-1.2 wants col0 at the LSB and
+    # 1 = present: hive12 = (1 - ansi_bit1) * 1 + (1 - ansi_bit0) * 2.
+    hive12 = (1 - F.shiftright(gid, 1).bitwiseAND(F.lit(1))) + 2 * (
+        1 - gid.bitwiseAND(F.lit(1))
+    )
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        gid.cast("long").alias("ansi_gid"),
+        hive12.cast("long").alias("hive12_grouping__id"),
+        F.count(F.lit(1)).alias("n"),
+    )

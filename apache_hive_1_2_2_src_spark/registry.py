@@ -181,6 +181,9 @@ FRESH = (
     "sentences_locale_suite",
     "tablesample_bucket_rand",
     "streaming_dedup_lsh_incremental",
+    "in_file_membership",
+    "sql_macro_functions",
+    "grouping_id_hive12_compat",
 )
 
 PRIORITY = (
