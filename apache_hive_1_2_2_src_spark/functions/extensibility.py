@@ -566,7 +566,7 @@ def in_file_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         f.write("\n".join(names) + "\n")
     blocklist = spark.read.text(path).select(F.col("value").alias("bl_name"))
     c = load_table(spark, sf_dir, "customer")
-    joined = c.join(n, c.c_custkey.isNotNull() & (c.c_nationkey == n.n_nationkey))
+    joined = c.join(n, c.c_nationkey == n.n_nationkey)
     flagged = joined.join(
         F.broadcast(blocklist),
         F.col("n_name") == F.col("bl_name"),
