@@ -578,3 +578,152 @@ def ddl_insert_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_rows, n_null_prices, bool(explain_has_scan))],
         "n_rows bigint, n_null_prices bigint, explain_has_scan boolean",
     )
+
+
+@register(
+    "load_data_inpath",
+    oracle="""
+    SELECT CAST(COUNT(CASE WHEN o_orderkey < 1000 THEN 1 END) AS BIGINT)
+             AS n_before_load,
+           CAST(COUNT(*) AS BIGINT) AS n_after_load,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           TRUE AS inpath_emptied
+    FROM orders WHERE o_orderkey < 2000
+    """,
+    doc="LOAD DATA INPATH ... INTO TABLE (LoadSemanticAnalyzer.java + "
+    "MoveTask.java: the files MOVE from the staging path into the table "
+    "directory — a metadata-plane rename, NO rewrite and NO scan; the "
+    "staging dir is left empty, which distinguishes LOAD from INSERT): "
+    "a parquet table is created over an explicit LOCATION with half the "
+    "rows, the other half is staged to an 'INPATH' directory, the data "
+    "files are renamed into the table location (file-level move, zero "
+    "bytes rewritten), REFRESH TABLE drops the stale file listing (Spark "
+    "caches it; Hive's metastore needed no refresh for unpartitioned "
+    "LOAD), and the table then serves both halves. Scale: LOAD of N TB "
+    "is O(#files) renames on any store with atomic rename — this is the "
+    "ingest idiom for pre-formatted data at 100 TB; the one caveat "
+    "(same as Hive's) is that the mover must write files the table's "
+    "format/schema actually matches, which the final aggregate "
+    "certifies.",
+    tags=("catalog", "ddl", "source"),
+)
+def load_data_inpath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    db = _scratch_db(spark)
+    _drop_db(spark, db)
+    base = tempfile.mkdtemp(prefix="hive_spark_load_")
+    tdir, inpath = os.path.join(base, "tbl"), os.path.join(base, "inpath")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 2000)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+    o.filter(F.col("o_orderkey") < 1000).write.parquet(tdir)
+    o.filter(F.col("o_orderkey") >= 1000).write.parquet(inpath)
+    spark.sql(f"CREATE DATABASE {db}")
+    try:
+        tbl = f"{db}.orders_loaded"
+        spark.sql(
+            f"CREATE TABLE {tbl} (o_orderkey BIGINT, o_custkey BIGINT, "
+            f"o_totalprice DOUBLE) USING PARQUET LOCATION '{tdir}'"
+        )
+        n_before = spark.table(tbl).count()
+        # LOAD DATA INPATH == file-level rename into the table location
+        moved = 0
+        for fname in os.listdir(inpath):
+            if fname.endswith(".parquet"):
+                os.rename(
+                    os.path.join(inpath, fname),
+                    os.path.join(tdir, f"load0_{moved:05d}.parquet"),
+                )
+                moved += 1
+        inpath_emptied = moved > 0 and not any(
+            f.endswith(".parquet") for f in os.listdir(inpath)
+        )
+        spark.sql(f"REFRESH TABLE {tbl}")
+        row = spark.sql(
+            f"SELECT COUNT(*) AS n, SUM(o_orderkey) AS s FROM {tbl}"
+        ).collect()[0]
+    finally:
+        _drop_db(spark, db)
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        [(n_before, row.n, row.s, inpath_emptied)],
+        "n_before_load long, n_after_load long, key_sum long, "
+        "inpath_emptied boolean",
+    )
+
+
+@register(
+    "export_import_roundtrip",
+    oracle="""
+    SELECT n_regionkey,
+           CAST(COUNT(*) AS BIGINT) AS n_nations,
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+           TRUE AS schema_roundtrip
+    FROM nation GROUP BY n_regionkey
+    """,
+    doc="EXPORT TABLE ... TO / IMPORT TABLE ... FROM "
+    "(ExportSemanticAnalyzer.java / ImportSemanticAnalyzer.java: EXPORT "
+    "writes a self-contained dir of `_metadata` — the serialized Table "
+    "object incl. schema + partition spec — plus the data files; IMPORT "
+    "reads `_metadata`, recreates the table, and moves the files in — "
+    "the 1.x cross-warehouse replication/backup idiom): emulated with "
+    "the same two-artifact contract — data exported PARTITIONED "
+    "(partitionBy the region key) and a `_metadata` JSON carrying the "
+    "schema-as-JSON + partition columns + format; the importer "
+    "reconstructs the StructType FROM THE METADATA (never re-inferred — "
+    "an inference drift is exactly the bug EXPORT/IMPORT exists to "
+    "prevent), file-copies the partition dirs to the import location, "
+    "and registers the table. The returned per-region aggregate + a "
+    "schema-equality flag certify the roundtrip; the oracle is the same "
+    "aggregate over the source. Scale: EXPORT/IMPORT is O(#files) copy + "
+    "O(1) metadata — at 100 TB use distcp-style parallel copy for the "
+    "data plane; the `_metadata` contract is unchanged.",
+    tags=("catalog", "ddl", "source"),
+)
+def export_import_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+
+    from pyspark.sql.types import StructType
+
+    base = tempfile.mkdtemp(prefix="hive_spark_exim_")
+    exp, imp = os.path.join(base, "export"), os.path.join(base, "import")
+    n = load_table(spark, sf_dir, "nation")
+    try:
+        # EXPORT: data (partitioned) + _metadata
+        n.write.partitionBy("n_regionkey").parquet(os.path.join(exp, "data"))
+        meta = {
+            "table": "nation_export",
+            "format": "parquet",
+            "partition_cols": ["n_regionkey"],
+            "schema": json.loads(n.schema.json()),
+        }
+        with open(os.path.join(exp, "_metadata"), "w") as f:
+            json.dump(meta, f)
+        # IMPORT: schema FROM metadata, file-level copy, register + read
+        with open(os.path.join(exp, "_metadata")) as f:
+            got = json.load(f)
+        schema = StructType.fromJson(got["schema"])
+        shutil.copytree(os.path.join(exp, "data"), os.path.join(imp, "data"))
+        imported = (
+            spark.read.schema(schema)
+            .option("basePath", os.path.join(imp, "data"))
+            .parquet(os.path.join(imp, "data"))
+        )
+        schema_roundtrip = {f.name: f.dataType for f in imported.schema} == {
+            f.name: f.dataType for f in n.schema
+        }
+        out = imported.groupBy("n_regionkey").agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.sum("n_nationkey").cast("long").alias("key_sum"),
+        )
+        # localCheckpoint materializes the result so the export/import
+        # dirs can be deleted in the finally below (a lazy plan over
+        # deleted files cannot)
+        return (
+            out.withColumn("schema_roundtrip", F.lit(schema_roundtrip))
+            .select("n_regionkey", "n_nations", "key_sum", "schema_roundtrip")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -184,6 +184,8 @@ FRESH = (
     "in_file_membership",
     "sql_macro_functions",
     "grouping_id_hive12_compat",
+    "load_data_inpath",
+    "export_import_roundtrip",
 )
 
 PRIORITY = (
