@@ -627,17 +627,25 @@ def load_data_inpath(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"o_totalprice DOUBLE) USING PARQUET LOCATION '{tdir}'"
         )
         n_before = spark.table(tbl).count()
-        # LOAD DATA INPATH == file-level rename into the table location
+        # LOAD DATA INPATH == file-level rename into the table location.
+        # Through the Hadoop FS API (same discipline as write_hive_bucketed)
+        # so the move works on any store with atomic rename, not just
+        # file:// — on HDFS/s3a this is the identical MoveTask contract.
+        from apache_hive_1_2_2_src_spark.sources.hive_bucketing import _hadoop_fs
+
+        _, fs, P = _hadoop_fs(spark, inpath)
         moved = 0
-        for fname in os.listdir(inpath):
-            if fname.endswith(".parquet"):
-                os.rename(
-                    os.path.join(inpath, fname),
-                    os.path.join(tdir, f"load0_{moved:05d}.parquet"),
-                )
+        for st in fs.listStatus(P(inpath)):
+            name = st.getPath().getName()
+            if name.endswith(".parquet"):
+                if not fs.rename(
+                    st.getPath(), P(os.path.join(tdir, f"load0_{moved:05d}.parquet"))
+                ):
+                    raise RuntimeError(f"LOAD move failed for {name}")
                 moved += 1
         inpath_emptied = moved > 0 and not any(
-            f.endswith(".parquet") for f in os.listdir(inpath)
+            st.getPath().getName().endswith(".parquet")
+            for st in fs.listStatus(P(inpath))
         )
         spark.sql(f"REFRESH TABLE {tbl}")
         row = spark.sql(
