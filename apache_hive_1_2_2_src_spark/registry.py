@@ -186,6 +186,7 @@ FRESH = (
     "grouping_id_hive12_compat",
     "load_data_inpath",
     "export_import_roundtrip",
+    "join_dynamic_partition_pruning",
 )
 
 PRIORITY = (
