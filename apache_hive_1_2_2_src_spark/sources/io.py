@@ -250,6 +250,30 @@ def bucketed_smb_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     for tbl in (t_orders, t_customer):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         shutil.rmtree(os.path.join(warehouse, tbl), ignore_errors=True)
+    # Reap siblings left by DEAD processes (each run is a new pid, so
+    # without this every bench/check/driver invocation leaked one table
+    # pair into the shared warehouse dir forever — 154 pairs found in r11).
+    # The catalog entries are process-local (in-memory catalog), so a dir
+    # whose pid is gone is pure garbage; live pids are left alone. Our own
+    # dirs also get an atexit rmtree, making the steady state zero.
+    if os.path.isdir(warehouse):
+        for d in os.listdir(warehouse):
+            if d.startswith(("bkt_orders_", "bkt_customer_")):
+                try:
+                    pid = int(d.rsplit("_", 1)[-1])
+                    os.kill(pid, 0)  # raises if not alive
+                except ProcessLookupError:
+                    shutil.rmtree(os.path.join(warehouse, d), ignore_errors=True)
+                except (ValueError, PermissionError):
+                    pass
+    import atexit
+
+    atexit.register(
+        lambda: [
+            shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
+            for t in (t_orders, t_customer)
+        ]
+    )
     (
         o.select("o_orderkey", "o_custkey", "o_totalprice")
         .write.mode("overwrite")
