@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from apache_hive_1_2_2_src_spark.registry import register
+from apache_hive_1_2_2_src_spark.tmputil import scratch_dir
 from apache_hive_1_2_2_src_spark.tables import load_table
 
 
@@ -136,10 +137,8 @@ def window_named_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("source", "serde"),
 )
 def regex_serde_read(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     n = load_table(spark, sf_dir, "nation")
-    path = tempfile.mkdtemp(prefix="hive_spark_regexserde_") + "/nation_txt"
+    path = scratch_dir("regexserde") + "/nation_txt"
     n.select(
         F.concat_ws("|", F.col("n_nationkey"), F.col("n_name"), F.col("n_regionkey")).alias("value")
     ).write.mode("overwrite").text(path)
@@ -552,12 +551,9 @@ def sentences_locale_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def in_file_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import tempfile
 
     n = load_table(spark, sf_dir, "nation")
-    path = os.path.join(
-        tempfile.mkdtemp(prefix="hive_spark_infile_"), "blocklist.txt"
-    )
+    path = os.path.join(scratch_dir("infile"), "blocklist.txt")
     names = [
         r.n_name
         for r in n.filter(F.col("n_regionkey") <= 1).select("n_name").collect()

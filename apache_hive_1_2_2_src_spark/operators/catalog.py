@@ -26,12 +26,12 @@ from __future__ import annotations
 
 import os
 import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F  # noqa: F401  (kept for parity with sibling modules)
 
 from apache_hive_1_2_2_src_spark.registry import register
+from apache_hive_1_2_2_src_spark.tmputil import scratch_dir
 from apache_hive_1_2_2_src_spark.tables import load_table
 
 
@@ -419,7 +419,7 @@ def ddl_view_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 def msck_repair_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     db = _scratch_db(spark) + "_msck"
     _drop_db(spark, db)
-    loc = tempfile.mkdtemp(prefix="hive_spark_msck_")
+    loc = scratch_dir("msck")
     spark.sql(f"CREATE DATABASE {db}")
     try:
         orders = load_table(spark, sf_dir, "orders")
@@ -610,7 +610,7 @@ def ddl_insert_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 def load_data_inpath(spark: SparkSession, sf_dir: str) -> DataFrame:
     db = _scratch_db(spark)
     _drop_db(spark, db)
-    base = tempfile.mkdtemp(prefix="hive_spark_load_")
+    base = scratch_dir("load")
     tdir, inpath = os.path.join(base, "tbl"), os.path.join(base, "inpath")
     o = (
         load_table(spark, sf_dir, "orders")
@@ -694,7 +694,7 @@ def export_import_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql.types import StructType
 
-    base = tempfile.mkdtemp(prefix="hive_spark_exim_")
+    base = scratch_dir("exim")
     exp, imp = os.path.join(base, "export"), os.path.join(base, "import")
     n = load_table(spark, sf_dir, "nation")
     try:

@@ -35,6 +35,7 @@ from apache_hive_1_2_2_src_spark.operators.helpers import (
     sql_dsum,
 )
 from apache_hive_1_2_2_src_spark.registry import register
+from apache_hive_1_2_2_src_spark.tmputil import scratch_dir
 from apache_hive_1_2_2_src_spark.tables import load_table
 
 # --------------------------------------------------------------------------
@@ -314,7 +315,7 @@ def multi_insert_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     o = load_table(spark, sf_dir, "orders").cache()
-    base = tempfile.mkdtemp(prefix="hive_spark_multiins_")
+    base = scratch_dir("multiins")
     hi = o.filter(F.col("o_totalprice") > 200000).select("o_orderkey", "o_totalprice")
     lo = o.filter(F.col("o_totalprice") <= 200000).select("o_orderkey", "o_totalprice")
     hi.write.mode("overwrite").parquet(f"{base}/hi")
@@ -382,7 +383,7 @@ def virtual_columns_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
 def insert_overwrite_directory(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
-    path = tempfile.mkdtemp(prefix="hive_spark_iod_") + "/out"
+    path = scratch_dir("iod") + "/out"
     n = load_table(spark, sf_dir, "nation")
     n.filter(F.col("n_regionkey") <= 2).write.mode("overwrite").parquet(path)
     n.filter(F.col("n_regionkey") > 2).write.mode("overwrite").parquet(path)  # replaces

@@ -34,13 +34,13 @@ behavior Catalyst gives for free.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from apache_hive_1_2_2_src_spark.operators.helpers import dsum, sql_dsum
 from apache_hive_1_2_2_src_spark.registry import register
+from apache_hive_1_2_2_src_spark.tmputil import scratch_dir
 from apache_hive_1_2_2_src_spark.tables import load_table
 
 _TMP_ROOT: str | None = None
@@ -50,7 +50,7 @@ def _tmp(sub: str) -> str:
     """Session-stable temp dir (one mkdtemp per process, subdir per query)."""
     global _TMP_ROOT
     if _TMP_ROOT is None:
-        _TMP_ROOT = tempfile.mkdtemp(prefix="hive_spark_io_")
+        _TMP_ROOT = scratch_dir("io")
     path = os.path.join(_TMP_ROOT, sub)
     return path
 

@@ -21,13 +21,13 @@ from __future__ import annotations
 
 import atexit
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from apache_hive_1_2_2_src_spark.operators.helpers import dsum, sql_dsum
 from apache_hive_1_2_2_src_spark.registry import register
+from apache_hive_1_2_2_src_spark.tmputil import scratch_dir
 from apache_hive_1_2_2_src_spark.tables import load_table
 
 
@@ -73,7 +73,7 @@ _TMP_BASES: list[str] = []
 
 
 def _tmp_base(prefix: str) -> str:
-    base = tempfile.mkdtemp(prefix=prefix)
+    base = scratch_dir(prefix.removeprefix("hive_spark_").rstrip("_"))
     _TMP_BASES.append(base)
     return base
 
@@ -108,7 +108,7 @@ def _stage_events_inbox(spark: SparkSession, sf_dir: str) -> str:
     e = load_table(spark, sf_dir, "events")
     staged = e.withColumn("ts_us", F.unix_micros("ts")).drop("ts")
     _assert_stream_schema(staged)
-    inbox = os.path.join(tempfile.mkdtemp(prefix="hive_spark_events_inbox_"), "inbox")
+    inbox = os.path.join(scratch_dir("events_inbox"), "inbox")
     staged.write.mode("overwrite").parquet(inbox)
     _INBOX_CACHE[sf_dir] = inbox
     return inbox
