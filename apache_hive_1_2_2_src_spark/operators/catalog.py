@@ -735,3 +735,81 @@ def export_import_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "ddl_alter_evolution",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(CASE WHEN n_nationkey >= 10 THEN 1 END) AS BIGINT)
+             AS n_with_extra,
+           CAST(COUNT(CASE WHEN n_nationkey < 10 THEN 1 END) AS BIGINT)
+             AS n_null_extra,
+           CAST(SUM(CASE WHEN n_nationkey >= 10 THEN n_nationkey * 2 END)
+             AS BIGINT) AS extra_sum,
+           TRUE AS like_schema_match,
+           TRUE AS tblprops_visible
+    FROM nation
+    """,
+    doc="CREATE TABLE LIKE + ALTER TABLE ADD COLUMNS + SET TBLPROPERTIES "
+    "(DDLTask.alterTable / DDLSemanticAnalyzer — the 1.2 in-place schema "
+    "evolution path; read-side merge lives in schema_evolution_merge): "
+    "LIKE clones the schema into an EMPTY table (asserted), rows inserted "
+    "BEFORE the ADD COLUMNS read the new column as NULL from their "
+    "unchanged files (the Hive contract — ADD COLUMNS is metadata-only, "
+    "zero bytes rewritten, which is the only evolution that works at "
+    "100 TB), rows inserted after carry real values, and a table "
+    "property set via SET TBLPROPERTIES round-trips through SHOW "
+    "TBLPROPERTIES. The aggregate splits row counts by NULL/real extra "
+    "and sums the real ones; the oracle recomputes from nation.",
+    tags=("catalog", "ddl"),
+)
+def ddl_alter_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    db = _scratch_db(spark)
+    _drop_db(spark, db)
+    spark.sql(f"CREATE DATABASE {db}")
+    try:
+        load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation_alter_src")
+        base, clone = f"{db}.nat_base", f"{db}.nat_clone"
+        spark.sql(
+            f"CREATE TABLE {base} USING PARQUET AS "
+            "SELECT n_nationkey, n_name FROM nation_alter_src"
+        )
+        spark.sql(f"CREATE TABLE {clone} LIKE {base}")
+        like_schema_match = (
+            spark.table(clone).schema == spark.table(base).schema
+            and spark.table(clone).count() == 0
+        )
+        spark.sql(f"INSERT INTO {clone} SELECT * FROM {base} WHERE n_nationkey < 10")
+        spark.sql(f"ALTER TABLE {clone} ADD COLUMNS (extra BIGINT)")
+        spark.sql(
+            f"INSERT INTO {clone} SELECT n_nationkey, n_name, n_nationkey * 2 "
+            f"FROM {base} WHERE n_nationkey >= 10"
+        )
+        spark.sql(f"ALTER TABLE {clone} SET TBLPROPERTIES ('quality' = 'gold')")
+        tblprops_visible = any(
+            r.key == "quality" and r.value == "gold"
+            for r in spark.sql(f"SHOW TBLPROPERTIES {clone}").collect()
+        )
+        row = spark.sql(
+            f"SELECT COUNT(*) AS n_rows, "
+            f"COUNT(extra) AS n_with_extra, "
+            f"COUNT(CASE WHEN extra IS NULL THEN 1 END) AS n_null_extra, "
+            f"SUM(extra) AS extra_sum FROM {clone}"
+        ).collect()[0]
+    finally:
+        _drop_db(spark, db)
+    return spark.createDataFrame(
+        [
+            (
+                row.n_rows,
+                row.n_with_extra,
+                row.n_null_extra,
+                row.extra_sum,
+                like_schema_match,
+                tblprops_visible,
+            )
+        ],
+        "n_rows long, n_with_extra long, n_null_extra long, extra_sum long, "
+        "like_schema_match boolean, tblprops_visible boolean",
+    )

@@ -187,6 +187,7 @@ FRESH = (
     "load_data_inpath",
     "export_import_roundtrip",
     "join_dynamic_partition_pruning",
+    "ddl_alter_evolution",
 )
 
 PRIORITY = (
