@@ -813,3 +813,38 @@ def ddl_alter_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows long, n_with_extra long, n_null_extra long, extra_sum long, "
         "like_schema_match boolean, tblprops_visible boolean",
     )
+
+
+@register(
+    "show_functions_registry",
+    # Function-registry invariants, constant by construction: the xpath
+    # family Hive 1.2 shipped is present name-for-name, the Hive-named
+    # string/date fns resolve, and DESCRIBE FUNCTION yields usage text.
+    oracle="""
+    SELECT CAST(9 AS BIGINT) AS n_xpath_fns,
+           TRUE AS hive_names_resolve,
+           TRUE AS describe_has_usage
+    FROM (SELECT 1)
+    """,
+    doc="SHOW FUNCTIONS / DESCRIBE FUNCTION (FunctionRegistry.java + "
+    "DDLTask.showFunctions/describeFunction — how 1.2 users discovered "
+    "the surface): Spark keeps the statements verbatim. The query pins "
+    "the registry contract a migrating user depends on: all NINE xpath "
+    "family names ship built-in, the Hive-era names (nvl, sentences, "
+    "str_to_map, histogram_numeric, percentile_approx) resolve via SHOW "
+    "FUNCTIONS LIKE, and DESCRIBE FUNCTION emits usage text. Pure "
+    "metadata plane — no table scan.",
+    tags=("catalog", "ddl", "functions"),
+)
+def show_functions_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    xp = [r[0] for r in spark.sql("SHOW FUNCTIONS LIKE 'xpath*'").collect()]
+    hive_names = ["nvl", "sentences", "str_to_map", "histogram_numeric",
+                  "percentile_approx", "parse_url", "get_json_object"]
+    resolve = all(
+        spark.sql(f"SHOW FUNCTIONS LIKE '{f}'").count() == 1 for f in hive_names
+    )
+    desc = " ".join(r[0] for r in spark.sql("DESCRIBE FUNCTION sentences").collect())
+    return spark.createDataFrame(
+        [(len(xp), resolve, "Usage:" in desc)],
+        "n_xpath_fns long, hive_names_resolve boolean, describe_has_usage boolean",
+    )

@@ -188,6 +188,7 @@ FRESH = (
     "export_import_roundtrip",
     "join_dynamic_partition_pruning",
     "ddl_alter_evolution",
+    "show_functions_registry",
 )
 
 PRIORITY = (
