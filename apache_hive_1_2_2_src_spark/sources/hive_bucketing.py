@@ -269,8 +269,22 @@ def read_hive_bucketed(
         # full read: ONE directory listing instead of n per-path lookups —
         # the per-path form costs the driver ~4.5 ms/file (measured,
         # SCALE.md §SMB plan-cost audit: 4.6 s to BUILD the plan at 1024
-        # buckets), the glob form is flat in n. Same files: the writer
-        # guarantees the dir holds exactly the n positional files.
+        # buckets), the glob form is flat in n. The explicit file-count
+        # check below keeps the per-path form's loud failure on a
+        # missing/extra bucket file — a glob over a corrupt layout would
+        # otherwise silently read fewer buckets (wrong rows, no error).
+        _, fs, P = _hadoop_fs(spark, path)
+        found = sorted(
+            st.getPath().getName()
+            for st in fs.listStatus(P(path))
+            if st.getPath().getName().endswith("_0")
+        )
+        want = [f"{b:06d}_0" for b in range(n_buckets)]
+        if found != want:
+            raise ValueError(
+                f"layout at {path} is not {n_buckets}-bucketed: found "
+                f"{len(found)} positional files"
+            )
         return spark.read.option("pathGlobFilter", "*_0").parquet(path)
     return spark.read.parquet(*[f"{path}/{b:06d}_0" for b in sorted(set(buckets))])
 

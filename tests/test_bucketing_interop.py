@@ -781,3 +781,27 @@ def test_validator_catches_violation_straddling_file_splits(spark, tmp_path):
         assert spark.conf.get(conf_key) == "65536"
     finally:
         spark.conf.set(conf_key, prev)
+
+
+def test_full_layout_read_refuses_missing_bucket_file(spark, tmp_path):
+    """The glob-listing full read must keep the per-path form's loud
+    failure: a layout missing one positional file silently served fewer
+    buckets through a bare glob (wrong rows, no error)."""
+    import os
+
+    import pytest
+
+    from apache_hive_1_2_2_src_spark.sources.hive_bucketing import (
+        read_hive_bucketed,
+        write_hive_bucketed,
+    )
+
+    n = 4
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(40)], "k long, v string")
+    p = str(tmp_path / "missing_l")
+    write_hive_bucketed(df, "k", n, p, kind="long")
+    os.remove(os.path.join(p, "000002_0"))
+    with pytest.raises(ValueError, match="not 4-bucketed"):
+        read_hive_bucketed(spark, p, n)
+    # pruned reads of the surviving buckets still work
+    assert read_hive_bucketed(spark, p, n, buckets=[0, 1, 3]).count() > 0
