@@ -32,3 +32,35 @@ def test_lsh_dedup_is_batch_count_independent(spark):
     # every doc got exactly one verdict, and dedup actually fired
     assert len(one) == len({d for d, _, _ in one})
     assert any(v == "drop" for _, _, v in one)
+
+
+def test_store_partition_pruning_is_plan_level(spark, tmp_path):
+    """The store layout contract the scale claim rests on: a literal isin
+    on the partition column must prune at FILE-LISTING level (scan's
+    PartitionFilters + only matching db= files in inputFiles). If Spark's
+    partition discovery ever stopped pruning this shape, the probe would
+    silently regress to O(|corpus|) reads."""
+    from pyspark.sql import functions as F
+
+    store = str(tmp_path / "store")
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 8).alias("db")
+    )
+    df.repartition(8, "db").write.partitionBy("db").parquet(store + "/epoch=0")
+    df.repartition(8, "db").write.partitionBy("db").parquet(store + "/epoch=1")
+    pruned = spark.read.parquet(store).where(F.col("db").isin([2, 5]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "db" in plan
+    # Behavioral proof (inputFiles() ignores filters): delete every
+    # NON-matching partition dir after planning — the pruned count can
+    # only succeed if those files are never opened
+    # (ignoreMissingFiles=false, so touching one would raise).
+    import shutil
+
+    for e in (0, 1):
+        for d in range(8):
+            if d not in (2, 5):
+                shutil.rmtree(f"{store}/epoch={e}/db={d}")
+    assert spark.conf.get("spark.sql.files.ignoreMissingFiles") == "false"
+    # both epochs of the matching partitions are served
+    assert pruned.count() == 2 * 250
