@@ -225,10 +225,22 @@ def read_acid_table(spark: SparkSession, table_path: str) -> DataFrame:
                 "ver", F.lit(base_txn)
             )
         )
-    for _mn, mx, nm in deltas:
-        parts.append(
-            spark.read.parquet(f"{table_path}/{nm}").withColumn("ver", F.lit(mx))
+    if deltas:
+        # ONE relation over all surviving deltas, version derived from the
+        # directory name each row was read from (delta_M1_M2 -> M2 — the
+        # identical value the resolver's mx carries). The previous
+        # one-read-PER-delta form built a plan node pair per directory:
+        # measured 20.6 s DataFrame build / 611 plan lines at 300 deltas
+        # (~69 ms/delta, the r10 bucket-map-join driver-cost class) —
+        # and hundreds of deltas is the NORMAL state of a streaming-
+        # ingested table between compactions, exactly when read cost
+        # matters most (SCALE.md §ACID delta-count audit).
+        dpaths = [f"{table_path}/{nm}" for _mn, _mx, nm in deltas]
+        ver = (
+            F.regexp_extract(F.input_file_name(), r"/delta_\d+_(\d+)/[^/]*$", 1)
+            .cast("long")
         )
+        parts.append(spark.read.parquet(*dpaths).withColumn("ver", ver))
     if not parts:
         raise FileNotFoundError(f"no base_N/delta_M_M dirs under {table_path}")
     return _merge_latest(*parts)
