@@ -210,9 +210,23 @@ def write_hive_bucketed(
     staged.write.mode("overwrite").partitionBy("__hb").parquet(staging)
     jvm, fs, P = _hadoop_fs(spark, path)
     try:
-        bucket_files = {
-            b: _parquet_files(fs, P, f"{staging}/__hb={b}") for b in range(n_buckets)
-        }
+        # Per-bucket listStatus, 16-way parallel. Measured at n=1024: the
+        # tempting one-recursive-listFiles form is 10× SLOWER through
+        # py4j (hasNext/next = ~3 gateway round-trips per file, 9.8 s vs
+        # 1.0 s for the per-dir loop, whose listStatus returns a whole
+        # dir in one call); parallelism is what matters on object stores
+        # (4096 dirs × ~50 ms on s3a = ~3.5 min sequential, ~13 s at
+        # 16-way).
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=16) as pool:
+            listed = list(
+                pool.map(
+                    lambda b: _parquet_files(fs, P, f"{staging}/__hb={b}"),
+                    range(n_buckets),
+                )
+            )
+        bucket_files = dict(enumerate(listed))
         split = {b: fls for b, fls in bucket_files.items() if len(fls) > 1}
         if split:
             # repartition(n, __hb) + partitionBy puts each bucket in one
@@ -229,20 +243,33 @@ def write_hive_bucketed(
         if fs.exists(out):
             fs.delete(out, True)
         fs.mkdirs(out)
-        try:
-            for b in range(n_buckets):
-                dest = P(f"{path}/{b:06d}_0")
-                if bucket_files[b]:
-                    if not fs.rename(P(bucket_files[b][0]), dest):
-                        raise RuntimeError(f"rename failed for bucket {b}")
-                else:
-                    jvm.org.apache.hadoop.fs.FileUtil.copy(
-                        fs, P(template), fs, dest, False,
-                        spark._jsc.hadoopConfiguration(),
-                    )
-        except BaseException:
+        def _place(b: int) -> None:
+            dest = P(f"{path}/{b:06d}_0")
+            if bucket_files[b]:
+                if not fs.rename(P(bucket_files[b][0]), dest):
+                    raise RuntimeError(f"rename failed for bucket {b}")
+            else:
+                jvm.org.apache.hadoop.fs.FileUtil.copy(
+                    fs, P(template), fs, dest, False,
+                    spark._jsc.hadoopConfiguration(),
+                )
+
+        # Parallel placement: renames are driver-side FS metadata calls
+        # (py4j is thread-safe; HDFS/s3a clients too). Measured 0.8 s vs
+        # ~3 s sequential at n=1024 locally; on an object store at
+        # ~50 ms/rename the 16-way pool is the difference between minutes
+        # and seconds. All futures are AWAITED before any cleanup so a
+        # failure still tears down a quiescent out dir — no rename races
+        # the delete.
+        with ThreadPoolExecutor(max_workers=16) as pool:
+            errs = [
+                f.exception()
+                for f in [pool.submit(_place, b) for b in range(n_buckets)]
+            ]
+        first = next((e for e in errs if e is not None), None)
+        if first is not None:
             fs.delete(out, True)  # never leave a partial flat layout
-            raise
+            raise first
     finally:
         fs.delete(P(staging), True)
 
