@@ -189,6 +189,7 @@ FRESH = (
     "join_dynamic_partition_pruning",
     "ddl_alter_evolution",
     "show_functions_registry",
+    "exchange_partition",
 )
 
 PRIORITY = (
