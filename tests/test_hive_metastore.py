@@ -83,6 +83,38 @@ back = spark.sql(
 ).collect()[0]
 assert (back.n, back.sk, back.sx, back.mn) == (100, 4950, 12375.0, "v0"), back
 spark.sql("DROP DATABASE seq_db CASCADE")
+
+# Hive bucketing DDL contract (SemanticAnalyzer.genBucketingSortingDest +
+# ObjectStore StorageDescriptor persistence): an EXTERNAL table declared
+# CLUSTERED BY (k) SORTED BY (k ASC) INTO 8 BUCKETS over a
+# write_hive_bucketed layout. The metastore must carry the bucket
+# metadata a Hive-1.2 reader keys its bucket-aware plans on (Num
+# Buckets / Bucket Columns / Sort Columns survive DESCRIBE FORMATTED),
+# and the rows served through the catalog must equal the source — the
+# end-to-end artifact a real deployment hands to Hive.
+import tempfile as _tf
+from pyspark.sql import functions as F
+from apache_hive_1_2_2_src_spark.sources.hive_bucketing import write_hive_bucketed
+
+src = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") %% 7).alias("v"))
+loc = _tf.mkdtemp(prefix="hms_bkt_") + "/t"
+write_hive_bucketed(src, "k", 8, loc, kind="long", sorted_by="k")
+spark.sql("CREATE DATABASE bkt_db")
+spark.sql(
+    "CREATE EXTERNAL TABLE bkt_db.t_bkt (k BIGINT, v BIGINT) "
+    "CLUSTERED BY (k) SORTED BY (k ASC) INTO 8 BUCKETS "
+    "STORED AS PARQUET LOCATION '" + loc + "'"
+)
+desc = {r.col_name: r.data_type
+        for r in spark.sql("DESCRIBE FORMATTED bkt_db.t_bkt").collect()}
+assert desc.get("Num Buckets") == "8", desc.get("Num Buckets")
+assert "k" in (desc.get("Bucket Columns") or ""), desc.get("Bucket Columns")
+assert "k" in (desc.get("Sort Columns") or ""), desc.get("Sort Columns")
+bkt = spark.sql(
+    "SELECT COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sk FROM bkt_db.t_bkt"
+).collect()[0]
+assert (bkt.n, bkt.sk) == (1000, 499500), bkt
+spark.sql("DROP DATABASE bkt_db CASCADE")
 print("HIVE_METASTORE_OK")
 """
 
