@@ -634,15 +634,27 @@ def load_data_inpath(spark: SparkSession, sf_dir: str) -> DataFrame:
         from apache_hive_1_2_2_src_spark.sources.hive_bucketing import _hadoop_fs
 
         _, fs, P = _hadoop_fs(spark, inpath)
-        moved = 0
-        for st in fs.listStatus(P(inpath)):
-            name = st.getPath().getName()
-            if name.endswith(".parquet"):
-                if not fs.rename(
-                    st.getPath(), P(os.path.join(tdir, f"load0_{moved:05d}.parquet"))
-                ):
-                    raise RuntimeError(f"LOAD move failed for {name}")
-                moved += 1
+        stats = [
+            st
+            for st in fs.listStatus(P(inpath))
+            if st.getPath().getName().endswith(".parquet")
+        ]
+
+        def _mv(i_st) -> None:
+            i, st = i_st
+            if not fs.rename(
+                st.getPath(), P(os.path.join(tdir, f"load0_{i:05d}.parquet"))
+            ):
+                raise RuntimeError(f"LOAD move failed for {st.getPath().getName()}")
+
+        # 16-way like write_hive_bucketed's flatten: a LOAD of a 100 TB
+        # drop is thousands of renames, minutes sequential on an object
+        # store, seconds pooled. All awaited before the emptiness check.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=16) as pool:
+            list(pool.map(_mv, enumerate(stats)))
+        moved = len(stats)
         inpath_emptied = moved > 0 and not any(
             st.getPath().getName().endswith(".parquet")
             for st in fs.listStatus(P(inpath))
