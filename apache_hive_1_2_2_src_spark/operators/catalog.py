@@ -939,3 +939,65 @@ def exchange_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_src_after long, n_dst_after long, moved_key_sum long, "
         "src_partition_gone boolean, dst_partition_present boolean",
     )
+
+
+@register(
+    "show_create_table_roundtrip",
+    oracle="""
+    SELECT TRUE AS ddl_has_schema,
+           TRUE AS ddl_has_partitioning,
+           TRUE AS ddl_has_tblproperties,
+           TRUE AS clone_schema_match,
+           TRUE AS clone_partitioned,
+           CAST(25 AS BIGINT) AS n_rows_via_clone
+    FROM (SELECT 1)
+    """,
+    doc="SHOW CREATE TABLE (DDLTask.showCreateTable — how 1.2 users copied "
+    "and audited table definitions): the emitted DDL must be EXECUTABLE "
+    "and faithful, which the query proves by round-trip — create a "
+    "partitioned table with properties, capture SHOW CREATE TABLE, "
+    "re-execute the emitted DDL under a new name, and assert the clone "
+    "carries the same column schema, partitioning, and serves inserted "
+    "rows. A SHOW CREATE that drifts from what CREATE accepts (the "
+    "classic cross-version migration failure) breaks the re-execution "
+    "or the schema equality, not just a string compare. Metadata plane "
+    "only.",
+    tags=("catalog", "ddl"),
+)
+def show_create_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    db = _scratch_db(spark)
+    _drop_db(spark, db)
+    spark.sql(f"CREATE DATABASE {db}")
+    try:
+        load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation_sct_src")
+        t1, t2 = f"{db}.sct_orig", f"{db}.sct_clone"
+        spark.sql(
+            f"CREATE TABLE {t1} (n_nationkey BIGINT, n_name STRING) USING "
+            f"PARQUET PARTITIONED BY (n_regionkey BIGINT) "
+            f"TBLPROPERTIES ('quality' = 'gold')"
+        )
+        ddl = spark.sql(f"SHOW CREATE TABLE {t1}").collect()[0][0]
+        flags = (
+            "n_nationkey BIGINT" in ddl,
+            "PARTITIONED BY (n_regionkey)" in ddl,
+            "'quality' = 'gold'" in ddl,
+        )
+        # the round-trip: the emitted DDL must execute under a new name
+        spark.sql(ddl.replace(f"{db}.sct_orig", f"{db}.sct_clone", 1))
+        schema_match = spark.table(t2).schema == spark.table(t1).schema
+        spark.sql(
+            f"INSERT INTO {t2} SELECT n_nationkey, n_name, n_regionkey "
+            f"FROM nation_sct_src"
+        )
+        clone_partitioned = (
+            len(spark.sql(f"SHOW PARTITIONS {t2}").collect()) == 5
+        )
+        n = spark.table(t2).count()
+    finally:
+        _drop_db(spark, db)
+    return spark.createDataFrame(
+        [(flags[0], flags[1], flags[2], schema_match, clone_partitioned, n)],
+        "ddl_has_schema boolean, ddl_has_partitioning boolean, "
+        "ddl_has_tblproperties boolean, clone_schema_match boolean, "
+        "clone_partitioned boolean, n_rows_via_clone long",
+    )

@@ -190,6 +190,7 @@ FRESH = (
     "ddl_alter_evolution",
     "show_functions_registry",
     "exchange_partition",
+    "show_create_table_roundtrip",
 )
 
 PRIORITY = (
