@@ -17,9 +17,11 @@ against a real Hive metastore via ``enableHiveSupport()`` — identical code).
 Scale note: DDL and ANALYZE are metadata-plane operations — O(1) in data
 size except the ANALYZE scan itself, which is a single column-pruned pass.
 The lifecycle queries below intentionally materialize a one-row summary on
-the driver (the ONLY ``collect`` in the package): the result of a DDL
-lifecycle is metadata, not data, and the table must be dropped *before* the
-result is returned, which a lazy plan over the dropped table cannot express.
+the driver (collects in THIS module are metadata-plane by design): the
+result of a DDL lifecycle is metadata, not data, and the table must be
+dropped *before* the result is returned, which a lazy plan over the
+dropped table cannot express. Data-plane modules keep collects to
+bounds/metadata only (audited per round in SCALE.md).
 """
 
 from __future__ import annotations
