@@ -690,6 +690,7 @@ def hive_smb_merge_join(
     kind: str = "string",
     validate: bool = True,
     sub_split: int = 1,
+    how: str = "inner",
 ) -> DataFrame:
     """Hive's SORT MERGE BUCKET join over two Hive-written flat layouts
     (``SortedMergeBucketMapJoinOptimizer.java`` parity — the SORTED BY
@@ -737,6 +738,18 @@ def hive_smb_merge_join(
     (correctly) never produce. Pinned by the NULL-key test in
     tests/test_bucketing_interop.py.
 
+    ``how`` supports ``'inner'`` and ``'left'`` — SMBMapJoinOperator.java
+    executes OUTER joins over the same co-bucketed layout, so the left
+    form belongs to the parity surface. LEFT semantics: every left row
+    survives; unmatched rows (including left rows with a NULL key, which
+    can never equal anything) carry NULL right columns. NULL-key left
+    rows are routed AROUND the cogroup (kept aside before the NULL
+    filter, unioned back with typed NULL right columns) — inside the
+    merge they would NaN-match per the pitfall above. A right-outer is
+    the same call with the sides swapped; FULL outer is not offered
+    (Hive 1.2's SMB full-outer had the same per-bucket shape, but no
+    query in the surface needs it — raise instead of guessing).
+
     Same layout precondition as ``hive_bucket_map_join`` (exactly n
     positional files per side, verified up front). Non-key column names must be disjoint
     across the two sides (checked); same-named KEYS are fine (the merge
@@ -745,6 +758,10 @@ def hive_smb_merge_join(
 
     if sub_split < 1:
         raise ValueError(f"sub_split must be >= 1, got {sub_split}")
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"how must be 'inner' or 'left' (right = swap the sides), got {how!r}"
+        )
     _, fs, P = _hadoop_fs(spark, path_a)
     for side, path in (("left", path_a), ("right", path_b)):
         found = sorted(
@@ -763,8 +780,11 @@ def hive_smb_merge_join(
         validate_hive_sorted_bucketed(spark, path_b, n_buckets, on_b)
 
     # NULL keys out BEFORE the cogroup: pd.merge matches NaN keys (see
-    # docstring), so inner-join semantics must be enforced Spark-side.
-    a = read_hive_bucketed(spark, path_a, n_buckets).where(F.col(on_a).isNotNull())
+    # docstring), so equi-join semantics must be enforced Spark-side. For
+    # the LEFT form the null-key left rows are kept aside and unioned
+    # back as unmatched output below.
+    a_all = read_hive_bucketed(spark, path_a, n_buckets)
+    a = a_all.where(F.col(on_a).isNotNull())
     b = read_hive_bucketed(spark, path_b, n_buckets).where(F.col(on_b).isNotNull())
     clash = (set(a.columns) - {on_a}) & (set(b.columns) - {on_b})
     if clash:
@@ -783,9 +803,14 @@ def hive_smb_merge_join(
     def merge(la: pd.DataFrame, rb: pd.DataFrame) -> pd.DataFrame:
         la = la.drop(columns=aux)
         rb = rb.drop(columns=aux)
+        # how='left' inside a tile is exact: each left row lives in ONE
+        # (bucket, sub) tile and all right rows with its key are in the
+        # same tile, so per-tile unmatched == globally unmatched. Missing
+        # right values arrive as NaN and Arrow coerces them to NULL for
+        # the declared types (probed; pinned by the left-join test).
         if same_key:
-            return la.merge(rb, on=on_a, how="inner")
-        return la.merge(rb, left_on=on_a, right_on=on_b, how="inner")
+            return la.merge(rb, on=on_a, how=how)
+        return la.merge(rb, left_on=on_a, right_on=on_b, how=how)
 
     # Canonical key type per kind for the sub-split hash: xxhash64 hashes
     # INT 7 and BIGINT 7 differently, and kind='long' admits both physical
@@ -802,7 +827,15 @@ def hive_smb_merge_join(
             )
         return df.groupBy(*aux)
 
-    return keyed(a, on_a).cogroup(keyed(b, on_b)).applyInPandas(merge, out_schema)
+    joined = keyed(a, on_a).cogroup(keyed(b, on_b)).applyInPandas(merge, out_schema)
+    if how == "left":
+        right_only = [f for f in out_fields if f.name not in set(a.columns)]
+        nulls = a_all.where(F.col(on_a).isNull()).select(
+            *[F.col(c) for c in a.columns],
+            *[F.lit(None).cast(f.dataType).alias(f.name) for f in right_only],
+        )
+        joined = joined.unionByName(nulls.select(*[f.name for f in out_fields]))
+    return joined
 
 
 @register(

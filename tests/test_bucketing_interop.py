@@ -805,3 +805,50 @@ def test_full_layout_read_refuses_missing_bucket_file(spark, tmp_path):
         read_hive_bucketed(spark, p, n)
     # pruned reads of the surviving buckets still work
     assert read_hive_bucketed(spark, p, n, buckets=[0, 1, 3]).count() > 0
+
+
+def test_smb_merge_join_left_outer(spark, tmp_path):
+    """how='left' (SMBMapJoinOperator executes outer joins over the same
+    co-bucketed layout): every left row survives — unmatched non-null
+    keys AND null-key rows (routed around the cogroup) carry NULL right
+    columns; must equal Spark's left join row-for-row, under sub_split
+    too."""
+    from apache_hive_1_2_2_src_spark.sources.hive_bucketing import (
+        hive_smb_merge_join,
+        write_hive_bucketed,
+    )
+
+    n = 4
+    left = spark.createDataFrame(
+        [(None, "Lnull")] + [(i % 11, f"L{i}") for i in range(44)],
+        "k long, tag string",
+    )
+    right = spark.createDataFrame(  # keys 0..6 only -> 7..10 unmatched
+        [(j % 7, f"R{j}") for j in range(14)], "rk long, rtag string"
+    )
+    lp, rp = str(tmp_path / "lo_l"), str(tmp_path / "lo_r")
+    write_hive_bucketed(left, "k", n, lp, kind="long", sorted_by="k")
+    write_hive_bucketed(right, "rk", n, rp, kind="long", sorted_by="rk")
+
+    expect = sorted(
+        (r.tag, r.rtag)
+        for r in left.join(right, left.k == right.rk, "left")
+        .select("tag", "rtag")
+        .collect()
+    )
+    for k in (1, 3):
+        out = hive_smb_merge_join(
+            spark, lp, rp, n, "k", "rk", kind="long", how="left", sub_split=k
+        )
+        got = sorted(
+            (r.tag, r.rtag) for r in out.select("tag", "rtag").collect()
+        )
+        assert got == expect, f"left outer diverged at sub_split={k}"
+        # the null-key row survives with NULL right side
+        nullrow = out.where(F.col("k").isNull()).collect()
+        assert len(nullrow) == 1 and nullrow[0].rtag is None
+
+    import pytest
+
+    with pytest.raises(ValueError, match="how"):
+        hive_smb_merge_join(spark, lp, rp, n, "k", "rk", kind="long", how="full")
