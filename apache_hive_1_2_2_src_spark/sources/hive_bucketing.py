@@ -462,6 +462,7 @@ def hive_bucket_map_join(
     on_a: str,
     on_b: str,
     chunk_buckets: int = 1,
+    how: str = "inner",
 ) -> DataFrame:
     """Hive's BUCKET MAP JOIN over two Hive-written flat layouts
     (``BucketMapJoinOptimizer.java`` / ``MapJoinProcessor``): both tables
@@ -493,6 +494,13 @@ def hive_bucket_map_join(
     a chunk would still match, weakening that signal — use c=1 when the
     point is to verify a foreign writer).
 
+    ``how`` supports ``'inner'`` and ``'left'`` (MapJoinOperator executes
+    LEFT OUTER map joins with the small side on the right): the per-chunk
+    Spark join carries the outer semantics natively — NULL-key fact rows
+    route to bucket 0 and come back unmatched with NULL right columns,
+    and per-chunk unmatched == globally unmatched because each left row
+    lives in exactly one chunk. Right-outer = swap the sides.
+
     Both layouts must have exactly ``n_buckets`` positional files —
     verified up front: joining an m-bucketed layout as n-bucketed would
     silently lose every pair whose two hashes disagree mod m vs mod n
@@ -515,6 +523,10 @@ def hive_bucket_map_join(
         raise ValueError(
             f"chunk_buckets must be in [1, {n_buckets}], got {chunk_buckets}"
         )
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"how must be 'inner' or 'left' (right = swap the sides), got {how!r}"
+        )
     parts = []
     for lo in range(0, n_buckets, chunk_buckets):
         chunk = list(range(lo, min(lo + chunk_buckets, n_buckets)))
@@ -530,11 +542,14 @@ def hive_bucket_map_join(
         joined = a.join(
             F.broadcast(bb),
             F.col(f"__bmj_l.{on_a}") == F.col(f"__bmj_r.{on_b}"),
+            how,
         )
         if on_a == on_b:
             # Equi-join on a shared column name: keep one copy of the key
-            # (the values are equal by the join condition) so the result
-            # has unique column names and the per-bucket unionByName works.
+            # so the result has unique column names and the per-bucket
+            # unionByName works. The RIGHT copy is dropped — load-bearing
+            # for how='left', where unmatched rows carry the value only in
+            # the left copy (the right one is NULL).
             joined = joined.drop(F.col(f"__bmj_r.{on_b}"))
         parts.append(joined)
     out = parts[0]

@@ -852,3 +852,38 @@ def test_smb_merge_join_left_outer(spark, tmp_path):
 
     with pytest.raises(ValueError, match="how"):
         hive_smb_merge_join(spark, lp, rp, n, "k", "rk", kind="long", how="full")
+
+
+def test_bucket_map_join_left_outer(spark, tmp_path):
+    """how='left' on the bucket-map form (MapJoinOperator LEFT OUTER):
+    unmatched and NULL-key fact rows survive with NULL dim columns; must
+    equal Spark's left join under chunking too."""
+    from apache_hive_1_2_2_src_spark.sources.hive_bucketing import (
+        hive_bucket_map_join,
+        write_hive_bucketed,
+    )
+
+    n = 4
+    fact = spark.createDataFrame(
+        [(None, "Fnull")] + [(i % 9, f"F{i}") for i in range(36)],
+        "k long, tag string",
+    )
+    dim = spark.createDataFrame(  # keys 0..5 only -> 6..8 unmatched
+        [(j, f"D{j}") for j in range(6)], "rk long, rtag string"
+    )
+    fp, dp = str(tmp_path / "bmlo_f"), str(tmp_path / "bmlo_d")
+    write_hive_bucketed(fact, "k", n, fp, kind="long")
+    write_hive_bucketed(dim, "rk", n, dp, kind="long")
+
+    expect = sorted(
+        (r.tag, r.rtag)
+        for r in fact.join(dim, fact.k == dim.rk, "left")
+        .select("tag", "rtag")
+        .collect()
+    )
+    for c in (1, 3):
+        out = hive_bucket_map_join(
+            spark, fp, dp, n, "k", "rk", chunk_buckets=c, how="left"
+        )
+        got = sorted((r.tag, r.rtag) for r in out.select("tag", "rtag").collect())
+        assert got == expect, f"left outer diverged at chunk_buckets={c}"
