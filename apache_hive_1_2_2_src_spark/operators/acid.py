@@ -236,10 +236,20 @@ def read_acid_table(spark: SparkSession, table_path: str) -> DataFrame:
         # ingested table between compactions, exactly when read cost
         # matters most (SCALE.md §ACID delta-count audit).
         dpaths = [f"{table_path}/{nm}" for _mn, _mx, nm in deltas]
-        ver = (
-            F.regexp_extract(F.input_file_name(), r"/delta_\d+_(\d+)/[^/]*$", 1)
-            .cast("long")
-        )
+        raw = F.regexp_extract(F.input_file_name(), r"/delta_\d+_(\d+)/[^/]*$", 1)
+        # Loud guard (ADVICE r11): a file NOT directly under its
+        # delta_M1_M2 dir (nested subdir, empty input_file_name) yields ''
+        # here; cast('long') would turn that into NULL and the desc-sort
+        # merge would silently DROP that delta's updates (nulls sort last).
+        # raise_error at scan time instead — an unparseable layout must
+        # never produce a quietly stale snapshot.
+        ver = F.when(
+            raw == "",
+            F.expr(
+                "raise_error(concat('read_acid_table: cannot derive delta "
+                "version from file path: ', input_file_name()))"
+            ).cast("string"),
+        ).otherwise(raw).cast("long")
         parts.append(spark.read.parquet(*dpaths).withColumn("ver", ver))
     if not parts:
         raise FileNotFoundError(f"no base_N/delta_M_M dirs under {table_path}")

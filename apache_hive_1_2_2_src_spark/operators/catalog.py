@@ -984,8 +984,17 @@ def show_create_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "PARTITIONED BY (n_regionkey)" in ddl,
             "'quality' = 'gold'" in ddl,
         )
-        # the round-trip: the emitted DDL must execute under a new name
-        spark.sql(ddl.replace(f"{db}.sct_orig", f"{db}.sct_clone", 1))
+        # the round-trip: the emitted DDL must execute under a new name.
+        # Regex over the table identifier alone (optionally backticked) so
+        # the rewrite survives identifier-quoting changes across Spark
+        # versions (ADVICE r11: a plain substring replace of 'db.sct_orig'
+        # no-ops if a future Spark emits `db`.`sct_orig`).
+        import re as _re
+
+        ddl2, n_sub = _re.subn(r"`?sct_orig`?", "sct_clone", ddl, count=1)
+        if n_sub != 1:
+            raise ValueError(f"SHOW CREATE TABLE output lacks the table name: {ddl}")
+        spark.sql(ddl2)
         schema_match = spark.table(t2).schema == spark.table(t1).schema
         spark.sql(
             f"INSERT INTO {t2} SELECT n_nationkey, n_name, n_regionkey "

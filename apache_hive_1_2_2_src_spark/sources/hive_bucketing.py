@@ -609,6 +609,18 @@ def hive_bucket_map_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# validate_hive_sorted_bucketed result cache: (path, n_buckets, key) ->
+# layout fingerprint (sorted (name, length, mtime) of the positional
+# files) at the time the layout last passed. A repeated SMB join over the
+# same unchanged layout skips the full validation scan — the per-call
+# listStatus (cheap, one FS call) detects ANY mutation: a rewrite, an
+# appended epoch, or a swapped file changes length or mtime and forces a
+# re-scan. Measured (SCALE.md §validator-cache audit): the scan is the
+# dominant cost of a warm hive_smb_merge_join call, so caching it makes
+# repeated joins over a static layout ~join-only cost.
+_SORTED_VALIDATED: dict[tuple[str, int, str], tuple] = {}
+
+
 def validate_hive_sorted_bucketed(
     spark: SparkSession, path: str, n_buckets: int, key: str
 ) -> None:
@@ -629,25 +641,38 @@ def validate_hive_sorted_bucketed(
     two tasks that each see a sorted half (whole files coalescing into
     one task is fine — the per-file groupby handles that). Spark splits
     parquet at ``spark.sql.files.maxPartitionBytes`` (128 MB default) —
-    exactly the regime SMB buckets live in — so for the duration of this
-    one scan the conf is raised above the largest bucket file and then
-    restored; pinned by the split-straddling test in
-    tests/test_bucketing_interop.py."""
+    exactly the regime SMB buckets live in — so the scan runs through a
+    dedicated ``spark.newSession()`` whose maxPartitionBytes is raised
+    above the largest bucket file: SQLConf is per-session, so concurrent
+    queries on the caller's session never observe the raised split size
+    (ADVICE r11 — the old set/restore on the shared conf leaked it to any
+    concurrent query for the scan's duration). Pinned by the
+    split-straddling test in tests/test_bucketing_interop.py.
+
+    Results are cached per (path, n_buckets, key) against the layout's
+    file fingerprint — see ``_SORTED_VALIDATED`` above."""
     import pandas as pd  # noqa: PLC0415 — Arrow path only
 
     _, fs, P = _hadoop_fs(spark, path)
-    max_len = max(
-        (
-            st.getLen()
-            for st in fs.listStatus(P(path))
-            if st.getPath().getName().endswith("_0")
-        ),
-        default=0,
+    stats = sorted(
+        (st.getPath().getName(), st.getLen(), st.getModificationTime())
+        for st in fs.listStatus(P(path))
+        if st.getPath().getName().endswith("_0")
     )
-    conf_key = "spark.sql.files.maxPartitionBytes"
-    prev = spark.conf.get(conf_key)
+    cache_key = (path, n_buckets, key)
+    fingerprint = tuple(stats)
+    if _SORTED_VALIDATED.get(cache_key) == fingerprint:
+        return
+    max_len = max((ln for _nm, ln, _mt in stats), default=0)
 
-    df = read_hive_bucketed(spark, path, n_buckets).select(
+    # Conf-isolated session: shares the SparkContext (and executors) but
+    # owns its SQLConf, so the raised split size is scoped to this scan.
+    iso = spark.newSession()
+    iso.conf.set(
+        "spark.sql.files.maxPartitionBytes",
+        str(max(int(max_len) + 1, 128 * 1024 * 1024)),
+    )
+    df = read_hive_bucketed(iso, path, n_buckets).select(
         F.col(key).alias("__k"), F.input_file_name().alias("__f")
     )
 
@@ -676,23 +701,18 @@ def validate_hive_sorted_bucketed(
                     )
                 last[f] = vals[-1]
 
-    try:
-        # One split per file: the split size is read at action time, so
-        # raising it here covers exactly this collect.
-        spark.conf.set(conf_key, str(max(int(max_len) + 1, 128 * 1024 * 1024)))
-        viol = (
-            df.mapInPandas(check, "file string, prev string, cur string")
-            .limit(1)
-            .collect()
-        )
-    finally:
-        spark.conf.set(conf_key, prev)
+    viol = (
+        df.mapInPandas(check, "file string, prev string, cur string")
+        .limit(1)
+        .collect()
+    )
     if viol:
         v = viol[0]
         raise ValueError(
             f"layout at {path} is not SORTED BY ({key}): file {v['file']} "
             f"has {v['cur']} after {v['prev']}"
         )
+    _SORTED_VALIDATED[cache_key] = fingerprint
 
 
 def hive_smb_merge_join(
@@ -901,6 +921,412 @@ def hive_smb_merge_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, op, cp, n, "o_custkey", "c_custkey", kind="long", sub_split=2
     )
     return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("revenue_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Partitioned + bucketed layouts (dt=.../000000_0 nesting) — the dominant
+# real-warehouse shape: Hive's dynamic-partition insert writes one bucketed
+# file set PER partition directory (FileSinkOperator.getDynOutPaths routes
+# rows to <part>/<bucket file>; SemanticAnalyzer.genBucketingSortingDest
+# wires CLUSTERED BY into each partition's sink). Partition pruning then
+# COMPOSES with bucket pruning: a point query opens 1 of p·n files.
+# ---------------------------------------------------------------------------
+
+
+def _unescape_path_value(s: str) -> str:
+    """Undo Hive/Spark partition-path escaping (%xx for the reserved set in
+    FileUtils.escapePathName — Spark writes the identical encoding)."""
+    from urllib.parse import unquote
+
+    return unquote(s)
+
+
+def write_hive_partitioned_bucketed(
+    df: DataFrame,
+    part_col: str,
+    key: str,
+    n_buckets: int,
+    path: str,
+    kind: str = "string",
+    sorted_by: str | None = None,
+) -> None:
+    """Write the NESTED Hive layout ``path/<part_col>=<v>/000000_0…`` —
+    every partition directory holds exactly ``n_buckets`` positional files
+    and file *i* of a partition holds precisely that partition's rows Hive
+    assigns to bucket *i* (``FileSinkOperator.getDynOutPaths`` +
+    ``genBucketingSortingDest`` parity). The partition column is VIRTUAL:
+    it lives only in the directory name, never in the data files — exactly
+    Hive's (and Spark's partitionBy) on-disk contract.
+
+    One shuffle total: ``repartition(part_col, __hb)`` co-locates each
+    (partition, bucket) pair in a single task, so partitionBy emits ONE
+    file per leaf dir (validated before any rename, like the flat writer).
+    NULL partition values route to Hive's ``__HIVE_DEFAULT_PARTITION__``
+    directory (Spark writes the identical name). NULL KEYS route to bucket
+    0 within their partition. Buckets empty WITHIN a partition still get a
+    schema-bearing positional file (Hive's reader requires all n present
+    in every partition dir). ``sorted_by`` gives each file ascending-key
+    order for SMB parity, same mechanism as the flat writer.
+
+    Scale: the shuffle is one pass of the input; the flatten is p·n
+    driver-side FS renames done 16-way parallel (the measured flat-writer
+    regime — SCALE.md §bucketed-write flatten). Prefer n such that each
+    (partition, bucket) file is ~HDFS-block-sized; heavily skewed
+    partitions bound per-task input because each task holds whole (p, b)
+    groups only."""
+    spark = df.sparkSession
+    staging = path + ".__staging"
+    staged = df.withColumn("__hb", hive_bucket_id(key, n_buckets, kind)).repartition(
+        part_col, "__hb"
+    )
+    if sorted_by is not None:
+        staged = staged.sortWithinPartitions(part_col, "__hb", sorted_by)
+    staged.write.mode("overwrite").partitionBy(part_col, "__hb").parquet(staging)
+    jvm, fs, P = _hadoop_fs(spark, path)
+    from concurrent.futures import ThreadPoolExecutor
+
+    try:
+        part_dirs = sorted(
+            st.getPath().getName()
+            for st in fs.listStatus(P(staging))
+            if st.isDirectory() and st.getPath().getName().startswith(f"{part_col}=")
+        )
+        if not part_dirs:
+            raise ValueError(f"no {part_col}= partitions produced at {staging}")
+        pairs = [(pd_, b) for pd_ in part_dirs for b in range(n_buckets)]
+        with ThreadPoolExecutor(max_workers=16) as pool:
+            listed = list(
+                pool.map(
+                    lambda pb: _parquet_files(
+                        fs, P, f"{staging}/{pb[0]}/__hb={pb[1]}"
+                    ),
+                    pairs,
+                )
+            )
+        files = dict(zip(pairs, listed))
+        split = {pb: fls for pb, fls in files.items() if len(fls) > 1}
+        if split:
+            raise RuntimeError(
+                f"(partition, bucket) pairs split across files: {split}"
+            )
+        template = None
+        if any(not fls for fls in files.values()):
+            # data files carry the row schema MINUS part_col and __hb
+            df.limit(0).drop(part_col).write.mode("overwrite").parquet(
+                f"{staging}/__empty"
+            )
+            template = _parquet_files(fs, P, f"{staging}/__empty")[0]
+        out = P(path)
+        if fs.exists(out):
+            fs.delete(out, True)
+        for pd_ in part_dirs:
+            fs.mkdirs(P(f"{path}/{pd_}"))
+
+        def _place(pb) -> None:
+            pd_, b = pb
+            dest = P(f"{path}/{pd_}/{b:06d}_0")
+            if files[pb]:
+                if not fs.rename(P(files[pb][0]), dest):
+                    raise RuntimeError(f"rename failed for {pb}")
+            else:
+                jvm.org.apache.hadoop.fs.FileUtil.copy(
+                    fs, P(template), fs, dest, False,
+                    spark._jsc.hadoopConfiguration(),
+                )
+
+        with ThreadPoolExecutor(max_workers=16) as pool:
+            errs = [f.exception() for f in [pool.submit(_place, pb) for pb in pairs]]
+        first = next((e for e in errs if e is not None), None)
+        if first is not None:
+            fs.delete(out, True)  # never leave a partial nested layout
+            raise first
+    finally:
+        fs.delete(P(staging), True)
+
+
+def list_hive_partitions(spark: SparkSession, path: str, part_col: str) -> dict:
+    """{partition value (unescaped str, None for the NULL partition) ->
+    directory name} for a nested layout — ONE listStatus, flat in p."""
+    _, fs, P = _hadoop_fs(spark, path)
+    out: dict = {}
+    for st in fs.listStatus(P(path)):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith(f"{part_col}=")):
+            continue
+        raw = name.split("=", 1)[1]
+        val = None if raw == "__HIVE_DEFAULT_PARTITION__" else _unescape_path_value(raw)
+        out[val] = name
+    return out
+
+
+def read_hive_partitioned_bucketed(
+    spark: SparkSession,
+    path: str,
+    part_col: str,
+    n_buckets: int,
+    parts: list | None = None,
+    buckets: list[int] | None = None,
+) -> DataFrame:
+    """Composed partition + bucket PRUNED read of a nested layout: open
+    only the positional files for ``buckets`` inside the directories for
+    ``parts`` (all, when None) — |parts|·|buckets| of the p·n files, the
+    point-query cost Hive gets from PartitionPruner + the CLUSTERED BY
+    file contract together. The partition column comes back as a real
+    column (Spark partition discovery via basePath parses it from the
+    directory names — Hive's virtual-column semantics). The caller still
+    applies the bucket-key filter; partition-value selection IS exact.
+
+    Every selected partition dir is verified to hold exactly the expected
+    positional files (a missing bucket file means rows silently vanish —
+    refuse instead, same posture as the flat reader)."""
+    by_val = list_hive_partitions(spark, path, part_col)
+    if not by_val:
+        raise ValueError(f"no {part_col}= partition dirs at {path}")
+    if parts is None:
+        chosen = sorted(by_val, key=lambda v: (v is None, str(v)))
+    else:
+        missing = [v for v in parts if v not in by_val]
+        if missing:
+            raise ValueError(
+                f"partitions not present at {path}: {missing} "
+                f"(have {sorted(by_val, key=str)})"
+            )
+        chosen = list(dict.fromkeys(parts))
+    if buckets is None:
+        buckets = list(range(n_buckets))
+    bad = [b for b in buckets if not (0 <= b < n_buckets)]
+    if bad:
+        raise ValueError(f"bucket ids out of range: {bad}")
+    buckets = sorted(set(buckets))
+    _, fs, P = _hadoop_fs(spark, path)
+    want = [f"{b:06d}_0" for b in range(n_buckets)]
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _check(v) -> None:
+        d = f"{path}/{by_val[v]}"
+        found = sorted(
+            st.getPath().getName()
+            for st in fs.listStatus(P(d))
+            if st.getPath().getName().endswith("_0")
+        )
+        if found != want:
+            raise ValueError(
+                f"partition dir {d} is not {n_buckets}-bucketed: "
+                f"found {len(found)} positional files"
+            )
+
+    with ThreadPoolExecutor(max_workers=16) as pool:
+        errs = [f.exception() for f in [pool.submit(_check, v) for v in chosen]]
+    first = next((e for e in errs if e is not None), None)
+    if first is not None:
+        raise first
+    if len(buckets) == n_buckets:
+        # whole partitions: one dir-path per partition + glob, flat in n
+        paths = [f"{path}/{by_val[v]}" for v in chosen]
+        return (
+            spark.read.option("basePath", path)
+            .option("pathGlobFilter", "*_0")
+            .parquet(*paths)
+        )
+    paths = [f"{path}/{by_val[v]}/{b:06d}_0" for v in chosen for b in buckets]
+    return spark.read.option("basePath", path).parquet(*paths)
+
+
+def hive_part_bucket_map_join(
+    spark: SparkSession,
+    fact_path: str,
+    part_col: str,
+    dim_path: str,
+    n_buckets: int,
+    on_fact: str,
+    on_dim: str,
+    parts: list | None = None,
+    chunk_buckets: int = 1,
+    how: str = "inner",
+) -> DataFrame:
+    """BUCKET MAP JOIN with a PARTITIONED + bucketed fact side: partition
+    pruning (``parts``) composes with the per-bucket co-located join —
+    fact bucket *i* of every selected partition joins dim bucket *i* only
+    (the key determines the bucket identically in both layouts, partition
+    dirs just slice the fact by an orthogonal column). This is Hive's plan
+    for ``fact JOIN dim`` when the fact is ``PARTITIONED BY ... CLUSTERED
+    BY key`` and the dim is ``CLUSTERED BY key INTO`` the same n
+    (BucketMapJoinOptimizer runs after PartitionPruner — pruning first,
+    then bucket-wise hashtables). The fact side never shuffles; only
+    |parts|·n of the p·n fact files are ever opened; dim bucket chunks
+    broadcast per chunk join exactly as in ``hive_bucket_map_join``
+    (``chunk_buckets`` dials plan size the same way)."""
+    if not 1 <= chunk_buckets <= n_buckets:
+        raise ValueError(
+            f"chunk_buckets must be in [1, {n_buckets}], got {chunk_buckets}"
+        )
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"how must be 'inner' or 'left' (right = swap the sides), got {how!r}"
+        )
+    # dim layout checked by read_hive_bucketed's full-read path lazily per
+    # chunk; fact partition dirs checked inside the partitioned reader.
+    parts_list = []
+    for lo in range(0, n_buckets, chunk_buckets):
+        chunk = list(range(lo, min(lo + chunk_buckets, n_buckets)))
+        a = read_hive_partitioned_bucketed(
+            spark, fact_path, part_col, n_buckets, parts=parts, buckets=chunk
+        ).alias("__bmj_l")
+        bb = read_hive_bucketed(spark, dim_path, n_buckets, buckets=chunk).alias(
+            "__bmj_r"
+        )
+        joined = a.join(
+            F.broadcast(bb),
+            F.col(f"__bmj_l.{on_fact}") == F.col(f"__bmj_r.{on_dim}"),
+            how,
+        )
+        if on_fact == on_dim:
+            joined = joined.drop(F.col(f"__bmj_r.{on_dim}"))
+        parts_list.append(joined)
+    out = parts_list[0]
+    for p in parts_list[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+_PB_PART = "4-NOT SPECIFIED"
+_PB_KEY = 37
+_PB_BUCKETS = 8
+# DuckDB replica of the Hive LongWritable bucket (non-negative keys):
+# (v ^ (v >>> 32)) & 0xFFFFFFFF, bit 31 masked via % 2^31, mod n.
+_PB_DUCK_BUCKET = (
+    f"CAST((xor(o_custkey, o_custkey >> 32) & {_2_32 - 1}) "
+    f"% {_2_31} % {_PB_BUCKETS} AS INT)"
+)
+
+
+@register(
+    "hive_part_bucket_prune",
+    # The oracle recomputes BOTH pruning dimensions from the raw table:
+    # the partition slice is an exact filter; bucket membership comes from
+    # the DuckDB LongWritable.hashCode replica. A writer that misplaced a
+    # row across either dimension, or a reader that opened the wrong file,
+    # shifts bucket_rows / key_rows / the revenue sum.
+    oracle=f"""
+    WITH h AS (
+      SELECT o_custkey, o_totalprice, {_PB_DUCK_BUCKET} AS bucket
+      FROM orders WHERE o_orderpriority = '{_PB_PART}'
+    ),
+    lit AS (
+      SELECT CAST((xor({_PB_KEY}::BIGINT, {_PB_KEY}::BIGINT >> 32)
+               & {_2_32 - 1}) % {_2_31} % {_PB_BUCKETS} AS INT) AS key_bucket
+    )
+    SELECT (SELECT key_bucket FROM lit) AS key_bucket,
+           CAST(1 AS INT) AS files_opened,
+           CAST(5 * {_PB_BUCKETS} AS INT) AS total_files,
+           CAST(COUNT(*) AS BIGINT) AS bucket_rows,
+           CAST(COUNT(*) FILTER (WHERE o_custkey = {_PB_KEY}) AS BIGINT)
+             AS key_rows,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                FILTER (WHERE o_custkey = {_PB_KEY}) AS BIGINT)
+             AS key_revenue_cents
+    FROM h WHERE bucket = (SELECT key_bucket FROM lit)
+    """,
+    doc="Composed partition + bucket pruning over the NESTED Hive layout "
+    "(FileSinkOperator.getDynOutPaths + PartitionPruner.java — the "
+    "dominant real-warehouse shape: bucket files inside partition dirs): "
+    "orders is written PARTITIONED BY o_orderpriority (5 dirs, one value "
+    "containing a space — the path-escaping surface) CLUSTERED BY "
+    "o_custkey INTO 8 BUCKETS (LongWritable routing), then a point query "
+    "for (priority, custkey) opens exactly ONE of the 40 files — "
+    "files_opened is asserted from the pruned DataFrame's actual "
+    "inputFiles(), total_files from the real layout listing. Output "
+    "reconciles the opened file against the raw table: full bucket "
+    "population plus the key slice's count and integer-cents revenue, "
+    "bucket membership recomputed independently in DuckDB.",
+    tags=("source", "bucketing", "interop", "partitioned"),
+)
+def hive_part_bucket_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_hive_1_2_2_src_spark.sources.io import _tmp
+
+    n = _PB_BUCKETS
+    out = _tmp("hive_pb_orders")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    write_hive_partitioned_bucketed(
+        o, "o_orderpriority", "o_custkey", n, out, kind="long"
+    )
+    total_files = len(list_hive_partitions(spark, out, "o_orderpriority")) * n
+    kb = hive_bucket_of(_PB_KEY, n, "long")
+    pruned = read_hive_partitioned_bucketed(
+        spark, out, "o_orderpriority", n, parts=[_PB_PART], buckets=[kb]
+    )
+    files_opened = len(pruned.inputFiles())  # the composed proof: 1 of p·n
+    key = F.col("o_custkey") == _PB_KEY
+    return pruned.agg(
+        F.lit(kb).cast("int").alias("key_bucket"),
+        F.lit(files_opened).cast("int").alias("files_opened"),
+        F.lit(total_files).cast("int").alias("total_files"),
+        F.count(F.lit(1)).alias("bucket_rows"),
+        F.count(F.when(key, 1)).alias("key_rows"),
+        F.sum(F.when(key, F.floor(F.col("o_totalprice") * 100).cast("long")))
+        .cast("long")
+        .alias("key_revenue_cents"),
+    )
+
+
+_PBJ_PARTS = ["1-URGENT", "2-HIGH"]
+
+
+@register(
+    "hive_part_bucket_map_join",
+    # Plain join over the raw tables, partition slice as an exact filter —
+    # the same certification logic as hive_bucket_map_join plus the
+    # partition dimension: a row misplaced across partition dirs OR
+    # buckets by the writer, a partition dir wrongly pruned, or a bucket
+    # pair skipped/doubled by the join all shift the per-segment counts.
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY c_mktsegment
+    """,
+    doc="BUCKET MAP JOIN with a PARTITIONED + bucketed fact side "
+    "(BucketMapJoinOptimizer after PartitionPruner — Hive's plan for "
+    "fact-dim joins over dt-partitioned CLUSTERED BY fact tables): orders "
+    "is written PARTITIONED BY o_orderpriority CLUSTERED BY o_custkey "
+    "INTO 8 BUCKETS, customer flat-bucketed 8-way on c_custkey, then the "
+    "join runs per-bucket (dim side broadcast) over ONLY the two selected "
+    "priority partitions — partition pruning composes with the co-located "
+    "join: 2·8 of the 5·8 fact files are opened (asserted in "
+    "tests/test_bucketing_interop.py along with the no-Exchange plan "
+    "shape), and the fact side never shuffles on the key.",
+    tags=("source", "bucketing", "interop", "join", "partitioned"),
+)
+def hive_part_bucket_map_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_hive_1_2_2_src_spark.sources.io import _tmp
+
+    n = _PB_BUCKETS
+    fp, dp = _tmp("pbj_orders"), _tmp("pbj_customer")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    write_hive_partitioned_bucketed(
+        o, "o_orderpriority", "o_custkey", n, fp, kind="long"
+    )
+    write_hive_bucketed(c, "c_custkey", n, dp, kind="long")
+    joined = hive_part_bucket_map_join(
+        spark, fp, "o_orderpriority", dp, n, "o_custkey", "c_custkey",
+        parts=_PBJ_PARTS, chunk_buckets=4,
+    )
+    return joined.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.countDistinct("o_custkey").alias("n_customers"),
         F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))

@@ -30,6 +30,7 @@ import time
 _MINE: list[str] = []
 _REAPED = False
 _LEGACY_TTL_S = 6 * 3600
+_PID_DEAD_GRACE_S = 600
 _OWNED_RE = re.compile(r"^hive_spark_.*_p(\d+)_")
 
 
@@ -57,17 +58,32 @@ def _reap_stale() -> None:
             continue
         m = _OWNED_RE.match(name)
         try:
+            # Only reap dirs THIS uid owns (ADVICE r11): on a shared /tmp
+            # another user's dir is not ours to judge, and the pid-liveness
+            # probe below is not PID-namespace aware — a foreign container's
+            # live process looks dead from here.
+            if os.stat(path).st_uid != os.getuid():
+                continue
             if m:
                 pid = int(m.group(1))
                 if pid == os.getpid():
                     continue
                 os.kill(pid, 0)  # raises ProcessLookupError if dead
                 continue  # owner alive — leave it
-            # legacy unowned dir: reap only when clearly abandoned
+            # legacy unowned dir: reap only when clearly abandoned — mtime
+            # recency doubles as a liveness signal (a still-running >6h
+            # process keeps touching its staging files).
             if now - os.path.getmtime(path) < _LEGACY_TTL_S:
                 continue
         except ProcessLookupError:
-            pass
+            # pid dead in OUR namespace AND the dir is quiescent: a dir
+            # modified seconds ago with a "dead" owner is more likely a
+            # namespace mismatch than a leak — leave it for the TTL path.
+            try:
+                if now - os.path.getmtime(path) < _PID_DEAD_GRACE_S:
+                    continue
+            except OSError:
+                continue
         except (ValueError, PermissionError, OSError):
             continue
         shutil.rmtree(path, ignore_errors=True)

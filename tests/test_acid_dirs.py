@@ -241,3 +241,32 @@ def test_many_delta_read_is_single_relation(spark, tmp_path):
         writers = [i for i in range(11, 51) if i % 7 <= k <= i % 7 + 2]
         expect = f"B{max(writers)}" if writers else "A"
         assert got[k] == expect, (k, got[k], expect)
+
+
+def test_unparseable_delta_file_path_raises_loudly(spark, tmp_path):
+    """A data file NOT directly under its delta_M1_M2 dir (nested subdir)
+    defeats the input_file_name() version regex; the old cast-to-NULL
+    behavior silently dropped that delta's updates from the
+    highest-version-wins merge (ADVICE r11). The reader must raise at scan
+    time instead."""
+    from pyspark.sql import functions as F
+
+    tbl = str(tmp_path / "nested")
+    spark.range(5).select(
+        F.col("id").alias("k"), F.lit("A").alias("st"),
+        F.lit("1.00").cast("decimal(18,2)").alias("p"), F.lit("U").alias("op"),
+    ).write.parquet(f"{tbl}/base_1")
+    # the delta's files live one level too deep, under a k=v dir that
+    # partition discovery accepts AND whose name shadows the reader's own
+    # ver column — the one nesting shape that reads with a matching schema
+    # (non-k=v nesting fails Spark's schema inference; other k=v names
+    # fail the union arity check — both already loud). Pre-fix this shape
+    # was SILENT: regexp_extract yielded '', cast made ver NULL, and the
+    # highest-version-wins merge quietly dropped the delta's updates.
+    spark.range(2).select(
+        F.col("id").alias("k"), F.lit("B").alias("st"),
+        F.lit("2.00").cast("decimal(18,2)").alias("p"), F.lit("U").alias("op"),
+    ).coalesce(1).write.parquet(f"{tbl}/delta_2_2/ver=9")
+    df = read_acid_table(spark, tbl)
+    with pytest.raises(Exception, match="cannot derive delta version"):
+        df.collect()

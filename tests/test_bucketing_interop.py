@@ -887,3 +887,159 @@ def test_bucket_map_join_left_outer(spark, tmp_path):
         )
         got = sorted((r.tag, r.rtag) for r in out.select("tag", "rtag").collect())
         assert got == expect, f"left outer diverged at chunk_buckets={c}"
+
+
+# ---------------------------------------------------------------------------
+# Partitioned + bucketed nested layouts (round 12)
+# ---------------------------------------------------------------------------
+
+
+def _pb_mod():
+    from apache_hive_1_2_2_src_spark.sources import hive_bucketing as hb
+
+    return hb
+
+
+def test_partitioned_bucketed_layout_structure(spark, tmp_path):
+    """Every partition dir holds exactly n positional files; file i of a
+    partition holds precisely that partition's Hive-bucket-i rows; empty
+    (partition, bucket) pairs still get a schema-bearing file; the
+    partition column lives ONLY in the directory name (virtual-column
+    contract)."""
+    import os
+
+    hb = _pb_mod()
+    n = 4
+    df = spark.createDataFrame(
+        [(k, f"p{k % 3}", f"v{k}") for k in range(60)],
+        "k long, part string, v string",
+    )
+    out = str(tmp_path / "pb")
+    hb.write_hive_partitioned_bucketed(df, "part", "k", n, out, kind="long")
+    parts = sorted(os.listdir(out))
+    assert parts == ["part=p0", "part=p1", "part=p2"]
+    import pyarrow.parquet as pq
+
+    for pd_ in parts:
+        # ignore Hadoop LocalFileSystem .crc sidecars (hidden files)
+        files = sorted(
+            f for f in os.listdir(os.path.join(out, pd_)) if not f.startswith(".")
+        )
+        assert files == [f"{b:06d}_0" for b in range(n)]
+        pval = pd_.split("=", 1)[1]
+        for b, fname in enumerate(files):
+            t = pq.read_table(os.path.join(out, pd_, fname)).to_pydict()
+            assert set(t.keys()) == {"k", "v"}  # part col is virtual
+            for k in t["k"]:
+                assert hb.hive_bucket_of(k, n, "long") == b
+                assert f"p{k % 3}" == pval
+
+
+def test_partitioned_bucketed_roundtrip_and_null_partition(spark, tmp_path):
+    """Full read reproduces the input exactly — including rows whose
+    partition value is NULL (__HIVE_DEFAULT_PARTITION__ dir) and rows
+    whose BUCKET key is NULL (routed to bucket 0 within their
+    partition)."""
+    hb = _pb_mod()
+    n = 4
+    rows = [(k, f"p{k % 2}", f"v{k}") for k in range(40)]
+    rows += [(100, None, "vnullpart"), (None, "p0", "vnullkey")]
+    df = spark.createDataFrame(rows, "k long, part string, v string")
+    out = str(tmp_path / "pbnull")
+    hb.write_hive_partitioned_bucketed(df, "part", "k", n, out, kind="long")
+    back = hb.read_hive_partitioned_bucketed(spark, out, "part", n)
+    got = sorted(
+        ((r.k, r.part, r.v) for r in back.collect()),
+        key=lambda t: (t[0] is None, t[0], str(t[1])),
+    )
+    expect = sorted(rows, key=lambda t: (t[0] is None, t[0], str(t[1])))
+    assert got == expect
+    # the NULL-key row sits in bucket 0 of its partition
+    pruned0 = hb.read_hive_partitioned_bucketed(
+        spark, out, "part", n, parts=["p0"], buckets=[0]
+    )
+    assert any(r.v == "vnullkey" for r in pruned0.collect())
+
+
+def test_partitioned_bucketed_composed_pruning_files(spark, tmp_path):
+    """Partition pruning composes with bucket pruning: |parts|·|buckets|
+    of the p·n files are opened, and the pruned scan's rows are exactly
+    the matching (partition, bucket) slices."""
+    hb = _pb_mod()
+    n = 8
+    df = spark.createDataFrame(
+        [(k, f"d{k % 5}", k * 10) for k in range(400)],
+        "k long, dt string, x long",
+    )
+    out = str(tmp_path / "pbprune")
+    hb.write_hive_partitioned_bucketed(df, "dt", "k", n, out, kind="long")
+    target = 123
+    b = hb.hive_bucket_of(target, n, "long")
+    pruned = hb.read_hive_partitioned_bucketed(
+        spark, out, "dt", n, parts=[f"d{target % 5}"], buckets=[b]
+    )
+    assert len(pruned.inputFiles()) == 1  # 1 of 40
+    hit = [r for r in pruned.collect() if r.k == target]
+    assert len(hit) == 1 and hit[0].x == target * 10
+    # two partitions, all buckets -> 2*n files
+    two = hb.read_hive_partitioned_bucketed(spark, out, "dt", n, parts=["d0", "d1"])
+    assert len(two.inputFiles()) == 2 * n
+    assert two.count() == sum(1 for k in range(400) if k % 5 in (0, 1))
+
+
+def test_partitioned_bucketed_read_refuses_bad_layout(spark, tmp_path):
+    """A partition dir missing one positional file must refuse loudly
+    (silently serving fewer buckets = wrong rows, no error); unknown
+    partition values and out-of-range buckets refuse too."""
+    import os
+
+    import pytest
+
+    hb = _pb_mod()
+    n = 4
+    df = spark.createDataFrame(
+        [(k, f"p{k % 2}") for k in range(40)], "k long, part string"
+    )
+    out = str(tmp_path / "pbbad")
+    hb.write_hive_partitioned_bucketed(df, "part", "k", n, out, kind="long")
+    with pytest.raises(ValueError, match="not present"):
+        hb.read_hive_partitioned_bucketed(spark, out, "part", n, parts=["nope"])
+    with pytest.raises(ValueError, match="out of range"):
+        hb.read_hive_partitioned_bucketed(spark, out, "part", n, buckets=[n])
+    os.remove(os.path.join(out, "part=p1", "000002_0"))
+    with pytest.raises(ValueError, match="not 4-bucketed"):
+        hb.read_hive_partitioned_bucketed(spark, out, "part", n, parts=["p1"])
+
+
+def test_part_bucket_map_join_parity_and_plan(spark, tmp_path):
+    """hive_part_bucket_map_join == plain join restricted to the selected
+    partitions, row-for-row; the fact side opens only |parts|·n files and
+    the plan has no Exchange on the join key (broadcast per chunk)."""
+    hb = _pb_mod()
+    n = 4
+    fact = spark.createDataFrame(
+        [(k % 50, f"d{k % 3}", k) for k in range(300)],
+        "fk long, dt string, x long",
+    )
+    dim = spark.createDataFrame(
+        [(k, f"name{k}") for k in range(50)], "dk long, nm string"
+    )
+    fp, dp = str(tmp_path / "fact"), str(tmp_path / "dim")
+    hb.write_hive_partitioned_bucketed(fact, "dt", "fk", n, fp, kind="long")
+    hb.write_hive_bucketed(dim, "dk", n, dp, kind="long")
+    joined = hb.hive_part_bucket_map_join(
+        spark, fp, "dt", dp, n, "fk", "dk", parts=["d0", "d2"], chunk_buckets=2
+    )
+    expect = sorted(
+        (r.fk, r.dt, r.x, r.nm)
+        for r in fact.where("dt IN ('d0','d2')")
+        .join(dim, fact.fk == dim.dk)
+        .collect()
+    )
+    got = sorted((r.fk, r.dt, r.x, r.nm) for r in joined.collect())
+    assert got == expect
+    fact_files = [f for f in joined.inputFiles() if "/fact" in f or "fact/" in f]
+    assert len([f for f in fact_files if "dt=" in f]) == 2 * n  # pruned: 2 of 3 parts
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning(fk" not in plan
+    assert "BroadcastHashJoin" in plan
