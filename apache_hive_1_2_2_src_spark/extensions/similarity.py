@@ -813,12 +813,20 @@ def _pin_clustering(df: DataFrame) -> DataFrame:
     tags=("extension", "dedup", "similarity", "semdedup"),
 )
 def dedup_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     e = load_table(spark, sf_dir, "embeddings")
     centroids = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
     )
+    return _semdedup_report(e, centroids)
+
+
+def _semdedup_report(e: DataFrame, centroids: DataFrame) -> DataFrame:
+    """SemDeDup prune report for a given centroid set: assign → cap cells →
+    within-cluster near-dup pairs → remove the more-typical member →
+    per-cluster integer-checksum report (shared by the fixed-seed and the
+    k-means-trained registered queries)."""
+    from pyspark.sql.window import Window
+
     clustered = _nearest_cid(e, centroids).withColumnRenamed("cos", "ccos")
     capped = _pin_clustering(
         clustered.withColumn(
@@ -868,3 +876,146 @@ def dedup_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("kept_id_sum"),
     )
+
+
+_KMQ_Q = 1 << 20  # centroid quantization: floor(val * 2^20) integer sums
+_KMQ_K = 8
+_KMQ_ITERS = 2
+
+
+def kmeans_centroids_quantized(e: DataFrame, k: int, iters: int) -> DataFrame:
+    """Lloyd's k-means whose centroid UPDATE is floor-quantized to 2^-20:
+    each coordinate is mean(floor(val·2^20)) / 2^20 — integer sums are
+    order-independent, so the trained centroids are BIT-IDENTICAL across
+    Spark's parallel aggregation, any partitioning, and a serial SQL
+    replay (the determinism device that makes a trained-clustering
+    pipeline oracle-able; quantization error < 1e-6 per coordinate, far
+    below any clustering decision scale). Assignment is argmax cosine
+    with ties to the lower cid — the same serial-fold cosine every
+    similarity oracle here shares. Same distributed shape as
+    kmeans_iterate: broadcast centroids, one |N|·d shuffle per update,
+    no vectors on the driver."""
+    centroids = e.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    for _ in range(iters):
+        assigned = _nearest_cid(e, centroids)
+        dims = assigned.select("cid", F.posexplode("embedding").alias("pos", "val"))
+        centroids = (
+            dims.groupBy("cid", "pos")
+            .agg(
+                (
+                    F.sum(
+                        F.floor(F.col("val").cast("double") * _KMQ_Q).cast("long")
+                    ).cast("double")
+                    / (F.count(F.lit(1)) * F.lit(float(_KMQ_Q)))
+                ).alias("m")
+            )
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("ce")
+            )
+        )
+    return centroids
+
+
+def _kmq_oracle() -> str:
+    """DuckDB replay of the quantized Lloyd iterations + the SemDeDup
+    prune report — identical arithmetic to the Spark side at every step
+    (serial-fold cosine, integer centroid sums, argmax ties to cid)."""
+    cur = "c0"
+    sql = [
+        "WITH e AS (SELECT vec_id, embedding FROM embeddings),",
+        f"c0 AS (SELECT vec_id AS cid, embedding AS ce FROM e "
+        f"WHERE vec_id < {_KMQ_K}),",
+    ]
+    for i in range(1, _KMQ_ITERS + 1):
+        cos = _sql_cos("embedding", "ce")
+        sql.append(
+            f"""a{i} AS (
+      SELECT vec_id, embedding, cid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY {cos} DESC, cid) AS rnk
+      FROM e CROSS JOIN {cur}
+    ),
+    d{i} AS (
+      SELECT cid,
+             unnest(range(1, len(embedding) + 1)) AS pos,
+             unnest(embedding) AS val
+      FROM a{i} WHERE rnk = 1
+    ),
+    c{i} AS (
+      SELECT cid, list(m ORDER BY pos) AS ce
+      FROM (SELECT cid, pos,
+                   CAST(SUM(CAST(floor(CAST(val AS DOUBLE) * {_KMQ_Q})
+                                 AS BIGINT)) AS DOUBLE)
+                   / (COUNT(*) * {_KMQ_Q}.0) AS m
+            FROM d{i} GROUP BY cid, pos)
+      GROUP BY cid
+    ),"""
+        )
+        cur = f"c{i}"
+    ccos = _sql_cos("embedding", "ce")
+    pcos = _sql_cos("a.embedding", "b.embedding")
+    sql.append(
+        f"""assign AS (
+      SELECT vec_id, embedding, cid, {ccos} AS ccos,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY {ccos} DESC, cid) AS rnk
+      FROM e CROSS JOIN {cur}
+    ),
+    clustered AS (
+      SELECT vec_id, embedding, cid, ccos,
+             ROW_NUMBER() OVER (PARTITION BY cid ORDER BY vec_id) AS member_rk
+      FROM assign WHERE rnk = 1
+    ),
+    capped AS (SELECT * FROM clustered WHERE member_rk <= {_SEMDEDUP_CAP}),
+    pairs AS (
+      SELECT a.cid,
+             CASE WHEN a.ccos > b.ccos THEN a.vec_id
+                  WHEN b.ccos > a.ccos THEN b.vec_id
+                  ELSE greatest(a.vec_id, b.vec_id) END AS removed_id
+      FROM capped a JOIN capped b
+        ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE {pcos} >= {_SEMDEDUP_TAU}
+    ),
+    removed AS (SELECT DISTINCT cid, removed_id FROM pairs)
+    SELECT c.cid,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(COUNT(r.removed_id) AS BIGINT) AS n_removed,
+           CAST(COUNT(*) - COUNT(r.removed_id) AS BIGINT) AS n_kept,
+           CAST(COALESCE(SUM(r.removed_id), 0) AS BIGINT) AS removed_id_sum,
+           CAST(SUM(CASE WHEN r.removed_id IS NULL THEN c.vec_id ELSE 0 END)
+                AS BIGINT) AS kept_id_sum
+    FROM capped c LEFT JOIN removed r
+      ON r.cid = c.cid AND r.removed_id = c.vec_id
+    GROUP BY c.cid"""
+    )
+    return "\n".join(sql)
+
+
+@register(
+    "dedup_semdedup_kmeans",
+    oracle=_kmq_oracle(),
+    doc="SemDeDup over a TRAINED clustering — the paper's actual recipe "
+    "(Abbas et al. 2023 run k-means on the embedding space, then prune "
+    "within cells; the fixed-seed sibling dedup_semdedup_prune isolates "
+    "the prune semantics): two quantized-update Lloyd iterations (k=8) "
+    "train the centroids, then the identical cap/pair/keep-most-atypical "
+    "report runs in the trained cells. The quantized update — centroid "
+    "coordinate = mean(floor(val*2^20))/2^20, an integer sum — is what "
+    "makes an ITERATIVE TRAINED pipeline hash-certifiable: the oracle "
+    "replays both Lloyd iterations in SQL and must land on bit-identical "
+    "centroids, so a single flipped assignment in any iteration breaks "
+    "the final report. Scale: same plan as kmeans_iterate (broadcast "
+    "centroids, one |N|*d shuffle per iteration); the prune stays "
+    "O(N*cell_cap) within cells.",
+    tags=("extension", "dedup", "similarity", "semdedup", "iterative"),
+)
+def dedup_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    centroids = kmeans_centroids_quantized(e, _KMQ_K, _KMQ_ITERS)
+    return _semdedup_report(e, centroids)

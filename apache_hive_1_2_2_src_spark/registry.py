@@ -175,22 +175,13 @@ STABLE_WINDOW = (
 # (the never-green guard in tests/test_registry.py makes forgetting this a
 # hard test failure). The displaced STABLE_WINDOW tail returns next round
 # when FRESH empties — stable names stay registered and check.py-covered
-# either way.
+# either way. (r11's 14 FRESH names all certified in CORRECTNESS_r11 and
+# rotated out; the displaced stable tail returns automatically.)
 FRESH = (
-    "xpath_typed_suite",
-    "sentences_locale_suite",
-    "tablesample_bucket_rand",
-    "streaming_dedup_lsh_incremental",
-    "in_file_membership",
-    "sql_macro_functions",
-    "grouping_id_hive12_compat",
-    "load_data_inpath",
-    "export_import_roundtrip",
-    "join_dynamic_partition_pruning",
-    "ddl_alter_evolution",
-    "show_functions_registry",
-    "exchange_partition",
-    "show_create_table_roundtrip",
+    "hive_part_bucket_prune",
+    "hive_part_bucket_map_join",
+    "hive_smb_full_outer_join",
+    "dedup_semdedup_kmeans",
 )
 
 PRIORITY = (

@@ -773,17 +773,21 @@ def hive_smb_merge_join(
     (correctly) never produce. Pinned by the NULL-key test in
     tests/test_bucketing_interop.py.
 
-    ``how`` supports ``'inner'`` and ``'left'`` — SMBMapJoinOperator.java
-    executes OUTER joins over the same co-bucketed layout, so the left
-    form belongs to the parity surface. LEFT semantics: every left row
-    survives; unmatched rows (including left rows with a NULL key, which
-    can never equal anything) carry NULL right columns. NULL-key left
-    rows are routed AROUND the cogroup (kept aside before the NULL
-    filter, unioned back with typed NULL right columns) — inside the
-    merge they would NaN-match per the pitfall above. A right-outer is
-    the same call with the sides swapped; FULL outer is not offered
-    (Hive 1.2's SMB full-outer had the same per-bucket shape, but no
-    query in the surface needs it — raise instead of guessing).
+    ``how`` supports ``'inner'``, ``'left'`` and ``'full'`` —
+    SMBMapJoinOperator.java executes OUTER joins over the same
+    co-bucketed layout, so both outer forms belong to the parity surface.
+    LEFT semantics: every left row survives; unmatched rows (including
+    left rows with a NULL key, which can never equal anything) carry NULL
+    right columns. FULL adds the mirror: every right row survives too,
+    unmatched ones with NULL left columns. Per-tile outer merges are
+    exact by the same one-tile-per-key argument (each row lives in ONE
+    (bucket, sub) tile, and every opposite-side row with its key is in
+    that tile, so per-tile unmatched == globally unmatched). NULL-key
+    rows are routed AROUND the cogroup — left side for 'left', BOTH
+    sides for 'full' (kept aside before the NULL filter, unioned back
+    with typed NULL columns for the opposite side) — inside the merge
+    they would NaN-match per the pitfall above. A right-outer is the
+    same call with the sides swapped.
 
     Same layout precondition as ``hive_bucket_map_join`` (exactly n
     positional files per side, verified up front). Non-key column names must be disjoint
@@ -793,9 +797,10 @@ def hive_smb_merge_join(
 
     if sub_split < 1:
         raise ValueError(f"sub_split must be >= 1, got {sub_split}")
-    if how not in ("inner", "left"):
+    if how not in ("inner", "left", "full"):
         raise ValueError(
-            f"how must be 'inner' or 'left' (right = swap the sides), got {how!r}"
+            f"how must be 'inner', 'left' or 'full' (right = swap the "
+            f"sides), got {how!r}"
         )
     _, fs, P = _hadoop_fs(spark, path_a)
     for side, path in (("left", path_a), ("right", path_b)):
@@ -816,11 +821,12 @@ def hive_smb_merge_join(
 
     # NULL keys out BEFORE the cogroup: pd.merge matches NaN keys (see
     # docstring), so equi-join semantics must be enforced Spark-side. For
-    # the LEFT form the null-key left rows are kept aside and unioned
-    # back as unmatched output below.
+    # the outer forms the null-key rows are kept aside and unioned back
+    # as unmatched output below (left side for 'left', both for 'full').
     a_all = read_hive_bucketed(spark, path_a, n_buckets)
     a = a_all.where(F.col(on_a).isNotNull())
-    b = read_hive_bucketed(spark, path_b, n_buckets).where(F.col(on_b).isNotNull())
+    b_all = read_hive_bucketed(spark, path_b, n_buckets)
+    b = b_all.where(F.col(on_b).isNotNull())
     clash = (set(a.columns) - {on_a}) & (set(b.columns) - {on_b})
     if clash:
         raise ValueError(f"non-key column names must be disjoint: {sorted(clash)}")
@@ -835,17 +841,19 @@ def hive_smb_merge_join(
 
     aux = ["__hb"] + (["__sub"] if sub_split > 1 else [])
 
+    pd_how = {"inner": "inner", "left": "left", "full": "outer"}[how]
+
     def merge(la: pd.DataFrame, rb: pd.DataFrame) -> pd.DataFrame:
         la = la.drop(columns=aux)
         rb = rb.drop(columns=aux)
-        # how='left' inside a tile is exact: each left row lives in ONE
-        # (bucket, sub) tile and all right rows with its key are in the
-        # same tile, so per-tile unmatched == globally unmatched. Missing
-        # right values arrive as NaN and Arrow coerces them to NULL for
-        # the declared types (probed; pinned by the left-join test).
+        # outer merges inside a tile are exact: each row lives in ONE
+        # (bucket, sub) tile and all opposite-side rows with its key are
+        # in the same tile, so per-tile unmatched == globally unmatched.
+        # Missing values arrive as NaN and Arrow coerces them to NULL for
+        # the declared types (probed; pinned by the left/full join tests).
         if same_key:
-            return la.merge(rb, on=on_a, how=how)
-        return la.merge(rb, left_on=on_a, right_on=on_b, how=how)
+            return la.merge(rb, on=on_a, how=pd_how)
+        return la.merge(rb, left_on=on_a, right_on=on_b, how=pd_how)
 
     # Canonical key type per kind for the sub-split hash: xxhash64 hashes
     # INT 7 and BIGINT 7 differently, and kind='long' admits both physical
@@ -863,13 +871,24 @@ def hive_smb_merge_join(
         return df.groupBy(*aux)
 
     joined = keyed(a, on_a).cogroup(keyed(b, on_b)).applyInPandas(merge, out_schema)
-    if how == "left":
+    out_names = [f.name for f in out_fields]
+    if how in ("left", "full"):
         right_only = [f for f in out_fields if f.name not in set(a.columns)]
         nulls = a_all.where(F.col(on_a).isNull()).select(
             *[F.col(c) for c in a.columns],
             *[F.lit(None).cast(f.dataType).alias(f.name) for f in right_only],
         )
-        joined = joined.unionByName(nulls.select(*[f.name for f in out_fields]))
+        joined = joined.unionByName(nulls.select(*out_names))
+    if how == "full":
+        # the mirror: right rows whose key is NULL come back unmatched
+        # with NULL left columns (for same-named keys the single kept key
+        # column is NULL too — it IS the right row's key value)
+        left_only = [f for f in out_fields if f.name not in set(b.columns)]
+        nulls_r = b_all.where(F.col(on_b).isNull()).select(
+            *[F.lit(None).cast(f.dataType).alias(f.name) for f in left_only],
+            *[F.col(c) for c in b.columns if c in out_names],
+        )
+        joined = joined.unionByName(nulls_r.select(*out_names))
     return joined
 
 
@@ -1332,4 +1351,85 @@ def hive_part_bucket_map_join_query(spark: SparkSession, sf_dir: str) -> DataFra
         F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
         .cast("long")
         .alias("revenue_cents"),
+    )
+
+
+@register(
+    "hive_smb_full_outer_join",
+    # Plain FULL OUTER join over the raw tables: certifies the last cell
+    # of the SMB join-type matrix — per-tile pd.merge(how='outer') must
+    # tile the join exactly (an unmatched row lost by a tile, doubled
+    # across tiles, or fabricated by NULL=NULL matching shifts the
+    # matched/only counts and both sums).
+    oracle="""
+    WITH c AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 0),
+    f AS (SELECT * FROM orders FULL JOIN c ON o_custkey = c_custkey)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) FILTER (WHERE o_orderkey IS NOT NULL
+                                   AND c_custkey IS NOT NULL) AS BIGINT)
+             AS n_matched,
+           CAST(COUNT(*) FILTER (WHERE c_custkey IS NULL) AS BIGINT)
+             AS n_order_only,
+           CAST(COUNT(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT)
+             AS n_cust_only,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                FILTER (WHERE c_custkey IS NOT NULL) AS BIGINT)
+             AS matched_revenue_cents,
+           CAST(SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT))
+                FILTER (WHERE o_orderkey IS NULL) AS BIGINT)
+             AS cust_only_acctbal_cents
+    FROM f
+    """,
+    doc="SMB FULL OUTER join over Hive-written SORTED layouts — the last "
+    "cell of the §2.3 join-type matrix on the interop surface "
+    "(SMBMapJoinOperator.java executes full outer over the same "
+    "co-bucketed files): orders and positive-balance customers are "
+    "written CLUSTERED+SORTED BY the customer key, then full-outer "
+    "merged via the single-cogroup plan with per-tile pandas outer "
+    "merges — unmatched rows of EITHER side survive with NULL opposite "
+    "columns, NULL-key rows of both sides route AROUND the cogroup "
+    "(inside it pandas would NaN-match them into fabricated NULL=NULL "
+    "pairs). sub_split=2 exercised; parity for k∈{1,3} and both NULL-key "
+    "sides pinned in tests/test_bucketing_interop.py.",
+    tags=("source", "bucketing", "interop", "join", "smb"),
+)
+def hive_smb_full_outer_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_hive_1_2_2_src_spark.sources.io import _tmp
+
+    n = _BMJ_BUCKETS
+    op, cp = _tmp("smbf_orders"), _tmp("smbf_customer")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal").where(
+        F.col("c_acctbal") > 0
+    )
+    write_hive_bucketed(o, "o_custkey", n, op, kind="long", sorted_by="o_custkey")
+    write_hive_bucketed(c, "c_custkey", n, cp, kind="long", sorted_by="c_custkey")
+    joined = hive_smb_merge_join(
+        spark, op, cp, n, "o_custkey", "c_custkey", kind="long",
+        how="full", sub_split=2,
+    )
+    matched = F.col("c_custkey").isNotNull() & F.col("o_orderkey").isNotNull()
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(matched, 1)).alias("n_matched"),
+        F.count(F.when(F.col("c_custkey").isNull(), 1)).alias("n_order_only"),
+        F.count(F.when(F.col("o_orderkey").isNull(), 1)).alias("n_cust_only"),
+        F.sum(
+            F.when(
+                F.col("c_custkey").isNotNull(),
+                F.floor(F.col("o_totalprice") * 100).cast("long"),
+            )
+        )
+        .cast("long")
+        .alias("matched_revenue_cents"),
+        F.sum(
+            F.when(
+                F.col("o_orderkey").isNull(),
+                F.floor(F.col("c_acctbal") * 100).cast("long"),
+            )
+        )
+        .cast("long")
+        .alias("cust_only_acctbal_cents"),
     )

@@ -851,7 +851,91 @@ def test_smb_merge_join_left_outer(spark, tmp_path):
     import pytest
 
     with pytest.raises(ValueError, match="how"):
-        hive_smb_merge_join(spark, lp, rp, n, "k", "rk", kind="long", how="full")
+        hive_smb_merge_join(spark, lp, rp, n, "k", "rk", kind="long", how="cross")
+
+
+def test_smb_merge_join_full_outer(spark, tmp_path):
+    """how='full' (the last cell of the SMB join-type matrix): every row
+    of BOTH sides survives — unmatched non-null keys and NULL-key rows of
+    either side (both routed around the cogroup, where they would
+    NaN-match) carry NULL opposite columns; must equal Spark's full join
+    row-for-row, under sub_split too."""
+    from apache_hive_1_2_2_src_spark.sources.hive_bucketing import (
+        hive_smb_merge_join,
+        write_hive_bucketed,
+    )
+
+    n = 4
+    left = spark.createDataFrame(
+        [(None, "Lnull1"), (None, "Lnull2")]
+        + [(i % 11, f"L{i}") for i in range(44)],  # keys 0..10
+        "k long, tag string",
+    )
+    right = spark.createDataFrame(  # keys 5..12 -> 11,12 right-only
+        [(None, "Rnull")] + [(5 + j % 8, f"R{j}") for j in range(16)],
+        "rk long, rtag string",
+    )
+    lp, rp = str(tmp_path / "fo_l"), str(tmp_path / "fo_r")
+    write_hive_bucketed(left, "k", n, lp, kind="long", sorted_by="k")
+    write_hive_bucketed(right, "rk", n, rp, kind="long", sorted_by="rk")
+
+    def skey(t):
+        return (t[0] is None, t[0] or "", t[1] is None, t[1] or "")
+
+    expect = sorted(
+        (
+            (r.tag, r.rtag)
+            for r in left.join(right, left.k == right.rk, "full")
+            .select("tag", "rtag")
+            .collect()
+        ),
+        key=skey,
+    )
+    for k in (1, 3):
+        out = hive_smb_merge_join(
+            spark, lp, rp, n, "k", "rk", kind="long", how="full", sub_split=k
+        )
+        got = sorted(
+            ((r.tag, r.rtag) for r in out.select("tag", "rtag").collect()), key=skey
+        )
+        assert got == expect, f"full outer diverged at sub_split={k}"
+        # NULL-key rows of BOTH sides survive, never matched to each other
+        lnull = out.where(F.col("k").isNull() & F.col("tag").isNotNull()).collect()
+        assert sorted(r.tag for r in lnull) == ["Lnull1", "Lnull2"]
+        assert all(r.rtag is None for r in lnull)
+        rnull = out.where(F.col("rk").isNull() & F.col("rtag").isNotNull()).collect()
+        assert [r.rtag for r in rnull] == ["Rnull"] and rnull[0].tag is None
+
+
+def test_smb_merge_join_full_outer_same_key_name(spark, tmp_path):
+    """Same-named keys under how='full': the single kept key column is
+    populated from WHICHEVER side the row came from (right-only rows keep
+    their key; right NULL-key rows keep NULL)."""
+    from apache_hive_1_2_2_src_spark.sources.hive_bucketing import (
+        hive_smb_merge_join,
+        write_hive_bucketed,
+    )
+
+    n = 4
+    left = spark.createDataFrame(
+        [(i, f"L{i}") for i in range(6)], "k long, tag string"
+    )
+    right = spark.createDataFrame(
+        [(None, "Rnull")] + [(j, f"R{j}") for j in range(4, 10)],
+        "k long, rtag string",
+    )
+    lp, rp = str(tmp_path / "fos_l"), str(tmp_path / "fos_r")
+    write_hive_bucketed(left, "k", n, lp, kind="long", sorted_by="k")
+    write_hive_bucketed(right, "k", n, rp, kind="long", sorted_by="k")
+    out = hive_smb_merge_join(
+        spark, lp, rp, n, "k", "k", kind="long", how="full"
+    ).collect()
+    by_tag = {(r.tag, r.rtag): r.k for r in out}
+    assert len(out) == 6 + 6 + 1 - 2  # 2 matches (k=4,5)
+    assert by_tag[("L4", "R4")] == 4 and by_tag[("L5", "R5")] == 5
+    assert by_tag[(None, "R9")] == 9  # right-only row keeps its key
+    assert by_tag[(None, "Rnull")] is None
+    assert by_tag[("L0", None)] == 0
 
 
 def test_bucket_map_join_left_outer(spark, tmp_path):
