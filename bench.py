@@ -63,6 +63,8 @@ HEADLINE = (
     "agg_width_bucket_histogram",  # integer-exact width_bucket histogram (r9)
     "hive_smb_merge_join",  # SMB merge over Hive SORTED layouts: 2 writes + 2 validations + cogroup (r11)
     "streaming_dedup_lsh_incremental",  # 3-drop foreachBatch LSH probe vs accumulated index (r11)
+    "hive_part_bucket_prune",  # nested part=/bucket write + 1-of-40-file composed pruned read (r12)
+    "dedup_semdedup_kmeans",  # 2 quantized Lloyd iterations + in-cell SemDeDup prune (r12)
 )
 
 # All 22 TPC-H query shapes in query order — timed as ONE sequential suite
