@@ -180,6 +180,7 @@ STABLE_WINDOW = (
 FRESH = (
     "hive_part_bucket_prune",
     "hive_part_bucket_map_join",
+    "hive_part_smb_merge_join",
     "hive_smb_full_outer_join",
     "dedup_semdedup_kmeans",
 )

@@ -651,8 +651,6 @@ def validate_hive_sorted_bucketed(
 
     Results are cached per (path, n_buckets, key) against the layout's
     file fingerprint — see ``_SORTED_VALIDATED`` above."""
-    import pandas as pd  # noqa: PLC0415 — Arrow path only
-
     _, fs, P = _hadoop_fs(spark, path)
     stats = sorted(
         (st.getPath().getName(), st.getLen(), st.getModificationTime())
@@ -664,6 +662,21 @@ def validate_hive_sorted_bucketed(
     if _SORTED_VALIDATED.get(cache_key) == fingerprint:
         return
     max_len = max((ln for _nm, ln, _mt in stats), default=0)
+    # read_hive_bucketed already verified the file set above via stats;
+    # the explicit positional paths read the identical data.
+    files = [f"{path}/{b:06d}_0" for b in range(n_buckets)]
+    _check_sorted_files(spark, files, key, max_len, path)
+    _SORTED_VALIDATED[cache_key] = fingerprint
+
+
+def _check_sorted_files(
+    spark: SparkSession, files: list[str], key: str, max_len: int, label: str
+) -> None:
+    """Scan ``files`` and raise on the first per-file key inversion — the
+    shared engine behind the flat and partitioned SORTED BY validators
+    (see validate_hive_sorted_bucketed's docstring for the per-task carry
+    and one-split-per-file reasoning)."""
+    import pandas as pd  # noqa: PLC0415 — Arrow path only
 
     # Conf-isolated session: shares the SparkContext (and executors) but
     # owns its SQLConf, so the raised split size is scoped to this scan.
@@ -672,7 +685,7 @@ def validate_hive_sorted_bucketed(
         "spark.sql.files.maxPartitionBytes",
         str(max(int(max_len) + 1, 128 * 1024 * 1024)),
     )
-    df = read_hive_bucketed(iso, path, n_buckets).select(
+    df = iso.read.parquet(*files).select(
         F.col(key).alias("__k"), F.input_file_name().alias("__f")
     )
 
@@ -683,7 +696,7 @@ def validate_hive_sorted_bucketed(
                 vals = grp["__k"].dropna().to_numpy()
                 if not len(vals):
                     continue
-                name = f.rsplit("/", 1)[-1]
+                name = "/".join(f.rsplit("/", 2)[-2:])
                 carry = last.get(f)
                 if carry is not None and vals[0] < carry:
                     yield pd.DataFrame(
@@ -709,10 +722,9 @@ def validate_hive_sorted_bucketed(
     if viol:
         v = viol[0]
         raise ValueError(
-            f"layout at {path} is not SORTED BY ({key}): file {v['file']} "
+            f"layout at {label} is not SORTED BY ({key}): file {v['file']} "
             f"has {v['cur']} after {v['prev']}"
         )
-    _SORTED_VALIDATED[cache_key] = fingerprint
 
 
 def hive_smb_merge_join(
@@ -793,15 +805,6 @@ def hive_smb_merge_join(
     positional files per side, verified up front). Non-key column names must be disjoint
     across the two sides (checked); same-named KEYS are fine (the merge
     keeps one copy)."""
-    import pandas as pd  # noqa: PLC0415 — Arrow path only
-
-    if sub_split < 1:
-        raise ValueError(f"sub_split must be >= 1, got {sub_split}")
-    if how not in ("inner", "left", "full"):
-        raise ValueError(
-            f"how must be 'inner', 'left' or 'full' (right = swap the "
-            f"sides), got {how!r}"
-        )
     _, fs, P = _hadoop_fs(spark, path_a)
     for side, path in (("left", path_a), ("right", path_b)):
         found = sorted(
@@ -819,13 +822,41 @@ def hive_smb_merge_join(
         validate_hive_sorted_bucketed(spark, path_a, n_buckets, on_a)
         validate_hive_sorted_bucketed(spark, path_b, n_buckets, on_b)
 
+    a_all = read_hive_bucketed(spark, path_a, n_buckets)
+    b_all = read_hive_bucketed(spark, path_b, n_buckets)
+    return _smb_cogroup_join(
+        a_all, b_all, on_a, on_b, n_buckets, kind, sub_split, how
+    )
+
+
+def _smb_cogroup_join(
+    a_all: DataFrame,
+    b_all: DataFrame,
+    on_a: str,
+    on_b: str,
+    n_buckets: int,
+    kind: str,
+    sub_split: int,
+    how: str,
+) -> DataFrame:
+    """The SMB merge engine shared by the flat and partitioned forms: one
+    cogroup on the recomputed Hive bucket id (+ optional sub-split), NULL
+    keys filtered before the cogroup and routed back for the outer forms —
+    see hive_smb_merge_join's docstring for the full reasoning."""
+    import pandas as pd  # noqa: PLC0415 — Arrow path only
+
+    if sub_split < 1:
+        raise ValueError(f"sub_split must be >= 1, got {sub_split}")
+    if how not in ("inner", "left", "full"):
+        raise ValueError(
+            f"how must be 'inner', 'left' or 'full' (right = swap the "
+            f"sides), got {how!r}"
+        )
     # NULL keys out BEFORE the cogroup: pd.merge matches NaN keys (see
     # docstring), so equi-join semantics must be enforced Spark-side. For
     # the outer forms the null-key rows are kept aside and unioned back
     # as unmatched output below (left side for 'left', both for 'full').
-    a_all = read_hive_bucketed(spark, path_a, n_buckets)
     a = a_all.where(F.col(on_a).isNotNull())
-    b_all = read_hive_bucketed(spark, path_b, n_buckets)
     b = b_all.where(F.col(on_b).isNotNull())
     clash = (set(a.columns) - {on_a}) & (set(b.columns) - {on_b})
     if clash:
@@ -1432,4 +1463,148 @@ def hive_smb_full_outer_join_query(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .cast("long")
         .alias("cust_only_acctbal_cents"),
+    )
+
+
+def validate_hive_sorted_partitioned_bucketed(
+    spark: SparkSession,
+    path: str,
+    part_col: str,
+    n_buckets: int,
+    key: str,
+    parts: list | None = None,
+) -> None:
+    """SORTED BY validation for the NESTED layout: every positional file
+    in every selected partition dir must be non-decreasing in ``key`` —
+    one scan over all selected files (the per-file carry in
+    ``_check_sorted_files`` keys on the FULL path, so same-named bucket
+    files in different partition dirs never mix). Same result cache as
+    the flat validator, fingerprinted over every selected file's
+    (dir/name, length, mtime)."""
+    by_val = list_hive_partitions(spark, path, part_col)
+    if parts is None:
+        chosen = sorted(by_val, key=lambda v: (v is None, str(v)))
+    else:
+        missing = [v for v in parts if v not in by_val]
+        if missing:
+            raise ValueError(f"partitions not present at {path}: {missing}")
+        chosen = list(dict.fromkeys(parts))
+    _, fs, P = _hadoop_fs(spark, path)
+    stats = []
+    for v in chosen:
+        d = by_val[v]
+        stats += [
+            (f"{d}/{st.getPath().getName()}", st.getLen(), st.getModificationTime())
+            for st in fs.listStatus(P(f"{path}/{d}"))
+            if st.getPath().getName().endswith("_0")
+        ]
+    stats.sort()
+    cache_key = (path, n_buckets, f"{part_col}|{key}|{','.join(map(str, chosen))}")
+    fingerprint = tuple(stats)
+    if _SORTED_VALIDATED.get(cache_key) == fingerprint:
+        return
+    max_len = max((ln for _nm, ln, _mt in stats), default=0)
+    files = [f"{path}/{nm}" for nm, _ln, _mt in stats]
+    _check_sorted_files(spark, files, key, max_len, path)
+    _SORTED_VALIDATED[cache_key] = fingerprint
+
+
+def hive_part_smb_merge_join(
+    spark: SparkSession,
+    fact_path: str,
+    part_col: str,
+    dim_path: str,
+    n_buckets: int,
+    on_fact: str,
+    on_dim: str,
+    kind: str = "string",
+    parts: list | None = None,
+    validate: bool = True,
+    sub_split: int = 1,
+    how: str = "inner",
+) -> DataFrame:
+    """SORT MERGE BUCKET join with a PARTITIONED + bucketed fact side —
+    the SMB sibling of ``hive_part_bucket_map_join``, completing the
+    nested-layout interop to parity with the flat trilogy
+    (SortedMergeBucketMapJoinOptimizer after PartitionPruner: Hive 1.2
+    SMB-joins a dt-partitioned CLUSTERED+SORTED fact against a
+    CLUSTERED+SORTED dim partition-by-partition). Partition pruning
+    (``parts``) happens at the READ — only |parts|·n of the p·n fact
+    files are opened — and the single-cogroup merge then runs on the
+    recomputed Hive bucket id exactly as the flat form: the partition
+    column rides along as a payload column (it is orthogonal to the
+    bucket key), fact bucket i across ALL selected partitions cogroups
+    with dim bucket i, and ``sub_split`` bounds per-task memory the same
+    way. Validation checks SORTED BY per FILE (each partition's bucket
+    file is independently sorted — Hive's contract; there is no
+    cross-partition order to check). All ``how`` forms of the flat SMB
+    apply ('inner'/'left'/'full'; fact NULL keys and, for 'full', dim
+    NULL keys route around the cogroup)."""
+    if validate:
+        validate_hive_sorted_partitioned_bucketed(
+            spark, fact_path, part_col, n_buckets, on_fact, parts=parts
+        )
+        validate_hive_sorted_bucketed(spark, dim_path, n_buckets, on_dim)
+    fact = read_hive_partitioned_bucketed(
+        spark, fact_path, part_col, n_buckets, parts=parts
+    )
+    dim = read_hive_bucketed(spark, dim_path, n_buckets)
+    return _smb_cogroup_join(
+        fact, dim, on_fact, on_dim, n_buckets, kind, sub_split, how
+    )
+
+
+@register(
+    "hive_part_smb_merge_join",
+    # Plain join over the raw tables with the partition slice as an exact
+    # filter — the same certification as hive_part_bucket_map_join but for
+    # the SORTED form: an unsorted file (validator), a misrouted row, a
+    # wrongly pruned partition, or a (bucket, sub) tile lost/doubled by
+    # the cogroup all shift the per-priority counts.
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY o_orderpriority
+    """,
+    doc="SMB MERGE join with a PARTITIONED + bucketed fact side "
+    "(SortedMergeBucketMapJoinOptimizer after PartitionPruner — the SMB "
+    "form over the dominant real-warehouse layout): orders is written "
+    "PARTITIONED BY o_orderpriority, each partition CLUSTERED BY "
+    "o_custkey SORTED BY o_custkey INTO 8 BUCKETS; customer is "
+    "flat-sorted-bucketed; the join prunes to two priority partitions "
+    "(2·8 of 5·8 fact files), validates SORTED BY per file across the "
+    "nested tree, then runs the single-cogroup merge on the recomputed "
+    "bucket id with sub_split=2. Completes nested-layout parity with "
+    "the flat interop trilogy.",
+    tags=("source", "bucketing", "interop", "join", "smb", "partitioned"),
+)
+def hive_part_smb_merge_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_hive_1_2_2_src_spark.sources.io import _tmp
+
+    n = _PB_BUCKETS
+    fp, dp = _tmp("psmb_orders"), _tmp("psmb_customer")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    write_hive_partitioned_bucketed(
+        o, "o_orderpriority", "o_custkey", n, fp, kind="long",
+        sorted_by="o_custkey",
+    )
+    write_hive_bucketed(c, "c_custkey", n, dp, kind="long", sorted_by="c_custkey")
+    joined = hive_part_smb_merge_join(
+        spark, fp, "o_orderpriority", dp, n, "o_custkey", "c_custkey",
+        kind="long", parts=_PBJ_PARTS, sub_split=2,
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("revenue_cents"),
     )

@@ -1127,3 +1127,80 @@ def test_part_bucket_map_join_parity_and_plan(spark, tmp_path):
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning(fk" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_part_smb_merge_join_parity_pruning_and_validation(spark, tmp_path):
+    """hive_part_smb_merge_join == plain join restricted to the selected
+    partitions (inner and full outer, with NULL fact keys routed); the
+    nested validator catches an unsorted bucket file inside ONE partition
+    dir; partition selection prunes the fact read."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from apache_hive_1_2_2_src_spark.sources.hive_bucketing import (
+        hive_part_smb_merge_join,
+        validate_hive_sorted_partitioned_bucketed,
+        write_hive_bucketed,
+        write_hive_partitioned_bucketed,
+    )
+
+    n = 4
+    fact = spark.createDataFrame(
+        [(None, "d0", -1)] + [(k % 40, f"d{k % 3}", k) for k in range(240)],
+        "fk long, dt string, x long",
+    )
+    dim = spark.createDataFrame(  # keys 0..29 -> 30..39 fact-unmatched
+        [(k, f"nm{k}") for k in range(30)], "dk long, nm string"
+    )
+    fp, dp = str(tmp_path / "pf"), str(tmp_path / "pd")
+    write_hive_partitioned_bucketed(
+        fact, "dt", "fk", n, fp, kind="long", sorted_by="fk"
+    )
+    write_hive_bucketed(dim, "dk", n, dp, kind="long", sorted_by="dk")
+
+    def skey(r):
+        return tuple((c is None, c if c is not None else 0) for c in r)
+
+    for how in ("inner", "full"):
+        out = hive_part_smb_merge_join(
+            spark, fp, "dt", dp, n, "fk", "dk", kind="long",
+            parts=["d0", "d2"], sub_split=2, how=how,
+        )
+        expect = sorted(
+            (
+                (r.fk, r.x, r.dk, r.nm)
+                for r in fact.where("dt IN ('d0','d2')")
+                .join(dim, fact.fk == dim.dk, how)
+                .select("fk", "x", "dk", "nm")
+                .collect()
+            ),
+            key=skey,
+        )
+        got = sorted(
+            ((r.fk, r.x, r.dk, r.nm) for r in out.select("fk", "x", "dk", "nm").collect()),
+            key=skey,
+        )
+        assert got == expect, f"partitioned SMB diverged for how={how}"
+
+    # validator: corrupt ONE bucket file inside ONE partition dir
+    bad = os.path.join(fp, "dt=d1", "000001_0")
+    t = pq.read_table(bad)
+    if t.num_rows >= 2:
+        ks = list(t.column("fk").to_pylist())[::-1]  # reverse = unsorted
+        cols = {name: t.column(name).to_pylist() for name in t.column_names}
+        cols["fk"] = ks
+        pq.write_table(pa.table(cols), bad)
+        # drop the Hadoop LocalFileSystem checksum sidecar — the rewrite
+        # invalidates it and the read would fail on CRC, not sortedness
+        crc = os.path.join(fp, "dt=d1", ".000001_0.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+        with pytest.raises(ValueError, match="not SORTED BY"):
+            validate_hive_sorted_partitioned_bucketed(spark, fp, "dt", n, "fk")
+        # the corrupted partition excluded -> validation passes
+        validate_hive_sorted_partitioned_bucketed(
+            spark, fp, "dt", n, "fk", parts=["d0", "d2"]
+        )
