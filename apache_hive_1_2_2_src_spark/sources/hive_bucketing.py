@@ -1184,8 +1184,20 @@ def read_hive_partitioned_bucketed(
             .option("pathGlobFilter", "*_0")
             .parquet(*paths)
         )
-    paths = [f"{path}/{by_val[v]}/{b:06d}_0" for v in chosen for b in buckets]
-    return spark.read.option("basePath", path).parquet(*paths)
+    # Bucket subset: one dir-path per partition + a brace-alternation glob
+    # over the selected positional names (Hadoop GlobFilter {a,b} syntax).
+    # The explicit per-file form costs the driver ~7.4 s PLAN BUILD per
+    # 8-bucket chunk at 48 partitions x 128 buckets (384 path objects —
+    # the r10 per-path cost class, ~119 s extrapolated over a 16-chunk
+    # join); the glob form builds the identical relation in 0.48 s, flat
+    # in |parts| (measured, SCALE.md §partitioned chunk-read audit).
+    glob = "{" + ",".join(f"{b:06d}_0" for b in buckets) + "}"
+    paths = [f"{path}/{by_val[v]}" for v in chosen]
+    return (
+        spark.read.option("basePath", path)
+        .option("pathGlobFilter", glob)
+        .parquet(*paths)
+    )
 
 
 def hive_part_bucket_map_join(
