@@ -274,17 +274,20 @@ def materialize_acid_layout(spark: SparkSession, sf_dir: str, path: str) -> str:
     return path
 
 
-def _merge_latest(*versions: DataFrame) -> DataFrame:
+def _merge_latest(*versions: DataFrame, keys: tuple[str, ...] = ("k",)) -> DataFrame:
     """Highest-version-wins merge (OrcRawRecordMerger semantics): one
-    shuffle on the row key; max_by(struct) keeps the partial-aggregation
-    map-side combine, so shuffle volume is ~|keys|, not ~|rows x deltas|."""
+    shuffle on the row key(s); max_by(struct) keeps the partial-aggregation
+    map-side combine, so shuffle volume is ~|keys|, not ~|rows x deltas|.
+    For a partitioned table the key is (partition, k) — a row id is only
+    unique within its partition, exactly Hive's (origTxn, bucket, rowId)
+    scoping."""
     allv = versions[0]
     for v in versions[1:]:
         allv = allv.unionByName(v)
     return (
-        allv.groupBy("k")
+        allv.groupBy(*keys)
         .agg(F.max_by(F.struct("op", "st", "p"), F.col("ver")).alias("w"))
-        .select("k", "w.op", "w.st", "w.p")
+        .select(*keys, "w.op", "w.st", "w.p")
         .filter(F.col("op") != "D")
     )
 
@@ -380,3 +383,161 @@ def acid_major_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Stale base_0/, delta_1_1/, delta_2_2/ still on disk: the re-read's
     # resolution must see ONLY base_2 (highest base, all deltas <= 2).
     return _verdict(read_acid_table(spark, table))
+
+
+def read_acid_table_partitioned(
+    spark: SparkSession, table_path: str, part_col: str
+) -> DataFrame:
+    """Merge-on-read over Hive's REAL partitioned transactional layout —
+    ``table/<part_col>=<v>/{base_N, delta_M1_M2}/files`` (AcidUtils
+    resolves state PER PARTITION; a partition is the unit of
+    base/delta bookkeeping, reference anchor ql/io/AcidUtils.java +
+    ql/metadata/Partition.java). Resolution runs per partition dir
+    (16-way parallel listings, flat in p); the READ is two relations
+    total regardless of p·deltas — one over every surviving base dir,
+    one over every surviving delta dir — with BOTH the version AND the
+    partition value derived from ``input_file_name()`` (base_N → N,
+    delta_M1_M2 → M2; the partition value is %xx-unescaped, with '+'
+    pre-escaped so url_decode cannot turn a literal plus into a space;
+    ``__HIVE_DEFAULT_PARTITION__`` maps back to NULL). Unparseable
+    paths raise loudly (same guard class as the flat reader). The merge
+    keys on (partition, k): one shuffle, map-side max_by partial."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from apache_hive_1_2_2_src_spark.sources.hive_bucketing import (
+        list_hive_partitions,
+    )
+
+    by_val = list_hive_partitions(spark, table_path, part_col)
+    if not by_val:
+        raise FileNotFoundError(f"no {part_col}= partition dirs under {table_path}")
+    dirs = sorted(by_val.values())
+    with ThreadPoolExecutor(max_workers=16) as pool:
+        states = list(
+            pool.map(
+                lambda d: resolve_acid_state(spark, f"{table_path}/{d}"), dirs
+            )
+        )
+    base_paths, delta_paths = [], []
+    for d, (base_dir, _txn, deltas) in zip(dirs, states):
+        if base_dir is not None:
+            base_paths.append(f"{table_path}/{d}/{base_dir}")
+        delta_paths += [f"{table_path}/{d}/{nm}" for _mn, _mx, nm in deltas]
+
+    def loud(raw, what):
+        return F.when(
+            raw == "",
+            F.expr(
+                f"raise_error(concat('read_acid_table_partitioned: cannot "
+                f"derive {what} from file path: ', input_file_name()))"
+            ).cast("string"),
+        ).otherwise(raw)
+
+    praw = loud(
+        F.regexp_extract(F.input_file_name(), f"/{part_col}=([^/]+)/", 1),
+        "partition value",
+    )
+
+    # TWO decode layers: input_file_name() returns the URI-ENCODED path
+    # (a literal '%' arrives as '%25'), and the on-disk dir name itself is
+    # Hive-escapePathName-encoded ('%' in the VALUE is '%25' on disk).
+    # Each decode protects literal '+' first — url_decode would turn it
+    # into a space (form-encoding semantics Hive never uses). Probed and
+    # pinned in tests/test_acid_dirs.py with a 'x%y=z' partition value.
+    def undec(c):
+        return F.url_decode(F.replace(c, F.lit("+"), F.lit("%2B")))
+
+    pdec = undec(undec(praw))
+    part = F.when(pdec == "__HIVE_DEFAULT_PARTITION__", F.lit(None)).otherwise(pdec)
+    parts: list[DataFrame] = []
+    if base_paths:
+        bver = loud(
+            F.regexp_extract(F.input_file_name(), r"/base_(\d+)/[^/]*$", 1),
+            "base version",
+        ).cast("long")
+        parts.append(
+            spark.read.parquet(*base_paths)
+            .withColumn("ver", bver)
+            .withColumn(part_col, part)
+        )
+    if delta_paths:
+        dver = loud(
+            F.regexp_extract(F.input_file_name(), r"/delta_\d+_(\d+)/[^/]*$", 1),
+            "delta version",
+        ).cast("long")
+        parts.append(
+            spark.read.parquet(*delta_paths)
+            .withColumn("ver", dver)
+            .withColumn(part_col, part)
+        )
+    if not parts:
+        raise FileNotFoundError(f"no base_N/delta_M_M dirs under {table_path}")
+    return _merge_latest(*parts, keys=(part_col, "k"))
+
+
+def materialize_acid_layout_partitioned(
+    spark: SparkSession, sf_dir: str, path: str, part_col: str = "pt"
+) -> str:
+    """The derived edit history as a PARTITIONED transactional tree:
+    ``pt=p{0,1,2}/`` dirs (pt = k % 3 — version-stable, so no row ever
+    migrates partitions), each holding its own ``base_0 + delta_1_1 +
+    delta_2_2``, plus a ``_tmp_junk`` decoy inside one partition AND a
+    non-partition junk dir at the root — both must be ignored."""
+    _, fs, P = _hadoop_fs(spark, path)
+    fs.delete(P(path), True)
+    base, d1, d2 = _acid_versions(spark, sf_dir)
+    for df, dname in ((base, "base_0"), (d1, "delta_1_1"), (d2, "delta_2_2")):
+        tagged = df.withColumn("__pt", (F.col("k") % 3).cast("int"))
+        for pt in range(3):
+            tagged.filter(F.col("__pt") == pt).drop("__pt", "ver").write.parquet(
+                f"{path}/{part_col}=p{pt}/{dname}"
+            )
+    spark.range(3).write.parquet(f"{path}/{part_col}=p1/_tmp_junk")
+    spark.range(2).write.parquet(f"{path}/not_a_partition")
+    return path
+
+
+@register(
+    "acid_read_partitioned",
+    oracle=f"""
+    WITH {_ACID_CTES},
+    all_rows AS (
+      SELECT * FROM base UNION ALL SELECT * FROM d1 UNION ALL SELECT * FROM d2
+    ),
+    latest AS (
+      SELECT k, st, p, op, 'p' || CAST(k % 3 AS VARCHAR) AS pt,
+             ROW_NUMBER() OVER (PARTITION BY k ORDER BY ver DESC) AS rn
+      FROM all_rows
+    )
+    SELECT pt, st AS o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(p) AS DOUBLE) AS sum_price,
+           MIN(k) AS min_key, MAX(k) AS max_key
+    FROM latest WHERE rn = 1 AND op <> 'D'
+    GROUP BY pt, st
+    """,
+    doc="ACID merge-on-read over Hive's PARTITIONED transactional layout "
+    "(AcidUtils per-partition state + Partition.java: pt=p0/p1/p2 dirs "
+    "each with their own base_0 + delta_1_1 + delta_2_2, a _tmp_junk "
+    "decoy inside one partition and a non-partition junk dir at the "
+    "root): per-partition resolution (16-way parallel listings), then "
+    "TWO relations total — all bases, all surviving deltas — with "
+    "version AND partition value both derived from input_file_name() "
+    "(loud guards on unparseable paths), merged with one (pt, k) "
+    "shuffle. Output reconciles the snapshot per (partition, status); "
+    "the oracle replays the whole edit history. Plan size is constant "
+    "in p·deltas — the r11 ACID plan-growth fix carried to the "
+    "partitioned shape.",
+    tags=("source", "acid", "partitioned"),
+)
+def acid_read_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table = materialize_acid_layout_partitioned(
+        spark, sf_dir, _tmp("acid_part_tree")
+    )
+    snap = read_acid_table_partitioned(spark, table, "pt")
+    return snap.groupBy("pt", F.col("st").alias("o_orderstatus")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("p").cast("double").alias("sum_price"),
+        F.min("k").alias("min_key"),
+        F.max("k").alias("max_key"),
+    )

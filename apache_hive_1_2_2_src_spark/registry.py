@@ -183,6 +183,7 @@ FRESH = (
     "hive_part_smb_merge_join",
     "hive_smb_full_outer_join",
     "dedup_semdedup_kmeans",
+    "acid_read_partitioned",
 )
 
 PRIORITY = (

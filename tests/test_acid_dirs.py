@@ -270,3 +270,46 @@ def test_unparseable_delta_file_path_raises_loudly(spark, tmp_path):
     df = read_acid_table(spark, tbl)
     with pytest.raises(Exception, match="cannot derive delta version"):
         df.collect()
+
+
+def test_partitioned_acid_per_partition_state_and_escaping(spark, tmp_path):
+    """Partitioned ACID resolution is PER PARTITION: a partition holding a
+    fresh base_2 must ignore ITS stale base_0+deltas while sibling
+    partitions still merge theirs; junk dirs at both levels are ignored;
+    escaped partition values (space, percent, equals) round-trip through
+    the input_file_name() derivation."""
+    from pyspark.sql import functions as F
+
+    from apache_hive_1_2_2_src_spark.operators.acid import (
+        read_acid_table_partitioned,
+    )
+
+    tbl = str(tmp_path / "pacid")
+
+    def rows(pairs, st, p):
+        from decimal import Decimal
+
+        return spark.createDataFrame(
+            [(k, st, Decimal(p), "U") for k in pairs],
+            "k long, st string, p decimal(18,2), op string",
+        )
+
+    # partition 'a b' (space): base_0 + delta_1_1 updating k=1
+    rows([0, 1], "A", "1.00").write.parquet(f"{tbl}/pt=a b/base_0")
+    rows([1], "B", "2.00").write.parquet(f"{tbl}/pt=a b/delta_1_1")
+    # partition 'x%y=z' (escaped chars): stale base_0 + delta SHADOWED by base_2
+    enc = "x%25y%3Dz"  # Hive escapePathName form of x%y=z
+    rows([5, 6], "OLD", "9.00").write.parquet(f"{tbl}/pt={enc}/base_0")
+    rows([5], "OLDER", "9.50").write.parquet(f"{tbl}/pt={enc}/delta_1_1")
+    rows([5, 6], "NEW", "3.00").write.parquet(f"{tbl}/pt={enc}/base_2")
+    # junk: inside a partition and at the root
+    spark.range(2).write.parquet(f"{tbl}/pt=a b/_tmp_junk")
+    spark.range(2).write.parquet(f"{tbl}/random_dir")
+
+    snap = read_acid_table_partitioned(spark, tbl, "pt")
+    got = {(r.pt, r.k): (r.st, str(r.p)) for r in snap.collect()}
+    assert got[("a b", 0)] == ("A", "1.00")
+    assert got[("a b", 1)] == ("B", "2.00")  # delta applied
+    assert got[("x%y=z", 5)] == ("NEW", "3.00")  # stale base+delta ignored
+    assert got[("x%y=z", 6)] == ("NEW", "3.00")
+    assert len(got) == 4
