@@ -184,6 +184,7 @@ FRESH = (
     "hive_smb_full_outer_join",
     "dedup_semdedup_kmeans",
     "acid_read_partitioned",
+    "streaming_acid_partitioned_ingest",
 )
 
 PRIORITY = (

@@ -1179,3 +1179,99 @@ def _lsh_probe_dedup(
 )
 def streaming_dedup_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lsh_probe_dedup(spark, sf_dir, n_batches=3)
+
+
+@register(
+    "streaming_acid_partitioned_ingest",
+    # Exactly-once through the whole partitioned chain: every event lands
+    # in exactly one (partition, delta) dir, per-partition resolution
+    # unions the deltas, and the merged table must reproduce the source
+    # aggregates per partition bit-for-bit.
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_keys,
+           CAST(COUNT(DISTINCT user_id % 5) AS BIGINT) AS n_st,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM events GROUP BY event_type
+    """,
+    doc="Streaming ingest INTO a PARTITIONED ACID tree — hcatalog-"
+    "streaming's actual contract (HiveEndPoint is constructed with a "
+    "partition-values list; each TransactionBatch writes delta_M_M "
+    "INSIDE the partition dir): each foreachBatch stages micro-batch i "
+    "with a dynamic partitionBy(event_type) write, then renames every "
+    "staged et=v dir to et=v/delta_{i+1}_{i+1} — a retry with the same "
+    "batch_id clobbers its own delta dirs (epoch-keyed exactly-once, "
+    "the flat ingest's recipe composed with dynamic partitioning). The "
+    "final read is read_acid_table_partitioned: per-partition "
+    "resolution, two relations total, (partition, key) merge. A row "
+    "lost or doubled anywhere (checkpoint replay, stage rename, "
+    "resolution, merge) breaks the per-partition aggregates vs the "
+    "batch source. At scale this is Hive streaming verbatim: deltas "
+    "land continuously per partition, compaction bounds each "
+    "partition's chain independently.",
+    tags=("streaming", "acid", "ingest", "partitioned"),
+)
+def streaming_acid_partitioned_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_hive_1_2_2_src_spark.operators.acid import (
+        read_acid_table_partitioned,
+    )
+    from apache_hive_1_2_2_src_spark.sources.hive_bucketing import _hadoop_fs
+
+    base = _tmp_base("hive_spark_stream_pacid_")
+    table, ckpt = os.path.join(base, "table"), os.path.join(base, "ckpt")
+    _, fs, P = _hadoop_fs(spark, table)
+    fs.delete(P(table), True)
+    fs.mkdirs(P(table))
+    inbox = _stage_events_inbox(spark, sf_dir)
+
+    def write_delta(batch_df: DataFrame, batch_id: int) -> None:
+        delta = f"delta_{batch_id + 1}_{batch_id + 1}"
+        # Dot-prefixed staging: invisible to partition discovery AND to
+        # the resolver while half-written.
+        stage = f"{table}/.stage_{batch_id + 1}"
+        (
+            batch_df.select(
+                F.col("event_type").alias("et"),
+                F.col("event_id").alias("k"),
+                (F.col("user_id") % 5).cast("string").alias("st"),
+                F.floor(F.col("value") * 100).cast("long").alias("p"),
+                F.lit("U").alias("op"),
+            )
+            .write.mode("overwrite")
+            .partitionBy("et")
+            .parquet(stage)
+        )
+        sp = batch_df.sparkSession
+        _, fs_, P_ = _hadoop_fs(sp, table)
+        for st_ in fs_.listStatus(P_(stage)):
+            name = st_.getPath().getName()
+            if not name.startswith("et="):
+                continue
+            dest = P_(f"{table}/{name}/{delta}")
+            # retry semantics: clobber THIS batch's own delta dir only
+            if fs_.exists(dest):
+                fs_.delete(dest, True)
+            fs_.mkdirs(P_(f"{table}/{name}"))
+            if not fs_.rename(st_.getPath(), dest):
+                raise RuntimeError(f"rename failed: {name}/{delta}")
+        fs_.delete(P_(stage), True)
+
+    q = (
+        _read_events_stream(spark, inbox, max_files_per_trigger=8)
+        .writeStream.foreachBatch(write_delta)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(180):
+        q.stop()
+        raise TimeoutError("partitioned acid ingest drain did not finish in 180s")
+    merged = read_acid_table_partitioned(spark, table, "et")
+    return merged.groupBy(F.col("et").alias("event_type")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("k").alias("n_keys"),
+        F.countDistinct("st").alias("n_st"),
+        F.sum("p").cast("long").alias("sum_cents"),
+    )
