@@ -691,3 +691,140 @@ def pipeline_publish_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
+
+
+_DSIR_B = 512
+_DSIR_K = 100
+_DSIR_SCALE = 100_000
+_DSIR_TARGET = ("src0", "src1")
+
+
+@register(
+    "sample_dsir_importance",
+    # Full replay: the DuckDB side recomputes the hashed-feature models
+    # (Java String.hashCode fold — the same list_reduce replica the
+    # bucketing oracles use), the integerized per-bucket log-ratio, and
+    # the top-k selection. One flipped bucket count, one mis-hashed
+    # word, or one boundary doc swapped shifts the integer checksums.
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, source,
+             unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+      FROM documents
+    ),
+    dw AS (SELECT DISTINCT w FROM w),
+    hb AS (
+      SELECT w,
+             CAST((CASE WHEN length(w) = 0 THEN 0
+                   ELSE list_reduce(
+                     list_prepend(CAST(0 AS BIGINT), list_transform(
+                       range(1, length(w) + 1),
+                       i -> CAST(ord(substr(w, i, 1)) AS BIGINT))),
+                     (a, b) -> (a * 31 + b) % 4294967296)
+                   END % 2147483648) % {_DSIR_B} AS INT) AS b
+      FROM dw
+    ),
+    wb AS (SELECT doc_id, source, b FROM w JOIN hb USING (w)),
+    t AS (SELECT b, COUNT(*) AS t FROM wb
+          WHERE source IN {_DSIR_TARGET} GROUP BY b),
+    r AS (SELECT b, COUNT(*) AS r FROM wb
+          WHERE source NOT IN {_DSIR_TARGET} GROUP BY b),
+    tot AS (SELECT
+      (SELECT COUNT(*) FROM wb WHERE source IN {_DSIR_TARGET}) AS tn,
+      (SELECT COUNT(*) FROM wb WHERE source NOT IN {_DSIR_TARGET}) AS rn),
+    score AS (
+      SELECT gs.b,
+             CAST(FLOOR({_DSIR_SCALE}.0 * ln(
+               ((COALESCE(t.t, 0) + 1) * (tot.rn + {_DSIR_B})) * 1.0
+               / ((COALESCE(r.r, 0) + 1) * (tot.tn + {_DSIR_B}))
+             )) AS BIGINT) AS lb
+      FROM (SELECT unnest(range(0, {_DSIR_B})) AS b) gs
+      LEFT JOIN t ON t.b = gs.b LEFT JOIN r ON r.b = gs.b CROSS JOIN tot
+    ),
+    dwt AS (
+      SELECT doc_id, SUM(lb) AS wgt
+      FROM wb JOIN score ON score.b = wb.b
+      WHERE source NOT IN {_DSIR_TARGET} GROUP BY doc_id
+    ),
+    sel AS (SELECT doc_id, wgt,
+                   ROW_NUMBER() OVER (ORDER BY wgt DESC, doc_id) AS rk
+            FROM dwt)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_selected,
+           CAST(SUM(wgt) AS BIGINT) AS weight_sum,
+           CAST(SUM(doc_id) AS BIGINT) AS docid_sum,
+           CAST(MIN(wgt) AS BIGINT) AS min_weight,
+           CAST(MAX(wgt) AS BIGINT) AS max_weight
+    FROM sel WHERE rk <= {_DSIR_K}
+    """,
+    doc="DSIR-style importance resampling (Xie et al. 2023, 'Data "
+    "Selection for Language Models via Importance Resampling' — public "
+    "paper; no reference analogue): fit hashed-unigram bag-of-words "
+    "models for a TARGET domain (sources src0/src1) and the raw pool, "
+    "weight every candidate doc by its per-token log-likelihood ratio, "
+    "and keep the top-k most target-like. Determinism devices: features "
+    "hash through the Java String.hashCode bucket (the engine's exact "
+    "interop hash, replayed bucket-for-bucket in DuckDB) into 512 "
+    "buckets, and the per-bucket add-1-smoothed log ratio ln(p_t/p_r) "
+    "is integerized once per BUCKET (floor at 1e-5 resolution) so doc "
+    "weights are integer sums — order-independent and hash-certifiable; "
+    "selection is top-k by (weight, doc_id), the paper's Gumbel noise "
+    "dropped for replayability. Scale: token->bucket is one codegen "
+    "expression; the models are two B-row aggregates (broadcastable at "
+    "any corpus size); weighting is one groupBy(doc_id) — no all-pairs "
+    "stage anywhere.",
+    tags=("extension", "sampling", "pipeline", "dsir"),
+)
+def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from apache_hive_1_2_2_src_spark.extensions.dedup import _words
+    from apache_hive_1_2_2_src_spark.sources.hive_bucketing import hive_bucket_id
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    is_target = F.col("source").isin(*_DSIR_TARGET)
+    words = d.select(
+        "doc_id", is_target.alias("tgt"), F.explode(_words()).alias("w")
+    )
+    wb = words.withColumn("b", hive_bucket_id("w", _DSIR_B, "string")).select(
+        "doc_id", "tgt", "b"
+    )
+    tcnt = wb.where("tgt").groupBy("b").agg(F.count(F.lit(1)).alias("t"))
+    rcnt = wb.where(~F.col("tgt")).groupBy("b").agg(F.count(F.lit(1)).alias("r"))
+    tot = wb.agg(
+        F.count(F.when(F.col("tgt"), 1)).alias("tn"),
+        F.count(F.when(~F.col("tgt"), 1)).alias("rn"),
+    )
+    score = (
+        spark.range(_DSIR_B)
+        .select(F.col("id").cast("int").alias("b"))
+        .join(tcnt, "b", "left")
+        .join(rcnt, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.floor(
+                F.lit(float(_DSIR_SCALE))
+                * F.log(
+                    ((F.coalesce("t", F.lit(0)) + 1) * (F.col("rn") + _DSIR_B))
+                    / ((F.coalesce("r", F.lit(0)) + 1) * (F.col("tn") + _DSIR_B))
+                )
+            )
+            .cast("long")
+            .alias("lb"),
+        )
+    )
+    dwt = (
+        wb.where(~F.col("tgt"))
+        .join(F.broadcast(score), "b")
+        .groupBy("doc_id")
+        .agg(F.sum("lb").alias("wgt"))
+    )
+    w = Window.orderBy(F.col("wgt").desc(), F.col("doc_id"))
+    sel = dwt.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= _DSIR_K)
+    return sel.agg(
+        F.count(F.lit(1)).alias("n_selected"),
+        F.sum("wgt").cast("long").alias("weight_sum"),
+        F.sum("doc_id").cast("long").alias("docid_sum"),
+        F.min("wgt").cast("long").alias("min_weight"),
+        F.max("wgt").cast("long").alias("max_weight"),
+    )

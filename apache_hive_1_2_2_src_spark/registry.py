@@ -185,6 +185,7 @@ FRESH = (
     "dedup_semdedup_kmeans",
     "acid_read_partitioned",
     "streaming_acid_partitioned_ingest",
+    "sample_dsir_importance",
 )
 
 PRIORITY = (
