@@ -541,3 +541,57 @@ def acid_read_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("k").alias("min_key"),
         F.max("k").alias("max_key"),
     )
+
+
+@register(
+    "acid_compact_partition",
+    # Same oracle as acid_read_partitioned: hash-equality certifies that
+    # compacting ONE partition is invisible to readers (compaction is a
+    # pure rewrite) AND that resolution stays per-partition — a stale
+    # base/delta leaking inside p1, or p0/p2 accidentally resolving
+    # against p1's new base, shifts the per-partition aggregates.
+    oracle=f"""
+    WITH {_ACID_CTES},
+    all_rows AS (
+      SELECT * FROM base UNION ALL SELECT * FROM d1 UNION ALL SELECT * FROM d2
+    ),
+    latest AS (
+      SELECT k, st, p, op, 'p' || CAST(k % 3 AS VARCHAR) AS pt,
+             ROW_NUMBER() OVER (PARTITION BY k ORDER BY ver DESC) AS rn
+      FROM all_rows
+    )
+    SELECT pt, st AS o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(p) AS DOUBLE) AS sum_price,
+           MIN(k) AS min_key, MAX(k) AS max_key
+    FROM latest WHERE rn = 1 AND op <> 'D'
+    GROUP BY pt, st
+    """,
+    doc="Per-PARTITION major compaction (Worker.java runs one compaction "
+    "job per partition; Initiator.java queues partitions independently): "
+    "in the partitioned tree, partition pt=p1 alone is major-compacted — "
+    "its merged snapshot written as pt=p1/base_3 with the stale base_0 "
+    "and both deltas left in place — while p0/p2 keep their full "
+    "base+delta chains. The re-read must produce the identical snapshot "
+    "(same oracle as acid_read_partitioned): per-partition resolution "
+    "picks p1's new base and ignores its covered dirs without touching "
+    "the siblings' merge paths. At 100 TB this is the operational point "
+    "of partitioned ACID — compaction debt is paid partition-by-"
+    "partition, never as one table-wide rewrite.",
+    tags=("workload", "acid", "compaction", "partitioned"),
+)
+def acid_compact_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table = materialize_acid_layout_partitioned(
+        spark, sf_dir, _tmp("acid_part_compact")
+    )
+    # compact ONLY pt=p1: merged snapshot of that partition dir -> base_3
+    read_acid_table(spark, f"{table}/pt=p1").write.parquet(
+        f"{table}/pt=p1/base_3"
+    )
+    snap = read_acid_table_partitioned(spark, table, "pt")
+    return snap.groupBy("pt", F.col("st").alias("o_orderstatus")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("p").cast("double").alias("sum_price"),
+        F.min("k").alias("min_key"),
+        F.max("k").alias("max_key"),
+    )

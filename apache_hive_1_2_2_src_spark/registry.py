@@ -186,6 +186,7 @@ FRESH = (
     "acid_read_partitioned",
     "streaming_acid_partitioned_ingest",
     "sample_dsir_importance",
+    "acid_compact_partition",
 )
 
 PRIORITY = (
