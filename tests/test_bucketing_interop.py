@@ -1122,6 +1122,20 @@ def test_part_bucket_map_join_parity_and_plan(spark, tmp_path):
     )
     got = sorted((r.fk, r.dt, r.x, r.nm) for r in joined.collect())
     assert got == expect
+
+    # LEFT OUTER parity over the same pruned layout (fk 40..49 unmatched)
+    lj = hb.hive_part_bucket_map_join(
+        spark, fp, "dt", dp, n, "fk", "dk", parts=["d0", "d2"],
+        chunk_buckets=2, how="left",
+    )
+    lexpect = sorted(
+        ((r.fk, r.x, r.nm or "") for r in fact.where("dt IN ('d0','d2')")
+         .join(dim, fact.fk == dim.dk, "left").select("fk", "x", "nm").collect())
+    )
+    lgot = sorted(
+        ((r.fk, r.x, r.nm or "") for r in lj.select("fk", "x", "nm").collect())
+    )
+    assert lgot == lexpect
     fact_files = [f for f in joined.inputFiles() if "/fact" in f or "fact/" in f]
     assert len([f for f in fact_files if "dt=" in f]) == 2 * n  # pruned: 2 of 3 parts
     plan = joined._jdf.queryExecution().executedPlan().toString()
