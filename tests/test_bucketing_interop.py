@@ -1218,3 +1218,31 @@ def test_part_smb_merge_join_parity_pruning_and_validation(spark, tmp_path):
         validate_hive_sorted_partitioned_bucketed(
             spark, fp, "dt", n, "fk", parts=["d0", "d2"]
         )
+
+
+def test_partitioned_bucketed_special_char_partition_values(spark, tmp_path):
+    """Partition values that need escapePathName encoding (%, =, /, :,
+    space, unicode) must round-trip: the writer inherits Spark's Hive-
+    compatible dir escaping, list_hive_partitions unescapes, and the
+    pruned read selects by RAW value."""
+    hb = _pb_mod()
+    n = 2
+    vals = ["plain", "a b", "x%y", "k=v", "a/b", "c:d", "naïve", None]
+    rows = [(i * 8 + j, v) for i, v in enumerate(vals) for j in range(3)]
+    df = spark.createDataFrame(rows, "k long, part string")
+    out = str(tmp_path / "pbspecial")
+    hb.write_hive_partitioned_bucketed(df, "part", "k", n, out, kind="long")
+    by_val = hb.list_hive_partitions(spark, out, "part")
+    assert set(by_val) == set(vals)
+    # full read round-trips every (k, part) pair
+    back = hb.read_hive_partitioned_bucketed(spark, out, "part", n)
+    got = sorted((r.k, r.part) for r in back.collect())
+    assert got == sorted(rows)
+    # pruned read by RAW value, one partition at a time
+    for v in vals:
+        if v is None:
+            continue
+        one = hb.read_hive_partitioned_bucketed(spark, out, "part", n, parts=[v])
+        assert sorted(r.k for r in one.collect()) == sorted(
+            k for k, p in rows if p == v
+        ), v
