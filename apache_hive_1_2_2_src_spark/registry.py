@@ -187,6 +187,7 @@ FRESH = (
     "streaming_acid_partitioned_ingest",
     "sample_dsir_importance",
     "acid_compact_partition",
+    "multimodal_decode_png",
 )
 
 PRIORITY = (

@@ -249,3 +249,90 @@ def test_codecs_fail_loudly_on_corrupt_payloads():
     broken[34] = 8  # bits-per-sample field inside fmt
     with pytest.raises(ValueError):
         decode_wav_pcm16(bytes(broken))
+
+
+def test_png_decode_of_independently_constructed_bytes():
+    """Decode a PNG the TEST builds directly with struct+zlib (filter 0,
+    known pixels) — independent of encode_png, so a symmetric
+    encode/decode bug cannot cancel."""
+    import struct
+    import zlib
+
+    from apache_hive_1_2_2_src_spark.extensions.multimodal import decode_png
+
+    # 2x2 RGB: (1,2,3) (4,5,6) / (7,8,9) (250,251,252)
+    raw = bytes([0, 1, 2, 3, 4, 5, 6]) + bytes([0, 7, 8, 9, 250, 251, 252])
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    buf = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert decode_png(buf) == (2, 2, 24, 1 + 4 + 7 + 250, 2 + 5 + 8 + 251,
+                               3 + 6 + 9 + 252)
+
+
+def test_png_all_filters_roundtrip_and_sniff():
+    """Each filter type (None/Sub/Up/Average/Paeth) round-trips to the
+    same channel sums; the magic-byte sniffer dispatches PNG."""
+    from apache_hive_1_2_2_src_spark.extensions.multimodal import (
+        decode_image,
+        decode_png,
+        encode_png,
+    )
+
+    w, h = 7, 5
+
+    def pix(x, y):
+        return ((x * 37 + y * 11) % 256, (x + y * 91) % 256, (x * 3 + y) % 256)
+
+    expect = tuple(
+        sum(pix(x, y)[c] for x in range(w) for y in range(h)) for c in range(3)
+    )
+    for f in range(5):
+        buf = encode_png(w, h, pix, filter_of=lambda y, f=f: f)
+        assert decode_png(buf) == (w, h, 24, *expect), f"filter {f}"
+    mixed = encode_png(w, h, pix, filter_of=lambda y: y % 5)
+    assert decode_image(mixed) == (w, h, 24, *expect)
+
+
+def test_png_rejects_unsupported_and_corrupt():
+    """Palette/16-bit/interlaced variants and CRC corruption fail loudly
+    — never fake stats from unparseable media."""
+    import pytest
+
+    from apache_hive_1_2_2_src_spark.extensions.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    good = encode_png(3, 3, lambda x, y: (x, y, 0))
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"BM" + good)
+    corrupt = bytearray(good)
+    corrupt[40] ^= 0xFF  # inside IDAT payload -> CRC mismatch
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        decode_png(bytes(corrupt))
+    import struct
+    import zlib
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    palette = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="unsupported PNG variant"):
+        decode_png(palette)
