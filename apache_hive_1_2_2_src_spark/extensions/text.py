@@ -1459,3 +1459,136 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.col("pmi_score").desc(), "bigram").limit(15)
+
+
+_BPE_STEPS = 4
+
+
+def _bpe_iteration_sql(i: int) -> str:
+    """One BPE merge iteration as dialect-neutral SQL CTEs (window
+    functions only — identical semantics in Spark SQL and DuckDB):
+    count adjacent-pair frequencies weighted by word count, pick the
+    (freq DESC, pair ASC) argmax, then merge occurrences GREEDY
+    LEFT-TO-RIGHT NON-OVERLAPPING via gaps-and-islands — within each
+    maximal run of consecutive matches only even offsets merge (the
+    classic 'banana'/(a,n) case: positions 1 and 3 merge, 2 is consumed
+    by 1 — a plain string replace gets this wrong)."""
+    p = i - 1
+    return f"""
+    pr{i} AS (
+      SELECT sym AS pa, nxt AS pb, SUM(cnt) AS freq
+      FROM (SELECT w, cnt, sym,
+                   LEAD(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
+            FROM s{p}) t{i}
+      WHERE nxt IS NOT NULL GROUP BY sym, nxt
+    ),
+    best{i} AS (
+      SELECT pa, pb, freq FROM pr{i} ORDER BY freq DESC, pa, pb LIMIT 1
+    ),
+    f{i} AS (
+      SELECT t.*, b.pa, b.pb,
+             (t.sym = b.pa AND COALESCE(t.nxt = b.pb, FALSE)) AS m
+      FROM (SELECT s.*,
+                   LEAD(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
+            FROM s{p} s) t CROSS JOIN best{i} b
+    ),
+    ga{i} AS (
+      SELECT *,
+             (m AND NOT COALESCE(
+               LAG(m) OVER (PARTITION BY w ORDER BY pos), FALSE)) AS newrun
+      FROM f{i}
+    ),
+    g{i} AS (
+      SELECT *,
+             SUM(CASE WHEN newrun THEN 1 ELSE 0 END)
+               OVER (PARTITION BY w ORDER BY pos) AS runid
+      FROM ga{i}
+    ),
+    h{i} AS (
+      SELECT *,
+             CASE WHEN m THEN pos - MIN(CASE WHEN m THEN pos END)
+               OVER (PARTITION BY w, runid) END AS off
+      FROM g{i}
+    ),
+    q{i} AS (
+      SELECT *, (m AND off % 2 = 0) AS picked,
+             COALESCE(LAG(m AND off % 2 = 0)
+               OVER (PARTITION BY w ORDER BY pos), FALSE) AS consumed
+      FROM h{i}
+    ),
+    s{i} AS (
+      SELECT w, cnt,
+             CAST(ROW_NUMBER() OVER (PARTITION BY w ORDER BY pos) AS INT) AS pos,
+             CASE WHEN picked THEN sym || nxt ELSE sym END AS sym
+      FROM q{i} WHERE NOT consumed
+    )"""
+
+
+def _bpe_sql(base: str) -> str:
+    """Full k-step BPE training query over a base CTE ``s0(w, cnt, pos,
+    sym)``; returns one row per merge step."""
+    body = ",".join(_bpe_iteration_sql(i) for i in range(1, _BPE_STEPS + 1))
+    steps = "\n    UNION ALL\n    ".join(
+        f"SELECT CAST({i} AS INT) AS step, pa AS pair_a, pb AS pair_b, "
+        f"CAST(freq AS BIGINT) AS pair_freq, "
+        f"CAST((SELECT SUM(cnt) FROM s{i}) AS BIGINT) AS tokens_after "
+        f"FROM best{i}"
+        for i in range(1, _BPE_STEPS + 1)
+    )
+    return f"WITH {base},{body}\n    {steps}"
+
+
+_BPE_BASE_DUCK = f"""
+    bpe_w AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest({_SQL_WORDS}) AS w FROM documents) GROUP BY w
+    ),
+    s0 AS (
+      SELECT w, cnt, CAST(t.i AS INT) AS pos, substr(w, CAST(t.i AS INT), 1) AS sym
+      FROM bpe_w, UNNEST(range(1, length(w) + 1)) AS t(i)
+    )"""
+
+_BPE_BASE_SPARK = """
+    bpe_w AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT explode(filter(split(text, ' '), x -> x != '')) AS w
+            FROM bpe_docs) GROUP BY w
+    ),
+    s0 AS (
+      SELECT w, cnt, CAST(i AS INT) AS pos, substring(w, i, 1) AS sym
+      FROM bpe_w LATERAL VIEW explode(sequence(1, length(w))) t AS i
+    )"""
+
+
+@register(
+    "text_bpe_train_merges",
+    # The oracle runs the IDENTICAL iteration template (shared SQL text,
+    # dialect-specific only in the tokenize/char-explode base) — window
+    # functions and integer counts end to end, so both engines must land
+    # on the same argmax pair, the same greedy merge sites, and the same
+    # weighted token totals at every step.
+    oracle=_bpe_sql(_BPE_BASE_DUCK),
+    doc="BPE tokenizer TRAINING (Sennrich et al. 2016, 'Neural Machine "
+    "Translation of Rare Words with Subword Units' — the byte-pair-"
+    "encoding loop every modern LLM tokenizer descends from; no "
+    "reference analogue): k=4 merge steps over the corpus word-frequency "
+    "table. Per step: adjacent-symbol pair counts weighted by word "
+    "frequency (one groupBy), deterministic argmax (freq DESC, pair "
+    "ASC), then GREEDY LEFT-TO-RIGHT NON-OVERLAPPING merge of the "
+    "winning pair expressed with gaps-and-islands window functions — "
+    "within each run of consecutive matches only even offsets merge, so "
+    "'banana' under (a,n) merges positions 1 and 3 exactly like the "
+    "reference algorithm (a string-replace shortcut double-consumes the "
+    "shared boundary). Output: (step, pair, freq, corpus tokens after). "
+    "Scale: state is (word, pos, symbol) rows of the DISTINCT vocab — "
+    "pair counting and merging shuffle O(|vocab|*avg_len) per step "
+    "regardless of corpus size; the corpus is touched once for the "
+    "frequency table. The iterative-driver-loop pattern of "
+    "kmeans_iterate, on SQL text instead of DataFrame ops.",
+    tags=("extension", "text", "tokenizer", "iterative"),
+)
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").select("text").createOrReplaceTempView(
+        "bpe_docs"
+    )
+    return spark.sql(_bpe_sql(_BPE_BASE_SPARK))

@@ -188,6 +188,7 @@ FRESH = (
     "sample_dsir_importance",
     "acid_compact_partition",
     "multimodal_decode_png",
+    "text_bpe_train_merges",
 )
 
 PRIORITY = (

@@ -111,3 +111,55 @@ def test_morton_matches_python_reference(spark, pairs):
     ]
     for x, y, m in got:
         assert m == ref(x, y)
+
+
+def test_bpe_train_matches_python_reference(spark):
+    """The SQL BPE loop must equal a straight Python reimplementation of
+    Sennrich-style BPE (greedy left-to-right non-overlapping merges) on a
+    corpus built to stress the run logic: 'banana'-class words where the
+    winning pair overlaps itself ('aaaa', 'anana') and frequency ties
+    broken lexicographically."""
+    from collections import Counter
+
+    from apache_hive_1_2_2_src_spark.extensions.text import (
+        _BPE_BASE_SPARK,
+        _BPE_STEPS,
+        _bpe_sql,
+    )
+
+    corpus = (
+        ["banana"] * 5 + ["aaaa"] * 3 + ["bandana"] * 2 + ["anna"] * 4
+        + ["ban"] * 6 + ["nab"] * 6
+    )
+    spark.createDataFrame(
+        [(" ".join(corpus),)], "text string"
+    ).createOrReplaceTempView("bpe_docs")
+    got = [
+        (r.step, r.pair_a, r.pair_b, r.pair_freq, r.tokens_after)
+        for r in spark.sql(_bpe_sql(_BPE_BASE_SPARK)).orderBy("step").collect()
+    ]
+
+    # independent reference
+    words = Counter(corpus)
+    symtab = {w: list(w) for w in words}
+    expect = []
+    for step in range(1, _BPE_STEPS + 1):
+        pairs: Counter = Counter()
+        for w, cnt in words.items():
+            s = symtab[w]
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] += cnt
+        (pa, pb), freq = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        for w in symtab:
+            s, out, i = symtab[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and (s[i], s[i + 1]) == (pa, pb):
+                    out.append(pa + pb)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            symtab[w] = out
+        tokens = sum(len(symtab[w]) * cnt for w, cnt in words.items())
+        expect.append((step, pa, pb, freq, tokens))
+    assert got == expect
