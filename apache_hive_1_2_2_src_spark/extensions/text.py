@@ -1592,3 +1592,57 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bpe_docs"
     )
     return spark.sql(_bpe_sql(_BPE_BASE_SPARK))
+
+
+def _bpe_apply_sql(base: str, occ: str) -> str:
+    """Apply the trained merge table: per-word token counts from the final
+    symbol state s{k}, joined back to word OCCURRENCES (``occ`` must
+    define ``occ(src, w)``), aggregated into per-source fertility."""
+    body = ",".join(_bpe_iteration_sql(i) for i in range(1, _BPE_STEPS + 1))
+    return f"""WITH {base},{body},
+    wtok AS (
+      SELECT w, CAST(MAX(pos) AS BIGINT) AS n_tok,
+             CAST(MAX(length(w)) AS BIGINT) AS n_chars
+      FROM s{_BPE_STEPS} GROUP BY w
+    ),
+    {occ}
+    SELECT src AS source,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(ROUND(SUM(n_chars) * 1.0 / SUM(n_tok), 6) AS DOUBLE)
+             AS chars_per_token
+    FROM occ JOIN wtok USING (w)
+    GROUP BY src"""
+
+
+_BPE_OCC_DUCK = f"""
+    occ AS (
+      SELECT source AS src, unnest({_SQL_WORDS}) AS w FROM documents
+    )"""
+
+_BPE_OCC_SPARK = """
+    occ AS (
+      SELECT source AS src, explode(filter(split(text, ' '), x -> x != '')) AS w
+      FROM bpe_docs
+    )"""
+
+
+@register(
+    "text_bpe_apply_fertility",
+    oracle=_bpe_apply_sql(_BPE_BASE_DUCK, _BPE_OCC_DUCK),
+    doc="Tokenizer-fertility audit: APPLY the k=4 trained BPE merges "
+    "(same shared iteration template as text_bpe_train_merges) and "
+    "report per-source chars-per-token — the standard pipeline metric "
+    "for how well a tokenizer compresses each corpus slice (fertility "
+    "regressions localize bad sources before training). Scale: the "
+    "merge state lives on the DISTINCT vocab; application is one join "
+    "from word occurrences to per-word token counts — the corpus is "
+    "touched once, tokenization itself never re-runs per document.",
+    tags=("extension", "text", "tokenizer"),
+)
+def text_bpe_apply_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").select(
+        "source", "text"
+    ).createOrReplaceTempView("bpe_docs")
+    return spark.sql(_bpe_apply_sql(_BPE_BASE_SPARK, _BPE_OCC_SPARK))

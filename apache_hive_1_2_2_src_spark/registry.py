@@ -189,6 +189,7 @@ FRESH = (
     "acid_compact_partition",
     "multimodal_decode_png",
     "text_bpe_train_merges",
+    "text_bpe_apply_fertility",
 )
 
 PRIORITY = (
