@@ -190,6 +190,7 @@ FRESH = (
     "multimodal_decode_png",
     "text_bpe_train_merges",
     "text_bpe_apply_fertility",
+    "acid_bucketed_point_lookup",
 )
 
 PRIORITY = (
