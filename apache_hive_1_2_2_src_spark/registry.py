@@ -191,6 +191,7 @@ FRESH = (
     "text_bpe_train_merges",
     "text_bpe_apply_fertility",
     "acid_bucketed_point_lookup",
+    "streaming_acid_bucketed_ingest",
 )
 
 PRIORITY = (

@@ -1275,3 +1275,106 @@ def streaming_acid_partitioned_ingest(spark: SparkSession, sf_dir: str) -> DataF
         F.countDistinct("st").alias("n_st"),
         F.sum("p").cast("long").alias("sum_cents"),
     )
+
+
+@register(
+    "streaming_acid_bucketed_ingest",
+    # Whole-table aggregates AND a pruned point lookup certified against
+    # the batch source: the lookup's correctness proves every micro-batch
+    # routed every row to the Hive bucket its key demands (a misroute
+    # hides the row from the pruned read), and the totals prove
+    # exactly-once ingest.
+    oracle="""
+    WITH t AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_keys,
+             CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+      FROM events
+    ),
+    pk AS (
+      SELECT event_id, CAST(FLOOR(value * 100) AS BIGINT) AS p_cents
+      FROM events WHERE event_id = 77
+    )
+    SELECT t.n_rows, t.n_keys, t.sum_cents,
+           pk.event_id AS lookup_key, pk.p_cents AS lookup_cents,
+           CAST((xor(77::BIGINT, 77::BIGINT >> 32) & 4294967295)
+                % 2147483648 % 8 AS INT) AS key_bucket
+    FROM t CROSS JOIN pk
+    """,
+    doc="Streaming ingest writing BUCKETED delta files — hcatalog-"
+    "streaming's literal on-disk contract (transactional tables must be "
+    "CLUSTERED BY; TransactionBatch writes positional bucket files into "
+    "each delta_M_M): every foreachBatch routes its micro-batch through "
+    "write_hive_bucketed INTO delta_{i+1}_{i+1}/ (8 buckets, "
+    "LongWritable routing, retries clobber their own delta). "
+    "Certification is two-sided: whole-table aggregates over the "
+    "resolved merge prove exactly-once, and a read_acid_bucketed_point "
+    "lookup for one key — which opens ONLY that key's bucket file in "
+    "each delta — must surface the row, proving every batch's writer "
+    "routed correctly (a misroute is invisible to full scans but hides "
+    "the key from the pruned read). At 100 TB this is the streaming-"
+    "warehouse steady state: continuous small bucketed deltas, "
+    "O(1+deltas) point reads between compactions.",
+    tags=("streaming", "acid", "ingest", "bucketing"),
+)
+def streaming_acid_bucketed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_hive_1_2_2_src_spark.operators.acid import (
+        read_acid_bucketed_point,
+        read_acid_table,
+    )
+    from apache_hive_1_2_2_src_spark.sources.hive_bucketing import (
+        _hadoop_fs,
+        write_hive_bucketed,
+    )
+
+    n = 8
+    base = _tmp_base("hive_spark_stream_bacid_")
+    table, ckpt = os.path.join(base, "table"), os.path.join(base, "ckpt")
+    _, fs, P = _hadoop_fs(spark, table)
+    fs.delete(P(table), True)
+    fs.mkdirs(P(table))
+    inbox = _stage_events_inbox(spark, sf_dir)
+
+    def write_delta(batch_df: DataFrame, batch_id: int) -> None:
+        rows = batch_df.select(
+            F.col("event_id").alias("k"),
+            F.col("event_type").alias("st"),
+            F.floor(F.col("value") * 100).cast("long").alias("p"),
+            F.lit("U").alias("op"),
+        )
+        # write_hive_bucketed overwrites its target dir atomically-enough
+        # for the retry contract (validates before renaming, removes
+        # partial output on failure) — a replayed batch_id rebuilds its
+        # own delta dir.
+        write_hive_bucketed(
+            rows, "k", n, f"{table}/delta_{batch_id + 1}_{batch_id + 1}",
+            kind="long",
+        )
+
+    q = (
+        _read_events_stream(spark, inbox, max_files_per_trigger=8)
+        .writeStream.foreachBatch(write_delta)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(240):
+        q.stop()
+        raise TimeoutError("bucketed acid ingest drain did not finish in 240s")
+    totals = read_acid_table(spark, table).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("k").alias("n_keys"),
+        F.sum("p").cast("long").alias("sum_cents"),
+    )
+    snap, _n_files = read_acid_bucketed_point(spark, table, n, 77, kind="long")
+    point = snap.select(
+        F.col("k").alias("lookup_key"),
+        F.col("p").cast("long").alias("lookup_cents"),
+    )
+    from apache_hive_1_2_2_src_spark.sources.hive_bucketing import hive_bucket_of
+
+    return totals.crossJoin(point).select(
+        "n_rows", "n_keys", "sum_cents", "lookup_key", "lookup_cents",
+        F.lit(hive_bucket_of(77, n, "long")).cast("int").alias("key_bucket"),
+    )
