@@ -192,6 +192,7 @@ FRESH = (
     "text_bpe_apply_fertility",
     "acid_bucketed_point_lookup",
     "streaming_acid_bucketed_ingest",
+    "acid_full_layout_point_lookup",
 )
 
 PRIORITY = (
