@@ -434,7 +434,9 @@ def read_acid_table_partitioned(
         ).otherwise(raw)
 
     praw = loud(
-        F.regexp_extract(F.input_file_name(), f"/{part_col}=([^/]+)/", 1),
+        F.regexp_extract(
+            F.input_file_name(), f"/{re.escape(part_col)}=([^/]+)/", 1
+        ),
         "partition value",
     )
 

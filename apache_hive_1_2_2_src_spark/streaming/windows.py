@@ -1181,6 +1181,37 @@ def streaming_dedup_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFra
     return _lsh_probe_dedup(spark, sf_dir, n_batches=3)
 
 
+def write_partitioned_delta(
+    rows: DataFrame, table: str, part_col: str, batch_id: int
+) -> None:
+    """Write one micro-batch as per-partition delta dirs —
+    ``table/<part_col>=<v>/delta_{batch_id+1}_{batch_id+1}`` — via a
+    dot-prefixed staging dir (invisible to partition discovery AND to the
+    acid resolver while half-written) followed by per-partition renames.
+    Retry-idempotent: a replayed batch_id deletes ITS OWN delta dirs
+    before renaming, so the replay replaces rather than double-appends
+    (pinned by the redrain test in tests/test_acid_dirs.py)."""
+    from apache_hive_1_2_2_src_spark.sources.hive_bucketing import _hadoop_fs
+
+    delta = f"delta_{batch_id + 1}_{batch_id + 1}"
+    stage = f"{table}/.stage_{batch_id + 1}"
+    rows.write.mode("overwrite").partitionBy(part_col).parquet(stage)
+    sp = rows.sparkSession
+    _, fs_, P_ = _hadoop_fs(sp, table)
+    for st_ in fs_.listStatus(P_(stage)):
+        name = st_.getPath().getName()
+        if not name.startswith(f"{part_col}="):
+            continue
+        dest = P_(f"{table}/{name}/{delta}")
+        # retry semantics: clobber THIS batch's own delta dir only
+        if fs_.exists(dest):
+            fs_.delete(dest, True)
+        fs_.mkdirs(P_(f"{table}/{name}"))
+        if not fs_.rename(st_.getPath(), dest):
+            raise RuntimeError(f"rename failed: {name}/{delta}")
+    fs_.delete(P_(stage), True)
+
+
 @register(
     "streaming_acid_partitioned_ingest",
     # Exactly-once through the whole partitioned chain: every event lands
@@ -1227,36 +1258,16 @@ def streaming_acid_partitioned_ingest(spark: SparkSession, sf_dir: str) -> DataF
     inbox = _stage_events_inbox(spark, sf_dir)
 
     def write_delta(batch_df: DataFrame, batch_id: int) -> None:
-        delta = f"delta_{batch_id + 1}_{batch_id + 1}"
-        # Dot-prefixed staging: invisible to partition discovery AND to
-        # the resolver while half-written.
-        stage = f"{table}/.stage_{batch_id + 1}"
-        (
+        write_partitioned_delta(
             batch_df.select(
                 F.col("event_type").alias("et"),
                 F.col("event_id").alias("k"),
                 (F.col("user_id") % 5).cast("string").alias("st"),
                 F.floor(F.col("value") * 100).cast("long").alias("p"),
                 F.lit("U").alias("op"),
-            )
-            .write.mode("overwrite")
-            .partitionBy("et")
-            .parquet(stage)
+            ),
+            table, "et", batch_id,
         )
-        sp = batch_df.sparkSession
-        _, fs_, P_ = _hadoop_fs(sp, table)
-        for st_ in fs_.listStatus(P_(stage)):
-            name = st_.getPath().getName()
-            if not name.startswith("et="):
-                continue
-            dest = P_(f"{table}/{name}/{delta}")
-            # retry semantics: clobber THIS batch's own delta dir only
-            if fs_.exists(dest):
-                fs_.delete(dest, True)
-            fs_.mkdirs(P_(f"{table}/{name}"))
-            if not fs_.rename(st_.getPath(), dest):
-                raise RuntimeError(f"rename failed: {name}/{delta}")
-        fs_.delete(P_(stage), True)
 
     q = (
         _read_events_stream(spark, inbox, max_files_per_trigger=8)

@@ -313,3 +313,52 @@ def test_partitioned_acid_per_partition_state_and_escaping(spark, tmp_path):
     assert got[("x%y=z", 5)] == ("NEW", "3.00")  # stale base+delta ignored
     assert got[("x%y=z", 6)] == ("NEW", "3.00")
     assert len(got) == 4
+
+
+def test_partitioned_delta_writer_retry_is_idempotent(spark, tmp_path):
+    """A foreachBatch retry re-invokes with the SAME batch_id: the
+    partitioned delta writer must REPLACE its own per-partition delta
+    dirs (possibly with different content after an upstream fix), never
+    double-append — and must not touch other batches' deltas."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from apache_hive_1_2_2_src_spark.operators.acid import (
+        read_acid_table_partitioned,
+    )
+    from apache_hive_1_2_2_src_spark.streaming.windows import (
+        write_partitioned_delta,
+    )
+
+    tbl = str(tmp_path / "retry")
+    os.makedirs(tbl)
+
+    def rows(ids, st):
+        return spark.createDataFrame(
+            [(f"g{k % 2}", k, st, k * 10, "U") for k in ids],
+            "pt string, k long, st string, p long, op string",
+        )
+
+    write_partitioned_delta(rows(range(6), "A"), tbl, "pt", 0)
+    write_partitioned_delta(rows(range(3), "B"), tbl, "pt", 1)
+    # retry of batch 1 with corrected content
+    write_partitioned_delta(rows(range(4), "C"), tbl, "pt", 1)
+
+    deltas = sorted(
+        f"{d}/{x}"
+        for d in os.listdir(tbl)
+        if d.startswith("pt=")
+        for x in os.listdir(os.path.join(tbl, d))
+        if x.startswith("delta_")
+    )
+    assert deltas == [
+        "pt=g0/delta_1_1", "pt=g0/delta_2_2",
+        "pt=g1/delta_1_1", "pt=g1/delta_2_2",
+    ]
+    got = {
+        (r.pt, r.k): r.st
+        for r in read_acid_table_partitioned(spark, tbl, "pt").collect()
+    }
+    expect = {(f"g{k % 2}", k): ("C" if k < 4 else "A") for k in range(6)}
+    assert got == expect
