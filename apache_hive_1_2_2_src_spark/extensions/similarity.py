@@ -524,12 +524,19 @@ def embedding_quantize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("extension", "similarity", "ivf"),
 )
 def similarity_ann_ivf_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     e = load_table(spark, sf_dir, "embeddings")
     cent = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
     )
+    return _ivf_probe2_report(e, cent)
+
+
+def _ivf_probe2_report(e: DataFrame, cent: DataFrame) -> DataFrame:
+    """IVF nprobe=2 top-3 search for the query tail (vec_id >= 490) over
+    a given centroid set — shared by the fixed-seed and kmeans-trained
+    registered queries."""
+    from pyspark.sql.window import Window
+
     assign_w = Window.partitionBy("vec_id").orderBy(
         _cos(F.col("embedding"), F.col("ce")).desc(), F.col("cid")
     )
@@ -922,10 +929,10 @@ def kmeans_centroids_quantized(e: DataFrame, k: int, iters: int) -> DataFrame:
     return centroids
 
 
-def _kmq_oracle() -> str:
-    """DuckDB replay of the quantized Lloyd iterations + the SemDeDup
-    prune report — identical arithmetic to the Spark side at every step
-    (serial-fold cosine, integer centroid sums, argmax ties to cid)."""
+def _kmq_train_ctes() -> tuple[list[str], str]:
+    """The quantized-Lloyd training iterations as DuckDB CTE fragments
+    (shared by the SemDeDup-kmeans and IVF-kmeans oracles); returns
+    (cte_list, name_of_final_centroid_cte)."""
     cur = "c0"
     sql = [
         "WITH e AS (SELECT vec_id, embedding FROM embeddings),",
@@ -958,8 +965,17 @@ def _kmq_oracle() -> str:
     ),"""
         )
         cur = f"c{i}"
+    return sql, cur
+
+
+def _kmq_oracle() -> str:
+    """DuckDB replay of the quantized Lloyd iterations + the SemDeDup
+    prune report — identical arithmetic to the Spark side at every step
+    (serial-fold cosine, integer centroid sums, argmax ties to cid)."""
+    sql, cur = _kmq_train_ctes()
     ccos = _sql_cos("embedding", "ce")
     pcos = _sql_cos("a.embedding", "b.embedding")
+    sql = list(sql)
     sql.append(
         f"""assign AS (
       SELECT vec_id, embedding, cid, {ccos} AS ccos,
@@ -1019,3 +1035,58 @@ def dedup_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     centroids = kmeans_centroids_quantized(e, _KMQ_K, _KMQ_ITERS)
     return _semdedup_report(e, centroids)
+
+
+def _ivf_kmeans_oracle() -> str:
+    """Quantized-Lloyd training replay + the IVF nprobe=2 search, all in
+    DuckDB — trained centroids must match bit-for-bit before the probe
+    stage can agree."""
+    sql, cur = _kmq_train_ctes()
+    cos = _sql_cos("embedding", "ce")
+    qcos = _sql_cos("qe", "c.embedding")
+    sql = list(sql)
+    sql.append(
+        f"""assign AS (
+      SELECT vec_id, embedding, cid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY {cos} DESC, cid) AS rnk
+      FROM e CROSS JOIN {cur}
+    ),
+    clustered AS (SELECT vec_id, embedding, cid FROM assign WHERE rnk = 1),
+    probes AS (
+      SELECT vec_id AS query_id, embedding AS qe, cid AS pcid
+      FROM assign WHERE vec_id >= 490 AND rnk <= 2
+    ),
+    scored AS (
+      SELECT p.query_id, c.vec_id AS cand_id,
+             ROUND({qcos}, 6) AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY p.query_id
+                                ORDER BY {qcos} DESC, c.vec_id) AS rk
+      FROM probes p JOIN clustered c
+        ON c.cid = p.pcid AND c.vec_id <> p.query_id
+    )
+    SELECT query_id, cand_id, cosine, rk FROM scored WHERE rk <= 3"""
+    )
+    return "\n".join(sql)
+
+
+@register(
+    "similarity_ann_ivf_kmeans",
+    oracle=_ivf_kmeans_oracle(),
+    doc="IVF ANN over a TRAINED coarse quantizer — the production recipe "
+    "(FAISS-style IVF trains k-means centroids, then inverts the lists; "
+    "the fixed-seed siblings similarity_ann_ivf/_probe2 isolate the "
+    "index mechanics): two quantized-update Lloyd iterations train the "
+    "centroids (bit-identically replayable — the dedup_semdedup_kmeans "
+    "determinism device, shared training CTEs), then the nprobe=2 top-3 "
+    "search runs against the trained cells. Trained cells track the "
+    "data's actual density, so cell populations equalize vs arbitrary "
+    "seed vectors — the quality step that matters once cells must fit "
+    "serving-node memory. Same scale shape: broadcast centroids, one "
+    "per-cell shuffle.",
+    tags=("extension", "similarity", "ivf", "iterative"),
+)
+def similarity_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = kmeans_centroids_quantized(e, _KMQ_K, _KMQ_ITERS)
+    return _ivf_probe2_report(e, F.broadcast(cent))

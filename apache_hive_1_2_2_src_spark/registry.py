@@ -193,6 +193,7 @@ FRESH = (
     "acid_bucketed_point_lookup",
     "streaming_acid_bucketed_ingest",
     "acid_full_layout_point_lookup",
+    "similarity_ann_ivf_kmeans",
 )
 
 PRIORITY = (
