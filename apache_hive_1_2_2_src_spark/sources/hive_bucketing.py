@@ -37,6 +37,16 @@ module makes the boundary crossable in BOTH directions:
   the ``n`` files are opened (the ``BucketMapJoinOptimizer.java`` /
   table-sample-on-bucket read contract); ``hive_hash_value()`` is the
   driver-side replica that picks the bucket for a literal.
+- Round 12 extends the trilogy to the NESTED real-warehouse shape
+  (``part=<v>/000000_0`` — ``FileSinkOperator.getDynOutPaths``):
+  ``write_hive_partitioned_bucketed`` / ``read_hive_partitioned_bucketed``
+  (partition pruning composes with bucket pruning: |parts|·|buckets| of
+  p·n files), ``hive_part_bucket_map_join`` and
+  ``hive_part_smb_merge_join`` (partition-pruned fact, per-bucket
+  co-located joins), and ``validate_hive_sorted_partitioned_bucketed``.
+  The SMB engine (inner/left/full + sub_split) is shared via
+  ``_smb_cogroup_join``; the ACID module composes these layouts further
+  (bucket files inside base/delta dirs — see operators/acid.py).
 
 Scale: the bucket id is one codegen expression; the write shuffles once
 (repartition on the bucket id). The pruned read is a metadata-level win:
