@@ -929,42 +929,45 @@ def kmeans_centroids_quantized(e: DataFrame, k: int, iters: int) -> DataFrame:
     return centroids
 
 
-def _kmq_train_ctes() -> tuple[list[str], str]:
+def _kmq_train_ctes(pref: str = "", src: str = "embedding") -> tuple[list[str], str]:
     """The quantized-Lloyd training iterations as DuckDB CTE fragments
-    (shared by the SemDeDup-kmeans and IVF-kmeans oracles); returns
-    (cte_list, name_of_final_centroid_cte)."""
-    cur = "c0"
+    (shared by the SemDeDup-kmeans / IVF-kmeans / PQ oracles); returns
+    (cte_list, name_of_final_centroid_cte). ``pref`` namespaces the CTE
+    chain (PQ trains one chain per subspace); ``src`` is the embedding
+    expression the chain trains on (e.g. a list slice). The first
+    fragment does NOT carry WITH — callers assemble."""
+    cur = f"{pref}c0"
     sql = [
-        "WITH e AS (SELECT vec_id, embedding FROM embeddings),",
-        f"c0 AS (SELECT vec_id AS cid, embedding AS ce FROM e "
+        f"{pref}e AS (SELECT vec_id, {src} AS embedding FROM embeddings),",
+        f"{pref}c0 AS (SELECT vec_id AS cid, embedding AS ce FROM {pref}e "
         f"WHERE vec_id < {_KMQ_K}),",
     ]
     for i in range(1, _KMQ_ITERS + 1):
         cos = _sql_cos("embedding", "ce")
         sql.append(
-            f"""a{i} AS (
+            f"""{pref}a{i} AS (
       SELECT vec_id, embedding, cid,
              ROW_NUMBER() OVER (PARTITION BY vec_id
                                 ORDER BY {cos} DESC, cid) AS rnk
-      FROM e CROSS JOIN {cur}
+      FROM {pref}e CROSS JOIN {cur}
     ),
-    d{i} AS (
+    {pref}d{i} AS (
       SELECT cid,
              unnest(range(1, len(embedding) + 1)) AS pos,
              unnest(embedding) AS val
-      FROM a{i} WHERE rnk = 1
+      FROM {pref}a{i} WHERE rnk = 1
     ),
-    c{i} AS (
+    {pref}c{i} AS (
       SELECT cid, list(m ORDER BY pos) AS ce
       FROM (SELECT cid, pos,
                    CAST(SUM(CAST(floor(CAST(val AS DOUBLE) * {_KMQ_Q})
                                  AS BIGINT)) AS DOUBLE)
                    / (COUNT(*) * {_KMQ_Q}.0) AS m
-            FROM d{i} GROUP BY cid, pos)
+            FROM {pref}d{i} GROUP BY cid, pos)
       GROUP BY cid
     ),"""
         )
-        cur = f"c{i}"
+        cur = f"{pref}c{i}"
     return sql, cur
 
 
@@ -975,7 +978,7 @@ def _kmq_oracle() -> str:
     sql, cur = _kmq_train_ctes()
     ccos = _sql_cos("embedding", "ce")
     pcos = _sql_cos("a.embedding", "b.embedding")
-    sql = list(sql)
+    sql = ["WITH " + sql[0]] + list(sql[1:])
     sql.append(
         f"""assign AS (
       SELECT vec_id, embedding, cid, {ccos} AS ccos,
@@ -1044,7 +1047,7 @@ def _ivf_kmeans_oracle() -> str:
     sql, cur = _kmq_train_ctes()
     cos = _sql_cos("embedding", "ce")
     qcos = _sql_cos("qe", "c.embedding")
-    sql = list(sql)
+    sql = ["WITH " + sql[0]] + list(sql[1:])
     sql.append(
         f"""assign AS (
       SELECT vec_id, embedding, cid,
@@ -1090,3 +1093,136 @@ def similarity_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     cent = kmeans_centroids_quantized(e, _KMQ_K, _KMQ_ITERS)
     return _ivf_probe2_report(e, F.broadcast(cent))
+
+
+_PQ_M, _PQ_SUB = 4, 16  # 64-dim embeddings -> 4 subspaces x 16 dims
+
+
+def _pq_oracle() -> str:
+    """Replay of the full PQ pipeline: one quantized-Lloyd training chain
+    PER SUBSPACE (namespaced CTEs), cosine-assigned codes, per-query ADC
+    lookup tables of subvector dot products, and the explicitly-
+    parenthesized 4-term ADC sum (float addition order fixed so Spark's
+    expression and DuckDB's agree bit-for-bit)."""
+    sql: list[str] = []
+    cents = []
+    for m in range(_PQ_M):
+        lo, hi = m * _PQ_SUB + 1, (m + 1) * _PQ_SUB
+        frags, cur = _kmq_train_ctes(pref=f"m{m}_", src=f"embedding[{lo}:{hi}]")
+        sql += frags
+        cents.append(cur)
+    cos = _sql_cos("embedding", "ce")
+    for m, cur in enumerate(cents):
+        sql.append(
+            f"""enc{m} AS (
+      SELECT vec_id, cid AS code{m} FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY {cos} DESC, cid) AS rnk
+        FROM m{m}_e CROSS JOIN {cur})
+      WHERE rnk = 1
+    ),"""
+        )
+    dot = _SQL_DOT.format(a="q.qe", b="c.ce")
+    luts = ",".join(
+        f"""lut{m} AS (
+      SELECT q.query_id, c.cid AS code{m}, {dot} AS d{m}
+      FROM (SELECT vec_id AS query_id,
+                   embedding[{m * _PQ_SUB + 1}:{(m + 1) * _PQ_SUB}] AS qe
+            FROM embeddings WHERE vec_id >= 490) q
+      CROSS JOIN {cents[m]} c
+    )"""
+        for m in range(_PQ_M)
+    )
+    sql.append(
+        f"""codes AS (
+      SELECT enc0.vec_id, code0, code1, code2, code3
+      FROM enc0 JOIN enc1 USING (vec_id) JOIN enc2 USING (vec_id)
+           JOIN enc3 USING (vec_id)
+    ),
+    {luts},
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             (((lut0.d0 + lut1.d1) + lut2.d2) + lut3.d3) AS adc
+      FROM (SELECT vec_id FROM embeddings WHERE vec_id >= 490) q
+      JOIN codes c ON c.vec_id <> q.vec_id
+      JOIN lut0 ON lut0.query_id = q.vec_id AND lut0.code0 = c.code0
+      JOIN lut1 ON lut1.query_id = q.vec_id AND lut1.code1 = c.code1
+      JOIN lut2 ON lut2.query_id = q.vec_id AND lut2.code2 = c.code2
+      JOIN lut3 ON lut3.query_id = q.vec_id AND lut3.code3 = c.code3
+    )
+    SELECT query_id, cand_id, ROUND(adc, 6) AS adc, rk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY adc DESC, cand_id) AS rk
+      FROM scored)
+    WHERE rk <= 3"""
+    )
+    return "WITH " + "\n".join(sql)
+
+
+@register(
+    "similarity_pq_adc_topk",
+    oracle=_pq_oracle(),
+    doc="Product quantization with asymmetric-distance search (Jegou et "
+    "al. 2011, 'Product Quantization for Nearest Neighbor Search' — the "
+    "compression half of the FAISS-style IVF+PQ stack; IVF half: "
+    "similarity_ann_ivf_kmeans): the 64-dim space splits into 4 "
+    "subspaces of 16 dims, each trained with its OWN quantized-Lloyd "
+    "codebook (8 codes; cosine-assigned — the same bit-replayable "
+    "trainer, one namespaced chain per subspace), every vector encodes "
+    "to 4 one-byte codes (16x compression at this geometry), and search "
+    "is ADC: per query, a 4x8 lookup table of subvector dot products, "
+    "candidate score = the explicitly-parenthesized 4-term LUT sum "
+    "(fixed float addition order — a groupBy sum would be order-"
+    "nondeterministic across engines). Top-3 per query by approximate "
+    "dot product. Scale: candidates ship 4 bytes each; scoring is 4 "
+    "broadcast LUT joins + codegen arithmetic — the RAM-bound regime PQ "
+    "exists for at billion-vector scale.",
+    tags=("extension", "similarity", "pq", "iterative"),
+)
+def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def sub(m: int, col="embedding"):
+        return F.slice(col, m * _PQ_SUB + 1, _PQ_SUB)
+
+    enc = e
+    luts = []
+    q = e.filter(F.col("vec_id") >= 490).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    for m in range(_PQ_M):
+        cb = kmeans_centroids_quantized(
+            e.select("vec_id", sub(m).alias("embedding")), _KMQ_K, _KMQ_ITERS
+        )
+        codes_m = _nearest_cid(
+            e.select("vec_id", sub(m).alias("embedding")), cb
+        ).select("vec_id", F.col("cid").alias(f"code{m}"))
+        enc = enc.join(codes_m, "vec_id")
+        lut_m = (
+            q.crossJoin(F.broadcast(cb))
+            .select(
+                "query_id",
+                F.col("cid").alias(f"code{m}"),
+                _dot(sub(m, "embedding"), F.col("ce")).alias(f"d{m}"),
+            )
+        )
+        luts.append(lut_m)
+    pairs = (
+        F.broadcast(q.select("query_id"))
+        .crossJoin(enc.select(F.col("vec_id").alias("cand_id"),
+                              *[f"code{m}" for m in range(_PQ_M)]))
+        .filter(F.col("cand_id") != F.col("query_id"))
+    )
+    for m in range(_PQ_M):
+        pairs = pairs.join(F.broadcast(luts[m]), ["query_id", f"code{m}"])
+    adc = (((F.col("d0") + F.col("d1")) + F.col("d2")) + F.col("d3")).alias("adc")
+    w = Window.partitionBy("query_id").orderBy(F.col("adc").desc(), F.col("cand_id"))
+    return (
+        pairs.select("query_id", "cand_id", adc)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("query_id", "cand_id", F.round("adc", 6).alias("adc"), "rk")
+    )

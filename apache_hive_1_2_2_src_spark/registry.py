@@ -194,6 +194,7 @@ FRESH = (
     "streaming_acid_bucketed_ingest",
     "acid_full_layout_point_lookup",
     "similarity_ann_ivf_kmeans",
+    "similarity_pq_adc_topk",
 )
 
 PRIORITY = (
