@@ -1226,3 +1226,155 @@ def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("query_id", "cand_id", F.round("adc", 6).alias("adc"), "rk")
     )
+
+
+def _ivfpq_oracle() -> str:
+    """Five training chains (one coarse, four PQ subspaces) + cell-
+    restricted ADC search, all replayed in DuckDB."""
+    sql, coarse = _kmq_train_ctes(pref="v_")
+    cents = []
+    for m in range(_PQ_M):
+        lo, hi = m * _PQ_SUB + 1, (m + 1) * _PQ_SUB
+        frags, cur = _kmq_train_ctes(pref=f"m{m}_", src=f"embedding[{lo}:{hi}]")
+        sql += frags
+        cents.append(cur)
+    cos = _sql_cos("embedding", "ce")
+    sql.append(
+        f"""vassign AS (
+      SELECT vec_id, embedding, cid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY {cos} DESC, cid) AS rnk
+      FROM v_e CROSS JOIN {coarse}
+    ),
+    cells AS (SELECT vec_id, cid AS cell FROM vassign WHERE rnk = 1),
+    probes AS (
+      SELECT vec_id AS query_id, cid AS pcell
+      FROM vassign WHERE vec_id >= 490 AND rnk <= 2
+    ),"""
+    )
+    for m, cur in enumerate(cents):
+        sql.append(
+            f"""enc{m} AS (
+      SELECT vec_id, cid AS code{m} FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY {cos} DESC, cid) AS rnk
+        FROM m{m}_e CROSS JOIN {cur})
+      WHERE rnk = 1
+    ),"""
+        )
+    dot = _SQL_DOT.format(a="q.qe", b="c.ce")
+    luts = ",".join(
+        f"""lut{m} AS (
+      SELECT q.query_id, c.cid AS code{m}, {dot} AS d{m}
+      FROM (SELECT vec_id AS query_id,
+                   embedding[{m * _PQ_SUB + 1}:{(m + 1) * _PQ_SUB}] AS qe
+            FROM embeddings WHERE vec_id >= 490) q
+      CROSS JOIN {cents[m]} c
+    )"""
+        for m in range(_PQ_M)
+    )
+    sql.append(
+        f"""codes AS (
+      SELECT enc0.vec_id, cells.cell, code0, code1, code2, code3
+      FROM enc0 JOIN enc1 USING (vec_id) JOIN enc2 USING (vec_id)
+           JOIN enc3 USING (vec_id) JOIN cells USING (vec_id)
+    ),
+    {luts},
+    scored AS (
+      SELECT p.query_id, c.vec_id AS cand_id,
+             (((lut0.d0 + lut1.d1) + lut2.d2) + lut3.d3) AS adc
+      FROM probes p
+      JOIN codes c ON c.cell = p.pcell AND c.vec_id <> p.query_id
+      JOIN lut0 ON lut0.query_id = p.query_id AND lut0.code0 = c.code0
+      JOIN lut1 ON lut1.query_id = p.query_id AND lut1.code1 = c.code1
+      JOIN lut2 ON lut2.query_id = p.query_id AND lut2.code2 = c.code2
+      JOIN lut3 ON lut3.query_id = p.query_id AND lut3.code3 = c.code3
+    )
+    SELECT query_id, cand_id, ROUND(adc, 6) AS adc, rk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY adc DESC, cand_id) AS rk
+      FROM scored)
+    WHERE rk <= 3"""
+    )
+    return "WITH " + "\n".join(sql)
+
+
+@register(
+    "similarity_ivfpq_search",
+    oracle=_ivfpq_oracle(),
+    doc="IVF+PQ combined search — the billion-vector serving architecture "
+    "both halves exist for (FAISS IndexIVFPQ: a trained coarse quantizer "
+    "routes queries to nprobe cells; candidates inside the cells score by "
+    "compressed-code ADC, never by raw vectors): one quantized-Lloyd "
+    "coarse quantizer + four per-subspace PQ codebooks (five namespaced "
+    "training chains, all bit-replayed by the oracle), every vector "
+    "stored as (cell, 4 codes), queries probe their 2 nearest cells and "
+    "rank members by the parenthesized LUT-sum dot product. Scale: the "
+    "candidate set is 2 cells of ~N/k 4-byte codes; the raw-vector table "
+    "is touched only to build query LUTs (k·M dots per query) — the "
+    "RAM-and-IO shape that serves billions of vectors per node.",
+    tags=("extension", "similarity", "ivf", "pq", "iterative"),
+)
+def similarity_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def sub(m: int, col="embedding"):
+        return F.slice(col, m * _PQ_SUB + 1, _PQ_SUB)
+
+    coarse = kmeans_centroids_quantized(e, _KMQ_K, _KMQ_ITERS)
+    assign_w = Window.partitionBy("vec_id").orderBy(
+        _cos(F.col("embedding"), F.col("ce")).desc(), F.col("cid")
+    )
+    vassign = (
+        e.crossJoin(F.broadcast(coarse))
+        .withColumn("rnk", F.row_number().over(assign_w))
+        .select("vec_id", "cid", "rnk")
+    )
+    cells = vassign.filter(F.col("rnk") == 1).select(
+        "vec_id", F.col("cid").alias("cell")
+    )
+    probes = vassign.filter((F.col("vec_id") >= 490) & (F.col("rnk") <= 2)).select(
+        F.col("vec_id").alias("query_id"), F.col("cid").alias("pcell")
+    )
+    q = e.filter(F.col("vec_id") >= 490).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    enc = e.select("vec_id").join(cells, "vec_id")
+    luts = []
+    for m in range(_PQ_M):
+        cb = kmeans_centroids_quantized(
+            e.select("vec_id", sub(m).alias("embedding")), _KMQ_K, _KMQ_ITERS
+        )
+        codes_m = _nearest_cid(
+            e.select("vec_id", sub(m).alias("embedding")), cb
+        ).select("vec_id", F.col("cid").alias(f"code{m}"))
+        enc = enc.join(codes_m, "vec_id")
+        luts.append(
+            q.crossJoin(F.broadcast(cb)).select(
+                "query_id",
+                F.col("cid").alias(f"code{m}"),
+                _dot(sub(m, "embedding"), F.col("ce")).alias(f"d{m}"),
+            )
+        )
+    pairs = (
+        F.broadcast(probes)
+        .join(
+            enc.select(F.col("vec_id").alias("cand_id"), F.col("cell"),
+                       *[f"code{m}" for m in range(_PQ_M)]),
+            (F.col("cell") == F.col("pcell"))
+            & (F.col("cand_id") != F.col("query_id")),
+        )
+    )
+    for m in range(_PQ_M):
+        pairs = pairs.join(F.broadcast(luts[m]), ["query_id", f"code{m}"])
+    adc = (((F.col("d0") + F.col("d1")) + F.col("d2")) + F.col("d3")).alias("adc")
+    w = Window.partitionBy("query_id").orderBy(F.col("adc").desc(), F.col("cand_id"))
+    return (
+        pairs.select("query_id", "cand_id", adc)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("query_id", "cand_id", F.round("adc", 6).alias("adc"), "rk")
+    )

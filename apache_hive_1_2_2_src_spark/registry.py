@@ -195,6 +195,7 @@ FRESH = (
     "acid_full_layout_point_lookup",
     "similarity_ann_ivf_kmeans",
     "similarity_pq_adc_topk",
+    "similarity_ivfpq_search",
 )
 
 PRIORITY = (
