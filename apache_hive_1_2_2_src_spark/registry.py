@@ -123,6 +123,9 @@ STABLE_WINDOW = (
     "dedup_semdedup_prune",
     "dedup_embedding_near",
     "pipeline_publish_shards",
+    # §2.9 UDTF representative rides high: FRESH truncates the tail, and
+    # the breadth guard requires a udtf-tagged query in every window
+    "lateral_view_sql",
     # §2.3 joins
     "join_three_way",
     "join_asof",
@@ -146,7 +149,6 @@ STABLE_WINDOW = (
     "str_advanced_suite",
     "date_format_suite",
     "collection_array_suite",
-    "lateral_view_sql",
     "udf_pandas_scalar_demo",
     # §2.2 sources/sinks
     "csv_quoted_roundtrip",
