@@ -777,6 +777,8 @@ def read_acid_full_point(
     )
 
     by_val = list_hive_partitions(spark, table_path, part_col)
+    if part_value is not None:
+        part_value = str(part_value)  # Hive partition values are strings
     if part_value not in by_val:
         raise ValueError(
             f"partition {part_value!r} not present at {table_path} "

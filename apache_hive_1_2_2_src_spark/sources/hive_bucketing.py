@@ -1157,6 +1157,9 @@ def read_hive_partitioned_bucketed(
     if parts is None:
         chosen = sorted(by_val, key=lambda v: (v is None, str(v)))
     else:
+        # Hive partition values are STRINGS (path components); normalize
+        # caller-supplied values so `parts=[5]` matches the `pt=5` dir.
+        parts = [None if v is None else str(v) for v in parts]
         missing = [v for v in parts if v not in by_val]
         if missing:
             raise ValueError(
@@ -1532,6 +1535,7 @@ def validate_hive_sorted_partitioned_bucketed(
     if parts is None:
         chosen = sorted(by_val, key=lambda v: (v is None, str(v)))
     else:
+        parts = [None if v is None else str(v) for v in parts]
         missing = [v for v in parts if v not in by_val]
         if missing:
             raise ValueError(f"partitions not present at {path}: {missing}")
