@@ -32,3 +32,30 @@ def test_kmeans_monotone_iterations(spark):
     _, _, c1 = _mean_cos(spark, iters=1)
     _, _, c2 = _mean_cos(spark, iters=2)
     assert c2 >= c1 - 1e-9
+
+
+def test_quantized_centroids_partitioning_invariant(spark):
+    """The r12 determinism device: quantized-update Lloyd centroids
+    (integer floor sums) must be BIT-identical regardless of input
+    partitioning — the property that lets iterative trained pipelines
+    (SemDeDup-kmeans, IVF-kmeans, PQ) carry exact DuckDB oracles. A
+    float-mean update would differ in the last ulp across partition
+    counts and break this."""
+    from apache_hive_1_2_2_src_spark.extensions.similarity import (
+        kmeans_centroids_quantized,
+    )
+    from apache_hive_1_2_2_src_spark.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    got = []
+    for n_parts in (1, 13):
+        cents = kmeans_centroids_quantized(e.repartition(n_parts), 8, 2)
+        got.append(
+            sorted((r.cid, tuple(r.ce)) for r in cents.collect())
+        )
+    assert got[0] == got[1], "centroids depend on partitioning"
+    # and every coordinate is exactly representable on the 2^-20 grid
+    # scaled by 1/count — spot check a few are plain finite floats
+    assert all(all(v == v for v in ce) for _cid, ce in got[0])
