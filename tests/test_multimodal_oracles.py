@@ -336,3 +336,30 @@ def test_png_rejects_unsupported_and_corrupt():
     )
     with pytest.raises(ValueError, match="unsupported PNG variant"):
         decode_png(palette)
+
+
+def test_png_rejects_truncated_scanlines():
+    """An IDAT stream that inflates to fewer bytes than (stride+1)*height
+    must fail loudly (a permissive decoder would return partial sums)."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from apache_hive_1_2_2_src_spark.extensions.multimodal import decode_png
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    raw = bytes([0, 1, 2, 3])  # one short scanline for a 2x2 RGB image
+    buf = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="truncated PNG"):
+        decode_png(buf)
