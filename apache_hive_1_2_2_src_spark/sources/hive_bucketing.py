@@ -1052,24 +1052,36 @@ def write_hive_partitioned_bucketed(
     from concurrent.futures import ThreadPoolExecutor
 
     try:
-        part_dirs = sorted(
-            st.getPath().getName()
-            for st in fs.listStatus(P(staging))
-            if st.isDirectory() and st.getPath().getName().startswith(f"{part_col}=")
-        )
+        # ONE driver call enumerates every staged leaf file: inputFiles()
+        # returns the whole listing in a single py4j round trip (the JVM
+        # lists in parallel), vs p·n per-leaf-dir listStatus calls —
+        # measured at 100×128: the pooled-listing phase was ~8.3 s of a
+        # 48.6 s write locally (0.65 ms/call; ~50 ms/call on object
+        # stores would make it minutes). Paths come back URI-encoded;
+        # unquote once per segment to recover the on-disk names the
+        # renames need (single-level decode — the URI layer only; '+' is
+        # untouched by unquote).
+        from urllib.parse import unquote, urlparse
+
+        leaf = spark.read.parquet(staging).inputFiles()
+        files: dict[tuple[str, int], list[str]] = {}
+        part_set: set[str] = set()
+        for f in leaf:
+            segs = urlparse(f).path.split("/")
+            part_dir = unquote(segs[-3])
+            if not part_dir.startswith(f"{part_col}="):
+                raise RuntimeError(f"unexpected staged path layout: {f}")
+            b = int(unquote(segs[-2]).split("=", 1)[1])
+            part_set.add(part_dir)
+            files.setdefault((part_dir, b), []).append(
+                unquote(urlparse(f).path)
+            )
+        part_dirs = sorted(part_set)
         if not part_dirs:
             raise ValueError(f"no {part_col}= partitions produced at {staging}")
         pairs = [(pd_, b) for pd_ in part_dirs for b in range(n_buckets)]
-        with ThreadPoolExecutor(max_workers=16) as pool:
-            listed = list(
-                pool.map(
-                    lambda pb: _parquet_files(
-                        fs, P, f"{staging}/{pb[0]}/__hb={pb[1]}"
-                    ),
-                    pairs,
-                )
-            )
-        files = dict(zip(pairs, listed))
+        for pb in pairs:
+            files.setdefault(pb, [])
         split = {pb: fls for pb, fls in files.items() if len(fls) > 1}
         if split:
             raise RuntimeError(
