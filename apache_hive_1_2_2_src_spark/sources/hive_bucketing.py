@@ -220,23 +220,20 @@ def write_hive_bucketed(
     staged.write.mode("overwrite").partitionBy("__hb").parquet(staging)
     jvm, fs, P = _hadoop_fs(spark, path)
     try:
-        # Per-bucket listStatus, 16-way parallel. Measured at n=1024: the
-        # tempting one-recursive-listFiles form is 10× SLOWER through
-        # py4j (hasNext/next = ~3 gateway round-trips per file, 9.8 s vs
-        # 1.0 s for the per-dir loop, whose listStatus returns a whole
-        # dir in one call); parallelism is what matters on object stores
-        # (4096 dirs × ~50 ms on s3a = ~3.5 min sequential, ~13 s at
-        # 16-way).
+        # ONE inputFiles() round trip enumerates all staged leaf files
+        # (the JVM lists in parallel) — beats BOTH prior forms measured
+        # at n=1024: per-dir pooled listStatus 1.0 s (n py4j calls) and
+        # recursive listFiles 9.8 s (~3 gateway round-trips per file);
+        # on object stores this removes n × ~50 ms of listing entirely.
+        # Same pattern as write_hive_partitioned_bucketed (r12 audit).
         from concurrent.futures import ThreadPoolExecutor
+        from urllib.parse import unquote, urlparse
 
-        with ThreadPoolExecutor(max_workers=16) as pool:
-            listed = list(
-                pool.map(
-                    lambda b: _parquet_files(fs, P, f"{staging}/__hb={b}"),
-                    range(n_buckets),
-                )
-            )
-        bucket_files = dict(enumerate(listed))
+        bucket_files: dict[int, list[str]] = {b: [] for b in range(n_buckets)}
+        for f in spark.read.parquet(staging).inputFiles():
+            segs = urlparse(f).path.split("/")
+            b = int(unquote(segs[-2]).split("=", 1)[1])
+            bucket_files[b].append(unquote(urlparse(f).path))
         split = {b: fls for b, fls in bucket_files.items() if len(fls) > 1}
         if split:
             # repartition(n, __hb) + partitionBy puts each bucket in one
