@@ -699,6 +699,41 @@ _DSIR_SCALE = 100_000
 _DSIR_TARGET = ("src0", "src1")
 
 
+def _det_ln_floor_sql(num: str, den: str, scale: int) -> str:
+    """``floor(scale·ln(num/den))`` for positive BIGINT ``num``/``den`` as
+    dialect-neutral SQL using ONLY IEEE-754 +,-,*,/ (each correctly
+    rounded and therefore bit-identical in Spark's codegen and DuckDB's
+    kernels) plus exact integer ops — never libm's ``ln``, whose JVM and
+    libm implementations may differ by 1 ulp and flip the FLOOR when the
+    scaled value lands on an integer boundary (ADVICE r12; flaky,
+    data-dependent). Recipe: exact power-of-two range reduction
+    (``e = floor(log2(q))`` from the bit length of ``floor(q)`` via
+    ``bin()``, identical in both dialects; division by ``2^e`` is exact
+    scaling), then the atanh series ``ln m = 2z(1 + z²/3 + …)`` with
+    ``z=(m-1)/(m+1) ≤ 1/3`` truncated after z¹¹ — truncation error
+    <1e-7, far below the 1e-5 score resolution, and DETERMINISTIC: both
+    engines evaluate the same literal operation tree, so the floored
+    value cannot diverge. ``power(2.0, e)`` is exact (the result is
+    representable, any faithful rounding returns it). Pinned bit-for-bit
+    across engines over randomized counts in tests/test_sampling_ops.py."""
+    q = (
+        f"(CAST(greatest({num}, {den}) AS DOUBLE)"
+        f" / CAST(least({num}, {den}) AS DOUBLE))"
+    )
+    e = f"(length(bin(CAST(FLOOR({q}) AS BIGINT))) - 1)"
+    m = f"({q} / power(2.0, {e}))"
+    z = f"(({m} - 1.0) / ({m} + 1.0))"
+    zz = f"({z} * {z})"
+    lnm = (
+        f"(2.0 * {z} * (1.0 + {zz} * (0.3333333333333333 + {zz} * (0.2 + {zz}"
+        f" * (0.14285714285714285 + {zz} * (0.1111111111111111 + {zz}"
+        f" * 0.09090909090909091))))))"
+    )
+    sgn = f"(CASE WHEN {num} >= {den} THEN 1.0 ELSE -1.0 END)"
+    v = f"({sgn} * ({e} * 0.6931471805599453 + {lnm}))"
+    return f"CAST(FLOOR({scale}.0 * {v}) AS BIGINT)"
+
+
 @register(
     "sample_dsir_importance",
     # Full replay: the DuckDB side recomputes the hashed-feature models
@@ -732,14 +767,17 @@ _DSIR_TARGET = ("src0", "src1")
     tot AS (SELECT
       (SELECT COUNT(*) FROM wb WHERE source IN {_DSIR_TARGET}) AS tn,
       (SELECT COUNT(*) FROM wb WHERE source NOT IN {_DSIR_TARGET}) AS rn),
-    score AS (
+    nd AS (
       SELECT gs.b,
-             CAST(FLOOR({_DSIR_SCALE}.0 * ln(
-               ((COALESCE(t.t, 0) + 1) * (tot.rn + {_DSIR_B})) * 1.0
-               / ((COALESCE(r.r, 0) + 1) * (tot.tn + {_DSIR_B}))
-             )) AS BIGINT) AS lb
+             CAST((COALESCE(t.t, 0) + 1) * (tot.rn + {_DSIR_B}) AS BIGINT)
+               AS num,
+             CAST((COALESCE(r.r, 0) + 1) * (tot.tn + {_DSIR_B}) AS BIGINT)
+               AS den
       FROM (SELECT unnest(range(0, {_DSIR_B})) AS b) gs
       LEFT JOIN t ON t.b = gs.b LEFT JOIN r ON r.b = gs.b CROSS JOIN tot
+    ),
+    score AS (
+      SELECT b, {_det_ln_floor_sql("num", "den", _DSIR_SCALE)} AS lb FROM nd
     ),
     dwt AS (
       SELECT doc_id, SUM(lb) AS wgt
@@ -765,8 +803,12 @@ _DSIR_TARGET = ("src0", "src1")
     "hash through the Java String.hashCode bucket (the engine's exact "
     "interop hash, replayed bucket-for-bucket in DuckDB) into 512 "
     "buckets, and the per-bucket add-1-smoothed log ratio ln(p_t/p_r) "
-    "is integerized once per BUCKET (floor at 1e-5 resolution) so doc "
-    "weights are integer sums — order-independent and hash-certifiable; "
+    "is integerized once per BUCKET (floor at 1e-5 resolution) through "
+    "the libm-free shared-arithmetic ln of _det_ln_floor_sql — both "
+    "engines evaluate the identical IEEE operation tree, so a 1-ulp "
+    "JVM-vs-libm ln divergence can never flip the floor (ADVICE r12) — "
+    "making doc weights integer sums, order-independent and "
+    "hash-certifiable; "
     "selection is top-k by (weight, doc_id), the paper's Gumbel noise "
     "dropped for replayability. Scale: token->bucket is one codegen "
     "expression; the models are two B-row aggregates (broadcastable at "
@@ -802,15 +844,17 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .select(
             "b",
-            F.floor(
-                F.lit(float(_DSIR_SCALE))
-                * F.log(
-                    ((F.coalesce("t", F.lit(0)) + 1) * (F.col("rn") + _DSIR_B))
-                    / ((F.coalesce("r", F.lit(0)) + 1) * (F.col("tn") + _DSIR_B))
-                )
-            )
+            ((F.coalesce("t", F.lit(0)) + 1) * (F.col("rn") + _DSIR_B))
             .cast("long")
-            .alias("lb"),
+            .alias("num"),
+            ((F.coalesce("r", F.lit(0)) + 1) * (F.col("tn") + _DSIR_B))
+            .cast("long")
+            .alias("den"),
+        )
+        # the SAME 1-ulp-proof ln template the oracle runs (F.expr parses
+        # the identical SQL text) — see _det_ln_floor_sql
+        .select(
+            "b", F.expr(_det_ln_floor_sql("num", "den", _DSIR_SCALE)).alias("lb")
         )
     )
     dwt = (

@@ -929,16 +929,19 @@ def kmeans_centroids_quantized(e: DataFrame, k: int, iters: int) -> DataFrame:
     return centroids
 
 
-def _kmq_train_ctes(pref: str = "", src: str = "embedding") -> tuple[list[str], str]:
+def _kmq_train_ctes(
+    pref: str = "", src: str = "embedding", frm: str = "embeddings"
+) -> tuple[list[str], str]:
     """The quantized-Lloyd training iterations as DuckDB CTE fragments
     (shared by the SemDeDup-kmeans / IVF-kmeans / PQ oracles); returns
     (cte_list, name_of_final_centroid_cte). ``pref`` namespaces the CTE
     chain (PQ trains one chain per subspace); ``src`` is the embedding
-    expression the chain trains on (e.g. a list slice). The first
-    fragment does NOT carry WITH — callers assemble."""
+    expression the chain trains on (e.g. a list slice); ``frm`` is the
+    relation it trains over (a prior CTE for the residual-PQ chains).
+    The first fragment does NOT carry WITH — callers assemble."""
     cur = f"{pref}c0"
     sql = [
-        f"{pref}e AS (SELECT vec_id, {src} AS embedding FROM embeddings),",
+        f"{pref}e AS (SELECT vec_id, {src} AS embedding FROM {frm}),",
         f"{pref}c0 AS (SELECT vec_id AS cid, embedding AS ce FROM {pref}e "
         f"WHERE vec_id < {_KMQ_K}),",
     ]

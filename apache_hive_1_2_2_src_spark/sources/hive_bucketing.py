@@ -616,6 +616,31 @@ def hive_bucket_map_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Conf-isolated helper sessions, ONE per (SparkContext, purpose) — a
+# newSession() carries its own SessionState, so creating one per call
+# accumulates session state in a long-lived driver (ADVICE r12). Keyed by
+# applicationId (unique per context, unlike id() which the allocator can
+# reuse) so a stopped-and-recreated context gets fresh sessions.
+_ISO_SESSIONS: dict[tuple[str, str], SparkSession] = {}
+_ISO_LOCK = __import__("threading").Lock()
+# Serializes the sorted-layout scan's per-call maxPartitionBytes set + run
+# on the shared "sorted-scan" session (conf is read at execution time).
+_SORTED_SCAN_LOCK = __import__("threading").Lock()
+
+
+def _iso_session(spark: SparkSession, purpose: str) -> SparkSession:
+    """Return the cached conf-isolated session for ``purpose`` (created on
+    first use). Callers own the conf they set on it; anything that mutates
+    a conf per call must serialize its set+use (see _check_sorted_files)."""
+    key = (spark.sparkContext.applicationId, purpose)
+    with _ISO_LOCK:
+        s = _ISO_SESSIONS.get(key)
+        if s is None:
+            s = spark.newSession()
+            _ISO_SESSIONS[key] = s
+        return s
+
+
 # validate_hive_sorted_bucketed result cache: (path, n_buckets, key) ->
 # layout fingerprint (sorted (name, length, mtime) of the positional
 # files) at the time the layout last passed. A repeated SMB join over the
@@ -668,9 +693,20 @@ def validate_hive_sorted_bucketed(
     fingerprint = tuple(stats)
     if _SORTED_VALIDATED.get(cache_key) == fingerprint:
         return
+    # Full file-set check, mirroring read_hive_bucketed (ADVICE r12): a
+    # direct validator call must reject a stray extra positional file —
+    # it would be invisible here (the explicit paths below skip it) yet a
+    # name-ordered Hive reader would shift every bucket after it.
+    want = [f"{b:06d}_0" for b in range(n_buckets)]
+    found = [nm for nm, _ln, _mt in stats]
+    if found != want:
+        extra = sorted(set(found) - set(want))
+        missing = sorted(set(want) - set(found))
+        raise ValueError(
+            f"layout at {path} is not exactly {n_buckets}-bucketed: "
+            f"extra positional files {extra}, missing {missing}"
+        )
     max_len = max((ln for _nm, ln, _mt in stats), default=0)
-    # read_hive_bucketed already verified the file set above via stats;
-    # the explicit positional paths read the identical data.
     files = [f"{path}/{b:06d}_0" for b in range(n_buckets)]
     _check_sorted_files(spark, files, key, max_len, path)
     _SORTED_VALIDATED[cache_key] = fingerprint
@@ -687,14 +723,10 @@ def _check_sorted_files(
 
     # Conf-isolated session: shares the SparkContext (and executors) but
     # owns its SQLConf, so the raised split size is scoped to this scan.
-    iso = spark.newSession()
-    iso.conf.set(
-        "spark.sql.files.maxPartitionBytes",
-        str(max(int(max_len) + 1, 128 * 1024 * 1024)),
-    )
-    df = iso.read.parquet(*files).select(
-        F.col(key).alias("__k"), F.input_file_name().alias("__f")
-    )
+    # Cached per context (ADVICE r12 — one session, not one per call);
+    # the per-call conf set + read are serialized under _SORTED_SCAN_LOCK
+    # so a concurrent validation can't observe the other's split size.
+    iso = _iso_session(spark, "sorted-scan")
 
     def check(batches):
         last: dict = {}
@@ -721,11 +753,22 @@ def _check_sorted_files(
                     )
                 last[f] = vals[-1]
 
-    viol = (
-        df.mapInPandas(check, "file string, prev string, cur string")
-        .limit(1)
-        .collect()
-    )
+    # File splits are decided at EXECUTION time from the session's live
+    # conf, so the set+read+collect all stay under the lock — a concurrent
+    # validation with a different max_len must not re-split this scan.
+    with _SORTED_SCAN_LOCK:
+        iso.conf.set(
+            "spark.sql.files.maxPartitionBytes",
+            str(max(int(max_len) + 1, 128 * 1024 * 1024)),
+        )
+        df = iso.read.parquet(*files).select(
+            F.col(key).alias("__k"), F.input_file_name().alias("__f")
+        )
+        viol = (
+            df.mapInPandas(check, "file string, prev string, cur string")
+            .limit(1)
+            .collect()
+        )
     if viol:
         v = viol[0]
         raise ValueError(
@@ -1153,8 +1196,10 @@ def read_hive_partitioned_bucketed(
     ``parts`` (all, when None) — |parts|·|buckets| of the p·n files, the
     point-query cost Hive gets from PartitionPruner + the CLUSTERED BY
     file contract together. The partition column comes back as a real
-    column (Spark partition discovery via basePath parses it from the
-    directory names — Hive's virtual-column semantics). The caller still
+    column, always STRING-typed — partition values are path components in
+    Hive, so type inference is disabled for this read (Spark partition
+    discovery via basePath parses it from the directory names — Hive's
+    virtual-column semantics). The caller still
     applies the bucket-key filter; partition-value selection IS exact.
 
     Every selected partition dir is verified to hold exactly the expected
@@ -1223,11 +1268,20 @@ def read_hive_partitioned_bucketed(
     first = next((e for e in errs if e is not None), None)
     if first is not None:
         raise first
+    # Hive partition values are STRINGS — read through a conf-isolated
+    # session with partitionColumnTypeInference OFF so numeric/date-shaped
+    # values come back as the exact path strings ("05" stays "05", not
+    # int 5), matching list_hive_partitions' parts selection and
+    # read_acid_table_partitioned's always-string derivation (ADVICE r12;
+    # a post-read cast can't recover zero-padded forms). The session is
+    # cached per context; the conf is set once at creation.
+    rd = _iso_session(spark, "string-partitions")
+    rd.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
     if len(buckets) == n_buckets:
         # whole partitions: one dir-path per partition + glob, flat in n
         paths = [f"{path}/{by_val[v]}" for v in chosen]
         return (
-            spark.read.option("basePath", path)
+            rd.read.option("basePath", path)
             .option("pathGlobFilter", "*_0")
             .parquet(*paths)
         )
@@ -1241,7 +1295,7 @@ def read_hive_partitioned_bucketed(
     glob = "{" + ",".join(f"{b:06d}_0" for b in buckets) + "}"
     paths = [f"{path}/{by_val[v]}" for v in chosen]
     return (
-        spark.read.option("basePath", path)
+        rd.read.option("basePath", path)
         .option("pathGlobFilter", glob)
         .parquet(*paths)
     )

@@ -1389,3 +1389,187 @@ def streaming_acid_bucketed_ingest(spark: SparkSession, sf_dir: str) -> DataFram
         "n_rows", "n_keys", "sum_cents", "lookup_key", "lookup_cents",
         F.lit(hive_bucket_of(77, n, "long")).cast("int").alias("key_bucket"),
     )
+
+
+def write_partitioned_bucketed_delta(
+    rows: DataFrame,
+    table: str,
+    part_col: str,
+    key: str,
+    n_buckets: int,
+    batch_id: int,
+    kind: str = "long",
+) -> None:
+    """Write one micro-batch as the COMPLETE Hive transactional shape —
+    ``table/<part_col>=<v>/delta_{i+1}_{i+1}/000000_0…`` (partition dirs
+    holding this batch's delta dir holding positional bucket files):
+    ``write_hive_partitioned_bucketed`` builds the nested layout in ONE
+    Spark job into a dot-prefixed staging tree (invisible to partition
+    discovery and the acid resolver while half-written; the writer itself
+    validates one-file-per-(partition,bucket) before any rename), then one
+    driver rename per partition publishes ``pt=v`` as ``pt=v/delta_M_M``.
+    Retry-idempotent like write_partitioned_delta: a replayed batch_id
+    deletes ITS OWN delta dirs before renaming. Scale: the staging write
+    is one shuffle of the micro-batch; publication is |parts-in-batch|
+    renames — O(1) FS metadata per partition per batch, the
+    hcatalog-streaming TransactionBatch cost shape."""
+    from apache_hive_1_2_2_src_spark.sources.hive_bucketing import (
+        _hadoop_fs,
+        write_hive_partitioned_bucketed,
+    )
+
+    delta = f"delta_{batch_id + 1}_{batch_id + 1}"
+    stage = f"{table}/.stage_{batch_id + 1}"
+    write_hive_partitioned_bucketed(
+        rows, part_col, key, n_buckets, stage, kind=kind
+    )
+    sp = rows.sparkSession
+    _, fs_, P_ = _hadoop_fs(sp, table)
+    for st_ in fs_.listStatus(P_(stage)):
+        name = st_.getPath().getName()
+        if not name.startswith(f"{part_col}="):
+            continue
+        dest = P_(f"{table}/{name}/{delta}")
+        # retry semantics: clobber THIS batch's own delta dir only
+        if fs_.exists(dest):
+            fs_.delete(dest, True)
+        fs_.mkdirs(P_(f"{table}/{name}"))
+        if not fs_.rename(st_.getPath(), dest):
+            raise RuntimeError(f"rename failed: {name}/{delta}")
+    fs_.delete(P_(stage), True)
+
+
+@register(
+    "streaming_acid_full_layout_ingest",
+    # Two-sided certification against the batch source: whole-table
+    # aggregates over the per-partition merge prove exactly-once ingest
+    # through the composed staging/rename chain, and the TRIPLE-pruned
+    # point lookup (partition dir -> acid state -> ONE bucket file per
+    # delta) proves every micro-batch routed every row to the partition
+    # AND bucket its values demand — a misroute survives full scans but
+    # hides the key from the pruned read.
+    oracle="""
+    WITH t AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_keys,
+             CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+      FROM events
+    ),
+    pk AS (
+      SELECT event_type AS lookup_part, event_id AS lookup_key,
+             CAST(FLOOR(value * 100) AS BIGINT) AS lookup_cents
+      FROM events WHERE event_id = 77
+    )
+    SELECT t.n_rows, t.n_keys, t.sum_cents,
+           pk.lookup_part, pk.lookup_key, pk.lookup_cents,
+           CAST((xor(77::BIGINT, 77::BIGINT >> 32) & 4294967295)
+                % 2147483648 % 8 AS INT) AS key_bucket
+    FROM t CROSS JOIN pk
+    """,
+    doc="Streaming ingest writing the COMPLETE Hive transactional layout "
+    "— part=v/delta_M_M/positional-bucket-files, the on-disk shape a "
+    "production hcatalog-streaming feed produces continuously "
+    "(HiveEndPoint is constructed with partitionVals AND transactional "
+    "tables must be CLUSTERED BY, so every TransactionBatch writes "
+    "bucket files inside each partition's delta): each foreachBatch "
+    "runs write_hive_partitioned_bucketed into a dot-staged tree (one "
+    "shuffle; partition x bucket routing validated before any rename), "
+    "then publishes pt=v/delta_{i+1}_{i+1} with one rename per "
+    "partition — epoch-keyed exactly-once, retries clobber their own "
+    "deltas. Certification composes BOTH prior ingest certifications: "
+    "whole-table aggregates via read_acid_table_partitioned (per-"
+    "partition resolution, two relations) prove no row lost or doubled, "
+    "and a read_acid_full_point lookup — which opens ONLY the key's "
+    "bucket file in each delta of ONE partition dir, asserted equal to "
+    "that partition's acid-dir count at runtime — proves per-batch "
+    "partition+bucket routing. At 100 TB this is the streaming "
+    "warehouse steady state verbatim: continuous small bucketed deltas "
+    "per partition, per-partition compaction bounds each chain, "
+    "O(1 + deltas) primary-key reads between compactions.",
+    tags=("streaming", "acid", "ingest", "partitioned", "bucketing"),
+)
+def streaming_acid_full_layout_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from apache_hive_1_2_2_src_spark.operators.acid import (
+        read_acid_full_point,
+        read_acid_table_partitioned,
+    )
+    from apache_hive_1_2_2_src_spark.sources.hive_bucketing import (
+        _hadoop_fs,
+        hive_bucket_of,
+    )
+
+    n = 8
+    base = _tmp_base("hive_spark_stream_flacid_")
+    table, ckpt = os.path.join(base, "table"), os.path.join(base, "ckpt")
+    _, fs, P = _hadoop_fs(spark, table)
+    fs.delete(P(table), True)
+    fs.mkdirs(P(table))
+    inbox = _stage_events_inbox(spark, sf_dir)
+
+    def write_delta(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        write_partitioned_bucketed_delta(
+            batch_df.select(
+                F.col("event_type").alias("et"),
+                F.col("event_id").alias("k"),
+                (F.col("user_id") % 5).cast("string").alias("st"),
+                F.floor(F.col("value") * 100).cast("long").alias("p"),
+                F.lit("U").alias("op"),
+            ),
+            table, "et", "k", n, batch_id,
+        )
+
+    q = (
+        _read_events_stream(spark, inbox, max_files_per_trigger=8)
+        .writeStream.foreachBatch(write_delta)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("full-layout acid ingest drain did not finish in 300s")
+    totals = read_acid_table_partitioned(spark, table, "et").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("k").alias("n_keys"),
+        F.sum("p").cast("long").alias("sum_cents"),
+    )
+    # partition value for the lookup key comes from query context (the
+    # production caller supplies partition + key); here: one 1-row probe
+    # of the batch SOURCE table, never the streamed tree.
+    pv = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") == 77)
+        .select("event_type")
+        .first()[0]
+    )
+    snap, n_files = read_acid_full_point(
+        spark, table, "et", pv, n, 77, kind="long"
+    )
+    # pin the pruning arithmetic at runtime: exactly ONE file per acid dir
+    # of the ONE selected partition (batch count is drain-dependent, so
+    # the assertion lives here, not in the oracle)
+    n_dirs = sum(
+        1
+        for st in fs.listStatus(P(f"{table}/et={pv}"))
+        if st.getPath().getName().startswith(("delta_", "base_"))
+    )
+    if n_files != n_dirs:
+        raise AssertionError(
+            f"triple-pruned lookup opened {n_files} files, expected one "
+            f"per acid dir ({n_dirs}) in partition et={pv}"
+        )
+    point = snap.select(
+        F.col("et").alias("lookup_part"),
+        F.col("k").alias("lookup_key"),
+        F.col("p").cast("long").alias("lookup_cents"),
+    )
+    return totals.crossJoin(point).select(
+        "n_rows", "n_keys", "sum_cents",
+        "lookup_part", "lookup_key", "lookup_cents",
+        F.lit(hive_bucket_of(77, n, "long")).cast("int").alias("key_bucket"),
+    )
