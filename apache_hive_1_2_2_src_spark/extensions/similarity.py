@@ -1320,9 +1320,17 @@ def _ivfpq_oracle() -> str:
     tags=("extension", "similarity", "ivf", "pq", "iterative"),
 )
 def similarity_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return ivfpq_raw_topk(spark, e)
+
+
+def ivfpq_raw_topk(
+    spark: SparkSession, e: DataFrame, probe_min_vec: int = 490
+) -> DataFrame:
+    """Non-residual IVF+PQ search over (vec_id, embedding) — extracted
+    engine so the recall pytest can run it against ivfpq_residual_topk on
+    arbitrary inputs. Returns (query_id, cand_id, adc, rk<=3)."""
+    from pyspark.sql.window import Window
 
     def sub(m: int, col="embedding"):
         return F.slice(col, m * _PQ_SUB + 1, _PQ_SUB)
@@ -1339,10 +1347,10 @@ def similarity_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = vassign.filter(F.col("rnk") == 1).select(
         "vec_id", F.col("cid").alias("cell")
     )
-    probes = vassign.filter((F.col("vec_id") >= 490) & (F.col("rnk") <= 2)).select(
-        F.col("vec_id").alias("query_id"), F.col("cid").alias("pcell")
-    )
-    q = e.filter(F.col("vec_id") >= 490).select(
+    probes = vassign.filter(
+        (F.col("vec_id") >= probe_min_vec) & (F.col("rnk") <= 2)
+    ).select(F.col("vec_id").alias("query_id"), F.col("cid").alias("pcell"))
+    q = e.filter(F.col("vec_id") >= probe_min_vec).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     enc = e.select("vec_id").join(cells, "vec_id")
@@ -1381,3 +1389,213 @@ def similarity_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("query_id", "cand_id", F.round("adc", 6).alias("adc"), "rk")
     )
+
+
+_PQ_DIM = _PQ_M * _PQ_SUB  # 64
+
+
+def _ivfpq_residual_oracle() -> str:
+    """The FULL IndexIVFPQ recipe's replay: coarse chain, residual
+    computation (x − cell centroid, elementwise IEEE subtraction —
+    bit-identical cross-engine since both operands are), four PQ chains
+    TRAINED ON RESIDUAL slices, and the cell-term + LUT-sum ADC."""
+    sql, coarse = _kmq_train_ctes(pref="v_")
+    cos = _sql_cos("embedding", "ce")
+    sql.append(
+        f"""vassign AS (
+      SELECT vec_id, embedding, cid, ce,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY {cos} DESC, cid) AS rnk
+      FROM v_e CROSS JOIN {coarse}
+    ),
+    cells AS (SELECT vec_id, cid AS cell, ce AS cell_ce
+              FROM vassign WHERE rnk = 1),
+    probes AS (
+      SELECT vec_id AS query_id, cid AS pcell
+      FROM vassign WHERE vec_id >= 490 AND rnk <= 2
+    ),
+    resid AS (
+      SELECT v.vec_id,
+             list_transform(range(1, {_PQ_DIM} + 1),
+               i -> CAST(v.embedding[i] AS DOUBLE) - c.cell_ce[i])
+               AS residual
+      FROM v_e v JOIN cells c USING (vec_id)
+    ),"""
+    )
+    cents = []
+    for m in range(_PQ_M):
+        lo, hi = m * _PQ_SUB + 1, (m + 1) * _PQ_SUB
+        frags, cur = _kmq_train_ctes(
+            pref=f"r{m}_", src=f"residual[{lo}:{hi}]", frm="resid"
+        )
+        sql += frags
+        cents.append(cur)
+    for m, cur in enumerate(cents):
+        sql.append(
+            f"""enc{m} AS (
+      SELECT vec_id, cid AS code{m} FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY {cos} DESC, cid) AS rnk
+        FROM r{m}_e CROSS JOIN {cur})
+      WHERE rnk = 1
+    ),"""
+        )
+    dot = _SQL_DOT.format(a="q.qe", b="c.ce")
+    luts = ",".join(
+        f"""lut{m} AS (
+      SELECT q.query_id, c.cid AS code{m}, {dot} AS d{m}
+      FROM (SELECT vec_id AS query_id,
+                   embedding[{m * _PQ_SUB + 1}:{(m + 1) * _PQ_SUB}] AS qe
+            FROM embeddings WHERE vec_id >= 490) q
+      CROSS JOIN {cents[m]} c
+    )"""
+        for m in range(_PQ_M)
+    )
+    cdot = _SQL_DOT.format(a="q.embedding", b="c.ce")
+    sql.append(
+        f"""codes AS (
+      SELECT enc0.vec_id, cells.cell, code0, code1, code2, code3
+      FROM enc0 JOIN enc1 USING (vec_id) JOIN enc2 USING (vec_id)
+           JOIN enc3 USING (vec_id) JOIN cells USING (vec_id)
+    ),
+    cterm AS (
+      SELECT q.vec_id AS query_id, c.cid AS pcell, {cdot} AS dc
+      FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 490) q
+      CROSS JOIN {coarse} c
+    ),
+    {luts},
+    scored AS (
+      SELECT p.query_id, c.vec_id AS cand_id,
+             ((((ct.dc + lut0.d0) + lut1.d1) + lut2.d2) + lut3.d3) AS adc
+      FROM probes p
+      JOIN cterm ct ON ct.query_id = p.query_id AND ct.pcell = p.pcell
+      JOIN codes c ON c.cell = p.pcell AND c.vec_id <> p.query_id
+      JOIN lut0 ON lut0.query_id = p.query_id AND lut0.code0 = c.code0
+      JOIN lut1 ON lut1.query_id = p.query_id AND lut1.code1 = c.code1
+      JOIN lut2 ON lut2.query_id = p.query_id AND lut2.code2 = c.code2
+      JOIN lut3 ON lut3.query_id = p.query_id AND lut3.code3 = c.code3
+    )
+    SELECT query_id, cand_id, ROUND(adc, 6) AS adc, rk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY adc DESC, cand_id) AS rk
+      FROM scored)
+    WHERE rk <= 3"""
+    )
+    return "WITH " + "\n".join(sql)
+
+
+def ivfpq_residual_topk(
+    spark: SparkSession, e: DataFrame, probe_min_vec: int = 490
+) -> DataFrame:
+    """Residual-encoded IVF+PQ search over (vec_id, embedding) — the
+    reusable engine behind similarity_ivfpq_residual_search and the
+    recall pytest. Returns (query_id, cand_id, adc, rk<=3)."""
+    from pyspark.sql.window import Window
+
+    def sub(m: int, col="embedding"):
+        return F.slice(col, m * _PQ_SUB + 1, _PQ_SUB)
+
+    coarse = kmeans_centroids_quantized(e, _KMQ_K, _KMQ_ITERS)
+    assign_w = Window.partitionBy("vec_id").orderBy(
+        _cos(F.col("embedding"), F.col("ce")).desc(), F.col("cid")
+    )
+    vassign = (
+        e.crossJoin(F.broadcast(coarse))
+        .withColumn("rnk", F.row_number().over(assign_w))
+        .select("vec_id", "cid", "ce", "rnk")
+    )
+    cells = vassign.filter(F.col("rnk") == 1).select(
+        "vec_id", F.col("cid").alias("cell"), F.col("ce").alias("cell_ce")
+    )
+    probes = vassign.filter(
+        (F.col("vec_id") >= probe_min_vec) & (F.col("rnk") <= 2)
+    ).select(F.col("vec_id").alias("query_id"), F.col("cid").alias("pcell"))
+    resid = e.join(cells, "vec_id").select(
+        "vec_id",
+        "cell",
+        F.zip_with(
+            "embedding", "cell_ce", lambda x, c: x.cast("double") - c
+        ).alias("residual"),
+    )
+    q = e.filter(F.col("vec_id") >= probe_min_vec).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cterm = q.crossJoin(F.broadcast(coarse)).select(
+        "query_id",
+        F.col("cid").alias("pcell"),
+        _dot(F.col("embedding"), F.col("ce")).alias("dc"),
+    )
+    enc = resid.select("vec_id", "cell")
+    luts = []
+    for m in range(_PQ_M):
+        cb = kmeans_centroids_quantized(
+            resid.select("vec_id", sub(m, "residual").alias("embedding")),
+            _KMQ_K,
+            _KMQ_ITERS,
+        )
+        codes_m = _nearest_cid(
+            resid.select("vec_id", sub(m, "residual").alias("embedding")), cb
+        ).select("vec_id", F.col("cid").alias(f"code{m}"))
+        enc = enc.join(codes_m, "vec_id")
+        luts.append(
+            q.crossJoin(F.broadcast(cb)).select(
+                "query_id",
+                F.col("cid").alias(f"code{m}"),
+                _dot(sub(m, "embedding"), F.col("ce")).alias(f"d{m}"),
+            )
+        )
+    pairs = (
+        F.broadcast(probes)
+        .join(
+            enc.select(F.col("vec_id").alias("cand_id"), F.col("cell"),
+                       *[f"code{m}" for m in range(_PQ_M)]),
+            (F.col("cell") == F.col("pcell"))
+            & (F.col("cand_id") != F.col("query_id")),
+        )
+        .join(F.broadcast(cterm), ["query_id", "pcell"])
+    )
+    for m in range(_PQ_M):
+        pairs = pairs.join(F.broadcast(luts[m]), ["query_id", f"code{m}"])
+    adc = (
+        (((F.col("dc") + F.col("d0")) + F.col("d1")) + F.col("d2"))
+        + F.col("d3")
+    ).alias("adc")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("cand_id")
+    )
+    return (
+        pairs.select("query_id", "cand_id", adc)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("query_id", "cand_id", F.round("adc", 6).alias("adc"), "rk")
+    )
+
+
+@register(
+    "similarity_ivfpq_residual_search",
+    oracle=_ivfpq_residual_oracle(),
+    doc="IVF+PQ with RESIDUAL encoding — the complete IndexIVFPQ recipe "
+    "(Jégou et al. 2011 §IV encode x − coarse_centroid, not x: the "
+    "residual's variance is a fraction of the raw vector's, so the same "
+    "4-byte code budget quantizes far more accurately — the accuracy "
+    "step the non-residual sibling similarity_ivfpq_search omits, "
+    "measured: residual reconstruction error ≈ 0.5× and recall@3 "
+    "strictly higher in tests/test_round13_ops.py): the trained coarse "
+    "quantizer assigns cells, every vector stores (cell, 4 residual "
+    "codes), and ADC scores dot(q, x) ≈ dot(q, c_cell) + Σ_m "
+    "dot(q_m, codebook_m[code_m]) — one per-(query, probed-cell) cell "
+    "term plus the LUT sum, fixed parenthesization. SIX training chains "
+    "(coarse + 4 residual subspaces, each two quantized-Lloyd "
+    "iterations) replay bit-identically in DuckDB; the residual itself "
+    "is elementwise IEEE subtraction of bit-replayed operands. Scale: "
+    "identical serving shape to the non-residual form — candidates "
+    "ship 4-byte codes, raw vectors touched only for query LUTs "
+    "(k·M dots + k cell dots per query).",
+    tags=("extension", "similarity", "ivf", "pq", "iterative"),
+)
+def similarity_ivfpq_residual_search(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return ivfpq_residual_topk(spark, e)

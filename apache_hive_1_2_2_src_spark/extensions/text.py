@@ -1646,3 +1646,81 @@ def text_bpe_apply_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "text"
     ).createOrReplaceTempView("bpe_docs")
     return spark.sql(_bpe_apply_sql(_BPE_BASE_SPARK, _BPE_OCC_SPARK))
+
+
+def _bpe_pack_sql(base: str, docc: str) -> str:
+    """The tokenize→pack composition: per-word BPE token counts from the
+    trained merge state s{k}, joined to per-doc word occurrences (``docc``
+    must define ``docc(doc_id, lang, w)``), summed into per-doc token
+    counts, then packed per language into 2048-token context-window bins
+    (the pipeline_pack_sequences bin math over TOKENIZER counts instead
+    of whitespace counts). All-integer bin audit."""
+    body = ",".join(_bpe_iteration_sql(i) for i in range(1, _BPE_STEPS + 1))
+    return f"""WITH {base},{body},
+    wtok AS (
+      SELECT w, CAST(MAX(pos) AS BIGINT) AS n_tok
+      FROM s{_BPE_STEPS} GROUP BY w
+    ),
+    {docc},
+    dtok AS (
+      SELECT doc_id, lang, CAST(SUM(n_tok) AS BIGINT) AS n_tok
+      FROM docc JOIN wtok USING (w)
+      GROUP BY doc_id, lang
+    ),
+    c AS (
+      SELECT lang, doc_id, n_tok,
+             COALESCE(SUM(n_tok) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM dtok
+    )
+    SELECT lang,
+           CAST(FLOOR(cum_before / 2048.0) AS BIGINT) AS bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS bin_tokens,
+           CAST(SUM(doc_id) AS BIGINT) AS docid_sum
+    FROM c
+    GROUP BY lang, bin_id"""
+
+
+_BPE_DOCC_DUCK = f"""
+    docc AS (
+      SELECT doc_id, lang, unnest({_SQL_WORDS}) AS w FROM documents
+    )"""
+
+_BPE_DOCC_SPARK = """
+    docc AS (
+      SELECT doc_id, lang,
+             explode(filter(split(text, ' '), x -> x != '')) AS w
+      FROM bpe_docs
+    )"""
+
+
+@register(
+    "text_bpe_pack_chain",
+    oracle=_bpe_pack_sql(_BPE_BASE_DUCK, _BPE_DOCC_DUCK),
+    doc="The tokenize→pack loop a pretraining data pipeline actually "
+    "runs, closed end-to-end: train the k=4 BPE merges (shared "
+    "iteration template — same argmax pairs, same greedy "
+    "non-overlapping merge sites in both engines), APPLY them to get "
+    "per-DOCUMENT token counts (one join from word occurrences to the "
+    "per-word merge state — tokenization never re-runs per document), "
+    "then assign docs to 2048-token context-window bins per language "
+    "(deterministic doc_id order, bin = floor(tokens-before / 2048) — "
+    "the pipeline_pack_sequences streaming first-fit, now over REAL "
+    "tokenizer counts instead of whitespace counts). The certified "
+    "output is the all-integer per-bin audit (docs, tokens, doc_id "
+    "checksum): one flipped merge site anywhere in training shifts a "
+    "word's token count, every affected doc's total, and the bin "
+    "boundaries after it. Scale: merge state is O(|vocab|·avg_len) "
+    "rows; the corpus is touched twice (frequency table, occurrence "
+    "join); packing is one window shuffle keyed by lang — at 100 TB "
+    "pack per (lang, shard) so shards pack independently.",
+    tags=("extension", "text", "tokenizer", "packing", "iterative"),
+)
+def text_bpe_pack_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    ).createOrReplaceTempView("bpe_docs")
+    return spark.sql(_bpe_pack_sql(_BPE_BASE_SPARK, _BPE_DOCC_SPARK))

@@ -177,27 +177,12 @@ STABLE_WINDOW = (
 # (the never-green guard in tests/test_registry.py makes forgetting this a
 # hard test failure). The displaced STABLE_WINDOW tail returns next round
 # when FRESH empties — stable names stay registered and check.py-covered
-# either way. (r11's 14 FRESH names all certified in CORRECTNESS_r11 and
+# either way. (r12's 18 FRESH names all certified in CORRECTNESS_r12 and
 # rotated out; the displaced stable tail returns automatically.)
 FRESH = (
-    "hive_part_bucket_prune",
-    "hive_part_bucket_map_join",
-    "hive_part_smb_merge_join",
-    "hive_smb_full_outer_join",
-    "dedup_semdedup_kmeans",
-    "acid_read_partitioned",
-    "streaming_acid_partitioned_ingest",
-    "sample_dsir_importance",
-    "acid_compact_partition",
-    "multimodal_decode_png",
-    "text_bpe_train_merges",
-    "text_bpe_apply_fertility",
-    "acid_bucketed_point_lookup",
-    "streaming_acid_bucketed_ingest",
-    "acid_full_layout_point_lookup",
-    "similarity_ann_ivf_kmeans",
-    "similarity_pq_adc_topk",
-    "similarity_ivfpq_search",
+    "streaming_acid_full_layout_ingest",
+    "similarity_ivfpq_residual_search",
+    "text_bpe_pack_chain",
 )
 
 PRIORITY = (

@@ -181,3 +181,136 @@ def test_full_layout_delta_writer_shape_retry_and_pruned_lookup(
     assert n_files == 2
     row = snap.collect()
     assert len(row) == 1 and row[0].st == "A" and row[0].p == 50
+
+
+# --------------------------------------------- residual IVF+PQ recall
+
+
+def test_ivfpq_residual_encoding_improves_recall(spark):
+    """The full IndexIVFPQ recipe (Jégou et al. §IV): encoding the
+    RESIDUAL x − coarse_centroid must beat raw-subvector encoding at the
+    SAME 4-byte code budget on data with coarse structure — the regime
+    IVF exists for (8 well-separated Gaussian blobs; on unstructured
+    noise the coarse quantizer captures nothing and the two collapse
+    together, which is why the pin lives on constructed blobs, not the
+    near-uniform synthetic testdata). Recall@3 against exact dot-product
+    top-3, same trained coarse quantizer, same nprobe=2 cells."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    import apache_hive_1_2_2_src_spark.extensions.similarity as sim
+
+    rng = np.random.default_rng(7)
+    k, dim, n, qmin = 8, 64, 320, 296
+    centers = rng.normal(0, 4.0, (k, dim))
+    vecs = np.array([centers[i % k] + rng.normal(0, 1.0, dim) for i in range(n)])
+    e = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    q = e.filter(F.col("vec_id") >= qmin).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    cand = e.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cde")
+    )
+    d = (
+        q.crossJoin(cand)
+        .filter("cand_id != query_id")
+        .select(
+            "query_id", "cand_id",
+            sim._dot(F.col("qe"), F.col("cde")).alias("s"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("s").desc(), F.col("cand_id"))
+    exact = {
+        (r.query_id, r.cand_id)
+        for r in d.withColumn("rk", F.row_number().over(w))
+        .filter("rk <= 3")
+        .collect()
+    }
+    raw = {
+        (r.query_id, r.cand_id)
+        for r in sim.ivfpq_raw_topk(spark, e, probe_min_vec=qmin).collect()
+    }
+    res = {
+        (r.query_id, r.cand_id)
+        for r in sim.ivfpq_residual_topk(spark, e, probe_min_vec=qmin).collect()
+    }
+    raw_hits, res_hits = len(raw & exact), len(res & exact)
+    assert res_hits > raw_hits, (res_hits, raw_hits, len(exact))
+
+
+# ------------------------------------------------ BPE -> packing chain
+
+
+def test_bpe_pack_chain_matches_python_reference(spark):
+    """The tokenize→pack composition must equal a straight Python replay:
+    train k=4 BPE merges (the round-8 reference algorithm), tokenize each
+    doc by summing its words' post-merge token counts, pack per lang in
+    doc_id order into 2048-token bins — multiple bins per lang exercised,
+    'banana'-class overlap words included."""
+    from collections import Counter
+
+    from apache_hive_1_2_2_src_spark.extensions.text import (
+        _BPE_BASE_SPARK,
+        _BPE_DOCC_SPARK,
+        _BPE_STEPS,
+        _bpe_pack_sql,
+    )
+
+    rng = __import__("random").Random(13)
+    vocab = ["banana", "aaaa", "bandana", "anna", "ban", "nab", "ana", "bb"]
+    docs = []
+    for d in range(24):
+        lang = "en" if d % 3 else "de"
+        words = [vocab[rng.randrange(len(vocab))] for _ in range(rng.randrange(150, 450))]
+        docs.append((d, lang, " ".join(words)))
+    spark.createDataFrame(docs, "doc_id long, lang string, text string").createOrReplaceTempView("bpe_docs")
+    got = sorted(
+        (r.lang, r.bin_id, r.n_docs, r.bin_tokens, r.docid_sum)
+        for r in spark.sql(
+            _bpe_pack_sql(_BPE_BASE_SPARK, _BPE_DOCC_SPARK)
+        ).collect()
+    )
+
+    # ---- independent Python replay ----
+    words = Counter(w for _d, _l, t in docs for w in t.split(" ") if w)
+    symtab = {w: list(w) for w in words}
+    for _step in range(_BPE_STEPS):
+        pairs: Counter = Counter()
+        for w, cnt in words.items():
+            s = symtab[w]
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] += cnt
+        (pa, pb), _f = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        for w in symtab:
+            s, out, i = symtab[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and (s[i], s[i + 1]) == (pa, pb):
+                    out.append(pa + pb)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            symtab[w] = out
+    wtok = {w: len(s) for w, s in symtab.items()}
+    per_doc = [
+        (d, lang, sum(wtok[w] for w in t.split(" ") if w))
+        for d, lang, t in docs
+    ]
+    bins: dict = {}
+    for lang in {l for _d, l, _t in per_doc}:
+        cum = 0
+        for d, lg, n in sorted(p for p in per_doc if p[1] == lang):
+            b = cum // 2048
+            nd, nt, ds = bins.get((lang, b), (0, 0, 0))
+            bins[(lang, b)] = (nd + 1, nt + n, ds + d)
+            cum += n
+    expect = sorted(
+        (lang, b, nd, nt, ds) for (lang, b), (nd, nt, ds) in bins.items()
+    )
+    assert got == expect
+    # multiple bins per lang actually exercised
+    assert max(b for _l, b, *_ in expect) >= 2
