@@ -1724,3 +1724,50 @@ def text_bpe_pack_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "text"
     ).createOrReplaceTempView("bpe_docs")
     return spark.sql(_bpe_pack_sql(_BPE_BASE_SPARK, _BPE_DOCC_SPARK))
+
+
+def bpe_train_merges_steps(
+    spark: SparkSession, steps: int, docs_view: str = "bpe_docs"
+) -> DataFrame:
+    """PRODUCTION-scale BPE trainer — the driver-loop twin of the
+    single-statement template behind text_bpe_train_merges. The template
+    assembles all k iterations into ONE WITH-chain; Spark inlines every
+    repeated CTE reference, so the optimized plan grows EXPONENTIALLY in
+    k (measured at sf0.01: k=4 optimizes in 2.7 s / 1,146 plan lines,
+    k=5 in 4.6 s / 2,498 lines — ~2.2× lines per step — and k=6 did not
+    finish optimizing in 9+ minutes; SCALE.md §bpe-steps audit). This
+    trainer runs ONE constant-size iteration statement per merge step
+    against a temp view of the current (w, cnt, pos, sym) state and
+    eager-localCheckpoints the new state, so plans stay O(1) deep and
+    total work is O(k) passes over the vocab-sized state — measured:
+    k=16 in 13.6 s and k=32 in 23.0 s at sf0.01, where the template
+    cannot finish k=6. Merge decisions are IDENTICAL (same iteration
+    SQL, pinned against it at k=4 and against the Python reference at
+    k=10 in tests/test_round13_ops.py). Returns the merge table
+    (step, pair_a, pair_b, pair_freq, tokens_after)."""
+    state = spark.sql(
+        f"WITH {_BPE_BASE_SPARK.replace('bpe_docs', docs_view)} "
+        "SELECT w, cnt, pos, sym FROM s0"
+    ).localCheckpoint(eager=True)
+    merges = []
+    one = _bpe_iteration_sql(1)
+    for step in range(1, steps + 1):
+        state.createOrReplaceTempView("bpe_state_prev")
+        new_state = spark.sql(
+            f"WITH s0 AS (SELECT * FROM bpe_state_prev),{one} "
+            "SELECT w, cnt, pos, sym FROM s1"
+        ).localCheckpoint(eager=True)
+        best = spark.sql(
+            f"WITH s0 AS (SELECT * FROM bpe_state_prev),{one} "
+            "SELECT pa, pb, CAST(freq AS BIGINT) AS freq FROM best1"
+        ).collect()[0]
+        tokens_after = new_state.groupBy().agg(
+            F.sum("cnt").cast("bigint").alias("t")
+        ).collect()[0].t
+        merges.append((step, best.pa, best.pb, best.freq, tokens_after))
+        state = new_state
+    return spark.createDataFrame(
+        merges,
+        "step int, pair_a string, pair_b string, "
+        "pair_freq bigint, tokens_after bigint",
+    )

@@ -59,3 +59,26 @@ def test_quantized_centroids_partitioning_invariant(spark):
     # and every coordinate is exactly representable on the 2^-20 grid
     # scaled by 1/count — spot check a few are plain finite floats
     assert all(all(v == v for v in ce) for _cid, ce in got[0])
+
+
+def test_quantized_centroids_checkpoint_invariant(spark):
+    """checkpoint_every (the O(iters²)→O(iters) broadcast-rebuild fix,
+    SCALE.md r13) must not change a single bit: the quantized update is
+    lineage-invariant, so truncating lineage is pure plumbing."""
+    from apache_hive_1_2_2_src_spark.extensions.similarity import (
+        kmeans_centroids_quantized,
+    )
+    from apache_hive_1_2_2_src_spark.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    plain = sorted(
+        (r.cid, tuple(r.ce))
+        for r in kmeans_centroids_quantized(e, 8, 5).collect()
+    )
+    ckpt = sorted(
+        (r.cid, tuple(r.ce))
+        for r in kmeans_centroids_quantized(e, 8, 5, checkpoint_every=2).collect()
+    )
+    assert plain == ckpt

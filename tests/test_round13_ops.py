@@ -314,3 +314,64 @@ def test_bpe_pack_chain_matches_python_reference(spark):
     assert got == expect
     # multiple bins per lang actually exercised
     assert max(b for _l, b, *_ in expect) >= 2
+
+
+# ------------------------------------- scalable driver-loop BPE trainer
+
+
+def test_bpe_steps_trainer_matches_template_and_python_reference(spark):
+    """bpe_train_merges_steps (the O(k) production twin of the
+    exponential-plan single-statement template — SCALE.md r13) must make
+    byte-identical merge decisions: == the template at k=4, == the
+    Python greedy-non-overlap reference at k=10 (past the template's
+    feasible range)."""
+    from collections import Counter
+
+    from apache_hive_1_2_2_src_spark.extensions.text import (
+        _BPE_BASE_SPARK,
+        _bpe_sql,
+        bpe_train_merges_steps,
+    )
+
+    corpus = (
+        ["banana"] * 5 + ["aaaa"] * 3 + ["bandana"] * 2 + ["anna"] * 4
+        + ["ban"] * 6 + ["nab"] * 6 + ["nanananas"] * 2 + ["abba"] * 3
+    )
+    spark.createDataFrame(
+        [(" ".join(corpus),)], "text string"
+    ).createOrReplaceTempView("bpe_docs")
+
+    def rows(df):
+        return [
+            (r.step, r.pair_a, r.pair_b, r.pair_freq, r.tokens_after)
+            for r in df.orderBy("step").collect()
+        ]
+
+    got4 = rows(bpe_train_merges_steps(spark, 4))
+    template4 = rows(spark.sql(_bpe_sql(_BPE_BASE_SPARK)))
+    assert got4 == template4
+
+    got10 = rows(bpe_train_merges_steps(spark, 10))
+    words = Counter(corpus)
+    symtab = {w: list(w) for w in words}
+    expect = []
+    for step in range(1, 11):
+        pairs: Counter = Counter()
+        for w, cnt in words.items():
+            s = symtab[w]
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] += cnt
+        (pa, pb), freq = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        for w in symtab:
+            s, out, i = symtab[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and (s[i], s[i + 1]) == (pa, pb):
+                    out.append(pa + pb)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            symtab[w] = out
+        tokens = sum(len(symtab[w]) * cnt for w, cnt in words.items())
+        expect.append((step, pa, pb, freq, tokens))
+    assert got10 == expect
