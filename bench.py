@@ -65,6 +65,9 @@ HEADLINE = (
     "streaming_dedup_lsh_incremental",  # 3-drop foreachBatch LSH probe vs accumulated index (r11)
     "hive_part_bucket_prune",  # nested part=/bucket write + 1-of-40-file composed pruned read (r12)
     "dedup_semdedup_kmeans",  # 2 quantized Lloyd iterations + in-cell SemDeDup prune (r12)
+    "streaming_acid_full_layout_ingest",  # micro-batches -> part=/delta/bucket tree + triple-pruned lookup (r13)
+    "similarity_ivfpq_residual_search",  # 6 training chains + residual-code ADC (r13)
+    "text_bpe_pack_chain",  # BPE train+apply -> per-lang 2048-token bin packing (r13)
 )
 
 # All 22 TPC-H query shapes in query order — timed as ONE sequential suite

@@ -375,3 +375,34 @@ def test_bpe_steps_trainer_matches_template_and_python_reference(spark):
         tokens = sum(len(symtab[w]) * cnt for w, cnt in words.items())
         expect.append((step, pa, pb, freq, tokens))
     assert got10 == expect
+
+
+# ------------------------------------------- scale-regression harness
+
+
+def test_scale_harness_measures_partition_pruning(spark, tmp_path):
+    """tools/scale_harness.py: the pruned probe of a hash-partitioned
+    store must open only the selected partitions' bytes (execution
+    ground truth via input_file_name — df.inputFiles() ignores
+    filter-based partition pruning and would lie here), the full scan
+    must report ~100%, and the regression gate must trip when pruning
+    is broken."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    import tools.scale_harness as sh
+
+    k = 16
+    store = str(tmp_path / "store")
+    rows = spark.range(50_000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 997).cast("string").alias("sh"),
+    )
+    sh.build_hash_partitioned_store(spark, rows, F.xxhash64("doc_id"), k, store)
+    pruned = spark.read.parquet(store).where(F.col("pb").isin([0, 3]))
+    r = sh.assert_prune_ratio("pytest probe 2/16", pruned, store, 4 / k)
+    assert r["files"] == 2
+    full = spark.read.parquet(store)
+    assert sh.prune_report("pytest full scan", full, store)["ratio"] > 0.99
+    with pytest.raises(AssertionError, match="regressed to a scan"):
+        sh.assert_prune_ratio("pytest gate", full, store, 4 / k)
