@@ -183,6 +183,7 @@ FRESH = (
     "streaming_acid_full_layout_ingest",
     "similarity_ivfpq_residual_search",
     "text_bpe_pack_chain",
+    "similarity_ivfpq_rerank",
 )
 
 PRIORITY = (

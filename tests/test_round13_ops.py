@@ -240,6 +240,17 @@ def test_ivfpq_residual_encoding_improves_recall(spark):
     }
     raw_hits, res_hits = len(raw & exact), len(res & exact)
     assert res_hits > raw_hits, (res_hits, raw_hits, len(exact))
+    # two-stage rerank: exact-dot rescoring of the ADC top-10 shortlist.
+    # Guaranteed >= the ADC-only top-3 (ADC top-3 ⊆ shortlist and exact
+    # scoring surfaces every true-top-3 member the shortlist contains);
+    # strictly better here.
+    rer = {
+        (r.query_id, r.cand_id)
+        for r in sim.ivfpq_rerank_topk(spark, e, probe_min_vec=qmin).collect()
+    }
+    rer_hits = len(rer & exact)
+    assert rer_hits >= res_hits, (rer_hits, res_hits)
+    assert rer_hits > raw_hits, (rer_hits, raw_hits)
 
 
 # ------------------------------------------------ BPE -> packing chain
