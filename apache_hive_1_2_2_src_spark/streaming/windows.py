@@ -917,6 +917,11 @@ def streaming_acid_delta_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Last _lsh_probe_dedup run's state-store locations — the scale-harness
+# regression gate in tests/test_round13_ops.py reads the REAL stores.
+LAST_LSH_STORES: dict = {}
+
+
 def _lsh_probe_dedup(
     spark: SparkSession, sf_dir: str, n_batches: int, store_buckets: int = 8
 ) -> DataFrame:
@@ -948,6 +953,11 @@ def _lsh_probe_dedup(
     out_dir = os.path.join(base, "verdicts")
     ckpt = os.path.join(base, "ckpt")
     os.makedirs(inbox, exist_ok=True)
+    # exposed for the scale-harness regression gate (tests read the real
+    # post-drain stores and assert the probes' bytes-ratio stays pruned)
+    LAST_LSH_STORES["sig"] = sig_dir
+    LAST_LSH_STORES["shingle"] = sh_dir
+    LAST_LSH_STORES["store_buckets"] = store_buckets
 
     # Stage the corpus as n_batches "daily drops": contiguous doc_id ranges,
     # one parquet file per drop, mtimes forced strictly increasing so the

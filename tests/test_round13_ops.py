@@ -417,3 +417,31 @@ def test_scale_harness_measures_partition_pruning(spark, tmp_path):
     assert sh.prune_report("pytest full scan", full, store)["ratio"] > 0.99
     with pytest.raises(AssertionError, match="regressed to a scan"):
         sh.assert_prune_ratio("pytest gate", full, store, 4 / k)
+
+
+def test_real_lsh_state_store_probes_stay_pruned(spark):
+    """The scale-harness gate on the REAL streaming-LSH state stores (not
+    a synthetic replica): after a 3-batch drain, a signature-bucket probe
+    and a partner-partition verify read must open only their partitions'
+    bytes — the exact reads _lsh_probe_dedup issues per micro-batch. A
+    regression that loses the PartitionFilters (e.g. a cast on the
+    partition column) turns these into corpus-sized scans and fails
+    here on bytes, not just plan shape."""
+    from pyspark.sql import functions as F
+
+    import tools.scale_harness as sh
+    from apache_hive_1_2_2_src_spark.streaming.windows import (
+        LAST_LSH_STORES,
+        _lsh_probe_dedup,
+    )
+    from tests.conftest import SF_DIR
+
+    _lsh_probe_dedup(spark, SF_DIR, n_batches=3, store_buckets=8).count()
+    sig_dir = LAST_LSH_STORES["sig"]
+    sh_dir = LAST_LSH_STORES["shingle"]
+    # the per-batch signature probe: batch sigs -> their sb buckets only
+    sig_probe = spark.read.parquet(sig_dir).where(F.col("sb").isin([0]))
+    sh.assert_prune_ratio("real sig store 1/8", sig_probe, sig_dir, 2 / 8)
+    # the verify stage: partner docs' db partitions only
+    verify = spark.read.parquet(sh_dir).where(F.col("db").isin([0, 1]))
+    sh.assert_prune_ratio("real shingle store 2/8", verify, sh_dir, 2 * 2 / 8)
