@@ -419,6 +419,9 @@ def _fixture_payload(doc_id: int, kind: str) -> bytes:
             for i in range(nf)
         ]
         return encode_wav_pcm16(rate, ch, frames)
+    if kind == "jpeg":
+        jw, jh = _jpeg_fixture_dims(doc_id)
+        return encode_jpeg_gray(jw, jh, _jpeg_fixture_block(doc_id))
     w, h = _bmp_fixture_dims(doc_id)
     pix = _bmp_fixture_pixel(doc_id)
     if kind == "png":
@@ -937,4 +940,434 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_batches,
         "doc_id bigint, width int, height int, "
         "sum_r bigint, sum_g bigint, sum_b bigint",
+    )
+
+
+# ---------------------------------------------------------------- JPEG
+# Baseline JFIF (ITU-T T.81 — public spec), grayscale, in pure Python +
+# numpy for the 8x8 IDCT: the fourth and hardest member of the real-codec
+# family (BMP: padded rows; PPM: packed; PNG: compressed+filtered; JPEG:
+# entropy-coded transform domain). The encoder below exists only to
+# stage fixtures (and to give the pytest a general coefficient path);
+# the decode kernel parses whatever bytes the scan hands it: marker walk,
+# DQT/SOF0/DHT parse, canonical Huffman table build, bit-unstuffed
+# entropy decode (DC categories + AC run/size incl. ZRL and EOB),
+# dequantize, dezigzag, real separable IDCT, level shift, clamp, crop.
+
+# zigzag order: index i in the scan -> (row, col) in the 8x8 block
+_JPEG_ZIGZAG = [
+    (0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3), (1, 2),
+    (2, 1), (3, 0), (4, 0), (3, 1), (2, 2), (1, 3), (0, 4), (0, 5),
+    (1, 4), (2, 3), (3, 2), (4, 1), (5, 0), (6, 0), (5, 1), (4, 2),
+    (3, 3), (2, 4), (1, 5), (0, 6), (0, 7), (1, 6), (2, 5), (3, 4),
+    (4, 3), (5, 2), (6, 1), (7, 0), (7, 1), (6, 2), (5, 3), (4, 4),
+    (3, 5), (2, 6), (1, 7), (2, 7), (3, 6), (4, 5), (5, 4), (6, 3),
+    (7, 2), (7, 3), (6, 4), (5, 5), (4, 6), (3, 7), (4, 7), (5, 6),
+    (6, 5), (7, 4), (7, 5), (6, 6), (5, 7), (6, 7), (7, 6), (7, 7),
+]
+
+# Annex K.3 standard luminance Huffman tables (public spec constants):
+# (bits[1..16] code counts, ordered symbol values)
+_JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPEG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _jpeg_huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman assignment (T.81 Annex C): symbol -> (code, length)."""
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _JpegBitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def done(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)  # 1-fill per spec
+        return bytes(self.buf)
+
+
+def _jpeg_category(v: int) -> tuple[int, int]:
+    """(size category s, s-bit value) for a DC diff / AC coefficient —
+    negative values use the one's-complement convention of T.81 F.1.2."""
+    if v == 0:
+        return 0, 0
+    s = abs(v).bit_length()
+    return s, (v if v >= 0 else v + (1 << s) - 1)
+
+
+def encode_jpeg_gray(
+    width: int, height: int, coef_of, quant: list[int] | None = None
+) -> bytes:
+    """Encode a baseline grayscale JFIF from QUANTIZED coefficient blocks:
+    ``coef_of(bx, by) -> list[64]`` in zigzag order (DC first). Working in
+    the coefficient domain keeps the fixture's exactness argument explicit
+    (constant blocks = DC-only) while the pytest feeds arbitrary
+    coefficients through the same entropy coder."""
+    import struct
+
+    q = quant or [1] * 64
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+    dc_tab = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_tab = _jpeg_huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    w = _JpegBitWriter()
+    prev_dc = 0
+    for by in range(bh):
+        for bx in range(bw):
+            coefs = coef_of(bx, by)
+            s, bits_v = _jpeg_category(coefs[0] - prev_dc)
+            prev_dc = coefs[0]
+            c, ln = dc_tab[s]
+            w.put(c, ln)
+            if s:
+                w.put(bits_v, s)
+            run = 0
+            last_nz = max((i for i in range(1, 64) if coefs[i]), default=0)
+            for i in range(1, last_nz + 1):
+                if coefs[i] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    c, ln = ac_tab[0xF0]  # ZRL: 16 zeros
+                    w.put(c, ln)
+                    run -= 16
+                s, bits_v = _jpeg_category(coefs[i])
+                c, ln = ac_tab[(run << 4) | s]
+                w.put(c, ln)
+                w.put(bits_v, s)
+                run = 0
+            if last_nz < 63:
+                c, ln = ac_tab[0x00]  # EOB
+                w.put(c, ln)
+    scan = w.done()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    dqt = seg(0xFFDB, bytes([0]) + bytes(q[i] for i in range(64)))
+    sof = seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]))
+    dht = seg(
+        0xFFC4,
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS),
+    ) + seg(
+        0xFFC4,
+        bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
+    )
+    sos = seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    jfif = seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    return b"\xff\xd8" + jfif + dqt + sof + dht + sos + scan + b"\xff\xd9"
+
+
+class _JpegBitReader:
+    """Entropy-segment bit reader with 0xFF00 unstuffing; raises on any
+    embedded marker (baseline single-scan fixtures carry none — DNL/RSTn
+    would indicate a stream this decoder does not claim to support)."""
+
+    def __init__(self, buf: bytes, pos: int) -> None:
+        self.buf = buf
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            b = self.buf[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.buf[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed byte
+                else:
+                    raise ValueError(f"unexpected marker FF{nxt:02X} in scan")
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _jpeg_huff_decoder(bits: list[int], vals: list[int]):
+    """(code, length) -> symbol lookup for canonical tables."""
+    table = {
+        (code, ln): sym
+        for sym, (code, ln) in _jpeg_huff_codes(bits, vals).items()
+    }
+
+    def read(r: _JpegBitReader) -> int:
+        code, ln = 0, 0
+        while ln <= 16:
+            code = (code << 1) | r.bit()
+            ln += 1
+            sym = table.get((code, ln))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in scan")
+
+    return read
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    """T.81 F.2.2.1 EXTEND: s-bit value -> signed coefficient."""
+    return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _idct_mat():
+    import numpy as np
+
+    c = np.zeros((8, 8))
+    for u in range(8):
+        cu = (1 / np.sqrt(2)) if u == 0 else 1.0
+        for x in range(8):
+            c[u, x] = 0.5 * cu * np.cos((2 * x + 1) * u * np.pi / 16)
+    return c
+
+
+def decode_jpeg_gray(buf: bytes) -> tuple[int, int, int]:
+    """Decode a baseline grayscale JFIF: marker walk (APPn/COM skipped,
+    DQT/SOF0/DHT parsed — any table ids), canonical Huffman decode of the
+    entropy segment (DC categories + EXTEND, AC run/size with ZRL and
+    EOB, 0xFF00 unstuffing), dequantize, dezigzag, separable 8x8 IDCT
+    (numpy, real transform — no DC-only shortcut), +128 level shift,
+    clamp to [0,255], crop the 8-padded MCU grid to (width, height).
+    Returns (width, height, sum of gray pixel values). Refuses
+    progressive (SOF2), multi-component, and restart-interval streams
+    loudly rather than guessing."""
+    import struct
+
+    import numpy as np
+
+    if buf[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: missing SOI")
+    pos = 2
+    quant: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], object] = {}
+    width = height = None
+    qid = dc_id = ac_id = None
+    while pos < len(buf):
+        if buf[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = buf[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            raise ValueError("EOI before SOS")
+        if marker in (0x01, *range(0xD0, 0xD8)):  # standalone
+            continue
+        ln = struct.unpack(">H", buf[pos : pos + 2])[0]
+        body = buf[pos + 2 : pos + ln]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            b = 0
+            while b < len(body):
+                pq, tq = body[b] >> 4, body[b] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                quant[tq] = list(body[b + 1 : b + 65])
+                b += 65
+        elif marker == 0xC0:  # SOF0 baseline
+            _prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
+            if ncomp != 1:
+                raise ValueError("only single-component (grayscale) JPEG")
+            if body[7] != 0x11:
+                raise ValueError("subsampling unsupported for grayscale")
+            qid = body[8]
+        elif marker in (0xC1, 0xC2, 0xC3):
+            raise ValueError("only baseline SOF0 supported")
+        elif marker == 0xC4:  # DHT (possibly several tables per segment)
+            b = 0
+            while b < len(body):
+                tc, th = body[b] >> 4, body[b] & 0xF
+                bits = list(body[b + 1 : b + 17])
+                nv = sum(bits)
+                vals = list(body[b + 17 : b + 17 + nv])
+                huff[(tc, th)] = _jpeg_huff_decoder(bits, vals)
+                b += 17 + nv
+        elif marker == 0xDD:
+            raise ValueError("restart intervals unsupported")
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            if ns != 1:
+                raise ValueError("only single-scan grayscale")
+            dc_id, ac_id = body[2] >> 4, body[2] & 0xF
+            pos += ln
+            break
+        pos += ln
+    if width is None or qid is None or qid not in quant:
+        raise ValueError("missing SOF0/DQT before SOS")
+    q = np.array(quant[qid], dtype=np.float64)
+    read_dc = huff[(0, dc_id)]
+    read_ac = huff[(1, ac_id)]
+    r = _JpegBitReader(buf, pos)
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+    m = _idct_mat()
+    img = np.zeros((bh * 8, bw * 8), dtype=np.int64)
+    prev_dc = 0
+    zz_rows = np.array([rc[0] for rc in _JPEG_ZIGZAG])
+    zz_cols = np.array([rc[1] for rc in _JPEG_ZIGZAG])
+    for by in range(bh):
+        for bx in range(bw):
+            coefs = np.zeros(64, dtype=np.float64)
+            s = read_dc(r)
+            diff = _jpeg_extend(r.bits(s), s) if s else 0
+            prev_dc += diff
+            coefs[0] = prev_dc
+            k = 1
+            while k < 64:
+                sym = read_ac(r)
+                if sym == 0x00:  # EOB
+                    break
+                run, size = sym >> 4, sym & 0xF
+                if size == 0:
+                    if run != 15:
+                        raise ValueError(f"invalid AC symbol {sym:02X}")
+                    k += 16  # ZRL
+                    continue
+                k += run
+                if k > 63:
+                    raise ValueError("AC coefficient index overflow")
+                coefs[k] = _jpeg_extend(r.bits(size), size)
+                k += 1
+            block = np.zeros((8, 8))
+            block[zz_rows, zz_cols] = coefs * q
+            spatial = m.T @ block @ m  # separable IDCT
+            px = np.clip(np.round(spatial + 128.0), 0, 255).astype(np.int64)
+            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
+    cropped = img[:height, :width]
+    return int(width), int(height), int(cropped.sum())
+
+
+def _jpeg_fixture_dims(doc_id: int) -> tuple[int, int]:
+    # non-multiples of 8 exercised: the encoder pads the MCU grid, the
+    # decoder must crop it back
+    return 8 + doc_id % 23, 8 + doc_id % 17
+
+
+def _jpeg_fixture_block(doc_id: int):
+    """Constant-valued 8x8 blocks: DC = 8*(v-128) survives the
+    quantize(1)/Huffman/IDCT round trip EXACTLY (the IDCT of a DC-only
+    block is flat, and the ~1e-13 float error is absorbed by the pixel
+    rounding), which is what lets a LOSSY codec live under a value-hash
+    oracle. The per-block values vary, so DC prediction (the diff chain)
+    is exercised across every block boundary."""
+
+    def coef_of(bx: int, by: int) -> list[int]:
+        v = (doc_id * 17 + bx * 29 + by * 43) % 256
+        return [8 * (v - 128)] + [0] * 63
+
+    return coef_of
+
+
+@register(
+    "multimodal_decode_jpeg",
+    # Same oracle construction as the BMP/PPM/PNG queries: expected gray
+    # sums from the generation formula, actual sums from REAL byte
+    # parsing — here through marker walk, canonical Huffman entropy
+    # decode, dequantize, and a real 8x8 IDCT. The fixtures are
+    # constant-valued blocks (DC-only coefficients survive the lossy
+    # pipeline exactly — see _jpeg_fixture_block), with per-block values
+    # varying so the DC prediction chain must be decoded right across
+    # every block, and non-multiple-of-8 dims so the MCU crop is
+    # exercised.
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 8 + doc_id % 23 AS w, 8 + doc_id % 17 AS h
+      FROM documents WHERE doc_id < 200
+    ),
+    px AS (
+      SELECT doc_id, w, h, CAST(xx.x AS BIGINT) AS x, CAST(yy.y AS BIGINT) AS y
+      FROM d, UNNEST(range(0, w)) AS xx(x), UNNEST(range(0, h)) AS yy(y)
+    )
+    SELECT doc_id,
+           CAST(MAX(w) AS INTEGER) AS width,
+           CAST(MAX(h) AS INTEGER) AS height,
+           CAST(SUM((doc_id * 17 + (x // 8) * 29 + (y // 8) * 43) % 256)
+                AS BIGINT) AS sum_gray,
+           CAST(((MAX(w) + 7) // 8) * ((MAX(h) + 7) // 8) AS BIGINT)
+             AS n_blocks
+    FROM px GROUP BY doc_id
+    """,
+    doc="REAL entropy-coded image decode over a binary column: baseline "
+    "grayscale JPEG (ITU-T T.81, public spec) in pure Python + numpy — "
+    "marker walk (APPn skip, DQT/SOF0/DHT parse), canonical Huffman "
+    "table construction (Annex C), bit-unstuffed entropy decode of DC "
+    "size categories + EXTEND and AC run/size symbols (EOB/ZRL), "
+    "dequantization, dezigzag, a real separable 8x8 IDCT, level shift, "
+    "clamp, and MCU-grid crop. Completes the real-codec QUARTET "
+    "(BMP/PPM/PNG/JPEG) through the same mapInPandas Arrow plumbing. "
+    "Certifiability device: the staged fixtures are constant-per-block "
+    "images, whose DC-only coefficients survive the lossy transform "
+    "EXACTLY (quant=1; IDCT float error ~1e-13 absorbed by pixel "
+    "rounding) — so the value hash pins the whole Huffman+IDCT chain; "
+    "the general nonzero-AC path (runs, ZRL, EOB mid-block) is pinned "
+    "against an independent direct-form IDCT in "
+    "tests/test_round13_ops.py. Scale: identical to the PNG row — "
+    "payload bytes stream through Arrow batches, one Python-side kernel "
+    "per batch, no driver materialization.",
+    tags=("extension", "multimodal", "codec"),
+)
+def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(stage_payloads(spark, sf_dir, "jpeg"))
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "width": [], "height": [],
+                "sum_gray": [], "n_blocks": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                dw, dh, sg = decode_jpeg_gray(bytes(payload))
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(dw)
+                out["height"].append(dh)
+                out["sum_gray"].append(sg)
+                out["n_blocks"].append(((dw + 7) // 8) * ((dh + 7) // 8))
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        decode_batches,
+        "doc_id bigint, width int, height int, "
+        "sum_gray bigint, n_blocks bigint",
     )

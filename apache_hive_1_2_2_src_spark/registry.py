@@ -184,6 +184,7 @@ FRESH = (
     "similarity_ivfpq_residual_search",
     "text_bpe_pack_chain",
     "similarity_ivfpq_rerank",
+    "multimodal_decode_jpeg",
 )
 
 PRIORITY = (

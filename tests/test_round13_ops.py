@@ -445,3 +445,87 @@ def test_real_lsh_state_store_probes_stay_pruned(spark):
     # the verify stage: partner docs' db partitions only
     verify = spark.read.parquet(sh_dir).where(F.col("db").isin([0, 1]))
     sh.assert_prune_ratio("real shingle store 2/8", verify, sh_dir, 2 * 2 / 8)
+
+
+# ------------------------------------------------- baseline JPEG codec
+
+
+def test_jpeg_general_coefficients_match_direct_idct():
+    """The JPEG decoder's general entropy path (nonzero ACs, zero runs,
+    ZRL, EOB mid-block, non-trivial quant table, DC prediction across
+    blocks) must reproduce an INDEPENDENT direct-form IDCT of the same
+    coefficients — the decoder uses the separable matrix form, the
+    reference below the textbook double sum, so a transform bug can't
+    hide in shared code."""
+    import math
+    import random
+
+    import numpy as np
+
+    from apache_hive_1_2_2_src_spark.extensions import multimodal as mm
+
+    rng = random.Random(99)
+    quant = [1 + (i * 7) % 9 for i in range(64)]  # non-trivial table
+    w, h = 21, 14  # 3x2 MCU grid, cropped
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    blocks = {}
+    for by in range(bh):
+        for bx in range(bw):
+            coefs = [0] * 64
+            coefs[0] = rng.randrange(-200, 201)
+            for pos in sorted(rng.sample(range(1, 64), 4)):
+                coefs[pos] = rng.randrange(-40, 41) or 7
+            blocks[(bx, by)] = coefs
+    # deterministic corner cases in designated blocks:
+    # (0,0): run of 19 zeros => ZRL + run-3 symbol; last coef at 63 => NO
+    # EOB emitted for this block (the k==64 exit path)
+    blocks[(0, 0)] = [0] * 64
+    blocks[(0, 0)][0] = 77
+    blocks[(0, 0)][1] = 9
+    blocks[(0, 0)][21] = -7
+    blocks[(0, 0)][63] = 5
+    # (1,1): DC-only block mid-stream (immediate EOB, DC diff negative)
+    blocks[(1, 1)] = [-130] + [0] * 63
+    buf = mm.encode_jpeg_gray(w, h, lambda bx, by: blocks[(bx, by)], quant=quant)
+    dw, dh, got_sum = mm.decode_jpeg_gray(buf)
+    assert (dw, dh) == (w, h)
+
+    # independent direct-form IDCT reference
+    def c(u):
+        return 1 / math.sqrt(2) if u == 0 else 1.0
+
+    img = np.zeros((bh * 8, bw * 8))
+    for (bx, by), coefs in blocks.items():
+        s = np.zeros((8, 8))
+        for i, (r_, c_) in enumerate(mm._JPEG_ZIGZAG):
+            s[r_, c_] = coefs[i] * quant[i]
+        for y in range(8):
+            for x in range(8):
+                acc = 0.0
+                for u in range(8):
+                    for v in range(8):
+                        acc += (
+                            c(u) * c(v) * s[v, u]
+                            * math.cos((2 * x + 1) * u * math.pi / 16)
+                            * math.cos((2 * y + 1) * v * math.pi / 16)
+                        )
+                img[by * 8 + y, bx * 8 + x] = acc / 4 + 128
+    expect = int(np.clip(np.round(img), 0, 255)[:h, :w].sum())
+    assert got_sum == expect
+
+
+def test_jpeg_decoder_refuses_unsupported_streams():
+    """Progressive/multi-component/garbage streams refuse loudly."""
+    import struct
+
+    import pytest
+
+    from apache_hive_1_2_2_src_spark.extensions import multimodal as mm
+
+    with pytest.raises(ValueError, match="missing SOI"):
+        mm.decode_jpeg_gray(b"\x00\x01")
+    good = mm.encode_jpeg_gray(8, 8, mm._jpeg_fixture_block(3))
+    # flip SOF0 -> SOF2 (progressive)
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError, match="baseline SOF0"):
+        mm.decode_jpeg_gray(prog)
