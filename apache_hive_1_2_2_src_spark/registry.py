@@ -185,6 +185,7 @@ FRESH = (
     "text_bpe_pack_chain",
     "similarity_ivfpq_rerank",
     "multimodal_decode_jpeg",
+    "streaming_acid_compact_during_ingest",
 )
 
 PRIORITY = (

@@ -1583,3 +1583,174 @@ def streaming_acid_full_layout_ingest(
         "lookup_part", "lookup_key", "lookup_cents",
         F.lit(hive_bucket_of(77, n, "long")).cast("int").alias("key_bucket"),
     )
+
+
+@register(
+    "streaming_acid_compact_during_ingest",
+    # The oracle is the SAME contract as the pure ingest: whole-table
+    # aggregates + the pruned point lookup against the batch source.
+    # Hash-equality is exactly the compaction guarantee — a major
+    # compaction that runs BETWEEN transactions while ingest continues
+    # must be invisible to every reader (pure rewrite), and the lookup
+    # proves the compacted base is itself correctly BUCKETED (a misroute
+    # in the compactor's rewrite hides the key from the pruned read).
+    oracle="""
+    WITH t AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_keys,
+             CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+      FROM events
+    ),
+    pk AS (
+      SELECT event_type AS lookup_part, event_id AS lookup_key,
+             CAST(FLOOR(value * 100) AS BIGINT) AS lookup_cents
+      FROM events WHERE event_id = 77
+    )
+    SELECT t.n_rows, t.n_keys, t.sum_cents,
+           pk.lookup_part, pk.lookup_key, pk.lookup_cents,
+           CAST(TRUE AS BOOLEAN) AS compacted,
+           CAST((xor(77::BIGINT, 77::BIGINT >> 32) & 4294967295)
+                % 2147483648 % 8 AS INT) AS key_bucket
+    FROM t CROSS JOIN pk
+    """,
+    doc="Major compaction DURING streaming ingest — the Hive compactor's "
+    "actual operating mode (Initiator queues a partition while the "
+    "HiveEndPoint keeps writing; Worker's compaction job commits a new "
+    "base BETWEEN transactions and later deltas stack on top of it): "
+    "the full-layout ingest runs as usual, but after micro-batch 1 "
+    "lands, the lookup key's partition is major-compacted IN the "
+    "foreachBatch sequence — its merged snapshot rewritten through "
+    "write_hive_bucketed as et=v/base_2 (a BUCKETED base, as Hive's "
+    "compactor preserves CLUSTERED BY), with the covered deltas left in "
+    "place — and ingest continues appending delta_3_3... on top. "
+    "Certification: whole-table aggregates must be bit-identical to the "
+    "never-compacted contract (compaction is a pure rewrite, invisible "
+    "mid-stream), the triple-pruned lookup must open exactly "
+    "1 + |post-base deltas| files (runtime-asserted against the "
+    "partition's resolved state), and the partition must actually have "
+    "resolved to the new base (asserted — the test is vacuous "
+    "otherwise). At 100 TB this is the steady-state warehouse loop: "
+    "continuous per-partition ingest, per-partition compaction debt "
+    "paid between transactions, point reads O(1 + recent deltas) "
+    "forever.",
+    tags=("streaming", "acid", "ingest", "compaction", "bucketing",
+          "partitioned"),
+)
+def streaming_acid_compact_during_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from apache_hive_1_2_2_src_spark.operators.acid import (
+        read_acid_full_point,
+        read_acid_table,
+        read_acid_table_partitioned,
+        resolve_acid_state,
+    )
+    from apache_hive_1_2_2_src_spark.sources.hive_bucketing import (
+        _hadoop_fs,
+        hive_bucket_of,
+        write_hive_bucketed,
+    )
+
+    n = 8
+    base = _tmp_base("hive_spark_stream_cacid_")
+    table, ckpt = os.path.join(base, "table"), os.path.join(base, "ckpt")
+    _, fs, P = _hadoop_fs(spark, table)
+    fs.delete(P(table), True)
+    fs.mkdirs(P(table))
+    # own 4-drop inbox (the _lsh_probe_dedup staging pattern): the shared
+    # memoized inbox is ONE part file, which availableNow drains as a
+    # single micro-batch — this query's whole point is transactions
+    # continuing AFTER the compaction, so it needs real batch boundaries
+    # (event_id ranges, mtime-ordered so FileStreamSource replays them in
+    # ingest order).
+    inbox = os.path.join(base, "inbox")
+    os.makedirs(inbox, exist_ok=True)
+    ev = load_table(spark, sf_dir, "events")
+    hi = ev.agg(F.max("event_id")).first()[0]
+    step = int(hi) // 4 + 1
+    staged_all = ev.withColumn("ts_us", F.unix_micros("ts")).drop("ts")
+    for b in range(4):
+        stage = os.path.join(base, f"stage_{b}")
+        staged_all.where(
+            (F.col("event_id") >= b * step) & (F.col("event_id") < (b + 1) * step)
+        ).coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        dest = os.path.join(inbox, f"drop_{b}.parquet")
+        os.rename(os.path.join(stage, part), dest)
+        os.utime(dest, (1_600_000_000 + 60 * b, 1_600_000_000 + 60 * b))
+    pv = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") == 77)
+        .select("event_type")
+        .first()[0]
+    )
+    pdir = f"{table}/et={pv}"
+
+    def write_delta(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        write_partitioned_bucketed_delta(
+            batch_df.select(
+                F.col("event_type").alias("et"),
+                F.col("event_id").alias("k"),
+                (F.col("user_id") % 5).cast("string").alias("st"),
+                F.floor(F.col("value") * 100).cast("long").alias("p"),
+                F.lit("U").alias("op"),
+            ),
+            table, "et", "k", n, batch_id,
+        )
+        if batch_id == 1:
+            # the compactor's turn: between transactions, rewrite the
+            # lookup partition's merged snapshot as a BUCKETED base_2
+            # covering deltas 1..2; later batches stack delta_3_3... on
+            # top. Idempotent on batch replay (the bucketed writer
+            # rebuilds its target dir).
+            sp = batch_df.sparkSession
+            write_hive_bucketed(
+                read_acid_table(sp, pdir).drop("ver"),
+                "k", n, f"{pdir}/base_2", kind="long",
+            )
+
+    q = (
+        # one file per micro-batch so the compactor demonstrably runs
+        # BETWEEN transactions with more ingest still to come
+        _read_events_stream(spark, inbox, max_files_per_trigger=1)
+        .writeStream.foreachBatch(write_delta)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("compact-during-ingest drain did not finish in 300s")
+    base_dir, _txn, deltas = resolve_acid_state(spark, pdir)
+    if base_dir != "base_2":
+        raise AssertionError(
+            f"compaction did not take effect: resolved base={base_dir!r} "
+            f"(expected base_2) in {pdir}"
+        )
+    totals = read_acid_table_partitioned(spark, table, "et").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("k").alias("n_keys"),
+        F.sum("p").cast("long").alias("sum_cents"),
+    )
+    snap, n_files = read_acid_full_point(
+        spark, table, "et", pv, n, 77, kind="long"
+    )
+    if n_files != 1 + len(deltas):
+        raise AssertionError(
+            f"triple-pruned lookup opened {n_files} files, expected "
+            f"1 + {len(deltas)} (base bucket + one per post-base delta)"
+        )
+    point = snap.select(
+        F.col("et").alias("lookup_part"),
+        F.col("k").alias("lookup_key"),
+        F.col("p").cast("long").alias("lookup_cents"),
+    )
+    return totals.crossJoin(point).select(
+        "n_rows", "n_keys", "sum_cents",
+        "lookup_part", "lookup_key", "lookup_cents",
+        F.lit(True).alias("compacted"),
+        F.lit(hive_bucket_of(77, n, "long")).cast("int").alias("key_bucket"),
+    )
