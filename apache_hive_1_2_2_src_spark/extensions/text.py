@@ -1771,3 +1771,160 @@ def bpe_train_merges_steps(
         "step int, pair_a string, pair_b string, "
         "pair_freq bigint, tokens_after bigint",
     )
+
+
+_PPL_B = 512
+_PPL_SCALE = 100_000
+_PPL_REF = ("src0", "src1")
+
+
+def _ppl_oracle() -> str:
+    from apache_hive_1_2_2_src_spark.extensions.sampling import (
+        _det_ln_floor_sql,
+    )
+
+    # Java String.hashCode bucket — the same list_reduce replica the
+    # bucketing and DSIR oracles share
+    return f"""
+    WITH w AS (
+      SELECT doc_id, lang, source,
+             unnest({_SQL_WORDS}) AS w
+      FROM documents
+    ),
+    dw AS (SELECT DISTINCT w FROM w),
+    hb AS (
+      SELECT w,
+             CAST((CASE WHEN length(w) = 0 THEN 0
+                   ELSE list_reduce(
+                     list_prepend(CAST(0 AS BIGINT), list_transform(
+                       range(1, length(w) + 1),
+                       i -> CAST(ord(substr(w, i, 1)) AS BIGINT))),
+                     (a, b) -> (a * 31 + b) % 4294967296)
+                   END % 2147483648) % {_PPL_B} AS INT) AS b
+      FROM dw
+    ),
+    wb AS (SELECT doc_id, lang, source, b FROM w JOIN hb USING (w)),
+    ref AS (
+      SELECT b, COUNT(*) AS c FROM wb
+      WHERE source IN {_PPL_REF} GROUP BY b
+    ),
+    tot AS (SELECT COUNT(*) AS t FROM wb WHERE source IN {_PPL_REF}),
+    nd AS (
+      SELECT gs.b,
+             CAST(COALESCE(ref.c, 0) + 1 AS BIGINT) AS num,
+             CAST(tot.t + {_PPL_B} AS BIGINT) AS den
+      FROM (SELECT unnest(range(0, {_PPL_B})) AS b) gs
+      LEFT JOIN ref ON ref.b = gs.b CROSS JOIN tot
+    ),
+    lm AS (SELECT b, {_det_ln_floor_sql("num", "den", _PPL_SCALE)} AS lb
+           FROM nd),
+    dsc AS (
+      SELECT doc_id, lang,
+             CAST(SUM(lb) AS BIGINT) AS lp_sum,
+             CAST(COUNT(*) AS BIGINT) AS n_tok
+      FROM wb JOIN lm ON lm.b = wb.b
+      GROUP BY doc_id, lang
+    ),
+    scored AS (
+      SELECT *, CAST(-lp_sum AS DOUBLE) / (n_tok * {_PPL_SCALE}.0) AS nll,
+             NTILE(3) OVER (PARTITION BY lang
+                            ORDER BY CAST(-lp_sum AS DOUBLE)
+                                     / (n_tok * {_PPL_SCALE}.0), doc_id)
+               AS tile
+      FROM dsc
+    )
+    SELECT lang,
+           CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                     ELSE 'tail' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(doc_id) AS BIGINT) AS docid_sum,
+           CAST(ROUND(MIN(nll), 6) AS DOUBLE) AS min_nll,
+           CAST(ROUND(MAX(nll), 6) AS DOUBLE) AS max_nll
+    FROM scored GROUP BY lang, bucket"""
+
+
+@register(
+    "text_perplexity_buckets",
+    oracle=_ppl_oracle(),
+    doc="CCNet-style perplexity bucketing (Wenzek et al. 2020, 'CCNet: "
+    "Extracting High Quality Monolingual Datasets from Web Crawl Data' "
+    "— public paper; the head/middle/tail split by reference-LM "
+    "perplexity that seeded most modern pretraining corpora): a hashed-"
+    "unigram reference LM is fit on the high-quality slice (sources "
+    "src0/src1; Java String.hashCode into 512 buckets — the engine's "
+    "interop hash, replayed in DuckDB), every doc is scored by mean "
+    "negative log-likelihood, and docs are split per-language into "
+    "head/middle/tail terciles (NTILE over a total order with doc_id "
+    "tiebreak). Determinism devices: the per-bucket add-1 log-prob is "
+    "integerized through the libm-free _det_ln_floor_sql template "
+    "(ADVICE r12's device, reused), so doc scores are exact integer "
+    "sums divided once. Scale: the LM is a 512-row broadcast; scoring "
+    "is one groupBy(doc_id); the tercile split is one window per "
+    "language partition — at 100 TB run it per (lang, shard) with "
+    "pre-computed global cutoffs instead of NTILE, a broadcast-join "
+    "filter like the paper's production pipeline.",
+    tags=("extension", "text", "quality", "sampling"),
+)
+def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from apache_hive_1_2_2_src_spark.extensions.sampling import (
+        _det_ln_floor_sql,
+    )
+    from apache_hive_1_2_2_src_spark.sources.hive_bucketing import (
+        hive_bucket_id,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    words = d.select(
+        "doc_id", "lang", "source", F.explode(_words()).alias("w")
+    )
+    wb = words.withColumn("b", hive_bucket_id("w", _PPL_B, "string")).select(
+        "doc_id", "lang", "source", "b"
+    )
+    is_ref = F.col("source").isin(*_PPL_REF)
+    ref = wb.where(is_ref).groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+    tot = wb.where(is_ref).agg(F.count(F.lit(1)).alias("t"))
+    lm = (
+        spark.range(_PPL_B)
+        .select(F.col("id").cast("int").alias("b"))
+        .join(ref, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            (F.coalesce("c", F.lit(0)) + 1).cast("long").alias("num"),
+            (F.col("t") + _PPL_B).cast("long").alias("den"),
+        )
+        .select(
+            "b",
+            F.expr(_det_ln_floor_sql("num", "den", _PPL_SCALE)).alias("lb"),
+        )
+    )
+    dsc = (
+        wb.join(F.broadcast(lm), "b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("lb").cast("long").alias("lp_sum"),
+            F.count(F.lit(1)).cast("long").alias("n_tok"),
+        )
+    )
+    nll = (-F.col("lp_sum")).cast("double") / (
+        F.col("n_tok") * float(_PPL_SCALE)
+    )
+    w = Window.partitionBy("lang").orderBy(nll, F.col("doc_id"))
+    scored = dsc.withColumn("nll", nll).withColumn("tile", F.ntile(3).over(w))
+    bucket = (
+        F.when(F.col("tile") == 1, "head")
+        .when(F.col("tile") == 2, "middle")
+        .otherwise("tail")
+    )
+    return scored.groupBy("lang", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.sum("doc_id").cast("long").alias("docid_sum"),
+        F.round(F.min("nll"), 6).alias("min_nll"),
+        F.round(F.max("nll"), 6).alias("max_nll"),
+    )

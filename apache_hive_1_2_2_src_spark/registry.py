@@ -186,6 +186,7 @@ FRESH = (
     "similarity_ivfpq_rerank",
     "multimodal_decode_jpeg",
     "streaming_acid_compact_during_ingest",
+    "text_perplexity_buckets",
 )
 
 PRIORITY = (
