@@ -398,13 +398,18 @@ def decode_ppm(buf: bytes) -> tuple[int, int, int, int, int, int]:
 
 def decode_image(buf: bytes) -> tuple[int, int, int, int, int, int]:
     """Magic-byte dispatch over the real decoders — the sniffing entry
-    point a mixed-format media column needs."""
+    point a mixed-format media column needs. Grayscale JPEG expands to
+    r=g=b (the standard gray→RGB identity), so every format reports the
+    same (w, h, bpp, sum_r, sum_g, sum_b) contract."""
     if buf[:2] == b"BM":
         return decode_bmp24(buf)
     if buf[:2] == b"P6":
         return decode_ppm(buf)
     if buf[:8] == _PNG_SIG:
         return decode_png(buf)
+    if buf[:2] == b"\xff\xd8":
+        w, h, sg = decode_jpeg_gray(buf)
+        return w, h, 1, sg, sg, sg
     raise ValueError(f"unrecognized image magic {buf[:2]!r}")
 
 
@@ -419,11 +424,17 @@ def _fixture_payload(doc_id: int, kind: str) -> bytes:
             for i in range(nf)
         ]
         return encode_wav_pcm16(rate, ch, frames)
-    if kind == "jpeg":
+    if kind == "jpeg" or (kind == "img4" and doc_id % 4 == 3):
         jw, jh = _jpeg_fixture_dims(doc_id)
         return encode_jpeg_gray(jw, jh, _jpeg_fixture_block(doc_id))
     w, h = _bmp_fixture_dims(doc_id)
     pix = _bmp_fixture_pixel(doc_id)
+    if kind == "img4":
+        if doc_id % 4 == 0:
+            return encode_bmp24(w, h, pix)
+        if doc_id % 4 == 1:
+            return encode_ppm(w, h, pix)
+        return encode_png(w, h, pix, filter_of=lambda y: (doc_id + y) % 5)
     if kind == "png":
         # vary the filter type per scanline so every PNG filter is hit
         return encode_png(w, h, pix, filter_of=lambda y: (doc_id + y) % 5)
@@ -1370,4 +1381,88 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_batches,
         "doc_id bigint, width int, height int, "
         "sum_gray bigint, n_blocks bigint",
+    )
+
+
+@register(
+    "multimodal_sniff_quartet",
+    # Per-format aggregates with format-specific dims and pixel formulas:
+    # the hash matches only if the magic dispatch routes every doc to the
+    # right decoder AND each decoder reproduces its formula exactly —
+    # a BMP/PPM channel-order swap, a PNG filter bug, or a JPEG Huffman
+    # slip all shift exactly one format's row.
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CASE doc_id % 4 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
+                             WHEN 2 THEN 'png' ELSE 'jpeg' END AS fmt,
+             CASE WHEN doc_id % 4 = 3 THEN 8 + doc_id % 23
+                  ELSE 4 + doc_id % 13 END AS w,
+             CASE WHEN doc_id % 4 = 3 THEN 8 + doc_id % 17
+                  ELSE 3 + doc_id % 7 END AS h
+      FROM documents WHERE doc_id < 200
+    ),
+    px AS (
+      SELECT doc_id, fmt, w, h,
+             CAST(xx.x AS BIGINT) AS x, CAST(yy.y AS BIGINT) AS y
+      FROM d, UNNEST(range(0, w)) AS xx(x), UNNEST(range(0, h)) AS yy(y)
+    ),
+    per AS (
+      SELECT doc_id, fmt, w, h,
+             SUM(CASE WHEN fmt = 'jpeg'
+                 THEN 3 * ((doc_id * 17 + (x // 8) * 29 + (y // 8) * 43)
+                           % 256)
+                 ELSE (doc_id * 7 + x * 3 + y * 5) % 256
+                      + (doc_id * 11 + x + y * 2) % 256
+                      + (doc_id * 13 + x * 2 + y) % 256 END) AS rgb
+      FROM px GROUP BY doc_id, fmt, w, h
+    )
+    SELECT fmt,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(w) AS BIGINT) AS sum_w,
+           CAST(SUM(h) AS BIGINT) AS sum_h,
+           CAST(SUM(rgb) AS BIGINT) AS sum_rgb
+    FROM per GROUP BY fmt
+    """,
+    doc="Mixed-format media column sniffed across the FULL codec quartet: "
+    "payloads alternate BMP/PPM/PNG/JPEG by doc id, and the kernel "
+    "dispatches each doc by its MAGIC BYTES (BM / P6 / PNG signature / "
+    "FFD8) to the real decoder — padded-BGR rows, packed RGB, "
+    "zlib+five-filter PNG, and Huffman+IDCT JPEG all behind one "
+    "(w, h, sum_r, sum_g, sum_b) contract (grayscale JPEG expands "
+    "r=g=b). This is the crawler-output shape: one binary column, "
+    "formats only knowable from the bytes. Scale: one Arrow kernel "
+    "pass, per-format skew is irrelevant because the dispatch is "
+    "per-row inside the batch.",
+    tags=("extension", "multimodal", "codec"),
+)
+def multimodal_sniff_quartet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(stage_payloads(spark, sf_dir, "img4"))
+    magic = {b"BM": "bmp", b"P6": "ppm", b"\x89P": "png", b"\xff\xd8": "jpeg"}
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "fmt": [], "w": [], "h": [], "rgb": [],
+            }
+            for payload in pdf["payload"]:
+                buf = bytes(payload)
+                fmt = magic.get(buf[:2])
+                if fmt is None:
+                    raise ValueError(f"unknown magic {buf[:2]!r}")
+                dw, dh, _bpp, sr, sg, sb = decode_image(buf)
+                out["fmt"].append(fmt)
+                out["w"].append(dw)
+                out["h"].append(dh)
+                out["rgb"].append(sr + sg + sb)
+            yield pd.DataFrame(out)
+
+    per = d.mapInPandas(
+        decode_batches, "fmt string, w int, h int, rgb bigint"
+    )
+    return per.groupBy("fmt").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("w").cast("long").alias("sum_w"),
+        F.sum("h").cast("long").alias("sum_h"),
+        F.sum("rgb").cast("long").alias("sum_rgb"),
     )

@@ -187,6 +187,7 @@ FRESH = (
     "multimodal_decode_jpeg",
     "streaming_acid_compact_during_ingest",
     "text_perplexity_buckets",
+    "multimodal_sniff_quartet",
 )
 
 PRIORITY = (
