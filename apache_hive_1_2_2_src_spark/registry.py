@@ -188,6 +188,7 @@ FRESH = (
     "streaming_acid_compact_during_ingest",
     "text_perplexity_buckets",
     "multimodal_sniff_quartet",
+    "stats_footer_count",
 )
 
 PRIORITY = (
