@@ -189,6 +189,7 @@ FRESH = (
     "text_perplexity_buckets",
     "multimodal_sniff_quartet",
     "stats_footer_count",
+    "streaming_acid_upsert_delete_ingest",
 )
 
 PRIORITY = (

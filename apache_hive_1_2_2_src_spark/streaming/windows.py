@@ -1754,3 +1754,139 @@ def streaming_acid_compact_during_ingest(
         F.lit(True).alias("compacted"),
         F.lit(hive_bucket_of(77, n, "long")).cast("int").alias("key_bucket"),
     )
+
+
+@register(
+    "streaming_acid_upsert_delete_ingest",
+    # The oracle replays the three-batch edit history from the batch
+    # source: batch 1 inserts everything, batch 2 UPDATES every k%7==0
+    # key (+1000 cents), batch 3 DELETES every k%11==0 key. Hash-equality
+    # certifies cross-batch version ordering (delta_3 beats delta_2 beats
+    # delta_1 for the same key), tombstone semantics through the merge,
+    # and the pruned lookup of an UPDATED key surfacing the new price.
+    oracle="""
+    WITH ev AS (
+      SELECT event_id AS k, event_type AS et,
+             CAST(FLOOR(value * 100) AS BIGINT) AS c
+      FROM events
+    ),
+    fin AS (
+      SELECT k, et, CASE WHEN k % 7 = 0 THEN c + 1000 ELSE c END AS p
+      FROM ev WHERE k % 11 <> 0
+    )
+    SELECT CAST((SELECT COUNT(*) FROM fin) AS BIGINT) AS n_live,
+           CAST((SELECT SUM(p) FROM fin) AS BIGINT) AS sum_cents_live,
+           CAST((SELECT COUNT(*) FROM ev WHERE k % 11 = 0) AS BIGINT)
+             AS n_deleted,
+           CAST((SELECT c + 1000 FROM ev WHERE k = 14) AS BIGINT)
+             AS lookup_cents,
+           TRUE AS deleted_key_absent
+    """,
+    doc="Streaming ingest carrying UPDATES and DELETES — the part of "
+    "hcatalog-streaming's contract the insert-only ingests don't "
+    "exercise (TransactionBatch.write carries the operation; AcidUtils "
+    "merge resolves the same key across deltas by transaction order, "
+    "tombstones win): three mtime-ordered drops drain one per "
+    "micro-batch into the partitioned+bucketed layout — batch 1 inserts "
+    "all events, batch 2 re-writes every k%7==0 key with +1000 cents, "
+    "batch 3 tombstones every k%11==0 key (op='D'). The per-(partition,"
+    "key) highest-version merge must land exactly the replayed final "
+    "state: updated keys show the new price (a pruned point lookup of "
+    "key 14 is part of the certified output), deleted keys vanish (the "
+    "pruned lookup of key 22 is runtime-asserted EMPTY — a tombstone "
+    "that fails to dominate its earlier versions resurrects the row), "
+    "and keys hit by both (k%77==0) stay deleted because delta_3 "
+    "outranks delta_2. At 100 TB this is CDC-into-warehouse: continuous "
+    "keyed upserts/deletes, per-partition merge-on-read, compaction "
+    "folding tombstones away.",
+    tags=("streaming", "acid", "ingest", "upsert", "partitioned",
+          "bucketing"),
+)
+def streaming_acid_upsert_delete_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from apache_hive_1_2_2_src_spark.operators.acid import (
+        read_acid_full_point,
+        read_acid_table_partitioned,
+    )
+    from apache_hive_1_2_2_src_spark.sources.hive_bucketing import _hadoop_fs
+
+    n = 8
+    base = _tmp_base("hive_spark_stream_udacid_")
+    table, ckpt = os.path.join(base, "table"), os.path.join(base, "ckpt")
+    _, fs, P = _hadoop_fs(spark, table)
+    fs.delete(P(table), True)
+    fs.mkdirs(P(table))
+    ev = load_table(spark, sf_dir, "events")
+    staged_all = ev.withColumn("ts_us", F.unix_micros("ts")).drop("ts")
+    inbox = os.path.join(base, "inbox")
+    os.makedirs(inbox, exist_ok=True)
+    drops = (
+        staged_all,  # batch 0: insert everything
+        staged_all.where(F.col("event_id") % 7 == 0),  # batch 1: updates
+        staged_all.where(F.col("event_id") % 11 == 0),  # batch 2: deletes
+    )
+    for b, df in enumerate(drops):
+        stage = os.path.join(base, f"stage_{b}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        dest = os.path.join(inbox, f"drop_{b}.parquet")
+        os.rename(os.path.join(stage, part), dest)
+        os.utime(dest, (1_600_000_000 + 60 * b, 1_600_000_000 + 60 * b))
+
+    def write_delta(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        cents = F.floor(F.col("value") * 100).cast("long")
+        rows = batch_df.select(
+            F.col("event_type").alias("et"),
+            F.col("event_id").alias("k"),
+            (F.col("user_id") % 5).cast("string").alias("st"),
+            (cents + (1000 if batch_id == 1 else 0)).alias("p"),
+            F.lit("D" if batch_id == 2 else "U").alias("op"),
+        )
+        write_partitioned_bucketed_delta(rows, table, "et", "k", n, batch_id)
+
+    q = (
+        _read_events_stream(spark, inbox, max_files_per_trigger=1)
+        .writeStream.foreachBatch(write_delta)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("upsert/delete ingest drain did not finish in 300s")
+    # _merge_latest already drops tombstoned keys (OrcRawRecordMerger
+    # semantics) — the merged view IS the live set
+    live = read_acid_table_partitioned(spark, table, "et")
+    totals = live.agg(
+        F.count(F.lit(1)).alias("n_live"),
+        F.sum("p").cast("long").alias("sum_cents_live"),
+    )
+    # deleted = keys ingested minus keys surviving the merge: n_live comes
+    # from the TREE, so a tombstone that fails to dominate inflates n_live
+    # and breaks BOTH columns
+    n_total = ev.count()
+    n_live_now = live.count()
+    n_deleted = n_total - n_live_now
+    # pruned lookup of an UPDATED key (14 = 7*2): must show +1000
+    pv14 = ev.filter(F.col("event_id") == 14).select("event_type").first()[0]
+    snap14, _nf = read_acid_full_point(spark, table, "et", pv14, n, 14)
+    upd = snap14.select(F.col("p").cast("long").alias("lookup_cents"))
+    # pruned lookup of a DELETED key (22 = 11*2): tombstone must dominate
+    pv22 = ev.filter(F.col("event_id") == 22).select("event_type").first()[0]
+    snap22, _nf2 = read_acid_full_point(spark, table, "et", pv22, n, 22)
+    alive22 = snap22.count()
+    if alive22 != 0:
+        raise AssertionError(
+            "tombstone failed to dominate: deleted key 22 still visible"
+        )
+    return (
+        totals.withColumn("n_deleted", F.lit(n_deleted).cast("long"))
+        .crossJoin(upd)
+        .select(
+            "n_live", "sum_cents_live", "n_deleted", "lookup_cents",
+            F.lit(True).alias("deleted_key_absent"),
+        )
+    )
