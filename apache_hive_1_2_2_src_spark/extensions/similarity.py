@@ -1689,8 +1689,6 @@ _RERANK_SHORTLIST = 10
     tags=("extension", "similarity", "ivf", "pq", "rerank", "iterative"),
 )
 def similarity_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return ivfpq_rerank_topk(spark, e)
 
