@@ -844,3 +844,106 @@ def acid_full_layout_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame
         F.lit(n_files).cast("int").alias("files_opened"),
         F.lit(3 * 3 * n).cast("int").alias("total_files"),
     )
+
+
+_INIT_MINOR_THRESHOLD = 3  # demo-scale stand-in for
+# hive.compactor.delta.num.threshold (default 10): the DECISION SHAPE is
+# what's exercised — per-partition delta counts against a threshold
+
+
+@register(
+    "acid_initiator_policy_report",
+    # Structural columns (dir/delta counts, the needs_minor flag) replay
+    # the constructed skew; the live-row aggregates are data-dependent
+    # and certify the merge THROUGH the skewed chains — partition p0's
+    # final price depends on WHICH of its four deltas owns each key
+    # ((k//3)%4), so a version-ordering slip in any chain breaks the sum.
+    oracle=f"""
+    WITH o AS (
+      SELECT o_orderkey AS k,
+             CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS c
+      FROM orders
+    ),
+    fin AS (
+      SELECT k, 'p' || CAST(k % 3 AS VARCHAR) AS pt,
+             CASE WHEN k % 3 = 0 THEN c + 1 + (k // 3) % 4
+                  WHEN k % 3 = 1 AND (k // 3) % 2 = 0 THEN c + 1
+                  ELSE c END AS p
+      FROM o
+    )
+    SELECT pt,
+           CAST(COUNT(*) AS BIGINT) AS n_live,
+           CAST(SUM(p) AS BIGINT) AS sum_cents,
+           CAST(CASE pt WHEN 'p0' THEN 5 WHEN 'p1' THEN 2 ELSE 1 END
+                AS INT) AS n_acid_dirs,
+           CAST(CASE pt WHEN 'p0' THEN 4 WHEN 'p1' THEN 1 ELSE 0 END
+                AS INT) AS n_deltas,
+           CASE pt WHEN 'p0' THEN TRUE ELSE FALSE END AS needs_minor
+    FROM fin GROUP BY pt
+    """,
+    doc="The compactor INITIATOR's decision input — Hive 1.2 runs a "
+    "background Initiator that inspects each partition's delta chain "
+    "and queues compactions when hive.compactor.delta.num.threshold is "
+    "exceeded (ql/txn/compactor/Initiator.java; threshold 3 here as the "
+    "demo-scale stand-in for the default 10): a SKEWED partitioned tree "
+    "is materialized (p0: base + FOUR deltas, each owning the (k//3)%4 "
+    "== j key slice; p1: base + one delta updating the even slice; p2: "
+    "base only — exactly the uneven compaction debt a real warehouse "
+    "accumulates), per-partition acid state is resolved (one listing "
+    "per partition, the Initiator's own cost shape), and the report "
+    "joins the POLICY decision (delta count vs threshold) with the "
+    "data-dependent live snapshot per partition. Scale: the inspection "
+    "is metadata-only and per-partition-parallel; the snapshot "
+    "aggregates are the usual two-relation merge — at 100 TB the "
+    "Initiator's sweep costs |partitions| listings, nothing else.",
+    tags=("workload", "acid", "compaction", "partitioned", "catalog"),
+)
+def acid_initiator_policy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _tmp("acid_initiator_tree")
+    _, fs, P = _hadoop_fs(spark, path)
+    fs.delete(P(path), True)
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    rows = o.select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_orderkey") % 3).alias("pt_n"),
+        ((F.col("o_orderkey") / 3).cast("long") % 4).alias("slice"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("c"),
+    )
+    base = rows.select(
+        "k", "pt_n", F.lit("x").alias("st"), F.col("c").alias("p"),
+        F.lit("U").alias("op"),
+    )
+    for pt in range(3):
+        base.filter(F.col("pt_n") == pt).drop("pt_n").write.parquet(
+            f"{path}/pt=p{pt}/base_0"
+        )
+    # p0: four deltas, delta_j owning key slice (k//3)%4 == j-1
+    for j in range(1, 5):
+        rows.filter((F.col("pt_n") == 0) & (F.col("slice") == j - 1)).select(
+            "k", F.lit("x").alias("st"),
+            (F.col("c") + j).alias("p"), F.lit("U").alias("op"),
+        ).write.parquet(f"{path}/pt=p0/delta_{j}_{j}")
+    # p1: one delta updating the even (k//3)%2 slice
+    rows.filter((F.col("pt_n") == 1) & (F.col("slice") % 2 == 0)).select(
+        "k", F.lit("x").alias("st"),
+        (F.col("c") + 1).alias("p"), F.lit("U").alias("op"),
+    ).write.parquet(f"{path}/pt=p1/delta_1_1")
+    # the Initiator sweep: per-partition state resolution, metadata only
+    policy = []
+    for pt in range(3):
+        base_dir, _txn, deltas = resolve_acid_state(spark, f"{path}/pt=p{pt}")
+        n_dirs = (1 if base_dir else 0) + len(deltas)
+        policy.append(
+            (f"p{pt}", n_dirs, len(deltas),
+             len(deltas) >= _INIT_MINOR_THRESHOLD)
+        )
+    pol = spark.createDataFrame(
+        policy, "pt string, n_acid_dirs int, n_deltas int, needs_minor boolean"
+    )
+    live = read_acid_table_partitioned(spark, path, "pt").groupBy("pt").agg(
+        F.count(F.lit(1)).cast("long").alias("n_live"),
+        F.sum("p").cast("long").alias("sum_cents"),
+    )
+    return live.join(F.broadcast(pol), "pt").select(
+        "pt", "n_live", "sum_cents", "n_acid_dirs", "n_deltas", "needs_minor"
+    )

@@ -190,6 +190,7 @@ FRESH = (
     "multimodal_sniff_quartet",
     "stats_footer_count",
     "streaming_acid_upsert_delete_ingest",
+    "acid_initiator_policy_report",
 )
 
 PRIORITY = (
