@@ -872,3 +872,93 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("wgt").cast("long").alias("min_weight"),
         F.max("wgt").cast("long").alias("max_weight"),
     )
+
+
+_EPOCH_SHARDS = 8
+
+
+@register(
+    "pipeline_epoch_shuffle",
+    # Full replay: both engines compute the identical md5-keyed
+    # permutation per epoch, the identical NTILE shard split, and the
+    # identical cross-epoch stayed-in-shard counts — a single doc
+    # ordered differently in either engine shifts a shard boundary and
+    # breaks docid_sum/n_stayed.
+    oracle=f"""
+    WITH ep AS (SELECT unnest([0, 1]) AS epoch),
+    keyed AS (
+      SELECT d.doc_id, ep.epoch,
+             md5(CAST(d.doc_id AS VARCHAR) || ':' ||
+                 CAST(ep.epoch AS VARCHAR)) AS h
+      FROM documents d CROSS JOIN ep
+    ),
+    sharded AS (
+      SELECT doc_id, epoch,
+             NTILE({_EPOCH_SHARDS}) OVER (PARTITION BY epoch
+                                          ORDER BY h, doc_id) - 1
+               AS shard_id
+      FROM keyed
+    ),
+    moved AS (
+      SELECT a.epoch, a.shard_id, a.doc_id,
+             CASE WHEN a.epoch = 0 THEN 1
+                  WHEN b.shard_id = a.shard_id THEN 1 ELSE 0 END AS stayed
+      FROM sharded a
+      LEFT JOIN sharded b ON b.doc_id = a.doc_id AND b.epoch = 0
+    )
+    SELECT CAST(epoch AS INT) AS epoch,
+           CAST(shard_id AS INT) AS shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS docid_sum,
+           CAST(SUM(stayed) AS BIGINT) AS n_stayed
+    FROM moved GROUP BY epoch, shard_id
+    """,
+    doc="Deterministic per-epoch training-order shuffle — the step every "
+    "pretraining run does between epochs (reshuffle the corpus so "
+    "batches differ across epochs, but REPRODUCIBLY — restarting the "
+    "run must regenerate the same order): each epoch permutes docs by "
+    "md5(doc_id:epoch) (an RNG-free keyed permutation both engines "
+    "compute byte-identically) and splits the order into 8 shards via "
+    "NTILE. The audit reports per-(epoch, shard) membership checksums "
+    "plus n_stayed — how many of a shard's docs sat in the same shard "
+    "at epoch 0, certifying the epochs genuinely decorrelate (n_stayed "
+    "≈ n_docs/8 for epoch 1) while staying replayable. Scale: the "
+    "permutation key is a per-row map; the order-and-split is one "
+    "window per epoch — at 100 TB use range-partitioned sort by the "
+    "same key (deterministic) and the cross-epoch audit stays one "
+    "doc_id-keyed self-join.",
+    tags=("extension", "sampling", "pipeline"),
+)
+def pipeline_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    ep = spark.range(2).select(F.col("id").cast("int").alias("epoch"))
+    keyed = d.crossJoin(F.broadcast(ep)).select(
+        "doc_id", "epoch",
+        F.md5(
+            F.concat(
+                F.col("doc_id").cast("string"), F.lit(":"),
+                F.col("epoch").cast("string"),
+            )
+        ).alias("h"),
+    )
+    w = Window.partitionBy("epoch").orderBy("h", "doc_id")
+    sharded = keyed.select(
+        "doc_id", "epoch", (F.ntile(_EPOCH_SHARDS).over(w) - 1).alias("shard_id")
+    )
+    e0 = sharded.filter(F.col("epoch") == 0).select(
+        "doc_id", F.col("shard_id").alias("shard0")
+    )
+    moved = sharded.join(e0, "doc_id", "left").select(
+        "epoch", "shard_id", "doc_id",
+        F.when(F.col("epoch") == 0, F.lit(1))
+        .when(F.col("shard0") == F.col("shard_id"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("stayed"),
+    )
+    return moved.groupBy("epoch", "shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("docid_sum"),
+        F.sum("stayed").cast("long").alias("n_stayed"),
+    )

@@ -191,6 +191,7 @@ FRESH = (
     "stats_footer_count",
     "streaming_acid_upsert_delete_ingest",
     "acid_initiator_policy_report",
+    "pipeline_epoch_shuffle",
 )
 
 PRIORITY = (

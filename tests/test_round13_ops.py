@@ -529,3 +529,41 @@ def test_jpeg_decoder_refuses_unsupported_streams():
     prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
     with pytest.raises(ValueError, match="baseline SOF0"):
         mm.decode_jpeg_gray(prog)
+
+
+def test_full_layout_delta_writer_null_partition(spark, tmp_path):
+    """A NULL partition value routes to __HIVE_DEFAULT_PARTITION__ inside
+    the streamed delta tree (Hive's contract), and the partitioned ACID
+    read surfaces it back as NULL."""
+    import os
+
+    from apache_hive_1_2_2_src_spark.operators.acid import (
+        read_acid_table_partitioned,
+    )
+    from apache_hive_1_2_2_src_spark.streaming.windows import (
+        write_partitioned_bucketed_delta,
+    )
+
+    n = 2
+    tbl = str(tmp_path / "flnull")
+    os.makedirs(tbl)
+    rows = spark.createDataFrame(
+        [("g0", 1, "a", 10, "U"), (None, 2, "b", 20, "U")],
+        "pt string, k long, st string, p long, op string",
+    )
+    write_partitioned_bucketed_delta(rows, tbl, "pt", "k", n, 0)
+    assert sorted(os.listdir(tbl)) == [
+        "pt=__HIVE_DEFAULT_PARTITION__", "pt=g0",
+    ]
+    assert sorted(
+        f
+        for f in os.listdir(
+            os.path.join(tbl, "pt=__HIVE_DEFAULT_PARTITION__", "delta_1_1")
+        )
+        if f.endswith("_0") and not f.startswith(".")
+    ) == [f"{b:06d}_0" for b in range(n)]
+    got = {
+        (r.pt, r.k, r.p)
+        for r in read_acid_table_partitioned(spark, tbl, "pt").collect()
+    }
+    assert got == {("g0", 1, 10), (None, 2, 20)}
