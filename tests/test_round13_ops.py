@@ -259,16 +259,23 @@ def test_ivfpq_residual_encoding_improves_recall(spark):
 def test_bpe_pack_chain_matches_python_reference(spark):
     """The tokenize→pack composition must equal a straight Python replay:
     train k=4 BPE merges (the round-8 reference algorithm), tokenize each
-    doc by summing its words' post-merge token counts, pack per lang in
-    doc_id order into 2048-token bins — multiple bins per lang exercised,
-    'banana'-class overlap words included."""
+    doc by summing its words' post-merge token counts, pack per
+    (lang, shard = doc_id % 4) in doc_id order into 2048-token bins —
+    the r14 scale-safe shard-keyed packing; multiple bins exercised,
+    'banana'-class overlap words included. Pins BOTH routes: the
+    single-statement template (the oracle's form) and the registered
+    steps-trainer route (checkpointed state + tail) must agree with the
+    replay and each other."""
     from collections import Counter
 
     from apache_hive_1_2_2_src_spark.extensions.text import (
         _BPE_BASE_SPARK,
         _BPE_DOCC_SPARK,
         _BPE_STEPS,
+        _PACK_SHARDS,
         _bpe_pack_sql,
+        _bpe_pack_tail,
+        bpe_final_state_steps,
     )
 
     rng = __import__("random").Random(13)
@@ -279,12 +286,20 @@ def test_bpe_pack_chain_matches_python_reference(spark):
         words = [vocab[rng.randrange(len(vocab))] for _ in range(rng.randrange(150, 450))]
         docs.append((d, lang, " ".join(words)))
     spark.createDataFrame(docs, "doc_id long, lang string, text string").createOrReplaceTempView("bpe_docs")
-    got = sorted(
-        (r.lang, r.bin_id, r.n_docs, r.bin_tokens, r.docid_sum)
-        for r in spark.sql(
-            _bpe_pack_sql(_BPE_BASE_SPARK, _BPE_DOCC_SPARK)
-        ).collect()
+
+    def rows(df):
+        return sorted(
+            (r.lang, r.shard_id, r.bin_id, r.n_docs, r.bin_tokens, r.docid_sum)
+            for r in df.collect()
+        )
+
+    got = rows(spark.sql(_bpe_pack_sql(_BPE_BASE_SPARK, _BPE_DOCC_SPARK)))
+    state, _ = bpe_final_state_steps(spark, _BPE_STEPS)
+    state.createOrReplaceTempView("bpe_state_final")
+    got_steps = rows(
+        spark.sql("WITH " + _bpe_pack_tail("bpe_state_final", _BPE_DOCC_SPARK))
     )
+    assert got_steps == got
 
     # ---- independent Python replay ----
     words = Counter(w for _d, _l, t in docs for w in t.split(" ") if w)
@@ -312,19 +327,24 @@ def test_bpe_pack_chain_matches_python_reference(spark):
         for d, lang, t in docs
     ]
     bins: dict = {}
-    for lang in {l for _d, l, _t in per_doc}:
+    for lang, shard in {(l, d % _PACK_SHARDS) for d, l, _t in per_doc}:
         cum = 0
-        for d, lg, n in sorted(p for p in per_doc if p[1] == lang):
+        for d, lg, n in sorted(
+            p for p in per_doc if p[1] == lang and p[0] % _PACK_SHARDS == shard
+        ):
             b = cum // 2048
-            nd, nt, ds = bins.get((lang, b), (0, 0, 0))
-            bins[(lang, b)] = (nd + 1, nt + n, ds + d)
+            nd, nt, ds = bins.get((lang, shard, b), (0, 0, 0))
+            bins[(lang, shard, b)] = (nd + 1, nt + n, ds + d)
             cum += n
     expect = sorted(
-        (lang, b, nd, nt, ds) for (lang, b), (nd, nt, ds) in bins.items()
+        (lang, sh, b, nd, nt, ds)
+        for (lang, sh, b), (nd, nt, ds) in bins.items()
     )
     assert got == expect
-    # multiple bins per lang actually exercised
-    assert max(b for _l, b, *_ in expect) >= 2
+    # multiple bins per (lang, shard) actually exercised
+    assert max(b for _l, _s, b, *_ in expect) >= 1
+    # ...and more than one shard per lang
+    assert len({(l, s) for l, s, *_ in expect}) >= 4
 
 
 # ------------------------------------- scalable driver-loop BPE trainer
