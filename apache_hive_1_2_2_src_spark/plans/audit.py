@@ -36,3 +36,48 @@ def assert_pushed_filter(df: DataFrame, fragment: str) -> None:
     assert any(fragment in ln for ln in pushed), (
         f"filter fragment {fragment!r} not pushed to any scan; pushed lines: {pushed}"
     )
+
+
+def window_partition_specs(df: DataFrame) -> list[list[str]]:
+    """Partition-column names of every Window operator in the physical
+    plan, one list per windowspecdefinition.
+
+    Parsed from the plan text: inside ``windowspecdefinition(p1, p2, o1
+    ASC NULLS FIRST, ..., specifiedwindowframe(...))`` the partition
+    columns are the leading comma-separated entries carrying no
+    ASC/DESC sort marker. Column ids (``name#123``) are stripped to bare
+    names. Used by the scale-shape guards: a Window whose partition spec
+    is a single low-cardinality key (lang, epoch) funnels each key
+    through ONE task — the per-key-global-window anti-pattern VERDICT
+    r13 flagged — so scale-safe plans must show a finer spec (e.g. a
+    hash-prefix bucket) on every corpus-sized Window."""
+    import re
+
+    specs: list[list[str]] = []
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)", plan_text(df)):
+        cols: list[str] = []
+        for part in m.group(1).split(","):
+            part = part.strip()
+            if (" ASC" in part or " DESC" in part
+                    or part.startswith("specifiedwindowframe")):
+                break
+            name = re.sub(r"#\d+L?", "", part)
+            if name:
+                cols.append(name)
+        specs.append(cols)
+    return specs
+
+
+def assert_no_single_key_window(df: DataFrame, allowed: set[str] | None = None) -> None:
+    """Fail if any Window in the plan partitions by fewer than two
+    columns (a per-key global window — one task per key value at scale),
+    unless its single column is in ``allowed`` (for windows whose input
+    is provably metadata-sized, e.g. over a tiny aggregate)."""
+    bad = [
+        s for s in window_partition_specs(df)
+        if len(s) < 2 and not (allowed and s and s[0] in allowed)
+    ]
+    assert not bad, (
+        f"plan contains per-key/global window partition specs {bad}:\n"
+        + plan_text(df)
+    )

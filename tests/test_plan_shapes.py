@@ -515,3 +515,36 @@ def test_layout_zorder_broadcasts_bounds(plans):
     # exactly one hash-partitioned Exchange (the zbucket groupBy); the only
     # other Exchange is the SinglePartition fold of the 1-row bounds agg.
     assert p.count("hashpartitioning") == 1
+
+
+def test_epoch_shuffle_no_per_epoch_global_window(spark, registry):
+    """r14 scale fix (VERDICT r13 item 1a): the epoch shuffle's
+    order-and-split must NOT funnel each epoch through one task. Every
+    Window in the executed plan must partition by (epoch, bkt) — the
+    md5-prefix range bucket — never by epoch alone; the NTILE shard is
+    arithmetic over bucket offsets, so no global sort exists either."""
+    from apache_hive_1_2_2_src_spark.plans.audit import (
+        assert_no_single_key_window,
+        window_partition_specs,
+    )
+
+    df = registry["pipeline_epoch_shuffle"].build(spark, SF_DIR)
+    assert_no_single_key_window(df)
+    specs = window_partition_specs(df)
+    assert specs and all(s == ["epoch", "bkt"] for s in specs), specs
+
+
+def test_bpe_pack_chain_window_is_shard_keyed(spark, registry):
+    """r14 scale fix (VERDICT r13 item 1c): the packing cumulative-sum
+    window must partition by (lang, shard_id), never lang alone — and
+    the registered plan must be rooted at the checkpointed BPE state
+    (no k-step training chain in the query plan)."""
+    from apache_hive_1_2_2_src_spark.plans.audit import (
+        assert_no_single_key_window,
+        window_partition_specs,
+    )
+
+    df = registry["text_bpe_pack_chain"].build(spark, SF_DIR)
+    assert_no_single_key_window(df)
+    specs = window_partition_specs(df)
+    assert specs and all(s == ["lang", "shard_id"] for s in specs), specs
