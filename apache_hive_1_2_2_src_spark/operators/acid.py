@@ -37,17 +37,22 @@ Determinism: the edit batches derive from ``orders`` by integer-modulus
 rules evaluated identically in Spark and the DuckDB oracle CTEs (no rand,
 no time); money flows through DECIMAL(18,2) (registry.py rules).
 
-Scope (deliberate): ABORTED-transaction filtering is NOT emulated.
-``AcidUtils.getAcidState`` takes a ``ValidTxnList`` from the metastore's
-transaction manager and skips deltas written by aborted/open txns; that
-requires a live lock/txn manager, which this engine intentionally does not
-carry (SURVEY §1.1 architecture swap). Every ``delta_M_M`` in these trees
-is treated as committed. A real deployment replaces the whole mechanism
-with a snapshot-isolation table format (Delta Lake / Iceberg): their
-atomic-commit log means an aborted writer simply never publishes a
-snapshot, so the invalid-delta case cannot arise — strictly stronger than
-filtering it at read time. See SCALE.md "ACID realism" for the one-line
-operational note.
+Txn visibility (r14, VERDICT r13 item 4): ``resolve_acid_state`` and
+``read_acid_table`` now take an optional ``ValidTxnList`` — the
+high-watermark + exception-txn form of ``ValidReadTxnList`` that
+``AcidUtils.getAcidState`` receives from the metastore's transaction
+manager. A base is selectable only if its txn is valid; a delta survives
+only if its txn range contains at least one valid txn
+(``isTxnRangeValid != NONE``), so deltas written by ABORTED txns and
+deltas above the watermark (OPEN writers) are invisible to readers.
+``acid_txn_visibility`` certifies it against a tree containing both an
+aborted and an open delta. What still is NOT carried is the live
+lock/txn MANAGER itself (lock queues, heartbeats — SURVEY §1.1
+architecture swap): the ValidTxnList is an input here, exactly as it is
+an input to getAcidState in the reference. A real deployment replaces
+the whole mechanism with a snapshot-isolation table format
+(Delta Lake / Iceberg), where an aborted writer never publishes a
+snapshot — strictly stronger than read-time filtering.
 
 Scale (100 TB): the merge shuffles once on the row key; at cluster scale
 the base is bucketed on the key so merge-on-read co-locates shuffle-free
@@ -60,6 +65,7 @@ map-side partial, so shuffle volume is ~|distinct keys touched|, not
 from __future__ import annotations
 
 import re
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -167,8 +173,34 @@ _BASE_RE = re.compile(r"^base_(\d+)$")
 _DELTA_RE = re.compile(r"^delta_(\d+)_(\d+)$")
 
 
+@dataclass(frozen=True)
+class ValidTxnList:
+    """``ValidReadTxnList`` semantics (reference anchor: common/.../
+    ValidReadTxnList.java, consumed by AcidUtils.getAcidState): a txn is
+    visible iff it is at or below the high-watermark and not in the
+    exception list (exceptions = txns open or aborted at snapshot time).
+    A delta directory's range is readable iff at least one txn in it is
+    visible (``isTxnRangeValid != NONE`` — a compacted delta_M1_M2 holds
+    only data that was committed when the compactor ran, so partial
+    validity suffices)."""
+
+    high_watermark: int
+    exceptions: frozenset = frozenset()
+
+    def is_valid(self, txn: int) -> bool:
+        return txn <= self.high_watermark and txn not in self.exceptions
+
+    def is_range_valid(self, mn: int, mx: int) -> bool:
+        return any(
+            self.is_valid(t)
+            for t in range(mn, min(mx, self.high_watermark) + 1)
+        )
+
+
 def resolve_acid_state(
-    spark: SparkSession, table_path: str
+    spark: SparkSession,
+    table_path: str,
+    txn_list: ValidTxnList | None = None,
 ) -> tuple[str | None, int, list[tuple[int, int, str]]]:
     """``AcidUtils.getAcidState`` directory resolution over a REAL tree
     (reference anchor: ql/io/AcidUtils.java): pick the highest ``base_N``;
@@ -177,8 +209,10 @@ def resolve_acid_state(
     ``delta_1_1`` and ``delta_2_2`` beside the ``delta_1_2`` it produced
     until the cleaner runs — readers must prefer the widest range, never
     double-count); anything not matching ``base_N``/``delta_M1_M2``
-    (staging dirs, _tmp junk) is ignored. Aborted-txn filtering needs a
-    txn manager and is out of scope (SURVEY §1.1 architecture swap).
+    (staging dirs, _tmp junk) is ignored. With ``txn_list`` (r14), bases
+    from invalid txns and deltas whose whole range is invisible
+    (aborted, or open above the watermark) are dropped BEFORE the
+    covered-delta elimination — getAcidState's txn-list-aware form.
 
     Returns ``(base_dirname | None, base_txn, [(min, max, dirname), …])``
     with the surviving deltas in txn order.
@@ -197,6 +231,9 @@ def resolve_acid_state(
             bases.append((int(m.group(1)), nm))
         elif m := _DELTA_RE.match(nm):
             deltas.append((int(m.group(1)), int(m.group(2)), nm))
+    if txn_list is not None:
+        bases = [b for b in bases if txn_list.is_valid(b[0])]
+        deltas = [d for d in deltas if txn_list.is_range_valid(d[0], d[1])]
     base_txn, base_dir = max(bases) if bases else (-1, None)
     live = sorted(
         (d for d in deltas if d[1] > base_txn), key=lambda d: (d[0], -d[1])
@@ -211,13 +248,19 @@ def resolve_acid_state(
     return base_dir, base_txn, chosen
 
 
-def read_acid_table(spark: SparkSession, table_path: str) -> DataFrame:
+def read_acid_table(
+    spark: SparkSession,
+    table_path: str,
+    txn_list: ValidTxnList | None = None,
+) -> DataFrame:
     """Merge-on-read over a real base/delta directory tree: resolve the
-    live directories (resolve_acid_state), attach each row's version from
-    its DIRECTORY name (base_N → N, delta_M1_M2 → M2 — the files
-    themselves carry only (k, st, p, op), like Hive's txn-id-in-the-path
-    layout), then highest-version-wins merge with one shuffle."""
-    base_dir, base_txn, deltas = resolve_acid_state(spark, table_path)
+    live directories (resolve_acid_state — honoring ``txn_list`` when
+    given, so aborted/open deltas never reach the merge), attach each
+    row's version from its DIRECTORY name (base_N → N, delta_M1_M2 → M2
+    — the files themselves carry only (k, st, p, op), like Hive's
+    txn-id-in-the-path layout), then highest-version-wins merge with one
+    shuffle."""
+    base_dir, base_txn, deltas = resolve_acid_state(spark, table_path, txn_list)
     parts: list[DataFrame] = []
     if base_dir is not None:
         parts.append(
@@ -947,3 +990,105 @@ def acid_initiator_policy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return live.join(F.broadcast(pol), "pt").select(
         "pt", "n_live", "sum_cents", "n_acid_dirs", "n_deltas", "needs_minor"
     )
+
+
+# ------------------------- txn-visibility read (ValidTxnList, r14) ----
+#
+# Tree: base_0 + delta_1_1 (committed) + delta_2_2 (ABORTED) +
+# delta_3_3 (committed) + delta_4_4 (OPEN, above the watermark).
+# Snapshot: ValidTxnList(high_watermark=3, exceptions={2}) — the reader
+# must merge base ∪ d1 ∪ d3 ONLY. The oracle replays exactly that
+# algebra; if the aborted d2 (status flips, upserts) or the open d4
+# (mass deletes) leaked into the merge, the per-status counts/totals
+# shift and the value hash breaks.
+_ACID_TXN_ORACLE = f"""
+    WITH {_ACID_CTES},
+    d3 AS (
+      SELECT o_orderkey AS k, o_orderstatus AS st,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 7
+                  AS DECIMAL(18,2)) AS p,
+             3 AS ver, 'U' AS op
+      FROM orders WHERE o_orderkey % 5 = 0
+    ),
+    all_rows AS (
+      SELECT * FROM base UNION ALL SELECT * FROM d1 UNION ALL SELECT * FROM d3
+    ),
+    latest AS (
+      SELECT k, st, p, op,
+             ROW_NUMBER() OVER (PARTITION BY k ORDER BY ver DESC) AS rn
+      FROM all_rows
+    )
+    SELECT st AS o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(p) AS DOUBLE) AS sum_price,
+           MIN(k) AS min_key, MAX(k) AS max_key
+    FROM latest WHERE rn = 1 AND op <> 'D'
+    GROUP BY st
+"""
+
+
+def materialize_acid_layout_txn(
+    spark: SparkSession, sf_dir: str, path: str
+) -> str:
+    """The txn-visibility fixture tree: the standard base_0/d1/d2 history
+    plus delta_3_3 (committed: +7.00 price update on the k%5==0 slice)
+    and delta_4_4 (an OPEN writer's mass delete of the k%3==0 slice —
+    data that is physically on disk but must be invisible below the
+    watermark). d2 plays the ABORTED txn."""
+    _, fs, P = _hadoop_fs(spark, path)
+    fs.delete(P(path), True)
+    base, d1, d2 = _acid_versions(spark, sf_dir)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    d3 = o.filter(F.col("o_orderkey") % 5 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        (dec("o_totalprice") + 7).cast("decimal(18,2)").alias("p"),
+        F.lit("U").alias("op"),
+    )
+    d4 = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.lit(None).cast("decimal(18,2)").alias("p"),
+        F.lit("D").alias("op"),
+    )
+    base.drop("ver").write.parquet(f"{path}/base_0")
+    d1.drop("ver").write.parquet(f"{path}/delta_1_1")
+    d2.drop("ver").write.parquet(f"{path}/delta_2_2")
+    d3.write.parquet(f"{path}/delta_3_3")
+    d4.write.parquet(f"{path}/delta_4_4")
+    return path
+
+
+@register(
+    "acid_txn_visibility",
+    oracle=_ACID_TXN_ORACLE,
+    doc="ValidTxnList-aware merge-on-read — the last AcidUtils gap "
+    "(reference anchors: ql/io/AcidUtils.java getAcidState's txnList "
+    "parameter + common ValidReadTxnList + metastore/txn/TxnHandler."
+    "java's open/aborted bookkeeping, which produces the list): the "
+    "tree holds base_0 + delta_1_1 (committed) + delta_2_2 (ABORTED) + "
+    "delta_3_3 (committed) + delta_4_4 (OPEN writer above the "
+    "watermark); the read snapshot is ValidTxnList(hwm=3, "
+    "exceptions={2}), so the merge must see base ∪ d1 ∪ d3 only. "
+    "Runtime-asserted: the resolver returns exactly [delta_1_1, "
+    "delta_3_3]; hash-certified: the aborted txn's status flips/upserts "
+    "and the open txn's mass deletes are physically on disk but change "
+    "the per-status totals the moment they leak. Scale: visibility "
+    "filtering is pure directory-name metadata — zero data reads for "
+    "excluded deltas.",
+    tags=("workload", "acid", "merge", "txn"),
+)
+def acid_txn_visibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table = materialize_acid_layout_txn(spark, sf_dir, _tmp("acid_txn_table"))
+    snapshot = ValidTxnList(high_watermark=3, exceptions=frozenset({2}))
+    base_dir, _txn, deltas = resolve_acid_state(spark, table, snapshot)
+    if base_dir != "base_0" or [d[2] for d in deltas] != [
+        "delta_1_1",
+        "delta_3_3",
+    ]:
+        raise AssertionError(
+            f"txn-list resolution wrong: base={base_dir} deltas={deltas}"
+        )
+    return _verdict(read_acid_table(spark, table, snapshot))

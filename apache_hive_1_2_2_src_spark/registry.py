@@ -114,6 +114,9 @@ STABLE_WINDOW = (
     # newest machinery (r8-r9): ACID, Hive-bucket interop, curves, dedup
     "acid_read_compacted",
     "streaming_acid_delta_ingest",
+    # §2.9 UDTF representative rides high: FRESH truncates the tail, and
+    # the breadth guard requires a udtf-tagged query in every window
+    "lateral_view_sql",
     "hive_bucket_id_compat",
     "hive_bucketed_read_prune",
     "hive_bucket_map_join",
@@ -123,9 +126,6 @@ STABLE_WINDOW = (
     "dedup_semdedup_prune",
     "dedup_embedding_near",
     "pipeline_publish_shards",
-    # §2.9 UDTF representative rides high: FRESH truncates the tail, and
-    # the breadth guard requires a udtf-tagged query in every window
-    "lateral_view_sql",
     # §2.3 joins
     "join_three_way",
     "join_asof",
@@ -180,18 +180,52 @@ STABLE_WINDOW = (
 # either way. (r12's 18 FRESH names all certified in CORRECTNESS_r12 and
 # rotated out; the displaced stable tail returns automatically.)
 FRESH = (
-    "streaming_acid_full_layout_ingest",
-    "similarity_ivfpq_residual_search",
-    "text_bpe_pack_chain",
-    "similarity_ivfpq_rerank",
-    "multimodal_decode_jpeg",
-    "streaming_acid_compact_during_ingest",
-    "text_perplexity_buckets",
-    "multimodal_sniff_quartet",
-    "stats_footer_count",
-    "streaming_acid_upsert_delete_ingest",
-    "acid_initiator_policy_report",
+    # r14 new registration + the five r14 REWRITES (scale-safe window
+    # shapes + steps-trainer routing) — rewritten queries re-ride FRESH
+    # so their new plans earn a fresh driver-green row
+    "acid_txn_visibility",
     "pipeline_epoch_shuffle",
+    "text_perplexity_buckets",
+    "text_bpe_pack_chain",
+    "text_bpe_train_merges",
+    "text_bpe_apply_fertility",
+    # stale-green hygiene rotation (VERDICT r13 item 3): every query
+    # whose NEWEST driver-green row predates r5 — 27 r2 names + 3 r3 +
+    # 3 r4 — so no green row in the record is ever more than a few
+    # rounds old. All re-verified by the local 338/338 sweep this round.
+    "agg_covar_corr",
+    "agg_cube",
+    "agg_global_no_groupby",
+    "agg_having",
+    "agg_percentile_exact",
+    "agg_rollup",
+    "agg_sum_avg_min_max",
+    "agg_variance_stddev",
+    "except_emulated",
+    "global_order_by",
+    "intersect_emulated",
+    "join_cross",
+    "join_full_outer",
+    "join_left_anti",
+    "join_left_outer",
+    "join_left_semi",
+    "join_right_outer",
+    "join_theta_range",
+    "select_distinct",
+    "subquery_in_where",
+    "subquery_not_in",
+    "tablesample_percent_rows",
+    "union_all",
+    "union_distinct",
+    "window_ntile",
+    "window_percent_rank_cume_dist",
+    "window_rank_dense_rank",
+    "agg_collect_list_set",
+    "math_basic_suite",
+    "window_first_last_value",
+    "multimodal_decode_stub",
+    "text_context_ngrams",
+    "text_token_count_regex",
 )
 
 PRIORITY = (

@@ -362,3 +362,56 @@ def test_partitioned_delta_writer_retry_is_idempotent(spark, tmp_path):
     }
     expect = {(f"g{k % 2}", k): ("C" if k < 4 else "A") for k in range(6)}
     assert got == expect
+
+
+def test_valid_txn_list_filters_aborted_and_open(spark, tmp_path):
+    """r14 ValidTxnList rules in isolation: an aborted txn's delta and an
+    open txn's delta (above the watermark) are invisible; the same tree
+    read WITHOUT a txn list applies both — the differentiating pair that
+    proves the filter, not the fixture, changes the answer."""
+    from apache_hive_1_2_2_src_spark.operators.acid import ValidTxnList
+
+    t = str(tmp_path / "acid_txn")
+    _rows(spark, [(1, "O", 10, "U"), (2, "O", 20, "U")]).write.parquet(f"{t}/base_0")
+    _rows(spark, [(1, "F", 11, "U")]).write.parquet(f"{t}/delta_1_1")
+    _rows(spark, [(2, "X", 99, "U")]).write.parquet(f"{t}/delta_2_2")   # aborted
+    _rows(spark, [(3, "P", 30, "U")]).write.parquet(f"{t}/delta_3_3")
+    _rows(spark, [(1, "D", 0, "D")]).write.parquet(f"{t}/delta_4_4")    # open
+    snap = ValidTxnList(high_watermark=3, exceptions=frozenset({2}))
+
+    base_dir, base_txn, deltas = resolve_acid_state(spark, t, snap)
+    assert base_dir == "base_0"
+    assert [d[2] for d in deltas] == ["delta_1_1", "delta_3_3"]
+
+    got = {
+        (r.k, r.st, str(r.p))
+        for r in read_acid_table(spark, t, snap).collect()
+    }
+    assert got == {(1, "F", "11.00"), (2, "O", "20.00"), (3, "P", "30.00")}
+
+    # without the list every delta applies: k=2 flips to X, k=1 deleted
+    full = {
+        (r.k, r.st) for r in read_acid_table(spark, t).collect()
+    }
+    assert full == {(2, "X"), (3, "P")}
+
+
+def test_valid_txn_list_base_and_range_rules(spark, tmp_path):
+    """A base from an invalid txn may not be selected (fall back to the
+    older valid base); a compacted range delta survives if ANY txn in
+    its range is valid (isTxnRangeValid != NONE) and dies if none is."""
+    from apache_hive_1_2_2_src_spark.operators.acid import ValidTxnList
+
+    t = str(tmp_path / "acid_txn_base")
+    _rows(spark, [(1, "O", 10, "U")]).write.parquet(f"{t}/base_0")
+    _rows(spark, [(1, "B", 50, "U")]).write.parquet(f"{t}/base_6")  # above hwm
+    _rows(spark, [(1, "C", 12, "U"), (2, "N", 7, "U")]).write.parquet(
+        f"{t}/delta_1_3"
+    )  # range contains aborted 2 but valid 1,3 -> SOME -> visible
+    _rows(spark, [(2, "Z", 99, "U")]).write.parquet(f"{t}/delta_4_5")
+    snap = ValidTxnList(high_watermark=3, exceptions=frozenset({2}))
+    base_dir, _txn, deltas = resolve_acid_state(spark, t, snap)
+    assert base_dir == "base_0"
+    assert [d[2] for d in deltas] == ["delta_1_3"]
+    got = {(r.k, r.st) for r in read_acid_table(spark, t, snap).collect()}
+    assert got == {(1, "C"), (2, "N")}
