@@ -949,20 +949,26 @@ def kmeans_centroids_quantized(
 
 
 def _kmq_train_ctes(
-    pref: str = "", src: str = "embedding", frm: str = "embeddings"
+    pref: str = "",
+    src: str = "embedding",
+    frm: str = "embeddings",
+    k: int = _KMQ_K,
 ) -> tuple[list[str], str]:
     """The quantized-Lloyd training iterations as DuckDB CTE fragments
-    (shared by the SemDeDup-kmeans / IVF-kmeans / PQ oracles); returns
-    (cte_list, name_of_final_centroid_cte). ``pref`` namespaces the CTE
-    chain (PQ trains one chain per subspace); ``src`` is the embedding
+    (shared by the SemDeDup-kmeans / IVF-kmeans / PQ / two-level-IVF
+    oracles); returns (cte_list, name_of_final_centroid_cte). ``pref``
+    namespaces the CTE chain (PQ trains one chain per subspace; the
+    two-level IVF one per coarse cell); ``src`` is the embedding
     expression the chain trains on (e.g. a list slice); ``frm`` is the
-    relation it trains over (a prior CTE for the residual-PQ chains).
+    relation it trains over (a prior CTE for the residual-PQ and
+    per-cell chains); ``k`` is the centroid count (seeds = vec_id < k,
+    so per-cell chains feed a densely renumbered vec_id).
     The first fragment does NOT carry WITH — callers assemble."""
     cur = f"{pref}c0"
     sql = [
         f"{pref}e AS (SELECT vec_id, {src} AS embedding FROM {frm}),",
         f"{pref}c0 AS (SELECT vec_id AS cid, embedding AS ce FROM {pref}e "
-        f"WHERE vec_id < {_KMQ_K}),",
+        f"WHERE vec_id < {k}),",
     ]
     for i in range(1, _KMQ_ITERS + 1):
         cos = _sql_cos("embedding", "ce")
@@ -1733,3 +1739,207 @@ def ivfpq_rerank_topk(
             F.round("xdot", 6).alias("exact_dot"), "rk",
         )
     )
+
+
+# ----------------------- two-level IVF (coarse -> per-cell sub-quantizer)
+
+_TL_K1, _TL_K2 = 4, 4          # 4 coarse cells x 4 sub-cells = 16 leaves
+_TL_PROBE1, _TL_PROBE2 = 2, 2  # probe 2 coarse, 2 sub-cells in each
+_TL_Q_MIN = 490                # the shared query tail (10 queries)
+
+
+def _tl_oracle() -> str:
+    """Full DuckDB replay of the two-level index: the coarse quantized-
+    Lloyd chain, per-coarse-cell member renumbering, one NAMESPACED
+    sub-chain per coarse cell (s0../s3..), the leaf assignment, and the
+    (2 coarse x 2 sub) probe search — bit-replayable end to end because
+    every chain uses the shared integer-quantized centroid update."""
+    sql, cur = _kmq_train_ctes(k=_TL_K1)
+    cos = _sql_cos("embedding", "ce")
+    sql = ["WITH " + sql[0]] + list(sql[1:])
+    sql.append(
+        f"""tlassign AS (
+      SELECT vec_id, embedding, cid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY {cos} DESC, cid) AS rnk
+      FROM e CROSS JOIN {cur}
+    ),
+    tlmem AS (
+      SELECT vec_id AS orig_id, embedding, cid AS ccid,
+             ROW_NUMBER() OVER (PARTITION BY cid ORDER BY vec_id) - 1 AS rid
+      FROM tlassign WHERE rnk = 1
+    ),"""
+    )
+    subcurs = []
+    for j in range(_TL_K1):
+        sql.append(
+            f"cell{j} AS (SELECT rid AS vec_id, embedding FROM tlmem "
+            f"WHERE ccid = {j}),"
+        )
+        subsql, subcur = _kmq_train_ctes(
+            pref=f"s{j}", frm=f"cell{j}", k=_TL_K2
+        )
+        sql.extend(subsql)
+        subcurs.append(subcur)
+    union = "\n      UNION ALL ".join(
+        f"SELECT {j} AS ccid, cid AS scid, ce FROM {subcurs[j]}"
+        for j in range(_TL_K1)
+    )
+    scos = _sql_cos("m.embedding", "s.ce")
+    qscos = _sql_cos("q.qe", "s.ce")
+    fcos = _sql_cos("p.qe", "l.embedding")
+    sql.append(
+        f"""subcent AS ({union}),
+    leafassign AS (
+      SELECT m.orig_id, m.embedding, m.ccid, s.scid,
+             ROW_NUMBER() OVER (PARTITION BY m.orig_id
+                                ORDER BY {scos} DESC, s.scid) AS rnk
+      FROM tlmem m JOIN subcent s ON s.ccid = m.ccid
+    ),
+    leaves AS (
+      SELECT orig_id, embedding, ccid, scid FROM leafassign WHERE rnk = 1
+    ),
+    qprobes AS (
+      SELECT vec_id AS query_id, embedding AS qe, cid AS pccid
+      FROM tlassign WHERE vec_id >= {_TL_Q_MIN} AND rnk <= {_TL_PROBE1}
+    ),
+    qsub AS (
+      SELECT q.query_id, q.qe, q.pccid, s.scid,
+             ROW_NUMBER() OVER (PARTITION BY q.query_id, q.pccid
+                                ORDER BY {qscos} DESC, s.scid) AS srnk
+      FROM qprobes q JOIN subcent s ON s.ccid = q.pccid
+    ),
+    probes AS (
+      SELECT query_id, qe, pccid, scid FROM qsub WHERE srnk <= {_TL_PROBE2}
+    ),
+    scored AS (
+      SELECT p.query_id, l.orig_id AS cand_id, ROUND({fcos}, 6) AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY p.query_id
+                                ORDER BY {fcos} DESC, l.orig_id) AS rk
+      FROM probes p JOIN leaves l
+        ON l.ccid = p.pccid AND l.scid = p.scid AND l.orig_id <> p.query_id
+    )
+    SELECT query_id, cand_id, cosine, rk FROM scored WHERE rk <= 3"""
+    )
+    return "\n".join(sql)
+
+
+def ivf_two_level_topk(e: DataFrame) -> DataFrame:
+    """Two-level IVF search engine (shared by the registered query and the
+    recall-pin test): train coarse centroids, renumber each coarse cell's
+    members densely (so the shared seed rule vec_id < k works per cell),
+    train one sub-quantizer chain per coarse cell, assign members to
+    leaves, then run the (2 coarse x 2 sub) probe top-3 search. The
+    member table and the sub-centroid union are eager-localCheckpointed:
+    they are training-sample-sized, and without the cut each per-cell
+    chain's broadcast would re-derive the whole coarse chain (the
+    O(chains^2) rebuild hazard measured in SCALE.md r13)."""
+    from pyspark.sql.window import Window
+
+    coarse = kmeans_centroids_quantized(e, _TL_K1, _KMQ_ITERS)
+    wv = Window.partitionBy("vec_id").orderBy(
+        _cos(F.col("embedding"), F.col("ce")).desc(), F.col("cid")
+    )
+    tlassign = (
+        e.crossJoin(F.broadcast(coarse))
+        .withColumn("rnk", F.row_number().over(wv))
+        .select("vec_id", "embedding", "cid", "rnk")
+        .localCheckpoint(eager=True)
+    )
+    mem = tlassign.where(F.col("rnk") == 1).select(
+        F.col("vec_id").alias("orig_id"),
+        "embedding",
+        F.col("cid").alias("ccid"),
+        (
+            F.row_number().over(
+                Window.partitionBy("cid").orderBy("vec_id")
+            )
+            - 1
+        ).alias("rid"),
+    )
+    subs = []
+    for j in range(_TL_K1):
+        cell = mem.where(F.col("ccid") == j).select(
+            F.col("rid").alias("vec_id"), "embedding"
+        )
+        cj = kmeans_centroids_quantized(cell, _TL_K2, _KMQ_ITERS)
+        subs.append(
+            cj.select(
+                F.lit(j).alias("ccid"), F.col("cid").alias("scid"), "ce"
+            )
+        )
+    subcent = subs[0]
+    for s in subs[1:]:
+        subcent = subcent.unionByName(s)
+    subcent = subcent.localCheckpoint(eager=True)
+    wl = Window.partitionBy("orig_id").orderBy(
+        _cos(F.col("embedding"), F.col("ce")).desc(), F.col("scid")
+    )
+    leaves = (
+        mem.join(F.broadcast(subcent), "ccid")
+        .withColumn("rnk", F.row_number().over(wl))
+        .where(F.col("rnk") == 1)
+        .select("orig_id", "embedding", "ccid", "scid")
+    )
+    qprobes = tlassign.where(
+        (F.col("vec_id") >= _TL_Q_MIN) & (F.col("rnk") <= _TL_PROBE1)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("cid").alias("pccid"),
+    )
+    ws = Window.partitionBy("query_id", "pccid").orderBy(
+        _cos(F.col("qe"), F.col("ce")).desc(), F.col("scid")
+    )
+    probes = (
+        qprobes.join(F.broadcast(subcent), F.col("pccid") == F.col("ccid"))
+        .withColumn("srnk", F.row_number().over(ws))
+        .where(F.col("srnk") <= _TL_PROBE2)
+        .select("query_id", "qe", "pccid", F.col("scid").alias("pscid"))
+    )
+    cand = F.broadcast(probes).join(
+        leaves,
+        (F.col("ccid") == F.col("pccid"))
+        & (F.col("scid") == F.col("pscid"))
+        & (F.col("orig_id") != F.col("query_id")),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        _cos(F.col("qe"), F.col("embedding")).desc(), F.col("orig_id")
+    )
+    return (
+        cand.withColumn("rk", F.row_number().over(wq))
+        .where(F.col("rk") <= 3)
+        .select(
+            "query_id",
+            F.col("orig_id").alias("cand_id"),
+            F.round(_cos(F.col("qe"), F.col("embedding")), 6).alias("cosine"),
+            "rk",
+        )
+    )
+
+
+@register(
+    "similarity_ivf_two_level",
+    oracle=_tl_oracle(),
+    doc="TWO-LEVEL IVF — coarse quantizer + one sub-quantizer per coarse "
+    "cell (the FAISS IMI/IVF-in-IVF shape; Jegou et al. 2011 §V "
+    "discusses the multi-level codebook family): a k1=4 quantized-Lloyd "
+    "coarse chain partitions the corpus, each cell's members are "
+    "densely renumbered and train their OWN k2=4 sub-chain (namespaced "
+    "s0..s3 — the residual-PQ oracle pattern, now with DATA-DEPENDENT "
+    "chain inputs), vectors land in 16 leaves, and search probes 2 "
+    "coarse cells x 2 sub-cells = 4 leaves ~ N/4 scanned, the SAME "
+    "budget as the flat k=8/nprobe=2 baseline it is pinned against "
+    "(recall >= flat at equal budget, tests/test_round14_ops.py). Why "
+    "two levels at 100 TB: the coarse pass narrows to k1 cells with k1 "
+    "comparisons, sub-cells subdivide only within them — probe cost "
+    "grows as k1+k2, not k1*k2, and each leaf list is small enough to "
+    "fit a serving node. Scale: centroids/sub-centroids broadcast "
+    "(k1+k1*k2 = 20 rows), members shuffle once per training iteration, "
+    "the search joins probe pairs to leaf lists by equi-key — no "
+    "all-pairs stage anywhere.",
+    tags=("extension", "similarity", "ivf", "iterative"),
+)
+def similarity_ivf_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return ivf_two_level_topk(e)

@@ -184,6 +184,7 @@ FRESH = (
     # shapes + steps-trainer routing) — rewritten queries re-ride FRESH
     # so their new plans earn a fresh driver-green row
     "acid_txn_visibility",
+    "similarity_ivf_two_level",
     "pipeline_epoch_shuffle",
     "text_perplexity_buckets",
     "text_bpe_pack_chain",
