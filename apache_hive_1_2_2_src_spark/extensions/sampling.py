@@ -715,7 +715,16 @@ def _det_ln_floor_sql(num: str, den: str, scale: int) -> str:
     engines evaluate the same literal operation tree, so the floored
     value cannot diverge. ``power(2.0, e)`` is exact (the result is
     representable, any faithful rounding returns it). Pinned bit-for-bit
-    across engines over randomized counts in tests/test_sampling_ops.py."""
+    across engines over randomized counts in tests/test_sampling_ops.py.
+
+    Standing assumption (ADVICE r13): bit-parity additionally requires
+    that NEITHER engine contracts the polynomial into FMA or
+    reassociates the FP operation tree — both evaluate the literal
+    tree with one correctly-rounded op per node. True for this build
+    (and pinned by the boundary-adversarial test in the default suite);
+    a DuckDB/JVM build compiled with FMA contraction or fast-math-style
+    reassociation could flip a floor on engineered integer-boundary
+    ratios — if parity ever fails on a new platform, check that first."""
     q = (
         f"(CAST(greatest({num}, {den}) AS DOUBLE)"
         f" / CAST(least({num}, {den}) AS DOUBLE))"

@@ -1037,22 +1037,32 @@ def show_create_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "table with 100k files costs 100k footer reads (KBs each) "
     "distributed across the cluster — milliseconds per executor, no "
     "scan; this is also exactly the machinery a manifest/stats "
-    "collector runs after every publish.",
+    "collector runs after every publish. The file list comes from the "
+    "Hadoop FS API (one driver listing — the same path handling every "
+    "other read uses, so s3a/hdfs URIs list correctly); the footer "
+    "open inside mapInPandas uses pyarrow on the listed paths, which "
+    "assumes executors share the driver's filesystem view (true for "
+    "local[], HDFS and object stores alike).",
     tags=("catalog", "stats", "source"),
 )
 def stats_footer_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
-    src = os.path.join(sf_dir, "lineitem.parquet")
-    files = (
-        sorted(
-            os.path.join(src, f)
-            for f in os.listdir(src)
-            if f.endswith(".parquet")
-        )
-        if os.path.isdir(src)
-        else [src]
+    from apache_hive_1_2_2_src_spark.sources.hive_bucketing import (
+        _hadoop_fs,
     )
+
+    src = os.path.join(sf_dir, "lineitem.parquet")
+    _, fs, P = _hadoop_fs(spark, src)
+    root = P(src)
+    if fs.getFileStatus(root).isDirectory():
+        files = sorted(
+            str(st.getPath().toUri().getPath())
+            for st in fs.listStatus(root)
+            if st.getPath().getName().endswith(".parquet")
+        )
+    else:
+        files = [src]
     fdf = spark.createDataFrame([(f,) for f in files], "path string").repartition(
         min(len(files), 32)
     )

@@ -631,9 +631,18 @@ _SORTED_SCAN_LOCK = __import__("threading").Lock()
 def _iso_session(spark: SparkSession, purpose: str) -> SparkSession:
     """Return the cached conf-isolated session for ``purpose`` (created on
     first use). Callers own the conf they set on it; anything that mutates
-    a conf per call must serialize its set+use (see _check_sorted_files)."""
+    a conf per call must serialize its set+use (see _check_sorted_files).
+    Entries keyed by a STOPPED context are evicted on lookup (ADVICE
+    r13): in a long-lived driver that restarts its SparkContext, the old
+    context's sessions (and their JVM SessionState) would otherwise
+    accumulate forever — the same leak class the per-call newSession()
+    had, one tier up."""
     key = (spark.sparkContext.applicationId, purpose)
     with _ISO_LOCK:
+        for k in [k for k in _ISO_SESSIONS
+                  if _ISO_SESSIONS[k].sparkContext._jsc is None
+                  or _ISO_SESSIONS[k].sparkContext._jsc.sc().isStopped()]:
+            del _ISO_SESSIONS[k]
         s = _ISO_SESSIONS.get(key)
         if s is None:
             s = spark.newSession()

@@ -1422,7 +1422,20 @@ def write_partitioned_bucketed_delta(
     deletes ITS OWN delta dirs before renaming. Scale: the staging write
     is one shuffle of the micro-batch; publication is |parts-in-batch|
     renames — O(1) FS metadata per partition per batch, the
-    hcatalog-streaming TransactionBatch cost shape."""
+    hcatalog-streaming TransactionBatch cost shape.
+
+    Visibility caveat (ADVICE r13): the per-partition renames are NOT
+    collectively atomic — a crash mid-loop leaves a TORN batch
+    (delta_N_N published in some partitions only) that concurrent
+    readers can see until the batch retries and the idempotent replay
+    completes it. Real Hive hides this through the metastore: the txn
+    stays open until every partition is written, and readers'
+    ValidTxnList filters the half-written txn out (the acid.ValidTxnList
+    path models exactly that read side). Single-FS alternatives if
+    atomic visibility is ever needed without a metastore: publish a
+    top-level commit marker per batch (readers resolve deltas against
+    the marker set), or stage the whole batch under one dir and expose
+    it via a final symlink/manifest swap."""
     from apache_hive_1_2_2_src_spark.sources.hive_bucketing import (
         _hadoop_fs,
         write_hive_partitioned_bucketed,
