@@ -67,7 +67,8 @@ HEADLINE = (
     "dedup_semdedup_kmeans",  # 2 quantized Lloyd iterations + in-cell SemDeDup prune (r12)
     "streaming_acid_full_layout_ingest",  # micro-batches -> part=/delta/bucket tree + triple-pruned lookup (r13)
     "similarity_ivfpq_residual_search",  # 6 training chains + residual-code ADC (r13)
-    "text_bpe_pack_chain",  # BPE train+apply -> per-lang 2048-token bin packing (r13)
+    "text_bpe_pack_chain",  # BPE train+apply -> per-(lang,shard) 2048-token bin packing (r13; steps trainer + shard windows r14)
+    "similarity_ivf_two_level",  # coarse + 4 per-cell sub-quantizer chains, 2x2 probe search (r14)
 )
 
 # All 22 TPC-H query shapes in query order — timed as ONE sequential suite
