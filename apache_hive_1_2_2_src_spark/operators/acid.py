@@ -1092,3 +1092,195 @@ def acid_txn_visibility(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"txn-list resolution wrong: base={base_dir} deltas={deltas}"
         )
     return _verdict(read_acid_table(spark, table, snapshot))
+
+
+# ------------------------------- Cleaner (obsolete-dir removal, r14) --
+
+
+def clean_acid_obsolete(spark: SparkSession, table_path: str) -> list[str]:
+    """The compactor CLEANER's disk half (reference anchor:
+    ql/txn/compactor/Cleaner.java — Hive runs it as a background thread
+    after Worker finishes; until it runs, readers skip the obsolete dirs
+    every single read): delete every acid directory that resolution
+    would never read — stale bases below the chosen base, and deltas
+    whose whole txn range is covered by the chosen base or a chosen
+    wider delta. Non-acid names (staging, _tmp junk) are untouched —
+    the Cleaner owns only what getAcidState parses. Returns the deleted
+    directory names (sorted) so callers can assert the exact set.
+    Scale: pure FS metadata — one listing + one delete per obsolete
+    dir; no data is read."""
+    base_dir, _txn, chosen = resolve_acid_state(spark, table_path)
+    keep = {base_dir} | {nm for _mn, _mx, nm in chosen}
+    _, fs, P = _hadoop_fs(spark, table_path)
+    removed = []
+    for st in fs.listStatus(P(table_path)):
+        if not st.isDirectory():
+            continue
+        nm = st.getPath().getName()
+        if nm in keep or not (_BASE_RE.match(nm) or _DELTA_RE.match(nm)):
+            continue
+        fs.delete(st.getPath(), True)
+        removed.append(nm)
+    return sorted(removed)
+
+
+@register(
+    "acid_cleaner_after_compaction",
+    oracle=_ACID_ORACLE,
+    doc="The full compaction LIFECYCLE: Worker then Cleaner "
+    "(ql/txn/compactor/Worker.java + Cleaner.java): minor compaction "
+    "writes delta_1_2 BESIDE delta_1_1/delta_2_2, the Cleaner then "
+    "deletes exactly the two covered narrow deltas (runtime-asserted: "
+    "removed == [delta_1_1, delta_2_2]; base_0 and the _tmp_junk decoy "
+    "survive), and the post-clean read must still equal the original "
+    "base ∪ d1 ∪ d2 merge — the SAME oracle as acid_read_compacted, so "
+    "hash-equality certifies clean(compact(T)) reads identically to T: "
+    "the Cleaner is invisible to queries, it only reclaims space and "
+    "shrinks every future read's directory list. Scale: the Cleaner is "
+    "one listing + one delete per obsolete dir, metadata-only — the "
+    "whole point is that reads stop paying the covered-delta skip "
+    "forever.",
+    tags=("workload", "acid", "compaction"),
+)
+def acid_cleaner_after_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table = materialize_acid_layout(spark, sf_dir, _tmp("acid_cleaner_table"))
+    d1 = spark.read.parquet(f"{table}/delta_1_1").withColumn("ver", F.lit(1))
+    d2 = spark.read.parquet(f"{table}/delta_2_2").withColumn("ver", F.lit(2))
+    compacted = (
+        d1.unionByName(d2)
+        .groupBy("k")
+        .agg(F.max_by(F.struct("op", "st", "p"), F.col("ver")).alias("w"))
+        .select("k", "w.op", "w.st", "w.p")
+    )
+    compacted.write.parquet(f"{table}/delta_1_2")
+    removed = clean_acid_obsolete(spark, table)
+    if removed != ["delta_1_1", "delta_2_2"]:
+        raise AssertionError(f"cleaner removed wrong set: {removed}")
+    _, fs, P = _hadoop_fs(spark, table)
+    left = sorted(
+        st.getPath().getName()
+        for st in fs.listStatus(P(table))
+        if st.isDirectory()
+    )
+    if left != ["_tmp_junk", "base_0", "delta_1_2"]:
+        raise AssertionError(f"unexpected post-clean tree: {left}")
+    return _verdict(read_acid_table(spark, table))
+
+
+# --------------------- ValidTxnList derived from a txn log (r14) ------
+#
+# metastore/txn/TxnHandler.java keeps TXNS(txn_id, state, started,
+# ...); getOpenTxns() at snapshot time yields the high-watermark (max
+# allocated id) + the exception list (every txn not committed yet) from
+# which ValidReadTxnList is built. The log below is a deterministic
+# literal both engines share: by snapshot time T=10, txns 1/3 committed,
+# txn 2 ABORTED (at ts 5), txn 4 OPEN (allocated at ts 6, no commit).
+_TXN_LOG = (
+    (1, "commit", 2),
+    (2, "open", 3),
+    (2, "abort", 5),
+    (3, "commit", 4),
+    (4, "open", 6),
+)
+_TXN_SNAPSHOT_TS = 10
+
+_TXN_LOG_SQL = "SELECT * FROM (VALUES " + ", ".join(
+    f"({t}, '{s}', {ts})" for t, s, ts in _TXN_LOG
+) + ") AS txn_log(txn_id, state, ts)"
+
+
+def valid_txn_list_from_log(as_of_ts: int) -> ValidTxnList:
+    """Build the read snapshot from the txn log exactly as
+    TxnHandler.getOpenTxns does: high-watermark = max txn id allocated
+    by ``as_of_ts``; exceptions = allocated txns whose latest state by
+    ``as_of_ts`` is not 'commit' (open or aborted)."""
+    latest: dict[int, str] = {}
+    for t, s, ts in sorted(_TXN_LOG, key=lambda r: r[2]):
+        if ts <= as_of_ts:
+            latest[t] = s
+    hwm = max(latest) if latest else 0
+    exceptions = frozenset(t for t, s in latest.items() if s != "commit")
+    return ValidTxnList(high_watermark=hwm, exceptions=exceptions)
+
+
+@register(
+    "acid_txn_snapshot_from_log",
+    # The oracle recomputes the snapshot FROM THE LOG in SQL (latest
+    # state per txn at T=10 -> hwm + exception list as a canonical
+    # string) and replays the resulting base ∪ d1 ∪ d3 merge; the
+    # derived snapshot columns certify the TxnHandler half, the
+    # aggregates certify the read it produces.
+    oracle=f"""
+    WITH log AS ({_TXN_LOG_SQL}),
+    latest AS (
+      SELECT txn_id, state,
+             ROW_NUMBER() OVER (PARTITION BY txn_id ORDER BY ts DESC) AS rn
+      FROM log WHERE ts <= {_TXN_SNAPSHOT_TS}
+    ),
+    cur AS (SELECT txn_id, state FROM latest WHERE rn = 1),
+    snap AS (
+      SELECT CAST(MAX(txn_id) AS BIGINT) AS high_watermark,
+             COALESCE(string_agg(CASE WHEN state <> 'commit'
+                                      THEN CAST(txn_id AS VARCHAR) END,
+                                 ',' ORDER BY txn_id), '') AS exceptions
+      FROM cur
+    ),
+    {_ACID_CTES.strip().rstrip()},
+    d3 AS (
+      SELECT o_orderkey AS k, o_orderstatus AS st,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 7
+                  AS DECIMAL(18,2)) AS p,
+             3 AS ver, 'U' AS op
+      FROM orders WHERE o_orderkey % 5 = 0
+    ),
+    all_rows AS (
+      SELECT * FROM base UNION ALL SELECT * FROM d1 UNION ALL SELECT * FROM d3
+    ),
+    merged AS (
+      SELECT k, st, p, op,
+             ROW_NUMBER() OVER (PARTITION BY k ORDER BY ver DESC) AS rn
+      FROM all_rows
+    )
+    SELECT s.high_watermark, s.exceptions,
+           m.st AS o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(m.p) AS DOUBLE) AS sum_price,
+           MIN(m.k) AS min_key, MAX(m.k) AS max_key
+    FROM merged m CROSS JOIN snap s
+    WHERE m.rn = 1 AND m.op <> 'D'
+    GROUP BY s.high_watermark, s.exceptions, m.st
+    """,
+    doc="ValidTxnList DERIVED from a transaction log — the TxnHandler "
+    "half of the txn-visibility story (metastore/txn/TxnHandler.java "
+    "getOpenTxns + common ValidReadTxnList construction): a txn event "
+    "log (open/commit/abort, timestamped) is snapshotted at T=10; the "
+    "latest state per txn yields high-watermark=4 and exceptions={2,4} "
+    "(2 aborted, 4 still open), the resulting ValidTxnList drives the "
+    "read of the same 5-dir tree acid_txn_visibility uses, and the "
+    "output carries BOTH the derived snapshot (hwm + canonical "
+    "exception string, certified against the oracle's SQL derivation) "
+    "AND the merge aggregates it produces. Scale: the log scan is "
+    "metadata-sized (the metastore's TXNS table), the visibility "
+    "filter is directory-name-only.",
+    tags=("workload", "acid", "merge", "txn", "catalog"),
+)
+def acid_txn_snapshot_from_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table = materialize_acid_layout_txn(
+        spark, sf_dir, _tmp("acid_txnlog_table")
+    )
+    snap = valid_txn_list_from_log(_TXN_SNAPSHOT_TS)
+    if snap.high_watermark != 4 or snap.exceptions != frozenset({2, 4}):
+        raise AssertionError(f"derived snapshot wrong: {snap}")
+    exceptions_str = ",".join(str(t) for t in sorted(snap.exceptions))
+    return read_acid_table(spark, table, snap).groupBy(
+        F.col("st").alias("o_orderstatus")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("p").cast("double").alias("sum_price"),
+        F.min("k").alias("min_key"),
+        F.max("k").alias("max_key"),
+    ).select(
+        F.lit(4).cast("long").alias("high_watermark"),
+        F.lit(exceptions_str).alias("exceptions"),
+        "o_orderstatus", "n", "sum_price", "min_key", "max_key",
+    )

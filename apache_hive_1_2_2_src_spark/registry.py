@@ -184,6 +184,8 @@ FRESH = (
     # shapes + steps-trainer routing) — rewritten queries re-ride FRESH
     # so their new plans earn a fresh driver-green row
     "acid_txn_visibility",
+    "acid_txn_snapshot_from_log",
+    "acid_cleaner_after_compaction",
     "similarity_ivf_two_level",
     "pipeline_epoch_shuffle",
     "text_perplexity_buckets",
