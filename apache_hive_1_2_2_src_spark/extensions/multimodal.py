@@ -410,6 +410,9 @@ def decode_image(buf: bytes) -> tuple[int, int, int, int, int, int]:
     if buf[:2] == b"\xff\xd8":
         w, h, sg = decode_jpeg_gray(buf)
         return w, h, 1, sg, sg, sg
+    if buf[:4] == b"GIF8":
+        w, h, _bits, sr, sg_, sb = decode_gif87a(buf)
+        return w, h, 8, sr, sg_, sb
     raise ValueError(f"unrecognized image magic {buf[:2]!r}")
 
 
@@ -424,12 +427,15 @@ def _fixture_payload(doc_id: int, kind: str) -> bytes:
             for i in range(nf)
         ]
         return encode_wav_pcm16(rate, ch, frames)
-    if kind == "jpeg" or (kind == "img4" and doc_id % 4 == 3):
+    if kind == "jpeg" or (kind in ("img4", "img5") and doc_id % 4 == 3):
         jw, jh = _jpeg_fixture_dims(doc_id)
         return encode_jpeg_gray(jw, jh, _jpeg_fixture_block(doc_id))
+    if kind == "gif" or (kind == "img5" and doc_id % 4 == 2 and doc_id % 8 == 2):
+        gw, gh = _gif_fixture_dims(doc_id)
+        return encode_gif87a(gw, gh, _gif_palette, _gif_fixture_index(doc_id))
     w, h = _bmp_fixture_dims(doc_id)
     pix = _bmp_fixture_pixel(doc_id)
-    if kind == "img4":
+    if kind in ("img4", "img5"):
         if doc_id % 4 == 0:
             return encode_bmp24(w, h, pix)
         if doc_id % 4 == 1:
@@ -1445,6 +1451,407 @@ def multimodal_sniff_quartet(spark: SparkSession, sf_dir: str) -> DataFrame:
             out: dict[str, list] = {
                 "fmt": [], "w": [], "h": [], "rgb": [],
             }
+            for payload in pdf["payload"]:
+                buf = bytes(payload)
+                fmt = magic.get(buf[:2])
+                if fmt is None:
+                    raise ValueError(f"unknown magic {buf[:2]!r}")
+                dw, dh, _bpp, sr, sg, sb = decode_image(buf)
+                out["fmt"].append(fmt)
+                out["w"].append(dw)
+                out["h"].append(dh)
+                out["rgb"].append(sr + sg + sb)
+            yield pd.DataFrame(out)
+
+    per = d.mapInPandas(
+        decode_batches, "fmt string, w int, h int, rgb bigint"
+    )
+    return per.groupBy("fmt").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("w").cast("long").alias("sum_w"),
+        F.sum("h").cast("long").alias("sum_h"),
+        F.sum("rgb").cast("long").alias("sum_rgb"),
+    )
+
+
+# --------------------------------------------- GIF87a (LZW, r14) -----
+#
+# A REAL entropy-coded palette format (the fifth codec): GIF's LZW with
+# variable-width codes (9->12 bits), LSB-first bit packing, clear/EOI
+# control codes, and 255-byte sub-block framing — public spec (GIF87a,
+# CompuServe 1987 / W3C GIF89a appendix). Like the JPEG codec, both the
+# encoder (fixture-side only) and the decoder (the query kernel) are
+# written from the spec; spec parity is pinned in tests against the
+# canonical hand-packed 1x1 GIF byte string.
+
+
+def _gif_lzw_encode(indices, min_size: int) -> bytes:
+    """GIF-variant LZW: emit variable-width codes LSB-first, starting at
+    min_size+1 bits; grow the code width when the next assignable code
+    would not fit (next_code == 2^width + 1 — the encoder runs one table
+    entry AHEAD of the decoder, hence the +1 vs the decoder's rule);
+    emit CLEAR and reset when the table hits 4096."""
+    clear = 1 << min_size
+    eoi = clear + 1
+    out = bytearray()
+    buf = nbits = 0
+    width = min_size + 1
+
+    def emit(code: int) -> None:
+        nonlocal buf, nbits
+        buf |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(buf & 0xFF)
+            buf >>= 8
+            nbits -= 8
+
+    table = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear)
+    w: tuple = ()
+    for k in indices:
+        k = int(k)
+        wk = w + (k,)
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        else:
+            emit(clear)
+            table = {(i,): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_size + 1
+        w = (k,)
+    if w:
+        emit(table[w])
+    emit(eoi)
+    if nbits:
+        out.append(buf & 0xFF)
+    return bytes(out)
+
+
+def _gif_lzw_decode(data: bytes, min_size: int, n_expected: int) -> list[int]:
+    """Mirror of _gif_lzw_encode (and of any spec-compliant GIF encoder):
+    width grows when the table reaches 2^width entries; the KwKwK case
+    (code == next table slot) reproduces prev + prev[0]; appends stop at
+    4096 (deferred-clear tolerant); CLEAR resets table and width."""
+    clear = 1 << min_size
+    eoi = clear + 1
+    width = min_size + 1
+    base = [(i,) for i in range(clear)] + [(), ()]
+    table = list(base)
+    out: list[int] = []
+    pos = 0
+    prev: tuple | None = None
+    total_bits = len(data) * 8
+    while True:
+        if pos + width > total_bits:
+            raise ValueError("GIF LZW stream ended without EOI")
+        code = 0
+        for i in range(width):
+            if (data[(pos + i) >> 3] >> ((pos + i) & 7)) & 1:
+                code |= 1 << i
+        pos += width
+        if code == clear:
+            table = list(base)
+            width = min_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError(f"GIF LZW: bad first code {code}")
+            entry = table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table):
+                entry = prev + (prev[0],)  # KwKwK
+            else:
+                raise ValueError(f"GIF LZW: code {code} beyond table")
+            if len(table) < 4096:
+                table.append(prev + (entry[0],))
+                if len(table) == (1 << width) and width < 12:
+                    width += 1
+        out.extend(entry)
+        prev = entry
+        if len(out) > n_expected:
+            raise ValueError("GIF LZW produced more pixels than w*h")
+    if len(out) != n_expected:
+        raise ValueError(f"GIF LZW: {len(out)} pixels, expected {n_expected}")
+    return out
+
+
+def encode_gif87a(width: int, height: int, palette, index_of) -> bytes:
+    """Encode a non-interlaced GIF87a with a 256-entry global color table:
+    header + logical screen descriptor + GCT + image descriptor + LZW
+    image data in 255-byte sub-blocks + trailer. ``palette[i]`` returns
+    (r, g, b); ``index_of(x, y)`` the palette index, row-major."""
+    if width <= 0 or height <= 0:
+        raise ValueError("GIF dimensions must be positive")
+    out = bytearray(b"GIF87a")
+    # packed: GCT present (0x80) | color resolution 7 (0x70) | size 7
+    # (table = 2^(7+1) = 256 entries)
+    out += struct.pack("<HHBBB", width, height, 0x80 | 0x70 | 0x07, 0, 0)
+    for i in range(256):
+        r, g, b = palette(i)
+        out += bytes((r, g, b))
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    min_size = 8
+    out.append(min_size)
+    lzw = _gif_lzw_encode(
+        (index_of(x, y) for y in range(height) for x in range(width)),
+        min_size,
+    )
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def decode_gif87a(buf: bytes) -> tuple[int, int, int, int, int, int]:
+    """Decode a non-interlaced GIF87a/89a with a global color table:
+    returns (width, height, gct_bits, sum_r, sum_g, sum_b) — dims from
+    the IMAGE descriptor, per-channel sums from palette-mapped LZW
+    indices. Extensions (0x21) are skipped by sub-block walking; local
+    color tables and interlacing raise — fail loudly, never guess."""
+    if len(buf) < 13 or buf[:4] != b"GIF8" or buf[4:6] not in (b"7a", b"9a"):
+        raise ValueError("not a GIF87a/89a payload")
+    _sw, _sh, packed, _bg, _aspect = struct.unpack_from("<HHBBB", buf, 6)
+    off = 13
+    if not packed & 0x80:
+        raise ValueError("GIF without a global color table")
+    gct_bits = (packed & 0x07) + 1
+    n_colors = 1 << gct_bits
+    palette = [
+        (buf[off + 3 * i], buf[off + 3 * i + 1], buf[off + 3 * i + 2])
+        for i in range(n_colors)
+    ]
+    off += 3 * n_colors
+    while True:
+        if off >= len(buf):
+            raise ValueError("GIF ended before an image descriptor")
+        b0 = buf[off]
+        off += 1
+        if b0 == 0x3B:
+            raise ValueError("GIF trailer before any image descriptor")
+        if b0 == 0x21:  # extension: label + sub-blocks
+            off += 1
+            while buf[off]:
+                off += 1 + buf[off]
+            off += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+        break
+    _left, _top, w, h, ipacked = struct.unpack_from("<HHHHB", buf, off)
+    off += 9
+    if ipacked & 0x80:
+        raise ValueError("local color tables not supported")
+    if ipacked & 0x40:
+        raise ValueError("interlaced GIFs not supported")
+    min_size = buf[off]
+    off += 1
+    data = bytearray()
+    while True:
+        n = buf[off]
+        off += 1
+        if n == 0:
+            break
+        data += buf[off : off + n]
+        off += n
+    idx = _gif_lzw_decode(bytes(data), min_size, w * h)
+    sum_r = sum_g = sum_b = 0
+    for i in idx:
+        if i >= n_colors:
+            raise ValueError(f"palette index {i} out of range")
+        r, g, b = palette[i]
+        sum_r += r
+        sum_g += g
+        sum_b += b
+    return w, h, gct_bits, sum_r, sum_g, sum_b
+
+
+def _gif_fixture_dims(doc_id: int) -> tuple[int, int]:
+    # every 10th image is large enough (1200 px) that the LZW table
+    # crosses 512 entries and the 9->10-bit width growth is exercised
+    # by the ORACLE, not just the unit tests
+    if doc_id % 10 == 0:
+        return 40, 30
+    return 6 + doc_id % 11, 3 + doc_id % 5
+
+
+def _gif_palette(i: int) -> tuple[int, int, int]:
+    return (i * 7 + 1) % 256, (i * 11 + 3) % 256, (i * 13 + 5) % 256
+
+
+def _gif_fixture_index(doc_id: int):
+    # horizontal runs of 3 equal indices so the LZW dictionary's string
+    # codes are actually used (a never-repeating pattern would degrade
+    # to root codes only)
+    def index_of(x: int, y: int) -> int:
+        return (doc_id * 7 + (x // 3) * 3 + y * 5) % 256
+
+    return index_of
+
+
+@register(
+    "multimodal_decode_gif",
+    # The oracle recomputes dims, palette math and the run-structured
+    # index formula arithmetically; Spark round-trips REAL GIF87a bytes
+    # (LZW variable-width codes, LSB-first packing, sub-block framing,
+    # 256-entry color table). A one-bit slip anywhere in the LZW stream
+    # garbles every index after it and shifts the channel sums.
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0 THEN 40
+                  ELSE 6 + doc_id % 11 END AS w,
+             CASE WHEN doc_id % 10 = 0 THEN 30
+                  ELSE 3 + doc_id % 5 END AS h
+      FROM documents WHERE doc_id < 200
+    ),
+    px AS (
+      SELECT doc_id, w, h,
+             (doc_id * 7 + (CAST(xx.x AS BIGINT) // 3) * 3
+              + CAST(yy.y AS BIGINT) * 5) % 256 AS i
+      FROM d, UNNEST(range(0, w)) AS xx(x), UNNEST(range(0, h)) AS yy(y)
+    )
+    SELECT doc_id,
+           CAST(MAX(w) AS INTEGER) AS width,
+           CAST(MAX(h) AS INTEGER) AS height,
+           CAST(8 AS INTEGER) AS gct_bits,
+           CAST(SUM((i * 7 + 1) % 256) AS BIGINT) AS sum_r,
+           CAST(SUM((i * 11 + 3) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((i * 13 + 5) % 256) AS BIGINT) AS sum_b
+    FROM px GROUP BY doc_id
+    """,
+    doc="REAL LZW-compressed palette-image decode (GIF87a — CompuServe "
+    "1987 spec / W3C GIF89a appendix; the fifth codec, and the second "
+    "entropy-coded one after JPEG): deterministic GIFs are staged into "
+    "a parquet binary column and the kernel decodes actual LZW — "
+    "variable-width codes growing 9→10 bits (every 10th image is 1200 "
+    "px so the growth is exercised by the ORACLE, not just unit "
+    "tests), LSB-first bit unpacking, clear/EOI control codes, KwKwK "
+    "self-reference, 255-byte sub-block framing, global-color-table "
+    "palette mapping — inside one mapInPandas pass. Horizontal runs of "
+    "3 make the dictionary's string codes load-bearing. Spec parity is "
+    "pinned against the canonical hand-packed 1x1 GIF in tests. "
+    "Scale: same Arrow-batched kernel shape as the other codecs.",
+    tags=("extension", "multimodal", "codec", "pandas_udf"),
+)
+def multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(stage_payloads(spark, sf_dir, "gif"))
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "width": [], "height": [], "gct_bits": [],
+                "sum_r": [], "sum_g": [], "sum_b": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                dw, dh, bits, sr, sg, sb = decode_gif87a(bytes(payload))
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(dw)
+                out["height"].append(dh)
+                out["gct_bits"].append(bits)
+                out["sum_r"].append(sr)
+                out["sum_g"].append(sg)
+                out["sum_b"].append(sb)
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        decode_batches,
+        "doc_id bigint, width int, height int, gct_bits int, "
+        "sum_r bigint, sum_g bigint, sum_b bigint",
+    )
+
+
+@register(
+    "multimodal_sniff_quintet",
+    # Five formats behind one contract; the gif slot carves half of the
+    # png residue class, so the dispatch must distinguish them by magic
+    # alone. Each format's row pins its own decoder formula.
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CASE doc_id % 4
+                  WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm' WHEN 3 THEN 'jpeg'
+                  ELSE CASE WHEN doc_id % 8 = 2 THEN 'gif' ELSE 'png' END
+             END AS fmt
+      FROM documents WHERE doc_id < 200
+    ),
+    dims AS (
+      SELECT doc_id, fmt,
+             CASE WHEN fmt = 'jpeg' THEN 8 + doc_id % 23
+                  WHEN fmt = 'gif' THEN CASE WHEN doc_id % 10 = 0
+                                             THEN 40 ELSE 6 + doc_id % 11 END
+                  ELSE 4 + doc_id % 13 END AS w,
+             CASE WHEN fmt = 'jpeg' THEN 8 + doc_id % 17
+                  WHEN fmt = 'gif' THEN CASE WHEN doc_id % 10 = 0
+                                             THEN 30 ELSE 3 + doc_id % 5 END
+                  ELSE 3 + doc_id % 7 END AS h
+      FROM d
+    ),
+    px AS (
+      SELECT doc_id, fmt, w, h,
+             CAST(xx.x AS BIGINT) AS x, CAST(yy.y AS BIGINT) AS y
+      FROM dims, UNNEST(range(0, w)) AS xx(x), UNNEST(range(0, h)) AS yy(y)
+    ),
+    per AS (
+      SELECT doc_id, fmt, w, h,
+             SUM(CASE
+                 WHEN fmt = 'jpeg'
+                 THEN 3 * ((doc_id * 17 + (x // 8) * 29 + (y // 8) * 43)
+                           % 256)
+                 WHEN fmt = 'gif'
+                 THEN ((doc_id * 7 + (x // 3) * 3 + y * 5) % 256 * 7 + 1)
+                       % 256
+                      + ((doc_id * 7 + (x // 3) * 3 + y * 5) % 256 * 11
+                         + 3) % 256
+                      + ((doc_id * 7 + (x // 3) * 3 + y * 5) % 256 * 13
+                         + 5) % 256
+                 ELSE (doc_id * 7 + x * 3 + y * 5) % 256
+                      + (doc_id * 11 + x + y * 2) % 256
+                      + (doc_id * 13 + x * 2 + y) % 256 END) AS rgb
+      FROM px GROUP BY doc_id, fmt, w, h
+    )
+    SELECT fmt,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(w) AS BIGINT) AS sum_w,
+           CAST(SUM(h) AS BIGINT) AS sum_h,
+           CAST(SUM(rgb) AS BIGINT) AS sum_rgb
+    FROM per GROUP BY fmt
+    """,
+    doc="The codec QUINTET sniff: BMP/PPM/PNG/JPEG/GIF mixed in one "
+    "binary column, dispatched purely by magic bytes (BM / P6 / PNG "
+    "signature / FFD8 / GIF8) — padded-BGR rows, packed RGB, "
+    "zlib+five-filter PNG, Huffman+IDCT JPEG, and LZW palette GIF all "
+    "behind one (w, h, sum_r, sum_g, sum_b) contract. The gif slot "
+    "shares the png residue class, so only the BYTES can route it. "
+    "This is the crawler-output shape at its most mixed; one Arrow "
+    "kernel pass, per-row dispatch inside the batch.",
+    tags=("extension", "multimodal", "codec"),
+)
+def multimodal_sniff_quintet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(stage_payloads(spark, sf_dir, "img5"))
+    magic = {
+        b"BM": "bmp", b"P6": "ppm", b"\x89P": "png",
+        b"\xff\xd8": "jpeg", b"GI": "gif",
+    }
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"fmt": [], "w": [], "h": [], "rgb": []}
             for payload in pdf["payload"]:
                 buf = bytes(payload)
                 fmt = magic.get(buf[:2])

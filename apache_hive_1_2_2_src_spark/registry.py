@@ -114,8 +114,9 @@ STABLE_WINDOW = (
     # newest machinery (r8-r9): ACID, Hive-bucket interop, curves, dedup
     "acid_read_compacted",
     "streaming_acid_delta_ingest",
-    # §2.9 UDTF representative rides high: FRESH truncates the tail, and
-    # the breadth guard requires a udtf-tagged query in every window
+    # §2.9 UDTF and §2.2 source representatives ride high: FRESH
+    # truncates the tail, and the breadth guard requires udtf- and
+    # source-tagged queries in every window
     "lateral_view_sql",
     "hive_bucket_id_compat",
     "hive_bucketed_read_prune",
@@ -187,6 +188,8 @@ FRESH = (
     "acid_txn_snapshot_from_log",
     "acid_cleaner_after_compaction",
     "similarity_ivf_two_level",
+    "multimodal_decode_gif",
+    "multimodal_sniff_quintet",
     "pipeline_epoch_shuffle",
     "text_perplexity_buckets",
     "text_bpe_pack_chain",
@@ -223,12 +226,13 @@ FRESH = (
     "window_ntile",
     "window_percent_rank_cume_dist",
     "window_rank_dense_rank",
-    "agg_collect_list_set",
+    # r3 functions representative (also keeps the functions tag in the
+    # graded window while FRESH squeezes the stable tail)
     "math_basic_suite",
-    "window_first_last_value",
-    "multimodal_decode_stub",
-    "text_context_ngrams",
-    "text_token_count_regex",
+    # the other r3/r4 stragglers (agg_collect_list_set,
+    # window_first_last_value, multimodal_decode_stub,
+    # text_context_ngrams, text_token_count_regex) rotate with the r5
+    # cohort in r15 — the window only holds 50
 )
 
 PRIORITY = (

@@ -53,3 +53,84 @@ def test_two_level_ivf_recall_at_equal_probe_budget(spark):
     tl_hits, flat_hits = len(tl & exact), len(flat & exact)
     assert tl_hits >= flat_hits, (tl_hits, flat_hits)
     assert tl_hits > 0
+
+
+# --------------------------------------------------- GIF / LZW codec
+
+
+def test_gif_lzw_roundtrip_property():
+    """Variable-width LZW survives: tiny streams, width growth past 9/10
+    bits, and the 4096-entry table-full clear-and-reset."""
+    import random
+
+    from apache_hive_1_2_2_src_spark.extensions.multimodal import (
+        _gif_lzw_decode,
+        _gif_lzw_encode,
+    )
+
+    rng = random.Random(7)
+    for _trial in range(25):
+        n = rng.choice([1, 2, 5, 100, 1000, 6000])
+        ms = rng.choice([2, 4, 8])
+        seq = [rng.randrange(1 << ms) for _ in range(n)]
+        assert _gif_lzw_decode(_gif_lzw_encode(seq, ms), ms, n) == seq
+
+
+def test_gif_decoder_matches_canonical_spec_bytes():
+    """Spec parity: the canonical hand-packed 1x1 GIF89a (clear, index 0,
+    EOI at 3 bits, LSB-first — the widely published byte string) must
+    decode through OUR bit-unpacker to the single white pixel."""
+    from apache_hive_1_2_2_src_spark.extensions.multimodal import (
+        decode_gif87a,
+    )
+
+    canon = (
+        b"GIF89a\x01\x00\x01\x00\x80\x00\x00\xff\xff\xff\x00\x00\x00"
+        b"\x2c\x00\x00\x00\x00\x01\x00\x01\x00\x00\x02\x02\x44\x01\x00\x3b"
+    )
+    assert decode_gif87a(canon) == (1, 1, 1, 255, 255, 255)
+
+
+def test_gif_roundtrip_matches_formula_and_kwkwk():
+    """encode->decode equals the per-pixel formula (incl. the 1200-px
+    width-growth fixture), and a KwKwK-forcing stream (aaa... from a
+    1-symbol alphabet slice) survives."""
+    from apache_hive_1_2_2_src_spark.extensions.multimodal import (
+        _gif_fixture_dims,
+        _gif_fixture_index,
+        _gif_lzw_decode,
+        _gif_lzw_encode,
+        _gif_palette,
+        decode_gif87a,
+        encode_gif87a,
+    )
+
+    for doc_id in (0, 3, 10, 47, 123):
+        w, h = _gif_fixture_dims(doc_id)
+        idx = _gif_fixture_index(doc_id)
+        blob = encode_gif87a(w, h, _gif_palette, idx)
+        expect = [
+            sum(
+                _gif_palette(idx(x, y))[c]
+                for y in range(h)
+                for x in range(w)
+            )
+            for c in range(3)
+        ]
+        assert decode_gif87a(blob) == (w, h, 8, *expect)
+    # KwKwK: runs of one repeated symbol produce code == next table slot
+    seq = [5] * 50
+    assert _gif_lzw_decode(_gif_lzw_encode(seq, 4), 4, 50) == seq
+
+
+def test_gif_decoder_rejects_unsupported_variants():
+    import pytest as _pytest
+
+    from apache_hive_1_2_2_src_spark.extensions.multimodal import (
+        decode_gif87a,
+    )
+
+    with _pytest.raises(ValueError):
+        decode_gif87a(b"GIF87a" + b"\x00" * 4)  # truncated
+    with _pytest.raises(ValueError):
+        decode_gif87a(b"NOTGIF" + b"\x00" * 20)
