@@ -1034,3 +1034,106 @@ def pipeline_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("doc_id").cast("long").alias("docid_sum"),
         F.sum("stayed").cast("long").alias("n_stayed"),
     )
+
+
+_CURR_BANDS = 3
+_CURR_SHARDS = 4
+
+
+@register(
+    "pipeline_curriculum_order",
+    # Full replay: both engines compute the identical integer difficulty
+    # score, the identical per-lang band split, the identical
+    # band-salted md5 permutation and shard split — the oracle uses
+    # plain NTILE windows (DuckDB is serial anyway), Spark the
+    # distributed ntile_over_buckets machinery; outputs must hash equal.
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, lang, unnest({_SQL_WORDS}) AS w FROM documents
+    ),
+    sc AS (
+      SELECT doc_id, lang,
+             CAST(SUM(length(w)) * 1000 // COUNT(*) AS BIGINT) AS s
+      FROM w GROUP BY doc_id, lang
+    ),
+    banded AS (
+      SELECT doc_id, lang, s,
+             NTILE({_CURR_BANDS}) OVER (PARTITION BY lang
+                                        ORDER BY s, doc_id) AS band
+      FROM sc
+    ),
+    keyed AS (
+      SELECT *, md5(CAST(doc_id AS VARCHAR) || ':' ||
+                    CAST(band AS VARCHAR)) AS h
+      FROM banded
+    ),
+    sharded AS (
+      SELECT doc_id, lang, s, band,
+             NTILE({_CURR_SHARDS}) OVER (PARTITION BY lang, band
+                                         ORDER BY h, doc_id) - 1 AS shard_id
+      FROM keyed
+    )
+    SELECT lang, CAST(band AS INT) AS band, CAST(shard_id AS INT) AS shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS docid_sum,
+           CAST(SUM(s) AS BIGINT) AS sum_score,
+           CAST(MIN(s) AS BIGINT) AS min_score,
+           CAST(MAX(s) AS BIGINT) AS max_score
+    FROM sharded GROUP BY lang, band, shard_id
+    """,
+    doc="Curriculum data ordering (Bengio et al. 2009, 'Curriculum "
+    "Learning' — public paper; the easy→hard schedule many pretraining "
+    "runs use for the first epochs): per language, documents are "
+    "banded into {bands} difficulty terciles by an integer score "
+    "(mean word length ×1000 — exact integer division, "
+    "order-independent), then each band is shuffled REPRODUCIBLY by a "
+    "band-salted md5 permutation and split into {shards} shards — the "
+    "training loader walks bands in order, shards within a band in "
+    "the keyed-random order, so restarts regenerate the same "
+    "curriculum. Composes the round's two scale devices end to end: "
+    "BOTH splits run through ntile_over_buckets (band: bucket = "
+    "s div 128; shard: bucket = md5 prefix), so no language — and no "
+    "(language, band) — ever serializes through one window task "
+    "(plan-asserted). The per-(lang, band, shard) audit carries "
+    "min/max score, making band monotonicity (easy bands strictly "
+    "before hard) hash-visible.",
+    tags=("extension", "sampling", "pipeline"),
+)
+def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    words = d.select("doc_id", "lang", F.explode(_words()).alias("w"))
+    sc = words.groupBy("doc_id", "lang").agg(
+        F.expr("CAST(SUM(length(w)) * 1000 div COUNT(*) AS BIGINT)").alias("s")
+    )
+    banded = ntile_over_buckets(
+        sc.withColumn("qs", F.expr("CAST(s div 128 AS INT)")),
+        ["lang"],
+        "qs",
+        [F.col("s"), F.col("doc_id")],
+        _CURR_BANDS,
+        out_col="band",
+    ).drop("qs")
+    keyed = banded.withColumn(
+        "h",
+        F.md5(
+            F.concat(
+                F.col("doc_id").cast("string"), F.lit(":"),
+                F.col("band").cast("string"),
+            )
+        ),
+    ).withColumn("bkt", F.substring("h", 1, 2))
+    sharded = ntile_over_buckets(
+        keyed, ["lang", "band"], "bkt", ["h", "doc_id"], _CURR_SHARDS
+    ).select(
+        "lang", "band", "s", "doc_id",
+        (F.col("tile") - 1).cast("int").alias("shard_id"),
+    )
+    return sharded.groupBy(
+        "lang", F.col("band").cast("int").alias("band"), "shard_id"
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("docid_sum"),
+        F.sum("s").cast("long").alias("sum_score"),
+        F.min("s").alias("min_score"),
+        F.max("s").alias("max_score"),
+    )

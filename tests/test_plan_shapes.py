@@ -564,3 +564,21 @@ def test_perplexity_tercile_no_per_lang_window(spark, registry):
     assert_no_single_key_window(df)
     specs = window_partition_specs(df)
     assert specs and all(s == ["lang", "qs"] for s in specs), specs
+
+
+def test_curriculum_order_windows_all_bucketed(spark, registry):
+    """The curriculum composition runs BOTH of its splits through
+    ntile_over_buckets: every Window partitions by (lang, qs) for the
+    band split or (lang, band, bkt) for the shard split — never by lang
+    or (lang, band) alone."""
+    from apache_hive_1_2_2_src_spark.plans.audit import (
+        assert_no_single_key_window,
+        window_partition_specs,
+    )
+
+    df = registry["pipeline_curriculum_order"].build(spark, SF_DIR)
+    assert_no_single_key_window(df)
+    specs = window_partition_specs(df)
+    assert specs and all(
+        s in (["lang", "qs"], ["lang", "band", "bkt"]) for s in specs
+    ), specs
