@@ -1873,3 +1873,239 @@ def multimodal_sniff_quintet(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("h").cast("long").alias("sum_h"),
         F.sum("rgb").cast("long").alias("sum_rgb"),
     )
+
+
+# ----------------- feature extraction over decoded media (r14) -------
+#
+# The decode/feature-extract/resize trio the task brief names: decode is
+# covered per codec above; these two ops run REAL feature kernels over
+# the decoded samples/pixels (not the stored stats), with the oracle
+# replaying the generation formula through the same integer math.
+
+_AUD_WIN = 25  # frames per analysis window
+
+
+def _wav_samples(buf: bytes) -> tuple[int, int, tuple]:
+    """RIFF/WAVE PCM16 chunk walk returning the RAW interleaved samples
+    (the per-sample form the feature kernels need; decode_wav_pcm16
+    keeps its summary-stats contract on top of the same parse rules)."""
+    import struct as _struct
+
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE buffer")
+    pos, fmt_chunk, data_chunk = 12, None, None
+    while pos + 8 <= len(buf):
+        cid = buf[pos : pos + 4]
+        (size,) = _struct.unpack("<I", buf[pos + 4 : pos + 8])
+        body = buf[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_chunk = body
+        elif cid == b"data":
+            data_chunk = body
+        pos += 8 + size + (size & 1)
+    if fmt_chunk is None or data_chunk is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, sample_rate, _br, _ba, bits = _struct.unpack(
+        "<HHIIHH", fmt_chunk[:16]
+    )
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"unsupported WAV: format={audio_format} bits={bits}")
+    n = len(data_chunk) // 2
+    return sample_rate, channels, _struct.unpack(f"<{n}h", data_chunk[: n * 2])
+
+
+def wav_window_features(buf: bytes, win: int = _AUD_WIN) -> list[tuple]:
+    """Per-window integer features over channel 0: (win_id, n_frames,
+    energy = Σ s², zero_crossings = #{ i in window, i > window start:
+    (s[i-1] < 0) != (s[i] < 0) }) — the classic short-time
+    energy / ZCR pair (speech-vs-silence segmentation), all-integer so
+    the oracle replays it exactly."""
+    _rate, channels, samples = _wav_samples(buf)
+    ch0 = samples[::channels]
+    rows = []
+    for w0 in range(0, len(ch0), win):
+        chunk = ch0[w0 : w0 + win]
+        energy = sum(int(s) * int(s) for s in chunk)
+        zcr = sum(
+            1
+            for i in range(1, len(chunk))
+            if (chunk[i - 1] < 0) != (chunk[i] < 0)
+        )
+        rows.append((w0 // win, len(chunk), energy, zcr))
+    return rows
+
+
+@register(
+    "multimodal_audio_features",
+    # The oracle replays the per-sample generation formula through the
+    # identical window/energy/ZCR integer math; Spark computes it from
+    # the REAL decoded int16 stream (chunk walk, channel-0 deinterleave).
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, 1 + doc_id % 2 AS channels,
+             50 + doc_id % 101 AS n_frames
+      FROM documents WHERE doc_id < 200
+    ),
+    s AS (
+      SELECT doc_id,
+             CAST(ii.i AS BIGINT) AS i,
+             ((doc_id * 31 + CAST(ii.i AS BIGINT) * 17) % 4001) - 2000 AS v,
+             ((doc_id * 31 + (CAST(ii.i AS BIGINT) - 1) * 17) % 4001) - 2000
+               AS vprev
+      FROM d, UNNEST(range(0, n_frames)) AS ii(i)
+    )
+    SELECT doc_id,
+           CAST(i // {_AUD_WIN} AS INT) AS win_id,
+           CAST(COUNT(*) AS INT) AS n_frames,
+           CAST(SUM(v * v) AS BIGINT) AS energy,
+           CAST(SUM(CASE WHEN i % {_AUD_WIN} > 0
+                          AND (vprev < 0) <> (v < 0)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+    FROM s GROUP BY doc_id, i // {_AUD_WIN}
+    """,
+    doc="Short-time audio FEATURE EXTRACTION over real decoded PCM — the "
+    "classic energy/zero-crossing-rate pair (the first stage of any "
+    "speech/silence segmenter or audio-quality filter): the WAV "
+    "payloads decode to raw int16 streams (RIFF chunk walk), channel 0 "
+    "is deinterleaved, and each 25-frame window yields integer "
+    "(energy = sum of squares, zero crossings) rows. All-integer math "
+    "makes the windowed features hash-certifiable against the "
+    "generation formula. Scale: one Arrow kernel pass; per-doc output "
+    "is |frames|/25 rows — feature tables stay a constant factor of "
+    "the corpus row count, never of the sample count.",
+    tags=("extension", "multimodal", "pandas_udf", "features"),
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(stage_payloads(spark, sf_dir, "wav"))
+
+    def feat_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "win_id": [], "n_frames": [],
+                "energy": [], "zero_crossings": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for win_id, n, energy, zcr in wav_window_features(bytes(payload)):
+                    out["doc_id"].append(int(doc_id))
+                    out["win_id"].append(win_id)
+                    out["n_frames"].append(n)
+                    out["energy"].append(energy)
+                    out["zero_crossings"].append(zcr)
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        feat_batches,
+        "doc_id bigint, win_id int, n_frames int, "
+        "energy bigint, zero_crossings bigint",
+    )
+
+
+_THUMB = 8  # thumbnail side
+
+
+def _bmp_pixels(buf: bytes):
+    """Decode a 24-bit BMP to (width, height, pixel(x, y) -> (r, g, b)) —
+    the random-access form the resize kernel needs; shares decode_bmp24's
+    validation rules (BI_RGB 24-bit only, bottom-up or top-down)."""
+    if len(buf) < 54 or buf[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    pixel_off = struct.unpack_from("<I", buf, 10)[0]
+    hdr_size, width, height = struct.unpack_from("<Iii", buf, 14)
+    planes, bpp = struct.unpack_from("<HH", buf, 26)
+    compression = struct.unpack_from("<I", buf, 30)[0]
+    if hdr_size < 40 or planes != 1 or bpp != 24 or compression != 0:
+        raise ValueError("unsupported BMP variant")
+    abs_h = abs(height)
+    row_stride = (width * 3 + 3) & ~3
+    if pixel_off + row_stride * abs_h > len(buf):
+        raise ValueError("truncated BMP pixel data")
+
+    def pixel(x: int, y: int) -> tuple[int, int, int]:
+        row = abs_h - 1 - y if height > 0 else y  # bottom-up vs top-down
+        off = pixel_off + row * row_stride + x * 3
+        return buf[off + 2], buf[off + 1], buf[off]  # stored BGR
+
+    return width, abs_h, pixel
+
+
+def resize_nearest_bmp(buf: bytes, tw: int, th: int) -> tuple:
+    """Nearest-neighbor resize to (tw, th): source pixel of thumbnail
+    cell (tx, ty) is (tx*w // tw, ty*h // th) — integer sampling, no
+    interpolation, so the resized channel sums are exactly replayable.
+    Returns (src_w, src_h, sum_r, sum_g, sum_b) over the thumbnail."""
+    w, h, pixel = _bmp_pixels(buf)
+    sum_r = sum_g = sum_b = 0
+    for ty in range(th):
+        sy = ty * h // th
+        for tx in range(tw):
+            r, g, b = pixel(tx * w // tw, sy)
+            sum_r += r
+            sum_g += g
+            sum_b += b
+    return w, h, sum_r, sum_g, sum_b
+
+
+@register(
+    "multimodal_image_resize",
+    # The oracle samples the SAME nearest-neighbor grid arithmetically
+    # from the pixel formula; the kernel samples it from real decoded
+    # BMP bytes (random-access row math over the padded BGR layout).
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+      FROM documents WHERE doc_id < 200
+    ),
+    t AS (
+      SELECT doc_id, w, h,
+             (CAST(xx.tx AS BIGINT) * w) // {_THUMB} AS x,
+             (CAST(yy.ty AS BIGINT) * h) // {_THUMB} AS y
+      FROM d, UNNEST(range(0, {_THUMB})) AS xx(tx),
+              UNNEST(range(0, {_THUMB})) AS yy(ty)
+    )
+    SELECT doc_id,
+           CAST(MAX(w) AS INTEGER) AS src_w,
+           CAST(MAX(h) AS INTEGER) AS src_h,
+           CAST(SUM((doc_id * 7 + x * 3 + y * 5) % 256) AS BIGINT) AS thumb_r,
+           CAST(SUM((doc_id * 11 + x + y * 2) % 256) AS BIGINT) AS thumb_g,
+           CAST(SUM((doc_id * 13 + x * 2 + y) % 256) AS BIGINT) AS thumb_b
+    FROM t GROUP BY doc_id
+    """,
+    doc="Image RESIZE as a pipeline kernel (every multimodal training "
+    "pipeline thumbnails/normalizes image sizes before encoding): "
+    "nearest-neighbor 8x8 downsample over REAL decoded BMP bytes — the "
+    "kernel random-accesses source pixels through the padded "
+    "bottom-up BGR row layout at (tx*w//8, ty*h//8), the exact integer "
+    "sampling grid the oracle replays arithmetically. A wrong stride, "
+    "row direction, or rounding mode in the sampler shifts the "
+    "thumbnail sums. Scale: one Arrow kernel pass; output is one "
+    "constant-size feature row per image regardless of source "
+    "dimensions — the shape that makes downstream dedup/similarity "
+    "joins size-oblivious.",
+    tags=("extension", "multimodal", "pandas_udf", "features"),
+)
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(stage_payloads(spark, sf_dir, "bmp"))
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "src_w": [], "src_h": [],
+                "thumb_r": [], "thumb_g": [], "thumb_b": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, sr, sg, sb = resize_nearest_bmp(
+                    bytes(payload), _THUMB, _THUMB
+                )
+                out["doc_id"].append(int(doc_id))
+                out["src_w"].append(w)
+                out["src_h"].append(h)
+                out["thumb_r"].append(sr)
+                out["thumb_g"].append(sg)
+                out["thumb_b"].append(sb)
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        resize_batches,
+        "doc_id bigint, src_w int, src_h int, "
+        "thumb_r bigint, thumb_g bigint, thumb_b bigint",
+    )
