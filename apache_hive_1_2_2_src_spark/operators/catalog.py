@@ -1093,3 +1093,114 @@ def stats_footer_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_files") > 0).alias("files_positive"),
         (F.col("n_groups") >= F.col("n_files")).alias("rowgroups_ge_files"),
     )
+
+
+@register(
+    "stats_footer_minmax",
+    # The oracle runs the REAL aggregate; hash-equality proves the
+    # footer-statistics path (zero data pages) returns the true
+    # min/max/count — the full StatsOptimizer answer-from-stats set.
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
+           CAST(MAX(l_quantity) AS DOUBLE) AS max_qty,
+           CAST(MIN(l_orderkey) AS BIGINT) AS min_orderkey,
+           CAST(MAX(l_orderkey) AS BIGINT) AS max_orderkey,
+           TRUE AS all_stats_present
+    FROM lineitem
+    """,
+    doc="MIN/MAX/COUNT answered from parquet FOOTER column statistics — "
+    "the rest of StatsOptimizer.java's answer-from-stats set (Hive 1.2 "
+    "short-circuits count(*), min(x), max(x) from metastore column "
+    "stats when hive.compute.query.using.stats=on; parquet row-group "
+    "statistics are the always-fresh equivalent): the file list fans "
+    "out via the Hadoop FS API, each executor opens ONLY footers and "
+    "folds per-row-group column min/max (pyarrow statistics; "
+    "has_min_max checked per row group — a group without stats fails "
+    "the query LOUDLY rather than returning a wrong extreme), and the "
+    "per-file partials merge with one tiny aggregate. Certified equal "
+    "to the oracle's real MIN/MAX/COUNT over the data. Scale: 100k "
+    "footers of KBs each across the cluster vs a full column scan — "
+    "this is also the exact machinery partition-level stats collectors "
+    "and zone-map builders run.",
+    tags=("catalog", "stats", "source"),
+)
+def stats_footer_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from apache_hive_1_2_2_src_spark.sources.hive_bucketing import (
+        _hadoop_fs,
+    )
+
+    src = os.path.join(sf_dir, "lineitem.parquet")
+    _, fs, P = _hadoop_fs(spark, src)
+    root = P(src)
+    if fs.getFileStatus(root).isDirectory():
+        files = sorted(
+            str(st.getPath().toUri().getPath())
+            for st in fs.listStatus(root)
+            if st.getPath().getName().endswith(".parquet")
+        )
+    else:
+        files = [src]
+    fdf = spark.createDataFrame(
+        [(f,) for f in files], "path string"
+    ).repartition(min(len(files), 32))
+
+    def footers(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        out = {
+            "n_rows": [], "min_qty": [], "max_qty": [],
+            "min_orderkey": [], "max_orderkey": [], "stats_ok": [],
+        }
+        for pdf in batches:
+            for p in pdf["path"]:
+                md = pq.ParquetFile(p).metadata
+                names = {
+                    md.schema.column(i).name: i
+                    for i in range(md.num_columns)
+                }
+                qi, oi = names["l_quantity"], names["l_orderkey"]
+                mn_q = mx_q = mn_o = mx_o = None
+                ok = True
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    sq, so = g.column(qi).statistics, g.column(oi).statistics
+                    if (
+                        sq is None or so is None
+                        or not sq.has_min_max or not so.has_min_max
+                    ):
+                        ok = False
+                        break
+                    mn_q = sq.min if mn_q is None else min(mn_q, sq.min)
+                    mx_q = sq.max if mx_q is None else max(mx_q, sq.max)
+                    mn_o = so.min if mn_o is None else min(mn_o, so.min)
+                    mx_o = so.max if mx_o is None else max(mx_o, so.max)
+                if not ok:
+                    raise ValueError(
+                        f"row group without min/max statistics in {p} — "
+                        "the stats path must not silently fall back"
+                    )
+                out["n_rows"].append(md.num_rows)
+                out["min_qty"].append(float(mn_q))
+                out["max_qty"].append(float(mx_q))
+                out["min_orderkey"].append(int(mn_o))
+                out["max_orderkey"].append(int(mx_o))
+                out["stats_ok"].append(True)
+        yield pd.DataFrame(out)
+
+    per = fdf.mapInPandas(
+        footers,
+        "n_rows bigint, min_qty double, max_qty double, "
+        "min_orderkey bigint, max_orderkey bigint, stats_ok boolean",
+    )
+    return per.agg(
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.min("min_qty").alias("min_qty"),
+        F.max("max_qty").alias("max_qty"),
+        F.min("min_orderkey").alias("min_orderkey"),
+        F.max("max_orderkey").alias("max_orderkey"),
+        F.bool_and("stats_ok").alias("all_stats_present"),
+    )
