@@ -134,3 +134,50 @@ def test_gif_decoder_rejects_unsupported_variants():
         decode_gif87a(b"GIF87a" + b"\x00" * 4)  # truncated
     with _pytest.raises(ValueError):
         decode_gif87a(b"NOTGIF" + b"\x00" * 20)
+
+
+# ------------------------------------------- distributed NTILE helper
+
+
+def test_ntile_over_buckets_equals_window_ntile(spark):
+    """ntile_over_buckets must equal NTILE(k) OVER (PARTITION BY part
+    ORDER BY ...) exactly — including n < k, n == k, n % k != 0, skewed
+    parts, and single-row parts."""
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from apache_hive_1_2_2_src_spark.extensions.sampling import (
+        ntile_over_buckets,
+    )
+
+    rng = random.Random(41)
+    rows = []
+    rid = 0
+    for part, n in (("a", 1), ("b", 2), ("c", 3), ("d", 7), ("e", 100),
+                    ("f", 97), ("g", 5)):
+        for _ in range(n):
+            rows.append((part, rid, rng.randrange(1000)))
+            rid += 1
+    df = spark.createDataFrame(rows, "part string, rid long, s long")
+    for k in (1, 2, 3, 8):
+        w = Window.partitionBy("part").orderBy("s", "rid")
+        expect = {
+            (r.part, r.rid): r.t
+            for r in df.withColumn("t", F.ntile(k).over(w)).collect()
+        }
+        got = {
+            (r.part, r.rid): r.tile
+            for r in ntile_over_buckets(
+                # bucket = s div 100: coarse, monotone, deliberately
+                # collapses many rows per bucket AND leaves some buckets
+                # singleton — both offset paths exercised
+                df.withColumn("qs", F.expr("CAST(s div 100 AS INT)")),
+                ["part"],
+                "qs",
+                [F.col("s"), F.col("rid")],
+                k,
+            ).collect()
+        }
+        assert got == expect, f"k={k}"
