@@ -910,8 +910,15 @@ def ntile_over_buckets(
 
     w_local = Window.partitionBy(*part_cols, bucket_col).orderBy(*order_cols)
     local = df.withColumn("_lr", F.row_number().over(w_local))
-    cnts = df.groupBy(*part_cols, bucket_col).agg(
-        F.count(F.lit(1)).alias("_c")
+    # The counts frame is metadata-sized (|parts| x |buckets| rows) but its
+    # LINEAGE is the full input; eager-checkpointing it means the offsets
+    # self-join and the totals each read the materialized counts instead
+    # of re-evaluating the (possibly expensive) input subtree — one input
+    # evaluation for counts + one for the rank pass, instead of three.
+    cnts = (
+        df.groupBy(*part_cols, bucket_col)
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint(eager=True)
     )
     a, b = cnts.alias("a"), cnts.alias("b")
     cond = F.lit(True)
