@@ -181,7 +181,7 @@ STABLE_WINDOW = (
 # either way. (r12's 18 FRESH names all certified in CORRECTNESS_r12 and
 # rotated out; the displaced stable tail returns automatically.)
 FRESH = (
-    # the TEN r14 registrations + the five r14 REWRITES (scale-safe window
+    # the ELEVEN r14 registrations + the five r14 REWRITES (scale-safe window
     # shapes + steps-trainer routing) — rewritten queries re-ride FRESH
     # so their new plans earn a fresh driver-green row
     "acid_txn_visibility",
@@ -193,6 +193,7 @@ FRESH = (
     "multimodal_audio_features",
     "multimodal_image_resize",
     "stats_footer_minmax",
+    "streaming_ivf_index_maintenance",
     "pipeline_curriculum_order",
     "pipeline_epoch_shuffle",
     "text_perplexity_buckets",
@@ -224,7 +225,6 @@ FRESH = (
     "select_distinct",
     "subquery_in_where",
     "subquery_not_in",
-    "tablesample_percent_rows",
     "union_all",
     "union_distinct",
     "window_ntile",
