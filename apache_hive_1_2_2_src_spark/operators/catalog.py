@@ -1056,8 +1056,14 @@ def stats_footer_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, fs, P = _hadoop_fs(spark, src)
     root = P(src)
     if fs.getFileStatus(root).isDirectory():
+        # Keep the FULLY-QUALIFIED URI (scheme + authority + path): the
+        # executor-side open resolves it through pyarrow's filesystem
+        # layer, so hdfs://nn/x and s3a://bucket/x open the file the
+        # driver listed — stripping to the bare path component would
+        # silently resolve against the executor's LOCAL filesystem
+        # (ADVICE r14).
         files = sorted(
-            str(st.getPath().toUri().getPath())
+            str(st.getPath().toString())
             for st in fs.listStatus(root)
             if st.getPath().getName().endswith(".parquet")
         )
@@ -1071,10 +1077,23 @@ def stats_footer_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pandas as pd
         import pyarrow.parquet as pq
 
+        def opened(uri):
+            # Fully-qualified URIs go through pyarrow.fs (s3a -> s3 is
+            # the pyarrow spelling of the same store); bare local paths
+            # open directly.
+            if "://" not in uri and not uri.startswith("file:/"):
+                return uri
+            import pyarrow.fs as pafs
+
+            pfs, path = pafs.FileSystem.from_uri(
+                uri.replace("s3a://", "s3://", 1)
+            )
+            return pfs.open_input_file(path)
+
         for pdf in batches:
             rows, groups = [], []
             for p in pdf["path"]:
-                md = pq.ParquetFile(p).metadata
+                md = pq.ParquetFile(opened(p)).metadata
                 rows.append(md.num_rows)
                 groups.append(md.num_row_groups)
             yield pd.DataFrame(
@@ -1136,8 +1155,11 @@ def stats_footer_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, fs, P = _hadoop_fs(spark, src)
     root = P(src)
     if fs.getFileStatus(root).isDirectory():
+        # Fully-qualified URIs for the same reason as stats_footer_count:
+        # the executor-side pyarrow open must hit the filesystem the
+        # driver listed, not the executor's local FS (ADVICE r14).
         files = sorted(
-            str(st.getPath().toUri().getPath())
+            str(st.getPath().toString())
             for st in fs.listStatus(root)
             if st.getPath().getName().endswith(".parquet")
         )
@@ -1151,13 +1173,30 @@ def stats_footer_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pandas as pd
         import pyarrow.parquet as pq
 
-        out = {
-            "n_rows": [], "min_qty": [], "max_qty": [],
-            "min_orderkey": [], "max_orderkey": [], "stats_ok": [],
-        }
+        def opened(uri):
+            if "://" not in uri and not uri.startswith("file:/"):
+                return uri
+            import pyarrow.fs as pafs
+
+            pfs, path = pafs.FileSystem.from_uri(
+                uri.replace("s3a://", "s3://", 1)
+            )
+            return pfs.open_input_file(path)
+
+        # One output frame PER input batch (streamed, never buffered
+        # across the whole partition), built with explicit dtypes so an
+        # empty batch still casts cleanly to the declared schema
+        # (ADVICE r14: the old single-yield form built object-dtype
+        # all-empty lists on empty partitions).
+        import numpy as np
+
         for pdf in batches:
+            out = {
+                "n_rows": [], "min_qty": [], "max_qty": [],
+                "min_orderkey": [], "max_orderkey": [], "stats_ok": [],
+            }
             for p in pdf["path"]:
-                md = pq.ParquetFile(p).metadata
+                md = pq.ParquetFile(opened(p)).metadata
                 names = {
                     md.schema.column(i).name: i
                     for i in range(md.num_columns)
@@ -1189,7 +1228,20 @@ def stats_footer_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["min_orderkey"].append(int(mn_o))
                 out["max_orderkey"].append(int(mx_o))
                 out["stats_ok"].append(True)
-        yield pd.DataFrame(out)
+            yield pd.DataFrame(
+                {
+                    "n_rows": np.asarray(out["n_rows"], dtype="int64"),
+                    "min_qty": np.asarray(out["min_qty"], dtype="float64"),
+                    "max_qty": np.asarray(out["max_qty"], dtype="float64"),
+                    "min_orderkey": np.asarray(
+                        out["min_orderkey"], dtype="int64"
+                    ),
+                    "max_orderkey": np.asarray(
+                        out["max_orderkey"], dtype="int64"
+                    ),
+                    "stats_ok": np.asarray(out["stats_ok"], dtype="bool"),
+                }
+            )
 
     per = fdf.mapInPandas(
         footers,

@@ -53,10 +53,46 @@ def window_partition_specs(df: DataFrame) -> list[list[str]]:
     hash-prefix bucket) on every corpus-sized Window."""
     import re
 
+    text = plan_text(df)
     specs: list[list[str]] = []
-    for m in re.finditer(r"windowspecdefinition\(([^)]*)", plan_text(df)):
+    marker = "windowspecdefinition("
+    pos = 0
+    while (start := text.find(marker, pos)) != -1:
+        # Paren-depth scan from the open paren so partition expressions
+        # that themselves contain parentheses (CAST, UDF calls) are
+        # captured whole — the old first-')' regex truncated them and
+        # could mis-parse the spec (ADVICE r14). Top-level commas split
+        # the arguments; depth>0 commas belong to nested calls.
+        i = start + len(marker)
+        depth = 1
+        args: list[str] = []
+        buf: list[str] = []
+        while i < len(text) and depth > 0:
+            ch = text[i]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            elif ch == "," and depth == 1:
+                args.append("".join(buf))
+                buf = []
+                i += 1
+                continue
+            buf.append(ch)
+            i += 1
+        args.append("".join(buf))
+        pos = i
+        # A well-formed spec always ends in specifiedwindowframe(...);
+        # fail loudly on a truncated capture rather than silently
+        # passing a spec we never actually read.
+        assert any("specifiedwindowframe" in a for a in args), (
+            "windowspecdefinition capture missing specifiedwindowframe "
+            f"marker — truncated parse: {args}"
+        )
         cols: list[str] = []
-        for part in m.group(1).split(","):
+        for part in args:
             part = part.strip()
             if (" ASC" in part or " DESC" in part
                     or part.startswith("specifiedwindowframe")):

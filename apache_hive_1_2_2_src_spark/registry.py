@@ -112,8 +112,10 @@ STABLE_WINDOW = (
     "workload_product_profit",
     "flagship_sql_text",
     # newest machinery (r8-r9): ACID, Hive-bucket interop, curves, dedup
-    "acid_read_compacted",
+    # (r15: streaming rep rides before acid_read_compacted so the 3-slot
+    # tail left by the 46-name FRESH window keeps the streaming tag)
     "streaming_acid_delta_ingest",
+    "acid_read_compacted",
     # §2.9 UDTF and §2.2 source representatives ride high: FRESH
     # truncates the tail, and the breadth guard requires udtf- and
     # source-tagged queries in every window
@@ -181,62 +183,59 @@ STABLE_WINDOW = (
 # either way. (r12's 18 FRESH names all certified in CORRECTNESS_r12 and
 # rotated out; the displaced stable tail returns automatically.)
 FRESH = (
-    # the ELEVEN r14 registrations + the five r14 REWRITES (scale-safe window
-    # shapes + steps-trainer routing) — rewritten queries re-ride FRESH
-    # so their new plans earn a fresh driver-green row
-    "acid_txn_visibility",
-    "acid_txn_snapshot_from_log",
-    "acid_cleaner_after_compaction",
-    "similarity_ivf_two_level",
-    "multimodal_decode_gif",
-    "multimodal_sniff_quintet",
-    "multimodal_audio_features",
-    "multimodal_image_resize",
-    "stats_footer_minmax",
-    "streaming_ivf_index_maintenance",
-    "pipeline_curriculum_order",
-    "pipeline_epoch_shuffle",
-    "text_perplexity_buckets",
-    "text_bpe_pack_chain",
-    "text_bpe_train_merges",
-    "text_bpe_apply_fertility",
-    # stale-green hygiene rotation (VERDICT r13 item 3): every query
-    # whose NEWEST driver-green row predates r5 — 27 r2 names + 3 r3 +
-    # 3 r4 — so no green row in the record is ever more than a few
-    # rounds old. All re-verified by the local 338/338 sweep this round.
-    "agg_covar_corr",
-    "agg_cube",
-    "agg_global_no_groupby",
-    "agg_having",
-    "agg_percentile_exact",
-    "agg_rollup",
-    "agg_sum_avg_min_max",
-    "agg_variance_stddev",
-    "except_emulated",
-    "global_order_by",
-    "intersect_emulated",
-    "join_cross",
-    "join_full_outer",
-    "join_left_anti",
-    "join_left_outer",
-    "join_left_semi",
-    "join_right_outer",
-    "join_theta_range",
-    "select_distinct",
-    "subquery_in_where",
-    "subquery_not_in",
-    "union_all",
-    "union_distinct",
-    "window_ntile",
-    "window_percent_rank_cume_dist",
-    "window_rank_dense_rank",
-    # r3 functions representative (also keeps the functions tag in the
-    # graded window while FRESH squeezes the stable tail)
-    "math_basic_suite",
-    # the other r3/r4 stragglers (agg_collect_list_set,
-    # window_first_last_value, multimodal_decode_stub,
-    # text_context_ngrams, text_token_count_regex) rotate with the r5
-    # cohort in r15 — the window only holds 50
+    # the TWO r15 registrations ride first so each earns a driver-green
+    # row in its first round (never-green guard)
+    "acid_concurrent_writers",
+    "dedup_image_phash",
+    # stale-green rotation, second tranche (VERDICT r14 item 1): the six
+    # <=r4 stragglers + the 38-query r5 cohort — after this round the
+    # oldest driver-green row anywhere is r6 and the rotation settles
+    # into a steady ~2-round cadence. All 44 re-verified by the local
+    # 349/349 sweep before riding.
+    "agg_basic_counts",
+    "agg_collect_list_set",
+    "analyze_table_stats",
+    "cond_if_case_coalesce",
+    "csv_roundtrip_agg",
+    "date_extract_suite",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "explode_words",
+    "join_inner",
+    "lateral_view_word_count",
+    "multimodal_decode_stub",
+    "multimodal_frame_sample",
+    "multimodal_metadata",
+    "order_by_limit_topk",
+    "pipeline_curate_corpus",
+    "pipeline_pack_sequences",
+    "sample_split_train_val",
+    "scan_filter_project",
+    "script_transform_sql",
+    "similarity_ann_ivf",
+    "similarity_ann_lsh_signbits",
+    "similarity_cosine_threshold",
+    "similarity_cosine_topk",
+    "str_basic_suite",
+    "subquery_exists_correlated",
+    "tablesample_percent_rows",
+    "text_context_ngrams",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_ngrams_top",
+    "text_pii_scrub",
+    "text_quality_score",
+    "text_token_count_regex",
+    "text_token_stats",
+    "text_unigram_rarity",
+    "udaf_pandas_grouped_demo",
+    "window_first_last_value",
+    "window_lead_lag",
+    "workload_local_supplier_volume",
+    "workload_part_type_share",
+    "workload_returned_items",
+    "workload_shipping_priority",
 )
 
 PRIORITY = (

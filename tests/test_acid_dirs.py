@@ -415,3 +415,101 @@ def test_valid_txn_list_base_and_range_rules(spark, tmp_path):
     assert [d[2] for d in deltas] == ["delta_1_3"]
     got = {(r.k, r.st) for r in read_acid_table(spark, t, snap).collect()}
     assert got == {(1, "C"), (2, "N")}
+
+
+def test_valid_txn_range_arithmetic_wide_and_covered():
+    """is_range_valid answers arithmetically (ADVICE r14): a compacted
+    delta spanning millions of txn ids must not cost an O(range-width)
+    loop, and a range whose visible ids are ALL exceptions is NONE."""
+    import time
+
+    from apache_hive_1_2_2_src_spark.operators.acid import ValidTxnList
+
+    snap = ValidTxnList(high_watermark=50_000_000, exceptions=frozenset({7}))
+    t0 = time.perf_counter()
+    assert snap.is_range_valid(1, 40_000_000)          # huge range, instant
+    assert not snap.is_range_valid(60_000_000, 99_000_000)  # above hwm
+    assert snap.is_range_valid(40_000_000, 99_000_000)  # clipped at hwm
+    assert time.perf_counter() - t0 < 0.5
+
+    # every id in [2,4] is an exception -> NONE; widen by one -> SOME
+    cov = ValidTxnList(high_watermark=10, exceptions=frozenset({2, 3, 4}))
+    assert not cov.is_range_valid(2, 4)
+    assert cov.is_range_valid(2, 5)
+    # exceptions outside the clipped range don't count against it
+    assert cov.is_range_valid(5, 9)
+    # single-txn forms agree with is_valid
+    assert not cov.is_range_valid(3, 3)
+    assert cov.is_range_valid(5, 5)
+
+
+def test_lock_manager_compatibility_matrix():
+    """TxnHandler.checkLock jump table: SR/SW are mutually compatible
+    (concurrent writers are LEGAL in Hive ACID — ordering is resolved at
+    read time), EXCLUSIVE conflicts with everything."""
+    from apache_hive_1_2_2_src_spark.operators.acid import AcidLockManager
+
+    grants = {}
+    for held in ("SR", "SW", "X"):
+        for req in ("SR", "SW", "X"):
+            lm = AcidLockManager()
+            assert lm.request(1, held, "db.t") == "ACQUIRED"
+            grants[(req, held)] = lm.request(2, req, "db.t")
+    acquired = {k for k, v in grants.items() if v == "ACQUIRED"}
+    assert acquired == {("SR", "SR"), ("SR", "SW"), ("SW", "SR"), ("SW", "SW")}
+
+
+def test_lock_manager_fifo_no_barging():
+    """checkLock is FIFO: an EXCLUSIVE waiter behind two shared locks
+    blocks LATER shared requests (no starvation by a compatible stream),
+    and releases promote strictly in queue order."""
+    from apache_hive_1_2_2_src_spark.operators.acid import AcidLockManager
+
+    lm = AcidLockManager()
+    assert lm.request(1, "SW", "db.t") == "ACQUIRED"
+    assert lm.request(2, "SR", "db.t") == "ACQUIRED"
+    assert lm.request(3, "X", "db.t") == "WAITING"
+    # a later SR would be compatible with the GRANTED locks but must
+    # queue behind the waiting X
+    assert lm.request(4, "SR", "db.t") == "WAITING"
+    lm.release(1)
+    assert lm.state(3, "db.t") == "WAITING"  # SR(2) still held
+    lm.release(2)
+    assert lm.state(3, "db.t") == "ACQUIRED"  # X at queue head
+    assert lm.state(4, "db.t") == "WAITING"   # SR still behind the X
+    lm.release(3)
+    assert lm.state(4, "db.t") == "ACQUIRED"
+
+
+def test_lock_manager_per_resource_isolation():
+    """Locks on different resources never interact (DbLockManager keys
+    the queue by (db, table, partition))."""
+    from apache_hive_1_2_2_src_spark.operators.acid import AcidLockManager
+
+    lm = AcidLockManager()
+    assert lm.request(1, "X", "db.a") == "ACQUIRED"
+    assert lm.request(2, "X", "db.b") == "ACQUIRED"
+    assert lm.request(3, "SW", "db.a") == "WAITING"
+    lm.release(1, "db.a")
+    assert lm.state(3, "db.a") == "ACQUIRED"
+
+
+def test_concurrent_snapshot_isolation_from_events():
+    """The per-reader ValidTxnList derivation over the interleaved
+    two-writer log: mid-flight invisible, aborted never visible,
+    committed exactly-once — the snapshot semantics the lock matrix
+    makes necessary (SW||SW means readers MUST filter by txn state)."""
+    from apache_hive_1_2_2_src_spark.operators.acid import (
+        _CONC_LOG,
+        valid_txn_list_from_events,
+    )
+
+    s5 = valid_txn_list_from_events(_CONC_LOG, 5)
+    assert (s5.high_watermark, s5.exceptions) == (3, frozenset({2, 3}))
+    s7 = valid_txn_list_from_events(_CONC_LOG, 7)
+    assert (s7.high_watermark, s7.exceptions) == (3, frozenset({3}))
+    s9 = valid_txn_list_from_events(_CONC_LOG, 9)
+    assert (s9.high_watermark, s9.exceptions) == (4, frozenset({3, 4}))
+    # before anything was allocated: empty snapshot, nothing visible
+    s0 = valid_txn_list_from_events(_CONC_LOG, 0)
+    assert s0.high_watermark == 0 and not s0.is_valid(1)

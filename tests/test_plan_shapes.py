@@ -592,3 +592,45 @@ def test_two_level_ivf_no_cartesian(spark, registry):
     df = registry["similarity_ivf_two_level"].build(spark, SF_DIR)
     p = plan_text(df)
     assert "CartesianProduct" not in p
+
+
+def test_window_spec_parser_handles_parenthesized_exprs(spark):
+    """window_partition_specs must survive partition expressions that
+    themselves contain parentheses — CAST/arithmetic surviving into the
+    physical plan truncated the old first-')' regex (ADVICE r14)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from apache_hive_1_2_2_src_spark.plans.audit import (
+        assert_no_single_key_window,
+        window_partition_specs,
+    )
+
+    df = spark.range(100).select(
+        (F.col("id") % 7).alias("a"),
+        (F.col("id") % 3).alias("b"),
+        F.col("id").alias("c"),
+    )
+    two = df.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy(
+                (F.col("a") % 2).cast("int"), F.col("b")
+            ).orderBy("c")
+        ),
+    )
+    specs = window_partition_specs(two)
+    assert specs and all(len(s) == 2 for s in specs), specs
+    assert_no_single_key_window(two)  # 2-col spec passes
+
+    one = df.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy((F.col("a") % 2).cast("int")).orderBy("c")
+        ),
+    )
+    # a single parenthesized partition expr must still be CAUGHT
+    specs1 = window_partition_specs(one)
+    assert specs1 and all(len(s) == 1 for s in specs1), specs1
+    with pytest.raises(AssertionError):
+        assert_no_single_key_window(one)

@@ -1,0 +1,82 @@
+"""Round-15 operator pins: pHash invariance classes, banding pigeonhole,
+and the concurrent-writer snapshot matrix (lock tests live in
+test_acid_dirs.py)."""
+
+from __future__ import annotations
+
+from apache_hive_1_2_2_src_spark.extensions.multimodal import (
+    _bmp_fixture_dims,
+    _phash_fixture_pixel,
+    _phash_pert_pixel,
+    encode_bmp24,
+    encode_png,
+    phash64_bands,
+)
+
+
+def test_phash_reencode_invariance_and_band_range():
+    """The same pixels in BMP vs PNG must hash identically (the
+    duplicate-after-reencode class), and every band is 16-bit."""
+    for d in (0, 3, 9, 33, 99, 198):
+        w, h = _bmp_fixture_dims(d)
+        pix = _phash_fixture_pixel(d)
+        a = phash64_bands(encode_bmp24(w, h, pix))
+        b = phash64_bands(
+            encode_png(w, h, pix, filter_of=lambda y, d=d: (d + y) % 5)
+        )
+        assert a == b
+        assert all(0 <= x < 1 << 16 for x in a)
+    # Bit count is threshold-rank-driven, NOT forced to ~32: coefficient
+    # TIES at the threshold value get bit 0 (strict >), and structured
+    # fixtures tie heavily (d=7 has only 7 strictly-greater coefficients).
+    # Pin the snapshot — a rounding or tie-handling change moves it.
+    d = 7
+    w, h = _bmp_fixture_dims(d)
+    bits = sum(
+        bin(x).count("1")
+        for x in phash64_bands(encode_bmp24(w, h, _phash_fixture_pixel(d)))
+    )
+    assert bits == 7
+
+
+def test_phash_unsampled_edit_invisible_sampled_edit_visible():
+    """The pert edit (last column, width>=9) is provably outside the 8x8
+    nearest-neighbor grid -> identical hash; the SAME edit applied to a
+    column the grid does sample must change the hash — proving the
+    invariance comes from sampling geometry, not a broken hash."""
+    for d in (5, 45, 70, 135, 180):
+        assert d % 5 == 0 and d % 13 >= 5
+        w, h = _bmp_fixture_dims(d)
+        assert w >= 9
+        orig = phash64_bands(encode_bmp24(w, h, _phash_fixture_pixel(d)))
+        pert = phash64_bands(encode_bmp24(w, h, _phash_pert_pixel(d, w)))
+        assert orig == pert
+
+    d = 45
+    w, h = _bmp_fixture_dims(d)
+    base = _phash_fixture_pixel(d)
+
+    def sampled_edit(x, y):
+        # column 0 is always sampled (tx=0 -> 0*w//8 = 0); whiting it
+        # out shifts the spectrum far past any threshold tie
+        return (255, 255, 255) if x == 0 else base(x, y)
+
+    orig = phash64_bands(encode_bmp24(w, h, base))
+    edited = phash64_bands(encode_bmp24(w, h, sampled_edit))
+    assert orig != edited
+
+
+def test_phash_banding_pigeonhole():
+    """Any two hashes within Hamming distance 3 share at least one of
+    the four interleaved bands (the candidate-generation guarantee)."""
+    d = 12
+    w, h = _bmp_fixture_dims(d)
+    a = list(phash64_bands(encode_bmp24(w, h, _phash_fixture_pixel(d))))
+    # flip 3 bits spread across positions 5, 21, 40 (bands 1, 1, 0)
+    for p in (5, 21, 40):
+        a_band, a_pos = p % 4, p // 4
+        a[a_band] ^= 1 << a_pos
+    orig = phash64_bands(encode_bmp24(w, h, _phash_fixture_pixel(d)))
+    shared = sum(1 for x, y in zip(orig, a) if x == y)
+    ham = sum(bin(x ^ y).count("1") for x, y in zip(orig, a))
+    assert ham == 3 and shared >= 1
