@@ -1824,7 +1824,9 @@ def _tl_oracle() -> str:
     return "\n".join(sql)
 
 
-def ivf_two_level_topk(e: DataFrame) -> DataFrame:
+def ivf_two_level_topk(
+    e: DataFrame, iters: int = _KMQ_ITERS, checkpoint_every: int = 0
+) -> DataFrame:
     """Two-level IVF search engine (shared by the registered query and the
     recall-pin test): train coarse centroids, renumber each coarse cell's
     members densely (so the shared seed rule vec_id < k works per cell),
@@ -1833,10 +1835,18 @@ def ivf_two_level_topk(e: DataFrame) -> DataFrame:
     member table and the sub-centroid union are eager-localCheckpointed:
     they are training-sample-sized, and without the cut each per-cell
     chain's broadcast would re-derive the whole coarse chain (the
-    O(chains^2) rebuild hazard measured in SCALE.md r13)."""
+    O(chains^2) rebuild hazard measured in SCALE.md r13).
+
+    ``iters``/``checkpoint_every`` flow into every chain (1 coarse + k1
+    sub-chains); defaults keep the graded 2-iteration form byte-stable.
+    For deeper training pass checkpoint_every ~4: the member-table
+    checkpoint already isolates sub-chains from the coarse chain, and
+    the in-chain checkpoint bounds each chain's own O(iters^2) rebuild —
+    verified composed in tests/test_round15_ops.py (SCALE.md r15
+    deepening audit)."""
     from pyspark.sql.window import Window
 
-    coarse = kmeans_centroids_quantized(e, _TL_K1, _KMQ_ITERS)
+    coarse = kmeans_centroids_quantized(e, _TL_K1, iters, checkpoint_every)
     wv = Window.partitionBy("vec_id").orderBy(
         _cos(F.col("embedding"), F.col("ce")).desc(), F.col("cid")
     )
@@ -1862,7 +1872,7 @@ def ivf_two_level_topk(e: DataFrame) -> DataFrame:
         cell = mem.where(F.col("ccid") == j).select(
             F.col("rid").alias("vec_id"), "embedding"
         )
-        cj = kmeans_centroids_quantized(cell, _TL_K2, _KMQ_ITERS)
+        cj = kmeans_centroids_quantized(cell, _TL_K2, iters, checkpoint_every)
         subs.append(
             cj.select(
                 F.lit(j).alias("ccid"), F.col("cid").alias("scid"), "ce"

@@ -80,3 +80,37 @@ def test_phash_banding_pigeonhole():
     shared = sum(1 for x, y in zip(orig, a) if x == y)
     ham = sum(bin(x ^ y).count("1") for x, y in zip(orig, a))
     assert ham == 3 and shared >= 1
+
+
+def test_two_level_ivf_deepening_checkpoint_composes(spark):
+    """VERDICT r14 ask #5: the in-chain `checkpoint_every` dial must
+    compose with the per-cell sub-chains — at iters=8 the checkpointed
+    form's SEARCH plan must stay in the graded form's size class (the
+    chains are checkpoint-rooted, so deeper training must not leak plan
+    nodes into the search), and the 2-iteration results must be
+    bit-identical with and without the dial."""
+    from apache_hive_1_2_2_src_spark.extensions.similarity import (
+        ivf_two_level_topk,
+    )
+    from apache_hive_1_2_2_src_spark.plans import plan_text
+    from apache_hive_1_2_2_src_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    e = load_table(spark, SF_DIR, "embeddings")
+
+    graded = ivf_two_level_topk(e)  # iters=2, no dial (the graded form)
+    deep = ivf_two_level_topk(e, iters=8, checkpoint_every=4)
+    p_graded = plan_text(graded)
+    p_deep = plan_text(deep)
+    n_graded, n_deep = len(p_graded.splitlines()), len(p_deep.splitlines())
+    # checkpoint-rooted: 4x the training depth must NOT grow the search
+    # plan materially (r14 audit: 229 lines at sf0.1; allow slack for
+    # scan-count differences, forbid the O(iters) leak class)
+    assert n_deep <= n_graded * 1.3, (n_graded, n_deep)
+    assert "CartesianProduct" not in p_deep
+
+    # the dial is value-neutral: same iters, with/without checkpoints
+    dialed = ivf_two_level_topk(e, iters=2, checkpoint_every=1)
+    assert sorted(map(tuple, graded.collect())) == sorted(
+        map(tuple, dialed.collect())
+    )
