@@ -1516,8 +1516,11 @@ _PHASH_BUCKET_CAP = 16
 _PHASH_HAMMING_MAX = 10
 
 
-_PHASH_ORACLE_TEMPLATE = """
-    WITH cos_t AS (__PHASH_COS_SQL__),
+# Shared CTE chain (no WITH prefix): fixture formulas -> integer DCT
+# pHash -> interleaved bands -> capped pigeonhole candidate join ->
+# Hamming filter. dedup_image_phash aggregates `kept` by pair kind; the
+# clusters query closes it transitively with a recursive CTE.
+_PHASH_CTES_TEMPLATE = """cos_t AS (__PHASH_COS_SQL__),
     docs AS (
       SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
       FROM documents WHERE doc_id < 200
@@ -1615,57 +1618,45 @@ _PHASH_ORACLE_TEMPLATE = """
       FROM cand
     ),
     kept AS (
-      SELECT CASE WHEN da = db THEN va || '-' || vb
-                  ELSE 'cross' END AS pair_kind,
-             hamming, da, db
+      SELECT ka, kb, da, db, va, vb, hamming
       FROM pairs WHERE hamming <= __HMAX__
-    )
-    SELECT pair_kind,
-           CAST(COUNT(*) AS BIGINT) AS n_pairs,
-           CAST(SUM(CASE WHEN hamming = 0 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_exact,
-           CAST(SUM(hamming) AS BIGINT) AS sum_hamming,
-           MIN(da) AS min_doc, MAX(db) AS max_doc
-    FROM kept GROUP BY pair_kind
-"""
+    )"""
 
 
-def _phash_oracle() -> str:
+def _phash_ctes() -> str:
     from apache_hive_1_2_2_src_spark.extensions.multimodal import (
         _PHASH_COS_SQL,
     )
 
     return (
-        _PHASH_ORACLE_TEMPLATE
+        _PHASH_CTES_TEMPLATE
         .replace("__PHASH_COS_SQL__", _PHASH_COS_SQL)
         .replace("__CAP__", str(_PHASH_BUCKET_CAP))
         .replace("__HMAX__", str(_PHASH_HAMMING_MAX))
     )
 
 
-@register(
-    "dedup_image_phash",
-    oracle=_phash_oracle(),
-    doc="IMAGE near-dup dedup via perceptual hash — the multimodal "
-    "twin of dedup_simhash (pHash: Zauner 2010 / the classic DCT "
-    "hash): every variant's REAL bytes (BMP originals, PNG re-encodes "
-    "of the same pixels, BMP copies with an edit outside the sampling "
-    "grid) decode through multimodal.image_pixels, hash through the "
-    "all-integer 8x8-DCT phash64_bands, band into 4 interleaved 16-bit "
-    "bands, and candidate-join ONLY within (band_idx, band_val) "
-    "buckets under a hot-bucket cap — SimHash's pigeonhole banding, "
-    "never all-pairs. Certified: the oracle replays decode-to-verdict "
-    "from the pixel formulas; runtime recall pins = every PNG "
-    "re-encode (67) and every unsampled-column edit (24) is found at "
-    "Hamming 0 (byte-different, perceptually identical — the exact "
-    "class cryptographic-hash dedup misses). Scale: |docs|*4 bucket "
-    "rows, one shuffle to bucket, per-bucket pairs bounded by the cap "
-    "(recall floor: any pair within Hamming 3 shares a band by "
-    "pigeonhole); the hash kernel is one Arrow pass, constant output "
-    "per image.",
-    tags=("extension", "dedup", "multimodal", "phash", "pandas_udf"),
-)
-def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _phash_oracle() -> str:
+    return (
+        "WITH " + _phash_ctes() + """
+    SELECT CASE WHEN da = db THEN va || '-' || vb
+                ELSE 'cross' END AS pair_kind,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN hamming = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact,
+           CAST(SUM(hamming) AS BIGINT) AS sum_hamming,
+           MIN(da) AS min_doc, MAX(db) AS max_doc
+    FROM kept
+    GROUP BY CASE WHEN da = db THEN va || '-' || vb ELSE 'cross' END
+    """
+    )
+
+
+def _phash_pair_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared pHash near-dup pair pipeline (decode -> hash -> bands
+    -> capped bucket join -> Hamming filter): one row per surviving pair
+    (ka, kb, da, db, va, vb, hamming) — dedup_image_phash aggregates it
+    by pair kind, dedup_image_phash_clusters closes it transitively."""
     import pandas as pd
 
     from apache_hive_1_2_2_src_spark.extensions.multimodal import (
@@ -1745,7 +1736,7 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    kept = (
+    return (
         cand.withColumn(
             "hamming",
             F.expr(
@@ -1754,13 +1745,39 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .filter(F.col("hamming") <= _PHASH_HAMMING_MAX)
-        .withColumn(
-            "pair_kind",
-            F.when(
-                F.col("da") == F.col("db"),
-                F.concat(F.col("va"), F.lit("-"), F.col("vb")),
-            ).otherwise(F.lit("cross")),
-        )
+        .select("ka", "kb", "da", "db", "va", "vb", "hamming")
+    )
+
+
+@register(
+    "dedup_image_phash",
+    oracle=_phash_oracle(),
+    doc="IMAGE near-dup dedup via perceptual hash — the multimodal "
+    "twin of dedup_simhash (pHash: Zauner 2010 / the classic DCT "
+    "hash): every variant's REAL bytes (BMP originals, PNG re-encodes "
+    "of the same pixels, BMP copies with an edit outside the sampling "
+    "grid) decode through multimodal.image_pixels, hash through the "
+    "all-integer 8x8-DCT phash64_bands, band into 4 interleaved 16-bit "
+    "bands, and candidate-join ONLY within (band_idx, band_val) "
+    "buckets under a hot-bucket cap — SimHash's pigeonhole banding, "
+    "never all-pairs. Certified: the oracle replays decode-to-verdict "
+    "from the pixel formulas; runtime recall pins = every PNG "
+    "re-encode (67) and every unsampled-column edit (24) is found at "
+    "Hamming 0 (byte-different, perceptually identical — the exact "
+    "class cryptographic-hash dedup misses). Scale: |docs|*4 bucket "
+    "rows, one shuffle to bucket, per-bucket pairs bounded by the cap "
+    "(recall floor: any pair within Hamming 3 shares a band by "
+    "pigeonhole); the hash kernel is one Arrow pass, constant output "
+    "per image.",
+    tags=("extension", "dedup", "multimodal", "phash", "pandas_udf"),
+)
+def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    kept = _phash_pair_frame(spark, sf_dir).withColumn(
+        "pair_kind",
+        F.when(
+            F.col("da") == F.col("db"),
+            F.concat(F.col("va"), F.lit("-"), F.col("vb")),
+        ).otherwise(F.lit("cross")),
     )
     out = kept.groupBy("pair_kind").agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
@@ -1780,4 +1797,289 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise AssertionError(f"reenc recall broken: {got.get('orig-reenc')}")
     if got.get("orig-pert", {"n_exact": 0})["n_exact"] != 24:
         raise AssertionError(f"pert recall broken: {got.get('orig-pert')}")
+    return out
+
+
+def _phash_clusters_oracle() -> str:
+    # Recursive min-label closure over the kept pHash pair graph — the
+    # dedup_clusters oracle pattern applied to variant keys; doc_id is
+    # recovered arithmetically (key = doc_id*10 + vcode).
+    return (
+        "WITH RECURSIVE " + _phash_ctes() + """,
+    edges AS (
+      SELECT ka AS u, kb AS v FROM kept
+      UNION
+      SELECT kb AS u, ka AS v FROM kept
+    ),
+    nodes AS (SELECT DISTINCT u AS n FROM edges),
+    reach(n, lbl) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.n
+    ),
+    comp AS (SELECT n, MIN(lbl) AS cluster_id FROM reach GROUP BY n)
+    SELECT cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_variants,
+           CAST(COUNT(DISTINCT n // 10) AS BIGINT) AS n_docs,
+           MIN(n) AS keeper_key,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_removed
+    FROM comp
+    GROUP BY cluster_id
+    """
+    )
+
+
+@register(
+    "dedup_image_phash_clusters",
+    oracle=_phash_clusters_oracle(),
+    doc="Image near-dup CLUSTER formation + canonical-keeper selection — "
+    "the step a real multimodal curation pipeline runs after pHash pair "
+    "mining (keep ONE copy per perceptual cluster, not per pair): the "
+    "pHash pair graph (shared pipeline with dedup_image_phash) closes "
+    "transitively via alternating large-star/small-star connected "
+    "components (Kiveris et al. SoCC'14 — the SAME distributed CC the "
+    "text near-dup clusters use, O(log^2 n) rounds, no driver graph "
+    "state), each component keeps its minimum key as the canonical "
+    "copy, and the verdict reports per-cluster variant count, distinct "
+    "source docs, and removal count. PNG re-encodes and "
+    "grid-invisible edits land in their original's cluster at Hamming "
+    "0, so the keeper rule provably collapses container changes. "
+    "Iterative on both engines but the fixpoint is deterministic -> "
+    "full recursive-CTE hash oracle. Scale: edges are the capped "
+    "banded pair set (never all-pairs), CC is two groupBy+join "
+    "shuffles per round with localCheckpoint lineage truncation.",
+    tags=("extension", "dedup", "multimodal", "phash", "clusters"),
+)
+def dedup_image_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _phash_pair_frame(spark, sf_dir).select(
+        F.col("ka").alias("doc_a"), F.col("kb").alias("doc_b")
+    )
+    labels = connected_component_labels(pairs)
+    return labels.groupBy(F.col("lbl").alias("cluster_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_variants"),
+        F.countDistinct(F.floor(F.col("n") / 10)).cast("long").alias("n_docs"),
+        F.min("n").alias("keeper_key"),
+        (F.count(F.lit(1)) - 1).cast("long").alias("n_removed"),
+    )
+
+
+# ----------------------- Audio near-dup dedup (r15) ----------------------
+
+_AFP_BUCKET_CAP = 24
+_AFP_HAMMING_MAX = 4
+
+
+@register(
+    "dedup_audio_fingerprint",
+    # The oracle replays decode -> window energies -> delta-sign bits ->
+    # interleaved bands -> capped pigeonhole join -> Hamming verdict from
+    # the WAV fixture sample formula (channel 0: c=0 in the generator).
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, 50 + doc_id % 101 AS nf
+      FROM documents WHERE doc_id < 200
+    ),
+    variants AS (
+      SELECT doc_id, nf, 'orig' AS variant, 0 AS vcode FROM docs
+      UNION ALL SELECT doc_id, nf, 'amp', 1 FROM docs WHERE doc_id % 3 = 0
+      UNION ALL SELECT doc_id, nf, 'junk', 2 FROM docs WHERE doc_id % 5 = 0
+      UNION ALL SELECT doc_id, nf, 'noise', 3 FROM docs WHERE doc_id % 7 = 0
+    ),
+    smp AS (
+      SELECT v.doc_id, v.variant, v.vcode, v.nf, s.i,
+             CASE v.variant
+               WHEN 'amp' THEN 2 * (((v.doc_id*31 + s.i*17) % 4001) - 2000)
+               WHEN 'noise' THEN (((v.doc_id*31 + s.i*17) % 4001) - 2000)
+                                 + CASE WHEN s.i % 7 = 0 THEN 3 ELSE 0 END
+               ELSE ((v.doc_id*31 + s.i*17) % 4001) - 2000
+             END AS s
+      FROM variants v, UNNEST(range(0, v.nf)) AS s(i)
+    ),
+    en AS (
+      SELECT doc_id, variant, vcode,
+             (CAST(i AS BIGINT) * {33}) // nf AS w,
+             SUM(CAST(s AS BIGINT) * s) AS e
+      FROM smp GROUP BY doc_id, variant, vcode, (CAST(i AS BIGINT) * {33}) // nf
+    ),
+    bits AS (
+      SELECT e1.doc_id, e1.variant, e1.vcode, e1.w AS p,
+             CASE WHEN e1.e > e2.e THEN 1 ELSE 0 END AS bit
+      FROM en e1
+      JOIN en e2 ON e2.doc_id = e1.doc_id AND e2.variant = e1.variant
+                AND e2.w = e1.w + 1
+    ),
+    bands AS (
+      SELECT doc_id, variant, vcode, p % 4 AS band_idx,
+             CAST(SUM(bit * (1 << (p // 4))) AS INTEGER) AS band_val
+      FROM bits GROUP BY doc_id, variant, vcode, p % 4
+    ),
+    fp AS (
+      SELECT doc_id, variant, vcode, doc_id * 10 + vcode AS key,
+             MAX(CASE WHEN band_idx = 0 THEN band_val END) AS b0,
+             MAX(CASE WHEN band_idx = 1 THEN band_val END) AS b1,
+             MAX(CASE WHEN band_idx = 2 THEN band_val END) AS b2,
+             MAX(CASE WHEN band_idx = 3 THEN band_val END) AS b3
+      FROM bands GROUP BY doc_id, variant, vcode
+    ),
+    buck AS (
+      SELECT f.key, f.doc_id, f.variant, f.b0, f.b1, f.b2, f.b3,
+             b.band_idx, b.band_val,
+             COUNT(*) OVER (PARTITION BY b.band_idx, b.band_val) AS bucket_n
+      FROM fp f
+      JOIN bands b ON b.doc_id = f.doc_id AND b.vcode = f.vcode
+    ),
+    cool AS (SELECT * FROM buck WHERE bucket_n <= {_AFP_BUCKET_CAP}),
+    cand AS (
+      SELECT DISTINCT
+             a.key AS ka, b.key AS kb, a.doc_id AS da, b.doc_id AS db,
+             a.variant AS va, b.variant AS vb,
+             a.b0 AS a0, a.b1 AS a1, a.b2 AS a2, a.b3 AS a3,
+             b.b0 AS c0, b.b1 AS c1, b.b2 AS c2, b.b3 AS c3
+      FROM cool a
+      JOIN cool b ON a.band_idx = b.band_idx
+                 AND a.band_val = b.band_val AND a.key < b.key
+    ),
+    pairs AS (
+      SELECT *, bit_count(xor(a0, c0)) + bit_count(xor(a1, c1))
+              + bit_count(xor(a2, c2)) + bit_count(xor(a3, c3)) AS hamming
+      FROM cand
+    ),
+    kept AS (
+      SELECT CASE WHEN da = db THEN va || '-' || vb
+                  ELSE 'cross' END AS pair_kind, hamming, da, db
+      FROM pairs WHERE hamming <= {_AFP_HAMMING_MAX}
+    )
+    SELECT pair_kind,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN hamming = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact,
+           CAST(SUM(hamming) AS BIGINT) AS sum_hamming,
+           MIN(da) AS min_doc, MAX(db) AS max_doc
+    FROM kept GROUP BY pair_kind
+    """,
+    doc="AUDIO near-dup dedup via an energy-delta-sign fingerprint — the "
+    "audio twin of dedup_image_phash (Haitsma & Kalker 2002 reduced to "
+    "its energy axis): every variant's REAL RIFF/WAVE bytes decode "
+    "through the chunk walk, channel-0 PCM windows into 33 equal spans, "
+    "bit p = energy[p] > energy[p+1], interleaved 8-bit bands, capped "
+    "pigeonhole candidate join, Hamming <= 4 verdict. DELTA-SIGN bits "
+    "make the fingerprint provably invariant to uniform volume scaling "
+    "(x2 re-encode, 67 docs) and container re-encoding (LIST-chunk "
+    "splice, 40 docs) — both runtime-pinned at Hamming 0 — while a "
+    "real waveform edit (+3 every 7th frame, 29 docs) lands within "
+    "Hamming 1 and is caught by the 4-band pigeonhole (guaranteed for "
+    "Hamming <= 3). Scale: |clips|*4 bucket rows, one shuffle, "
+    "per-bucket pairs bounded by the cap; the fingerprint kernel is "
+    "one Arrow pass, constant output per clip regardless of duration.",
+    tags=("extension", "dedup", "multimodal", "audio", "pandas_udf"),
+)
+def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from apache_hive_1_2_2_src_spark.extensions.multimodal import (
+        stage_audiofp_payloads,
+        wav_fingerprint_bands,
+    )
+
+    pay = spark.read.parquet(stage_audiofp_payloads(spark, sf_dir))
+
+    def fp_batches(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "variant": [], "b0": [], "b1": [],
+                   "b2": [], "b3": []}
+            for doc_id, variant, payload in zip(
+                pdf["doc_id"], pdf["variant"], pdf["payload"]
+            ):
+                h = wav_fingerprint_bands(bytes(payload))
+                out["doc_id"].append(int(doc_id))
+                out["variant"].append(str(variant))
+                for i in range(4):
+                    out[f"b{i}"].append(h[i])
+            yield pd.DataFrame(out)
+
+    fp = (
+        pay.mapInPandas(
+            fp_batches,
+            "doc_id bigint, variant string, b0 int, b1 int, b2 int, b3 int",
+        )
+        .withColumn(
+            "vcode",
+            F.when(F.col("variant") == "orig", 0)
+            .when(F.col("variant") == "amp", 1)
+            .when(F.col("variant") == "junk", 2)
+            .otherwise(3),
+        )
+        .withColumn("key", F.col("doc_id") * 10 + F.col("vcode"))
+        .localCheckpoint()
+    )
+    buck = fp.select(
+        "key", "doc_id", "variant", "b0", "b1", "b2", "b3",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band_idx"),
+                    F.col(f"b{i}").alias("band_val"),
+                )
+                for i in range(4)
+            ])
+        ).alias("bb"),
+    ).select(
+        "key", "doc_id", "variant", "b0", "b1", "b2", "b3",
+        F.col("bb.band_idx").alias("band_idx"),
+        F.col("bb.band_val").alias("band_val"),
+    )
+    cool = buck.withColumn(
+        "bucket_n",
+        F.count(F.lit(1)).over(Window.partitionBy("band_idx", "band_val")),
+    ).filter(F.col("bucket_n") <= _AFP_BUCKET_CAP)
+    a, b = cool.alias("a"), cool.alias("b")
+    kept = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.key") < F.col("b.key")),
+        )
+        .select(
+            F.col("a.key").alias("ka"), F.col("b.key").alias("kb"),
+            F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"),
+            F.col("a.variant").alias("va"), F.col("b.variant").alias("vb"),
+            F.col("a.b0").alias("a0"), F.col("a.b1").alias("a1"),
+            F.col("a.b2").alias("a2"), F.col("a.b3").alias("a3"),
+            F.col("b.b0").alias("c0"), F.col("b.b1").alias("c1"),
+            F.col("b.b2").alias("c2"), F.col("b.b3").alias("c3"),
+        )
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.expr(
+                "bit_count(a0 ^ c0) + bit_count(a1 ^ c1) "
+                "+ bit_count(a2 ^ c2) + bit_count(a3 ^ c3)"
+            ),
+        )
+        .filter(F.col("hamming") <= _AFP_HAMMING_MAX)
+        .withColumn(
+            "pair_kind",
+            F.when(
+                F.col("da") == F.col("db"),
+                F.concat(F.col("va"), F.lit("-"), F.col("vb")),
+            ).otherwise(F.lit("cross")),
+        )
+    )
+    out = kept.groupBy("pair_kind").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.when(F.col("hamming") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_exact"),
+        F.sum("hamming").cast("long").alias("sum_hamming"),
+        F.min("da").alias("min_doc"),
+        F.max("db").alias("max_doc"),
+    )
+    got = {r["pair_kind"]: r for r in out.collect()}
+    if got.get("orig-amp", {"n_exact": 0})["n_exact"] != 67:
+        raise AssertionError(f"amp recall broken: {got.get('orig-amp')}")
+    if got.get("orig-junk", {"n_exact": 0})["n_exact"] != 40:
+        raise AssertionError(f"junk recall broken: {got.get('orig-junk')}")
+    if got.get("orig-noise", {"n_pairs": 0})["n_pairs"] != 29:
+        raise AssertionError(f"noise recall broken: {got.get('orig-noise')}")
     return out

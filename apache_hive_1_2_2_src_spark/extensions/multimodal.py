@@ -2361,3 +2361,123 @@ def stage_phash_payloads(spark: SparkSession, sf_dir: str) -> str:
         "overwrite"
     ).parquet(path)
     return path
+
+
+# --------------- Audio fingerprint (energy-delta signs, r15) --------------
+
+_AFP_NW = 33  # fixed window count -> 32 delta-sign bits
+
+
+def wav_fingerprint_bands(buf: bytes) -> tuple[int, int, int, int]:
+    """32-bit audio fingerprint as four 8-bit bands — the Haitsma-Kalker
+    (2002) shape reduced to its energy axis: channel-0 PCM splits into
+    33 equal windows (sample i -> window (i*33)//n — the arithmetic
+    assignment the SQL oracle replays), bit p = 1 iff
+    energy[p] > energy[p+1] (p = 0..31), band = p%4 at position p//4
+    (interleaved, like the pHash bands). DELTA-SIGN bits make the
+    fingerprint invariant to uniform amplitude scaling (k·s squares to
+    k²·energy; strict > is preserved, ties stay ties) and to any
+    container-level re-encode — the two duplicate classes a real audio
+    corpus is full of. All-integer."""
+    _rate, channels, samples = _wav_samples(buf)
+    ch0 = samples[::channels]
+    n = len(ch0)
+    if n < _AFP_NW:
+        raise ValueError(f"audio too short to fingerprint: {n} frames")
+    en = [0] * _AFP_NW
+    for i, s in enumerate(ch0):
+        en[(i * _AFP_NW) // n] += int(s) * int(s)
+    bands = [0, 0, 0, 0]
+    for p in range(_AFP_NW - 1):
+        if en[p] > en[p + 1]:
+            bands[p % 4] |= 1 << (p // 4)
+    return bands[0], bands[1], bands[2], bands[3]
+
+
+def wav_with_junk_chunk(buf: bytes) -> bytes:
+    """Re-containerize a RIFF/WAVE buffer: splice a LIST/INFO metadata
+    chunk (the kind real encoders emit) between the header and the first
+    chunk, updating the RIFF size. Byte-different, sample-identical —
+    the container-re-encode duplicate class; also exercises the decoder's
+    unknown-chunk walk."""
+    import struct
+
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE buffer")
+    body = b"INFOISFT\x08\x00\x00\x00spkgraft"
+    junk = b"LIST" + struct.pack("<I", len(body)) + body
+    new_size = struct.unpack("<I", buf[4:8])[0] + len(junk)
+    return b"RIFF" + struct.pack("<I", new_size) + b"WAVE" + junk + buf[12:]
+
+
+def stage_audiofp_payloads(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the audio-fingerprint corpus as (doc_id, variant, payload):
+    'orig' = the WAV fixture for every doc_id < 200; 'amp' = every
+    sample x2 for doc_id%3==0 (volume change — fingerprint-invariant);
+    'junk' = same PCM re-containerized with a LIST chunk for doc_id%5==0
+    (byte-different, sample-identical); 'noise' = +3 on channel 0 every
+    7th frame for doc_id%7==0 (a near-duplicate, Hamming <= 1 measured).
+    The dedup query reads this table back and fingerprints REAL bytes."""
+    import hashlib
+    import os
+
+    from apache_hive_1_2_2_src_spark.sources.io import _tmp
+
+    tag = hashlib.md5(os.path.normpath(sf_dir).encode()).hexdigest()[:12]
+    path = _tmp(f"mm_payloads_audiofp_{tag}")
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 200)
+        .repartition(8, "doc_id")
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "variant": [], "payload": []}
+            for i in (int(x) for x in pdf["doc_id"]):
+                rate, ch, nf = _wav_fixture(i)
+                frames = [
+                    tuple(_wav_fixture_sample(i, j, c) for c in range(ch))
+                    for j in range(nf)
+                ]
+                out["doc_id"].append(i)
+                out["variant"].append("orig")
+                out["payload"].append(encode_wav_pcm16(rate, ch, frames))
+                if i % 3 == 0:
+                    out["doc_id"].append(i)
+                    out["variant"].append("amp")
+                    out["payload"].append(
+                        encode_wav_pcm16(
+                            rate, ch,
+                            [tuple(2 * s for s in f) for f in frames],
+                        )
+                    )
+                if i % 5 == 0:
+                    out["doc_id"].append(i)
+                    out["variant"].append("junk")
+                    out["payload"].append(
+                        wav_with_junk_chunk(
+                            encode_wav_pcm16(rate, ch, frames)
+                        )
+                    )
+                if i % 7 == 0:
+                    out["doc_id"].append(i)
+                    out["variant"].append("noise")
+                    out["payload"].append(
+                        encode_wav_pcm16(
+                            rate, ch,
+                            [
+                                (f[0] + 3 if j % 7 == 0 else f[0],) + f[1:]
+                                for j, f in enumerate(frames)
+                            ],
+                        )
+                    )
+            yield pd.DataFrame(out)
+
+    d.mapInPandas(gen, "doc_id bigint, variant string, payload binary").write.mode(
+        "overwrite"
+    ).parquet(path)
+    return path

@@ -109,12 +109,15 @@ QUERY_MODULES = (
 STABLE_WINDOW = (
     # flagship + TPC-H shapes
     "q1_pricing_summary",
+    # r15: the streaming rep leads the stable tail — the 48-name FRESH
+    # window (4 new registrations + the full 44-name rotation) leaves
+    # exactly ONE tail slot, and the breadth guard requires a
+    # streaming-tagged query in every graded window (the rotation covers
+    # every other required tag)
+    "streaming_acid_delta_ingest",
     "workload_product_profit",
     "flagship_sql_text",
     # newest machinery (r8-r9): ACID, Hive-bucket interop, curves, dedup
-    # (r15: streaming rep rides before acid_read_compacted so the 3-slot
-    # tail left by the 46-name FRESH window keeps the streaming tag)
-    "streaming_acid_delta_ingest",
     "acid_read_compacted",
     # §2.9 UDTF and §2.2 source representatives ride high: FRESH
     # truncates the tail, and the breadth guard requires udtf- and
@@ -183,10 +186,12 @@ STABLE_WINDOW = (
 # either way. (r12's 18 FRESH names all certified in CORRECTNESS_r12 and
 # rotated out; the displaced stable tail returns automatically.)
 FRESH = (
-    # the TWO r15 registrations ride first so each earns a driver-green
+    # the FOUR r15 registrations ride first so each earns a driver-green
     # row in its first round (never-green guard)
     "acid_concurrent_writers",
     "dedup_image_phash",
+    "dedup_image_phash_clusters",
+    "dedup_audio_fingerprint",
     # stale-green rotation, second tranche (VERDICT r14 item 1): the six
     # <=r4 stragglers + the 38-query r5 cohort — after this round the
     # oldest driver-green row anywhere is r6 and the rotation settles

@@ -4,6 +4,8 @@ test_acid_dirs.py)."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from apache_hive_1_2_2_src_spark.extensions.multimodal import (
     _bmp_fixture_dims,
     _phash_fixture_pixel,
@@ -114,3 +116,80 @@ def test_two_level_ivf_deepening_checkpoint_composes(spark):
     assert sorted(map(tuple, graded.collect())) == sorted(
         map(tuple, dialed.collect())
     )
+
+
+def test_audio_fingerprint_invariance_classes():
+    """Delta-sign energy fingerprint: invariant to uniform volume scaling
+    and container re-encoding; a real waveform edit stays within the
+    banded pigeonhole's guaranteed Hamming-3 reach."""
+    from apache_hive_1_2_2_src_spark.extensions.multimodal import (
+        _wav_fixture,
+        _wav_fixture_sample,
+        encode_wav_pcm16,
+        wav_fingerprint_bands,
+        wav_with_junk_chunk,
+    )
+
+    for d in (0, 15, 45, 105, 196):
+        rate, ch, nf = _wav_fixture(d)
+        frames = [
+            tuple(_wav_fixture_sample(d, j, c) for c in range(ch))
+            for j in range(nf)
+        ]
+        buf = encode_wav_pcm16(rate, ch, frames)
+        orig = wav_fingerprint_bands(buf)
+        assert all(0 <= x < 1 << 8 for x in orig)
+        amp = wav_fingerprint_bands(
+            encode_wav_pcm16(rate, ch, [tuple(2 * s for s in f) for f in frames])
+        )
+        junk = wav_fingerprint_bands(wav_with_junk_chunk(buf))
+        assert orig == amp == junk
+        noisy = wav_fingerprint_bands(
+            encode_wav_pcm16(
+                rate, ch,
+                [
+                    (f[0] + 3 if j % 7 == 0 else f[0],) + f[1:]
+                    for j, f in enumerate(frames)
+                ],
+            )
+        )
+        ham = sum(bin(a ^ b).count("1") for a, b in zip(orig, noisy))
+        assert ham <= 3  # within the 4-band pigeonhole guarantee
+        assert any(a == b for a, b in zip(orig, noisy))
+
+    # negation flips no ENERGY (s^2) -> also invariant; a genuinely
+    # different doc is not
+    d = 15
+    rate, ch, nf = _wav_fixture(d)
+    frames = [
+        tuple(_wav_fixture_sample(d, j, c) for c in range(ch))
+        for j in range(nf)
+    ]
+    neg = wav_fingerprint_bands(
+        encode_wav_pcm16(rate, ch, [tuple(-s for s in f) for f in frames])
+    )
+    assert neg == wav_fingerprint_bands(encode_wav_pcm16(rate, ch, frames))
+
+
+def test_phash_cluster_keeper_collapses_reencodes(spark):
+    """Cluster formation over the pHash pair graph: a doc's PNG re-encode
+    and grid-invisible edit must land in the SAME component as the
+    original, with the original (lowest key) as keeper."""
+    from apache_hive_1_2_2_src_spark.extensions.dedup import (
+        _phash_pair_frame,
+        connected_component_labels,
+    )
+    from tests.conftest import SF_DIR
+
+    pairs = _phash_pair_frame(spark, SF_DIR).select(
+        F.col("ka").alias("doc_a"), F.col("kb").alias("doc_b")
+    )
+    labels = {
+        r["n"]: r["lbl"] for r in connected_component_labels(pairs).collect()
+    }
+    # doc 45 stages all three variants (45%3==0, 45%5==0, 45%13>=5)
+    d = 45
+    keys = [d * 10, d * 10 + 1, d * 10 + 2]
+    assert all(k in labels for k in keys)
+    assert len({labels[k] for k in keys}) == 1
+    assert labels[keys[0]] <= keys[0]  # keeper label is a minimum key
