@@ -1623,7 +1623,7 @@ _PHASH_CTES_TEMPLATE = """cos_t AS (__PHASH_COS_SQL__),
     )"""
 
 
-def _phash_ctes() -> str:
+def _phash_ctes(cap: int = _PHASH_BUCKET_CAP) -> str:
     from apache_hive_1_2_2_src_spark.extensions.multimodal import (
         _PHASH_COS_SQL,
     )
@@ -1631,7 +1631,7 @@ def _phash_ctes() -> str:
     return (
         _PHASH_CTES_TEMPLATE
         .replace("__PHASH_COS_SQL__", _PHASH_COS_SQL)
-        .replace("__CAP__", str(_PHASH_BUCKET_CAP))
+        .replace("__CAP__", str(cap))
         .replace("__HMAX__", str(_PHASH_HAMMING_MAX))
     )
 

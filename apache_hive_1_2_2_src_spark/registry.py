@@ -186,12 +186,15 @@ STABLE_WINDOW = (
 # either way. (r12's 18 FRESH names all certified in CORRECTNESS_r12 and
 # rotated out; the displaced stable tail returns automatically.)
 FRESH = (
-    # the FOUR r15 registrations ride first so each earns a driver-green
-    # row in its first round (never-green guard)
+    # the FIVE r15 registrations ride first so each earns a driver-green
+    # row in its first round (never-green guard); the streaming pHash
+    # query also carries the window's streaming tag, so the full 44-name
+    # rotation fits: PRIORITY = flagship + these 49, zero stable tail
     "acid_concurrent_writers",
     "dedup_image_phash",
     "dedup_image_phash_clusters",
     "dedup_audio_fingerprint",
+    "streaming_dedup_phash_incremental",
     # stale-green rotation, second tranche (VERDICT r14 item 1): the six
     # <=r4 stragglers + the 38-query r5 cohort — after this round the
     # oldest driver-green row anywhere is r6 and the rotation settles

@@ -2084,3 +2084,248 @@ def streaming_ivf_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
         .filter(F.col("rk") <= 3)
         .select("query_id", "cand_id", F.round("cos", 6).alias("cosine"), "rk")
     )
+
+
+# ------------- Streaming incremental pHash image dedup (r15) -------------
+
+
+def _sphash_oracle() -> str:
+    # One-batch replay of the incremental run: the UNCAPPED banded pair
+    # graph (the stream probes its store by band equality with no
+    # hot-bucket cap — state grows monotonically, so a cap would make
+    # verdicts drop-order-dependent), each key's duplicate count = its
+    # strictly-earlier partners within Hamming reach. How the images
+    # ARRIVED must be invisible to the verdicts.
+    from apache_hive_1_2_2_src_spark.extensions.dedup import _phash_ctes
+
+    return (
+        "WITH " + _phash_ctes(cap=1_000_000_000) + """,
+    keys AS (
+      SELECT doc_id * 10 + vcode AS key, doc_id, variant FROM variants
+    ),
+    dup AS (SELECT kb AS key, COUNT(*) AS n FROM kept GROUP BY kb)
+    SELECT k.key, k.doc_id, k.variant,
+           CAST(COALESCE(d.n, 0) AS BIGINT) AS n_dup_prior,
+           CASE WHEN COALESCE(d.n, 0) > 0 THEN 'drop' ELSE 'keep' END
+             AS verdict
+    FROM keys k LEFT JOIN dup d ON d.key = k.key
+    """
+    )
+
+
+@register(
+    "streaming_dedup_phash_incremental",
+    oracle=_sphash_oracle(),
+    doc="STREAMING image near-dup dedup — dedup_image_phash made "
+    "incremental (the multimodal twin of streaming_dedup_lsh_"
+    "incremental): image payloads arrive in three ordered drops; each "
+    "foreachBatch perceptually hashes its batch's REAL bytes "
+    "(phash64_bands), probes a fingerprint store PARTITIONED by "
+    "hash(band) mod k for earlier partners within Hamming reach — the "
+    "probe read is partition-PRUNED to the batch's own band buckets "
+    "and runtime-asserted from input_file_name ground truth — then "
+    "appends its fingerprints with epoch-keyed exactly-once writes. "
+    "Verdict per image: count of strictly-earlier near-duplicates, "
+    "keep/drop. Hash-certified against the one-batch SQL replay: "
+    "arrival order is invisible to verdicts. Scale: per-drop cost is "
+    "O(|batch| x bucket density), never O(|corpus|); the store reads "
+    "|batch bands| of k partitions; re-encoded and grid-invisible "
+    "variants arriving AFTER their originals are dropped at Hamming 0 "
+    "— the streaming-ingest dedup gate a multimodal training pipeline "
+    "runs before paying decode/training cost downstream.",
+    tags=(
+        "streaming", "dedup", "multimodal", "phash", "incremental",
+        "foreachbatch",
+    ),
+)
+def streaming_dedup_phash_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import pandas as pd
+
+    from apache_hive_1_2_2_src_spark.extensions.dedup import (
+        _PHASH_HAMMING_MAX,
+    )
+    from apache_hive_1_2_2_src_spark.extensions.multimodal import (
+        phash64_bands,
+        stage_phash_payloads,
+    )
+
+    STORE_K = 8
+    base = _tmp_base("hive_spark_sphash_")
+    inbox = os.path.join(base, "inbox")
+    store = os.path.join(base, "fp_store")
+    out_dir = os.path.join(base, "verdicts")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(inbox, exist_ok=True)
+
+    pay = spark.read.parquet(stage_phash_payloads(spark, sf_dir))
+    # three ordered drops by doc range (key = doc_id*10 + vcode, so doc
+    # order IS key order: later drops always carry larger keys)
+    for b in range(3):
+        stage = os.path.join(base, f"stage_{b}")
+        pay.where(
+            (F.col("doc_id") >= b * 67) & (F.col("doc_id") < (b + 1) * 67)
+        ).coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        dest = os.path.join(inbox, f"drop_{b}.parquet")
+        os.rename(os.path.join(stage, part), dest)
+        os.utime(dest, (1_600_000_000 + 60 * b, 1_600_000_000 + 60 * b))
+
+    def hash_batches(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "variant": [], "b0": [], "b1": [],
+                   "b2": [], "b3": []}
+            for doc_id, variant, payload in zip(
+                pdf["doc_id"], pdf["variant"], pdf["payload"]
+            ):
+                h = phash64_bands(bytes(payload))
+                out["doc_id"].append(int(doc_id))
+                out["variant"].append(str(variant))
+                for i in range(4):
+                    out[f"b{i}"].append(h[i])
+            yield pd.DataFrame(out)
+
+    def probe_and_index(batch: DataFrame, epoch_id: int) -> None:
+        sp = batch.sparkSession
+        fp = (
+            batch.mapInPandas(
+                hash_batches,
+                "doc_id bigint, variant string, "
+                "b0 int, b1 int, b2 int, b3 int",
+            )
+            .withColumn(
+                "vcode",
+                F.when(F.col("variant") == "orig", 0)
+                .when(F.col("variant") == "reenc", 1)
+                .otherwise(2),
+            )
+            .withColumn("key", F.col("doc_id") * 10 + F.col("vcode"))
+        )
+        bands = (
+            fp.select(
+                "key", "doc_id", "variant", "b0", "b1", "b2", "b3",
+                F.explode(
+                    F.array(*[
+                        F.struct(
+                            F.lit(i).alias("band_idx"),
+                            F.col(f"b{i}").alias("band_val"),
+                        )
+                        for i in range(4)
+                    ])
+                ).alias("bb"),
+            )
+            .select(
+                "key", "doc_id", "variant", "b0", "b1", "b2", "b3",
+                F.col("bb.band_idx").alias("band_idx"),
+                F.col("bb.band_val").alias("band_val"),
+            )
+            .withColumn(
+                "pb",
+                F.pmod(
+                    F.xxhash64(F.col("band_idx"), F.col("band_val")),
+                    F.lit(STORE_K),
+                ),
+            )
+            .persist()
+        )
+        needed_pb = [r.pb for r in bands.select("pb").distinct().collect()]
+        if os.path.isdir(store) and needed_pb:
+            prior = sp.read.parquet(store).where(F.col("pb").isin(needed_pb))
+            # runtime pruning assertion from EXECUTION ground truth
+            # (input_file_name; df.inputFiles() ignores filter pruning)
+            touched = {
+                r.f
+                for r in prior.select(
+                    F.input_file_name().alias("f")
+                ).distinct().collect()
+            }
+            bad = [
+                f for f in touched
+                if not any(f"/pb={p}/" in f for p in needed_pb)
+            ]
+            if bad:
+                raise AssertionError(
+                    f"store probe escaped its band partitions: {bad[:3]}"
+                )
+            prior = prior.select(
+                "key", "band_idx", "band_val", "b0", "b1", "b2", "b3"
+            )
+        else:
+            prior = sp.createDataFrame(
+                [],
+                "key bigint, band_idx int, band_val int, "
+                "b0 int, b1 int, b2 int, b3 int",
+            )
+        allb = prior.unionByName(
+            bands.select(
+                "key", "band_idx", "band_val", "b0", "b1", "b2", "b3"
+            )
+        )
+        cand = (
+            bands.alias("nb")
+            .join(
+                allb.alias("ob"),
+                (F.col("nb.band_idx") == F.col("ob.band_idx"))
+                & (F.col("nb.band_val") == F.col("ob.band_val"))
+                & (F.col("ob.key") < F.col("nb.key")),
+            )
+            .select(
+                F.col("nb.key").alias("new_key"),
+                F.col("ob.key").alias("old_key"),
+                F.col("nb.b0").alias("a0"), F.col("nb.b1").alias("a1"),
+                F.col("nb.b2").alias("a2"), F.col("nb.b3").alias("a3"),
+                F.col("ob.b0").alias("c0"), F.col("ob.b1").alias("c1"),
+                F.col("ob.b2").alias("c2"), F.col("ob.b3").alias("c3"),
+            )
+            .distinct()
+        )
+        dups = (
+            cand.withColumn(
+                "hamming",
+                F.expr(
+                    "bit_count(a0 ^ c0) + bit_count(a1 ^ c1) "
+                    "+ bit_count(a2 ^ c2) + bit_count(a3 ^ c3)"
+                ),
+            )
+            .filter(F.col("hamming") <= _PHASH_HAMMING_MAX)
+            .groupBy("new_key")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumnRenamed("new_key", "key")
+        )
+        verdicts = (
+            fp.select("key", "doc_id", "variant")
+            .join(dups, "key", "left")
+            .select(
+                "key", "doc_id", "variant",
+                F.coalesce("n", F.lit(0)).cast("long").alias("n_dup_prior"),
+                F.when(F.coalesce("n", F.lit(0)) > 0, "drop")
+                .otherwise("keep")
+                .alias("verdict"),
+            )
+        )
+        verdicts.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"epoch={epoch_id}")
+        )
+        bands.select(
+            "key", "band_idx", "band_val", "b0", "b1", "b2", "b3", "pb"
+        ).repartition(STORE_K, "pb").write.partitionBy("pb").mode(
+            "overwrite"
+        ).parquet(os.path.join(store, f"epoch={epoch_id}"))
+        bands.unpersist()
+
+    q = (
+        spark.readStream.schema("doc_id bigint, variant string, payload binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inbox)
+        .writeStream.foreachBatch(probe_and_index)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("pHash dedup drain did not finish in 300s")
+    return spark.read.parquet(out_dir).select(
+        "key", "doc_id", "variant", "n_dup_prior", "verdict"
+    )
