@@ -2236,6 +2236,12 @@ def phash64_bands(buf: bytes) -> tuple[int, int, int, int]:
     pixels in a different lossless container yields the identical
     hash."""
     w, h, pixel = image_pixels(buf)
+    return _phash_bands_from_pixels(w, h, pixel)
+
+
+def _phash_bands_from_pixels(w: int, h: int, pixel) -> tuple[int, int, int, int]:
+    """The pHash core over any random-access pixel view (shared by the
+    still-image path and the per-frame video path)."""
     g = [
         [
             sum(pixel(tx * w // _THUMB, ty * h // _THUMB)) // 3
@@ -2481,3 +2487,216 @@ def stage_audiofp_payloads(spark: SparkSession, sf_dir: str) -> str:
         "overwrite"
     ).parquet(path)
     return path
+
+
+# ------------------- Animated GIF (GIF89a) — video container (r15) --------
+
+
+def encode_gif89a_anim(
+    width: int, height: int, palette, frame_index_of, n_frames: int
+) -> bytes:
+    """Encode an ANIMATED GIF89a: header + logical screen descriptor +
+    256-entry global color table + NETSCAPE2.0 looping application
+    extension, then per frame a Graphic Control Extension (disposal 1,
+    10cs delay) + image descriptor + LZW data in sub-blocks + trailer.
+    ``frame_index_of(t)`` returns the frame-t palette-index function
+    (x, y) -> idx. The closest thing to a video container expressible
+    from public specs without external codecs — real inter-frame
+    structure, real per-frame entropy coding."""
+    if width <= 0 or height <= 0 or n_frames <= 0:
+        raise ValueError("GIF dimensions/frames must be positive")
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0x80 | 0x70 | 0x07, 0, 0)
+    for i in range(256):
+        r, g, b = palette(i)
+        out += bytes((r, g, b))
+    # NETSCAPE2.0 loop-forever app extension (block 0x21 0xFF)
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    min_size = 8
+    for t in range(n_frames):
+        idx = frame_index_of(t)
+        # GCE: 4-byte block — packed(disposal=1), delay 10cs, no transparency
+        out += b"\x21\xf9\x04\x04\x0a\x00\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        out.append(min_size)
+        lzw = _gif_lzw_encode(
+            (idx(x, y) for y in range(height) for x in range(width)),
+            min_size,
+        )
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif_frames(buf: bytes):
+    """Decode EVERY image block of a GIF87a/89a with a global color
+    table: returns (width, height, [frame_pixel, ...]) where each
+    frame_pixel(x, y) -> (r, g, b) through the global palette.
+    Extensions (GCE, application, comment) are skipped by sub-block
+    walking; local color tables and interlacing raise. The multi-frame
+    generalization of decode_gif87a — frames share the logical screen
+    in these fixtures, so each image block must cover the full canvas
+    (left/top/size validated loudly)."""
+    if len(buf) < 13 or buf[:4] != b"GIF8" or buf[4:6] not in (b"7a", b"9a"):
+        raise ValueError("not a GIF87a/89a payload")
+    sw, sh, packed, _bg, _aspect = struct.unpack_from("<HHBBB", buf, 6)
+    off = 13
+    if not packed & 0x80:
+        raise ValueError("GIF without a global color table")
+    n_colors = 1 << ((packed & 0x07) + 1)
+    palette = [
+        (buf[off + 3 * i], buf[off + 3 * i + 1], buf[off + 3 * i + 2])
+        for i in range(n_colors)
+    ]
+    off += 3 * n_colors
+    frames = []
+    while True:
+        if off >= len(buf):
+            raise ValueError("GIF ended without a trailer")
+        b0 = buf[off]
+        off += 1
+        if b0 == 0x3B:
+            break
+        if b0 == 0x21:  # extension: label + sub-blocks
+            off += 1
+            while buf[off]:
+                off += 1 + buf[off]
+            off += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+        left, top, w, h, ipacked = struct.unpack_from("<HHHHB", buf, off)
+        off += 9
+        if ipacked & 0x80:
+            raise ValueError("local color tables not supported")
+        if ipacked & 0x40:
+            raise ValueError("interlaced GIFs not supported")
+        if (left, top, w, h) != (0, 0, sw, sh):
+            raise ValueError("frame does not cover the logical screen")
+        min_size = buf[off]
+        off += 1
+        data = bytearray()
+        while True:
+            n = buf[off]
+            off += 1
+            if n == 0:
+                break
+            data += buf[off : off + n]
+            off += n
+        idx = _gif_lzw_decode(bytes(data), min_size, w * h)
+        for i in idx:
+            if i >= n_colors:
+                raise ValueError(f"palette index {i} out of range")
+
+        def frame_pixel(x: int, y: int, idx=idx, w=w) -> tuple[int, int, int]:
+            return palette[idx[y * w + x]]
+
+        frames.append(frame_pixel)
+    if not frames:
+        raise ValueError("GIF holds no image blocks")
+    return sw, sh, frames
+
+
+def gif_with_comment(buf: bytes) -> bytes:
+    """Re-containerize a GIF: splice a comment extension (0x21 0xFE)
+    right after the global color table. Byte-different, frame-identical
+    — the container-re-encode duplicate class for the video path; also
+    exercises the decoder's extension walk."""
+    if len(buf) < 13 or buf[:4] != b"GIF8":
+        raise ValueError("not a GIF payload")
+    packed = buf[10]
+    if not packed & 0x80:
+        raise ValueError("GIF without a global color table")
+    gct_end = 13 + 3 * (1 << ((packed & 0x07) + 1))
+    comment = b"\x21\xfe\x08spkgraft\x00"
+    return buf[:gct_end] + comment + buf[gct_end:]
+
+
+def _vid_fixture_nframes(doc_id: int) -> int:
+    return 4 + doc_id % 5  # 4..8 frames
+
+
+def _vid_fixture_index(doc_id: int, t: int):
+    """Frame t's palette-index formula: doc-dependent spatial slopes
+    (the pHash hash-diversity lesson) plus a per-frame shift, so frame
+    hashes vary within and across videos yet replay arithmetically."""
+
+    def idx(x: int, y: int) -> int:
+        return (
+            doc_id * 3 + x * (1 + doc_id % 5) + y * (2 + doc_id % 3) + t * 29
+        ) % 256
+
+    return idx
+
+
+def stage_video_payloads(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the video-dedup corpus as (doc_id, variant, payload):
+    'orig' = an animated GIF89a per doc_id < 200 (4..8 full-canvas
+    frames); 'reenc' = the same stream with a comment extension spliced
+    in for doc_id%3==0 (byte-different, frame-identical); 'trim' = the
+    same video minus its LAST frame for doc_id%4==0 (the
+    shared-prefix near-duplicate class). The dedup query decodes REAL
+    bytes back from this table."""
+    import hashlib
+    import os
+
+    from apache_hive_1_2_2_src_spark.sources.io import _tmp
+
+    tag = hashlib.md5(os.path.normpath(sf_dir).encode()).hexdigest()[:12]
+    path = _tmp(f"mm_payloads_video_{tag}")
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 200)
+        .repartition(8, "doc_id")
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "variant": [], "payload": []}
+            for i in (int(x) for x in pdf["doc_id"]):
+                w, h = _bmp_fixture_dims(i)
+                nf = _vid_fixture_nframes(i)
+                orig = encode_gif89a_anim(
+                    w, h, _gif_palette,
+                    lambda t, i=i: _vid_fixture_index(i, t), nf,
+                )
+                out["doc_id"].append(i)
+                out["variant"].append("orig")
+                out["payload"].append(orig)
+                if i % 3 == 0:
+                    out["doc_id"].append(i)
+                    out["variant"].append("reenc")
+                    out["payload"].append(gif_with_comment(orig))
+                if i % 4 == 0:
+                    out["doc_id"].append(i)
+                    out["variant"].append("trim")
+                    out["payload"].append(
+                        encode_gif89a_anim(
+                            w, h, _gif_palette,
+                            lambda t, i=i: _vid_fixture_index(i, t),
+                            nf - 1,
+                        )
+                    )
+            yield pd.DataFrame(out)
+
+    d.mapInPandas(gen, "doc_id bigint, variant string, payload binary").write.mode(
+        "overwrite"
+    ).parquet(path)
+    return path
+
+
+def video_frame_phashes(buf: bytes) -> list[tuple[int, int, int, int]]:
+    """Per-frame perceptual hashes of an animated GIF: decode every
+    frame, pHash each through the shared integer-DCT core. The video's
+    fingerprint is this hash multiset — near-dup videos share most of
+    it (frame-level fingerprinting, the standard shape for video dedup:
+    per-frame hash -> inverted index -> overlap verdict)."""
+    w, h, frames = decode_gif_frames(buf)
+    return [_phash_bands_from_pixels(w, h, fp) for fp in frames]

@@ -186,15 +186,18 @@ STABLE_WINDOW = (
 # either way. (r12's 18 FRESH names all certified in CORRECTNESS_r12 and
 # rotated out; the displaced stable tail returns automatically.)
 FRESH = (
-    # the FIVE r15 registrations ride first so each earns a driver-green
+    # the SIX r15 registrations ride first so each earns a driver-green
     # row in its first round (never-green guard); the streaming pHash
-    # query also carries the window's streaming tag, so the full 44-name
-    # rotation fits: PRIORITY = flagship + these 49, zero stable tail
+    # query also carries the window's streaming tag. PRIORITY = flagship
+    # + these 49, zero stable tail: the 44-name rotation yielded ONE
+    # slot (workload_part_type_share, r5-green, workload tag still
+    # triple-covered) to dedup_video_phash — it rotates first in r16.
     "acid_concurrent_writers",
     "dedup_image_phash",
     "dedup_image_phash_clusters",
     "dedup_audio_fingerprint",
     "streaming_dedup_phash_incremental",
+    "dedup_video_phash",
     # stale-green rotation, second tranche (VERDICT r14 item 1): the six
     # <=r4 stragglers + the 38-query r5 cohort — after this round the
     # oldest driver-green row anywhere is r6 and the rotation settles
@@ -241,7 +244,8 @@ FRESH = (
     "window_first_last_value",
     "window_lead_lag",
     "workload_local_supplier_volume",
-    "workload_part_type_share",
+    # workload_part_type_share yielded its slot to dedup_video_phash
+    # (window holds 50); it leads the r16 rotation
     "workload_returned_items",
     "workload_shipping_priority",
 )

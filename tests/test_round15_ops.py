@@ -193,3 +193,47 @@ def test_phash_cluster_keeper_collapses_reencodes(spark):
     assert all(k in labels for k in keys)
     assert len({labels[k] for k in keys}) == 1
     assert labels[keys[0]] <= keys[0]  # keeper label is a minimum key
+
+
+def test_gif_anim_multiframe_decode_and_invariances():
+    """decode_gif_frames walks GCE/app/comment extensions and decodes
+    every image block; comment splice is frame-invisible; trim drops
+    exactly the last frame; malformed shapes fail loudly."""
+    import pytest as _pytest
+
+    from apache_hive_1_2_2_src_spark.extensions.multimodal import (
+        _bmp_fixture_dims,
+        _gif_palette,
+        _vid_fixture_index,
+        _vid_fixture_nframes,
+        decode_gif_frames,
+        encode_gif89a_anim,
+        gif_with_comment,
+        video_frame_phashes,
+    )
+
+    d = 7
+    w, h = _bmp_fixture_dims(d)
+    nf = _vid_fixture_nframes(d)
+    buf = encode_gif89a_anim(
+        w, h, _gif_palette, lambda t: _vid_fixture_index(d, t), nf
+    )
+    sw, sh, frames = decode_gif_frames(buf)
+    assert (sw, sh, len(frames)) == (w, h, nf)
+    # decoded pixels replay the palette-mapped index formula exactly
+    idx0 = _vid_fixture_index(d, 0)
+    for x, y in ((0, 0), (w - 1, h - 1), (w // 2, h // 2)):
+        assert frames[0](x, y) == _gif_palette(idx0(x, y))
+
+    hs = video_frame_phashes(buf)
+    assert hs == video_frame_phashes(gif_with_comment(buf))
+    trimmed = encode_gif89a_anim(
+        w, h, _gif_palette, lambda t: _vid_fixture_index(d, t), nf - 1
+    )
+    assert video_frame_phashes(trimmed) == hs[:-1]
+
+    # fail-loud shapes: truncation mid-stream and a bogus block byte
+    with _pytest.raises((ValueError, IndexError)):
+        decode_gif_frames(buf[: len(buf) // 2])
+    with _pytest.raises(ValueError):
+        decode_gif_frames(buf[:-1] + b"\x7f")  # trailer replaced by junk
