@@ -2141,6 +2141,22 @@ def _sphash_oracle() -> str:
 def streaming_dedup_phash_incremental(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    return _phash_probe_dedup(spark, sf_dir, n_batches=3)
+
+
+# ledger for the scale-harness regression gate (the LSH-store pattern):
+# tests read the real post-drain store and assert the probes' bytes
+# ratio stays pruned
+LAST_PHASH_STORE: dict = {}
+
+
+def _phash_probe_dedup(
+    spark: SparkSession, sf_dir: str, n_batches: int, store_k: int = 8
+) -> DataFrame:
+    """Build + drain the incremental pHash-dedup stream; shared by the
+    registered query (n_batches=3) and the batch-count-independence /
+    store-pruning pytests. ``store_k`` is the state-store partitioning
+    dial — verdicts must be k-invariant (k=1 = no pruning possible)."""
     import pandas as pd
 
     from apache_hive_1_2_2_src_spark.extensions.dedup import (
@@ -2151,7 +2167,7 @@ def streaming_dedup_phash_incremental(
         stage_phash_payloads,
     )
 
-    STORE_K = 8
+    STORE_K = store_k
     base = _tmp_base("hive_spark_sphash_")
     inbox = os.path.join(base, "inbox")
     store = os.path.join(base, "fp_store")
@@ -2159,13 +2175,16 @@ def streaming_dedup_phash_incremental(
     ckpt = os.path.join(base, "ckpt")
     os.makedirs(inbox, exist_ok=True)
 
+    LAST_PHASH_STORE["store"] = store
+    LAST_PHASH_STORE["store_k"] = STORE_K
     pay = spark.read.parquet(stage_phash_payloads(spark, sf_dir))
-    # three ordered drops by doc range (key = doc_id*10 + vcode, so doc
+    # ordered drops by doc range (key = doc_id*10 + vcode, so doc
     # order IS key order: later drops always carry larger keys)
-    for b in range(3):
+    step = 200 // n_batches + 1
+    for b in range(n_batches):
         stage = os.path.join(base, f"stage_{b}")
         pay.where(
-            (F.col("doc_id") >= b * 67) & (F.col("doc_id") < (b + 1) * 67)
+            (F.col("doc_id") >= b * step) & (F.col("doc_id") < (b + 1) * step)
         ).coalesce(1).write.mode("overwrite").parquet(stage)
         part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
         dest = os.path.join(inbox, f"drop_{b}.parquet")
