@@ -2206,15 +2206,56 @@ def _png_pixels(buf: bytes):
     return width, height, pixel
 
 
+def _ppm_pixels(buf: bytes):
+    """decode_ppm's header walk returning random-access
+    ``(width, height, pixel(x, y) -> (r, g, b))`` over the packed
+    row-major RGB body — same comment/whitespace handling, same
+    fail-loud rules."""
+    if buf[:2] != b"P6":
+        raise ValueError("not a binary P6 PPM")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(buf) and buf[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(buf) and buf[pos : pos + 1] == b"#":
+            while pos < len(buf) and buf[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(buf) and not buf[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PPM header")
+        fields.append(int(buf[start:pos]))
+    pos += 1
+    width, height, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    if pos + width * height * 3 > len(buf):
+        raise ValueError("truncated PPM pixel data")
+
+    def pixel(x: int, y: int) -> tuple[int, int, int]:
+        off = pos + (y * width + x) * 3
+        return buf[off], buf[off + 1], buf[off + 2]
+
+    return width, height, pixel
+
+
 def image_pixels(buf: bytes):
-    """Magic-byte dispatch to a random-access pixel view — BMP and PNG
-    (the two containers the pHash fixtures use); anything else fails
-    loudly, never guesses."""
+    """Magic-byte dispatch to a random-access pixel view — BMP, PNG,
+    PPM, and (single- or first-frame) GIF; anything else fails loudly,
+    never guesses. Cross-container pHash equality for the lossless RGB
+    trio is pinned in tests/test_round15_ops.py."""
     if buf[:2] == b"BM":
         return _bmp_pixels(buf)
     if buf[:8] == _PNG_SIG:
         return _png_pixels(buf)
-    raise ValueError("image_pixels: neither BMP nor PNG magic")
+    if buf[:2] == b"P6":
+        return _ppm_pixels(buf)
+    if buf[:4] == b"GIF8":
+        w, h, frames = decode_gif_frames(buf)
+        return w, h, frames[0]
+    raise ValueError("image_pixels: not a BMP/PNG/PPM/GIF magic")
 
 
 def phash64_bands(buf: bytes) -> tuple[int, int, int, int]:
@@ -2700,3 +2741,73 @@ def video_frame_phashes(buf: bytes) -> list[tuple[int, int, int, int]]:
     per-frame hash -> inverted index -> overlap verdict)."""
     w, h, frames = decode_gif_frames(buf)
     return [_phash_bands_from_pixels(w, h, fp) for fp in frames]
+
+
+def stage_video_temporal_payloads(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the TEMPORAL video-dedup corpus as (doc_id, variant,
+    payload): 'orig' = the animated GIF89a per doc_id < 200; 'shift' =
+    the SAME clip entered two frames later (frame t shows original
+    frame (t+2) mod nf — a looped stream captured at a different start)
+    for doc_id%4==0; 'loop' = the clip played twice (2*nf frames) for
+    doc_id%6==0. Set-based fingerprints call these near-identical; only
+    SEQUENCE-aware matching recovers the alignment offset."""
+    import hashlib
+    import os
+
+    from apache_hive_1_2_2_src_spark.sources.io import _tmp
+
+    tag = hashlib.md5(os.path.normpath(sf_dir).encode()).hexdigest()[:12]
+    path = _tmp(f"mm_payloads_vtemporal_{tag}")
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 200)
+        .repartition(8, "doc_id")
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "variant": [], "payload": []}
+            for i in (int(x) for x in pdf["doc_id"]):
+                w, h = _bmp_fixture_dims(i)
+                nf = _vid_fixture_nframes(i)
+                out["doc_id"].append(i)
+                out["variant"].append("orig")
+                out["payload"].append(
+                    encode_gif89a_anim(
+                        w, h, _gif_palette,
+                        lambda t, i=i: _vid_fixture_index(i, t), nf,
+                    )
+                )
+                if i % 4 == 0:
+                    out["doc_id"].append(i)
+                    out["variant"].append("shift")
+                    out["payload"].append(
+                        encode_gif89a_anim(
+                            w, h, _gif_palette,
+                            lambda t, i=i, nf=nf: _vid_fixture_index(
+                                i, (t + 2) % nf
+                            ),
+                            nf,
+                        )
+                    )
+                if i % 6 == 0:
+                    out["doc_id"].append(i)
+                    out["variant"].append("loop")
+                    out["payload"].append(
+                        encode_gif89a_anim(
+                            w, h, _gif_palette,
+                            lambda t, i=i, nf=nf: _vid_fixture_index(
+                                i, t % nf
+                            ),
+                            2 * nf,
+                        )
+                    )
+            yield pd.DataFrame(out)
+
+    d.mapInPandas(gen, "doc_id bigint, variant string, payload binary").write.mode(
+        "overwrite"
+    ).parquet(path)
+    return path

@@ -186,7 +186,7 @@ STABLE_WINDOW = (
 # either way. (r12's 18 FRESH names all certified in CORRECTNESS_r12 and
 # rotated out; the displaced stable tail returns automatically.)
 FRESH = (
-    # the SIX r15 registrations ride first so each earns a driver-green
+    # the SEVEN r15 registrations ride first so each earns a driver-green
     # row in its first round (never-green guard); the streaming pHash
     # query also carries the window's streaming tag. PRIORITY = flagship
     # + these 49, zero stable tail: the 44-name rotation yielded ONE
@@ -198,6 +198,7 @@ FRESH = (
     "dedup_audio_fingerprint",
     "streaming_dedup_phash_incremental",
     "dedup_video_phash",
+    "dedup_video_temporal",
     # stale-green rotation, second tranche (VERDICT r14 item 1): the six
     # <=r4 stragglers + the 38-query r5 cohort — after this round the
     # oldest driver-green row anywhere is r6 and the rotation settles
@@ -226,7 +227,9 @@ FRESH = (
     "script_transform_sql",
     "similarity_ann_ivf",
     "similarity_ann_lsh_signbits",
-    "similarity_cosine_threshold",
+    # similarity_cosine_threshold yielded its slot to
+    # dedup_video_temporal (similarity stays triple-covered in the
+    # window); it rotates with workload_part_type_share first in r16
     "similarity_cosine_topk",
     "str_basic_suite",
     "subquery_exists_correlated",

@@ -237,3 +237,38 @@ def test_gif_anim_multiframe_decode_and_invariances():
         decode_gif_frames(buf[: len(buf) // 2])
     with _pytest.raises(ValueError):
         decode_gif_frames(buf[:-1] + b"\x7f")  # trailer replaced by junk
+
+
+def test_phash_cross_container_equality_bmp_ppm_png_gif():
+    """image_pixels now dispatches all four still containers; the same
+    pixels must hash identically through BMP, PPM, and PNG (lossless
+    RGB), and a palette image hashes identically as GIF vs the
+    palette-expanded BMP."""
+    from apache_hive_1_2_2_src_spark.extensions.multimodal import (
+        _bmp_fixture_dims,
+        _gif_palette,
+        _phash_fixture_pixel,
+        _vid_fixture_index,
+        encode_bmp24,
+        encode_gif87a,
+        encode_png,
+        encode_ppm,
+        phash64_bands,
+    )
+
+    for d in (2, 77, 190):
+        w, h = _bmp_fixture_dims(d)
+        pix = _phash_fixture_pixel(d)
+        hashes = {
+            phash64_bands(encode_bmp24(w, h, pix)),
+            phash64_bands(encode_ppm(w, h, pix)),
+            phash64_bands(encode_png(w, h, pix, filter_of=lambda y: y % 5)),
+        }
+        assert len(hashes) == 1, (d, hashes)
+
+    d = 11
+    w, h = _bmp_fixture_dims(d)
+    idx = _vid_fixture_index(d, 0)
+    gif = encode_gif87a(w, h, _gif_palette, idx)
+    bmp = encode_bmp24(w, h, lambda x, y: _gif_palette(idx(x, y)))
+    assert phash64_bands(gif) == phash64_bands(bmp)
