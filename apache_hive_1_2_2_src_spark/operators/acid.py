@@ -1597,3 +1597,121 @@ def acid_concurrent_writers(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# --------- EXCLUSIVE writer: INSERT OVERWRITE + Cleaner lifecycle (r15) --
+
+
+@register(
+    "acid_exclusive_overwrite_lifecycle",
+    # The oracle replays the pre-overwrite merge once and derives all
+    # three phases from it: 'before' = the merge itself,
+    # 'after_overwrite' and 'after_clean' = the merge with the
+    # overwrite's +5 rewrite — hash-equality certifies that the
+    # EXCLUSIVE writer's snapshot is exactly the merged table it
+    # replaced and that the Cleaner changes nothing a reader sees.
+    oracle=f"""
+    WITH {_ACID_CTES},
+    all_rows AS (
+      SELECT * FROM base UNION ALL SELECT * FROM d1 UNION ALL SELECT * FROM d2
+    ),
+    latest AS (
+      SELECT k, st, p, op,
+             ROW_NUMBER() OVER (PARTITION BY k ORDER BY ver DESC) AS rn
+      FROM all_rows
+    ),
+    snap AS (SELECT k, st, p FROM latest WHERE rn = 1 AND op <> 'D')
+    SELECT 'before' AS phase, st AS o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(p) AS DOUBLE) AS sum_price,
+           MIN(k) AS min_key, MAX(k) AS max_key
+    FROM snap GROUP BY st
+    UNION ALL
+    SELECT ph.phase, st AS o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(p + 5 AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           MIN(k) AS min_key, MAX(k) AS max_key
+    FROM snap, (VALUES ('after_overwrite'), ('after_clean')) AS ph(phase)
+    GROUP BY ph.phase, st
+    """,
+    doc="EXCLUSIVE-lock writer lifecycle — INSERT OVERWRITE under the "
+    "lock manager, composed with the Cleaner (reference anchors: "
+    "TxnHandler.java's EXCLUSIVE compatibility row — insert overwrite "
+    "and drop take X — plus AcidUtils.getAcidState's highest-base "
+    "rule and Cleaner.java's stale-base removal): a reader's "
+    "SHARED_READ blocks the X request, a second reader queues BEHIND "
+    "the waiting X (no barging — both runtime-asserted through "
+    "AcidLockManager), and only after the reader releases does the "
+    "writer rewrite the merged snapshot (+5.00 on every price) as "
+    "base_3 ABOVE the old tree. Resolution then selects base_3 with "
+    "zero deltas (the old base_0/d1/d2 are covered), the Cleaner "
+    "removes exactly those three dirs, and the three certified reads "
+    "prove the story: 'before' = the base∪d1∪d2 merge, "
+    "'after_overwrite' = the rewrite, 'after_clean' identical to it — "
+    "the overwrite is atomic-by-directory-name and the Cleaner is "
+    "invisible to readers. Scale: the overwrite is one full-table "
+    "rewrite (exactly what INSERT OVERWRITE costs), everything else "
+    "is directory metadata.",
+    tags=("workload", "acid", "txn", "compaction"),
+)
+def acid_exclusive_overwrite_lifecycle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    table = materialize_acid_layout(spark, sf_dir, _tmp("acid_xlock_table"))
+
+    # Lock choreography: reader in -> X waits -> late reader queues
+    # behind the X -> reader out -> X runs.
+    lm = AcidLockManager()
+    if lm.request(10, "SR", "db.t") != "ACQUIRED":
+        raise AssertionError("reader SHARED_READ not granted")
+    if lm.request(3, "X", "db.t") != "WAITING":
+        raise AssertionError("EXCLUSIVE must wait behind the reader")
+    if lm.request(11, "SR", "db.t") != "WAITING":
+        raise AssertionError("late reader must queue behind the waiting X")
+    # Eagerly materialize each phase's verdict BEFORE mutating the tree:
+    # Spark plans are lazy, and the overwrite/clean steps delete files a
+    # deferred 'before' scan would still reference — the exact reason
+    # Hive's Cleaner waits out reader leases before deleting (the
+    # localCheckpoint is this test's reader lease; the frames are
+    # metadata-sized verdict rows).
+    before = _verdict(read_acid_table(spark, table)).withColumn(
+        "phase", F.lit("before")
+    ).localCheckpoint(eager=True)
+    lm.release(10)
+    if lm.state(3, "db.t") != "ACQUIRED":
+        raise AssertionError("X not promoted after the reader released")
+
+    # The X writer's INSERT OVERWRITE: rewrite the merged snapshot with
+    # +5.00 prices as base_3 (txn 3 > every existing dir).
+    snap = read_acid_table(spark, table).select(
+        "k", "st",
+        (F.col("p") + 5).cast("decimal(18,2)").alias("p"),
+        F.lit("U").alias("op"),
+    )
+    snap.write.parquet(f"{table}/base_3")
+    lm.release(3)
+    if lm.state(11, "db.t") != "ACQUIRED":
+        raise AssertionError("late reader not promoted after X released")
+
+    base_dir, _txn, deltas = resolve_acid_state(spark, table)
+    if base_dir != "base_3" or deltas:
+        raise AssertionError(
+            f"post-overwrite resolution wrong: {base_dir} {deltas}"
+        )
+    after = _verdict(read_acid_table(spark, table)).withColumn(
+        "phase", F.lit("after_overwrite")
+    ).localCheckpoint(eager=True)
+
+    removed = clean_acid_obsolete(spark, table)
+    if removed != ["base_0", "delta_1_1", "delta_2_2"]:
+        raise AssertionError(f"cleaner removed wrong set: {removed}")
+    cleaned = _verdict(read_acid_table(spark, table)).withColumn(
+        "phase", F.lit("after_clean")
+    )
+
+    cols = ["phase", "o_orderstatus", "n", "sum_price", "min_key", "max_key"]
+    return (
+        before.select(*cols)
+        .unionByName(after.select(*cols))
+        .unionByName(cleaned.select(*cols))
+    )

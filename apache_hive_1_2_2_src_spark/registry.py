@@ -186,7 +186,7 @@ STABLE_WINDOW = (
 # either way. (r12's 18 FRESH names all certified in CORRECTNESS_r12 and
 # rotated out; the displaced stable tail returns automatically.)
 FRESH = (
-    # the SEVEN r15 registrations ride first so each earns a driver-green
+    # the EIGHT r15 registrations ride first so each earns a driver-green
     # row in its first round (never-green guard); the streaming pHash
     # query also carries the window's streaming tag. PRIORITY = flagship
     # + these 49, zero stable tail: the 44-name rotation yielded ONE
@@ -199,6 +199,7 @@ FRESH = (
     "streaming_dedup_phash_incremental",
     "dedup_video_phash",
     "dedup_video_temporal",
+    "acid_exclusive_overwrite_lifecycle",
     # stale-green rotation, second tranche (VERDICT r14 item 1): the six
     # <=r4 stragglers + the 38-query r5 cohort — after this round the
     # oldest driver-green row anywhere is r6 and the rotation settles
@@ -242,7 +243,9 @@ FRESH = (
     "text_quality_score",
     "text_token_count_regex",
     "text_token_stats",
-    "text_unigram_rarity",
+    # text_unigram_rarity yielded its slot to
+    # acid_exclusive_overwrite_lifecycle (text stays seven-fold covered
+    # in the window); it rotates first in r16 with the other two yields
     "udaf_pandas_grouped_demo",
     "window_first_last_value",
     "window_lead_lag",
