@@ -69,6 +69,7 @@ HEADLINE = (
     "similarity_ivfpq_residual_search",  # 6 training chains + residual-code ADC (r13)
     "text_bpe_pack_chain",  # BPE train+apply -> per-(lang,shard) 2048-token bin packing (r13; steps trainer + shard windows r14)
     "similarity_ivf_two_level",  # coarse + 4 per-cell sub-quantizer chains, 2x2 probe search (r14)
+    "dedup_video_phash",  # animated-GIF decode + per-frame integer-DCT pHash + inverted-index overlap (r15)
 )
 
 # All 22 TPC-H query shapes in query order — timed as ONE sequential suite
