@@ -272,3 +272,48 @@ def test_phash_cross_container_equality_bmp_ppm_png_gif():
     gif = encode_gif87a(w, h, _gif_palette, idx)
     bmp = encode_bmp24(w, h, lambda x, y: _gif_palette(idx(x, y)))
     assert phash64_bands(gif) == phash64_bands(bmp)
+
+
+def test_gif_anim_decoder_fuzz_never_returns_wrong_data():
+    """The multi-frame walk inherits the single-frame fuzz contract:
+    malformed animated GIFs raise (or, for don't-care-field flips,
+    return differing pixels) — never crash the process, loop forever,
+    or silently return the wrong frame count."""
+    import random
+    from struct import error as struct_error
+
+    import pytest as _pytest
+
+    from apache_hive_1_2_2_src_spark.extensions.multimodal import (
+        _gif_palette,
+        _vid_fixture_index,
+        decode_gif_frames,
+        encode_gif89a_anim,
+    )
+
+    good = encode_gif89a_anim(
+        9, 5, _gif_palette, lambda t: _vid_fixture_index(3, t), 5
+    )
+    w0, h0, frames0 = decode_gif_frames(good)
+    assert (w0, h0, len(frames0)) == (9, 5, 5)
+
+    for cut in (20, len(good) // 3, len(good) // 2, len(good) - 3):
+        with _pytest.raises((ValueError, IndexError)):
+            decode_gif_frames(good[:cut])
+
+    rng = random.Random(15)
+    raised = 0
+    for _ in range(80):
+        b = bytearray(good)
+        i = rng.randrange(6, len(b))
+        b[i] ^= 1 << rng.randrange(8)
+        try:
+            w, h, frames = decode_gif_frames(bytes(b))
+            # a surviving flip must still decode a consistent canvas
+            assert w >= 1 and h >= 1 and len(frames) >= 1
+            frames[0](0, 0)
+        except (ValueError, IndexError, struct_error):
+            raised += 1
+    assert raised > 0
+    w1, h1, frames1 = decode_gif_frames(good)  # inputs never mutated
+    assert (w1, h1, len(frames1)) == (9, 5, 5)
