@@ -2811,3 +2811,88 @@ def stage_video_temporal_payloads(spark: SparkSession, sf_dir: str) -> str:
         "overwrite"
     ).parquet(path)
     return path
+
+
+def stage_video_clip_payloads(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the clip-CONTAINMENT video corpus as (doc_id, variant,
+    payload) — the one-sided counterpart of the temporal corpus: 'orig'
+    = a LONG animated GIF89a per doc_id < 200 (8..12 full-canvas
+    frames); 'clip' = a 4-frame mid-slice (source frames 3..6) for
+    doc_id%3==0; 'mut' = a 5-frame slice (source frames 1..5) whose
+    middle frame is replaced by out-of-clip content for doc_id%5==0
+    (partial containment); 'steal' = a 4-frame slice of the NEXT doc's
+    stream (doc i carries frames 2..5 of doc i+1, at doc i+1's
+    dimensions) for doc_id%7==0 — cross-document containment, the
+    reposted-clip shape. A slice shares ~all of ITS shingles with the
+    container but only a minority of the container's, so the symmetric
+    half-overlap near-dup rule under-describes these pairs; the
+    containment query applies the one-sided rule and reports the
+    direction."""
+    import hashlib
+    import os
+
+    from apache_hive_1_2_2_src_spark.sources.io import _tmp
+
+    tag = hashlib.md5(os.path.normpath(sf_dir).encode()).hexdigest()[:12]
+    path = _tmp(f"mm_payloads_vclip_{tag}")
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 200)
+        .repartition(8, "doc_id")
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "variant": [], "payload": []}
+            for i in (int(x) for x in pdf["doc_id"]):
+                w, h = _bmp_fixture_dims(i)
+                nf = 8 + i % 5
+                out["doc_id"].append(i)
+                out["variant"].append("orig")
+                out["payload"].append(
+                    encode_gif89a_anim(
+                        w, h, _gif_palette,
+                        lambda t, i=i: _vid_fixture_index(i, t), nf,
+                    )
+                )
+                if i % 3 == 0:
+                    out["doc_id"].append(i)
+                    out["variant"].append("clip")
+                    out["payload"].append(
+                        encode_gif89a_anim(
+                            w, h, _gif_palette,
+                            lambda t, i=i: _vid_fixture_index(i, t + 3), 4,
+                        )
+                    )
+                if i % 5 == 0:
+                    out["doc_id"].append(i)
+                    out["variant"].append("mut")
+                    out["payload"].append(
+                        encode_gif89a_anim(
+                            w, h, _gif_palette,
+                            lambda t, i=i: _vid_fixture_index(
+                                i, 53 if t == 2 else t + 1
+                            ),
+                            5,
+                        )
+                    )
+                if i % 7 == 0:
+                    sw, sh = _bmp_fixture_dims(i + 1)
+                    out["doc_id"].append(i)
+                    out["variant"].append("steal")
+                    out["payload"].append(
+                        encode_gif89a_anim(
+                            sw, sh, _gif_palette,
+                            lambda t, j=i + 1: _vid_fixture_index(j, t + 2),
+                            4,
+                        )
+                    )
+            yield pd.DataFrame(out)
+
+    d.mapInPandas(gen, "doc_id bigint, variant string, payload binary").write.mode(
+        "overwrite"
+    ).parquet(path)
+    return path

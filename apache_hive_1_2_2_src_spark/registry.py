@@ -200,6 +200,7 @@ FRESH = (
     "dedup_video_phash",
     "dedup_video_temporal",
     "acid_exclusive_overwrite_lifecycle",
+    "dedup_video_contained",
     # stale-green rotation, second tranche (VERDICT r14 item 1): the six
     # <=r4 stragglers + the 38-query r5 cohort — after this round the
     # oldest driver-green row anywhere is r6 and the rotation settles
@@ -238,7 +239,9 @@ FRESH = (
     "text_context_ngrams",
     "text_fingerprint",
     "text_lang_id",
-    "text_ngrams_top",
+    # text_ngrams_top yielded its slot to dedup_video_contained (text
+    # stays six-fold covered in the window); it rotates first in r16
+    # with the other yields
     "text_pii_scrub",
     "text_quality_score",
     "text_token_count_regex",
