@@ -1715,3 +1715,226 @@ def acid_exclusive_overwrite_lifecycle(
         .unionByName(after.select(*cols))
         .unionByName(cleaned.select(*cols))
     )
+
+
+# --------- SHOW LOCKS / SHOW TRANSACTIONS / SHOW COMPACTIONS (r15) --------
+
+# Deterministic introspection fixtures both engines share. Lock ids are
+# assigned 1..8 in request order (AcidLockManager._next_id), so the SQL
+# replay can reconstruct the queue positions arithmetically.
+_SHOW_LOCK_REQS = (
+    (10, "SR", "default.orders"),
+    (11, "SR", "default.orders"),
+    (12, "X", "default.orders"),     # waits behind both readers
+    (13, "SR", "default.orders"),    # no barging: waits behind the X
+    (10, "SW", "default.lineitem"),
+    (14, "SW", "default.lineitem"),  # concurrent shared writers
+    (15, "X", "default.part@p=1"),   # first on its resource: acquired
+    (16, "SW", "default.part@p=1"),  # waits behind the X
+)
+
+_SHOW_LOCK_SQL = "SELECT * FROM (VALUES " + ", ".join(
+    f"({i + 1}, {t}, '{lt}', '{res}')"
+    for i, (t, lt, res) in enumerate(_SHOW_LOCK_REQS)
+) + ") AS lock_reqs(lock_id, txn_id, lock_type, resource)"
+
+# Compaction queue history: latest event per id is the SHOW state
+# (Initiator -> Worker -> Cleaner pipeline states, TxnHandler.showCompact).
+_SHOW_COMPACT_LOG = (
+    (1, "default", "orders", "", "MAJOR", "initiated", 1),
+    (1, "default", "orders", "", "MAJOR", "working", 3),
+    (1, "default", "orders", "", "MAJOR", "succeeded", 6),
+    (2, "default", "lineitem", "ds=1", "MINOR", "initiated", 2),
+    (2, "default", "lineitem", "ds=1", "MINOR", "working", 5),
+    (3, "default", "lineitem", "ds=2", "MINOR", "initiated", 4),
+    (4, "default", "part", "", "MAJOR", "initiated", 2),
+    (4, "default", "part", "", "MAJOR", "working", 4),
+    (4, "default", "part", "", "MAJOR", "failed", 7),
+    (5, "default", "orders", "ds=9", "MINOR", "initiated", 3),
+    (5, "default", "orders", "ds=9", "MINOR", "working", 5),
+    (5, "default", "orders", "ds=9", "MINOR", "ready for cleaning", 8),
+)
+
+_SHOW_COMPACT_SQL = "SELECT * FROM (VALUES " + ", ".join(
+    f"({i}, '{db}', '{tb}', '{pt}', '{ty}', '{ev}', {ts})"
+    for i, db, tb, pt, ty, ev, ts in _SHOW_COMPACT_LOG
+) + ") AS compact_log(id, db, tbl, part, kind, event, ts)"
+
+_LOCK_TYPE_NAMES = {
+    "SR": "SHARED_READ", "SW": "SHARED_WRITE", "X": "EXCLUSIVE",
+}
+
+
+@register(
+    "acid_show_locks_txns_compactions",
+    # The oracle re-derives all three introspection tables in SQL: lock
+    # grant state from the FIFO queue rule (WAITING iff ANY earlier
+    # request on the resource is EXCLUSIVE-incompatible — granted or
+    # waiting, the no-barging semantics), open/aborted txns from the
+    # latest-state-per-txn fold of the shared writer log, and compaction
+    # states from the latest event per queue id.
+    oracle=f"""
+    WITH lock_reqs AS ({_SHOW_LOCK_SQL}),
+    txn_log AS ({_CONC_LOG_SQL}),
+    compact_log AS ({_SHOW_COMPACT_SQL}),
+    locks AS (
+      SELECT a.lock_id, a.txn_id, a.lock_type, a.resource,
+             CASE WHEN EXISTS (
+               SELECT 1 FROM lock_reqs b
+               WHERE b.resource = a.resource AND b.lock_id < a.lock_id
+                 AND (b.lock_type = 'X' OR a.lock_type = 'X')
+             ) THEN 'WAITING' ELSE 'ACQUIRED' END AS state
+      FROM lock_reqs a
+    ),
+    latest_txn AS (
+      SELECT txn_id, state,
+             ROW_NUMBER() OVER (PARTITION BY txn_id ORDER BY ts DESC) AS rn
+      FROM txn_log
+    ),
+    latest_comp AS (
+      SELECT id, db, tbl, part, kind, event,
+             ROW_NUMBER() OVER (PARTITION BY id ORDER BY ts DESC) AS rn
+      FROM compact_log
+    )
+    SELECT 'lock' AS surface, CAST(lock_id AS BIGINT) AS id,
+           split_part(resource, '.', 1) AS db,
+           split_part(split_part(resource, '.', 2), '@', 1) AS tbl,
+           CASE WHEN resource LIKE '%@%'
+                THEN split_part(resource, '@', 2) ELSE '' END AS part,
+           CASE lock_type WHEN 'SR' THEN 'SHARED_READ'
+                WHEN 'SW' THEN 'SHARED_WRITE'
+                ELSE 'EXCLUSIVE' END AS kind,
+           state, CAST(txn_id AS BIGINT) AS txn
+    FROM locks
+    UNION ALL
+    SELECT 'txn', CAST(txn_id AS BIGINT), '', '', '', '',
+           CASE state WHEN 'open' THEN 'OPEN' ELSE 'ABORTED' END,
+           CAST(txn_id AS BIGINT)
+    FROM latest_txn WHERE rn = 1 AND state <> 'commit'
+    UNION ALL
+    SELECT 'compaction', CAST(id AS BIGINT), db, tbl, part, kind, event,
+           CAST(NULL AS BIGINT)
+    FROM latest_comp WHERE rn = 1
+    """,
+    doc="SHOW LOCKS / SHOW TRANSACTIONS / SHOW COMPACTIONS — Hive 1.2's "
+    "transactional introspection DDL (reference anchors: "
+    "ql/exec/DDLTask.java showLocks/showTxns/showCompactions backed by "
+    "metastore/txn/TxnHandler.java showLocks, getOpenTxnsInfo, "
+    "showCompact), normalized into one certified frame: lock rows carry "
+    "the FIFO queue's grant state (two readers ACQUIRED, the EXCLUSIVE "
+    "behind them WAITING, a late reader queued behind the X — the "
+    "no-barging row — plus concurrent SHARED_WRITE grants and an X "
+    "that arrived first), txn rows list exactly the open/aborted txns "
+    "from the shared two-writer event log (committed txns never show), "
+    "and compaction rows fold the Initiator->Worker->Cleaner queue "
+    "history to its latest state (initiated/working/succeeded/failed/"
+    "ready-for-cleaning all exercised). The Spark side derives the "
+    "queue state TWICE — operationally through AcidLockManager and "
+    "declaratively through the same anti-join rule the oracle uses — "
+    "and asserts they agree, pinning the Python jump table to the SQL "
+    "semantics. Scale: introspection reads metastore-sized frames; "
+    "everything here is metadata, no table scan.",
+    tags=("workload", "acid", "txn", "ddl"),
+)
+def acid_show_locks_txns_compactions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    # Operational half: replay the request sequence through the real
+    # lock manager and capture each lock's final state.
+    lm = AcidLockManager()
+    for txn, lt, res in _SHOW_LOCK_REQS:
+        lm.request(txn, lt, res)
+    states = {}
+    for lock_id, (txn, lt, res) in enumerate(_SHOW_LOCK_REQS, start=1):
+        states[lock_id] = lm.state(txn, res)
+
+    lock_rows = spark.createDataFrame(
+        [
+            (lock_id, txn, lt, res, states[lock_id])
+            for lock_id, (txn, lt, res) in enumerate(
+                _SHOW_LOCK_REQS, start=1
+            )
+        ],
+        "lock_id long, txn_id long, lock_type string, resource string, "
+        "mgr_state string",
+    )
+    # Declarative half: the FIFO/no-barging grant rule as an anti-join —
+    # WAITING iff any earlier request on the resource is X-incompatible.
+    a, b = lock_rows.alias("a"), lock_rows.alias("b")
+    blocked = (
+        a.join(
+            b,
+            (F.col("b.resource") == F.col("a.resource"))
+            & (F.col("b.lock_id") < F.col("a.lock_id"))
+            & (
+                (F.col("b.lock_type") == "X")
+                | (F.col("a.lock_type") == "X")
+            ),
+            "left_semi",
+        )
+        .select(F.col("a.lock_id").alias("lock_id"))
+        .withColumn("state", F.lit("WAITING"))
+    )
+    locks = (
+        lock_rows.join(blocked, "lock_id", "left")
+        .withColumn("state", F.coalesce("state", F.lit("ACQUIRED")))
+    )
+    mismatch = locks.filter(F.col("state") != F.col("mgr_state")).count()
+    if mismatch:
+        raise AssertionError(
+            "lock-manager state disagrees with the SQL grant rule on "
+            f"{mismatch} locks"
+        )
+    lock_out = locks.select(
+        F.lit("lock").alias("surface"),
+        F.col("lock_id").cast("long").alias("id"),
+        F.split_part(F.col("resource"), F.lit("."), F.lit(1)).alias("db"),
+        F.split_part(
+            F.split_part(F.col("resource"), F.lit("."), F.lit(2)),
+            F.lit("@"), F.lit(1),
+        ).alias("tbl"),
+        F.when(
+            F.col("resource").contains("@"),
+            F.split_part(F.col("resource"), F.lit("@"), F.lit(2)),
+        ).otherwise(F.lit("")).alias("part"),
+        F.when(F.col("lock_type") == "SR", "SHARED_READ")
+        .when(F.col("lock_type") == "SW", "SHARED_WRITE")
+        .otherwise("EXCLUSIVE").alias("kind"),
+        "state",
+        F.col("txn_id").cast("long").alias("txn"),
+    )
+
+    txn_log = spark.createDataFrame(
+        list(_CONC_LOG), "txn_id long, state string, ts long"
+    )
+    txn_out = (
+        txn_log.groupBy("txn_id")
+        .agg(F.max_by("state", "ts").alias("last_state"))
+        .filter(F.col("last_state") != "commit")
+        .select(
+            F.lit("txn").alias("surface"),
+            F.col("txn_id").cast("long").alias("id"),
+            F.lit("").alias("db"), F.lit("").alias("tbl"),
+            F.lit("").alias("part"), F.lit("").alias("kind"),
+            F.when(F.col("last_state") == "open", "OPEN")
+            .otherwise("ABORTED").alias("state"),
+            F.col("txn_id").cast("long").alias("txn"),
+        )
+    )
+
+    comp_log = spark.createDataFrame(
+        list(_SHOW_COMPACT_LOG),
+        "id long, db string, tbl string, part string, kind string, "
+        "event string, ts long",
+    )
+    comp_out = (
+        comp_log.groupBy("id", "db", "tbl", "part", "kind")
+        .agg(F.max_by("event", "ts").alias("state"))
+        .select(
+            F.lit("compaction").alias("surface"),
+            F.col("id").cast("long").alias("id"),
+            "db", "tbl", "part", "kind", "state",
+            F.lit(None).cast("long").alias("txn"),
+        )
+    )
+    return lock_out.unionByName(txn_out).unionByName(comp_out)

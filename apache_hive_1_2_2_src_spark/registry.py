@@ -201,6 +201,7 @@ FRESH = (
     "dedup_video_temporal",
     "acid_exclusive_overwrite_lifecycle",
     "dedup_video_contained",
+    "acid_show_locks_txns_compactions",
     # stale-green rotation, second tranche (VERDICT r14 item 1): the six
     # <=r4 stragglers + the 38-query r5 cohort — after this round the
     # oldest driver-green row anywhere is r6 and the rotation settles
@@ -245,7 +246,9 @@ FRESH = (
     "text_pii_scrub",
     "text_quality_score",
     "text_token_count_regex",
-    "text_token_stats",
+    # text_token_stats yielded its slot to
+    # acid_show_locks_txns_compactions (text stays five-fold covered in
+    # the window); it rotates first in r16 with the other yields
     # text_unigram_rarity yielded its slot to
     # acid_exclusive_overwrite_lifecycle (text stays seven-fold covered
     # in the window); it rotates first in r16 with the other two yields
