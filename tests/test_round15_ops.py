@@ -317,3 +317,95 @@ def test_gif_anim_decoder_fuzz_never_returns_wrong_data():
     assert raised > 0
     w1, h1, frames1 = decode_gif_frames(good)  # inputs never mutated
     assert (w1, h1, len(frames1)) == (9, 5, 5)
+
+
+def test_video_clip_containment_hash_slices():
+    """A mid-slice clip's frame-hash sequence IS the matching slice of
+    the original's (pixels re-encode through a fresh GIF, so this pins
+    the whole encode->decode->pHash chain is position-invariant), the
+    mutated slice differs from the original EXACTLY at its middle
+    frame, and the stolen clip matches the NEIGHBOR doc's frames 2..5
+    — the three containment classes the one-sided rule must find."""
+    from apache_hive_1_2_2_src_spark.extensions.multimodal import (
+        _gif_palette,
+        _vid_fixture_index,
+        encode_gif89a_anim,
+        video_frame_phashes,
+    )
+
+    for i in (6, 105):  # doc 105: clip+mut both exist (105 % 15 == 0)
+        w, h = _bmp_fixture_dims(i)
+        nf = 8 + i % 5
+        orig = video_frame_phashes(
+            encode_gif89a_anim(
+                w, h, _gif_palette,
+                lambda t, i=i: _vid_fixture_index(i, t), nf,
+            )
+        )
+        clip = video_frame_phashes(
+            encode_gif89a_anim(
+                w, h, _gif_palette,
+                lambda t, i=i: _vid_fixture_index(i, t + 3), 4,
+            )
+        )
+        assert clip == orig[3:7]
+        mut = video_frame_phashes(
+            encode_gif89a_anim(
+                w, h, _gif_palette,
+                lambda t, i=i: _vid_fixture_index(
+                    i, 53 if t == 2 else t + 1
+                ),
+                5,
+            )
+        )
+        assert mut[0] == orig[1] and mut[1] == orig[2]
+        assert mut[2] != orig[3]  # the replaced middle frame
+        assert mut[3] == orig[4] and mut[4] == orig[5]
+
+    # cross-doc steal: doc 7 carries frames 2..5 of doc 8's stream
+    sw, sh = _bmp_fixture_dims(8)
+    neighbor = video_frame_phashes(
+        encode_gif89a_anim(
+            sw, sh, _gif_palette,
+            lambda t: _vid_fixture_index(8, t), 8 + 8 % 5,
+        )
+    )
+    steal = video_frame_phashes(
+        encode_gif89a_anim(
+            sw, sh, _gif_palette,
+            lambda t: _vid_fixture_index(8, t + 2), 4,
+        )
+    )
+    assert steal == neighbor[2:6]
+
+
+def test_show_locks_fifo_states_match_sql_rule():
+    """The SHOW LOCKS fixture's grant states through the real lock
+    manager: readers ahead of an X are granted, the X waits, a late
+    reader queues behind the waiting X (no barging), shared writers
+    coexist, and a first-arrived X holds its resource exclusively. The
+    registered query re-derives the same states declaratively and
+    asserts agreement; this pin keeps the fixture's expected states
+    honest if either side changes."""
+    from apache_hive_1_2_2_src_spark.operators.acid import (
+        _SHOW_LOCK_REQS,
+        AcidLockManager,
+    )
+
+    lm = AcidLockManager()
+    for txn, lt, res in _SHOW_LOCK_REQS:
+        lm.request(txn, lt, res)
+    got = [
+        lm.state(txn, res)
+        for txn, lt, res in _SHOW_LOCK_REQS
+    ]
+    assert got == [
+        "ACQUIRED", "ACQUIRED", "WAITING", "WAITING",
+        "ACQUIRED", "ACQUIRED", "ACQUIRED", "WAITING",
+    ]
+    # release the readers -> the X promotes -> the late reader still
+    # waits behind the now-GRANTED X (promotion is FIFO, not a free-for-all)
+    lm.release(10, "default.orders")
+    lm.release(11, "default.orders")
+    assert lm.state(12, "default.orders") == "ACQUIRED"
+    assert lm.state(13, "default.orders") == "WAITING"
