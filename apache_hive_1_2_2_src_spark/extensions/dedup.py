@@ -2890,3 +2890,269 @@ def dedup_video_contained(spark: SparkSession, sf_dir: str) -> DataFrame:
     if (s["n_pairs"], s["n_full"], s["min_off"], s["max_off"]) != (29, 29, -2, -2):
         raise AssertionError(f"cross-doc containment broken: {s}")
     return out
+
+
+# ------------------ Audio clip CONTAINMENT (r15) --------------------------
+
+
+@register(
+    "dedup_audio_contained",
+    # The oracle replays decode -> channel-0 two-sample frame energies
+    # (HAVING COUNT(*)=2 drops an odd tail) -> positional 3-gram energy
+    # landmarks -> inverted-index offset voting -> the one-sided verdict,
+    # all from the quadratic fixture stream.
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, 50 + doc_id % 101 AS nf
+      FROM documents WHERE doc_id < 200
+    ),
+    variants AS (
+      SELECT doc_id, doc_id AS src, nf AS len,
+             'orig' AS variant, 0 AS vcode, 0 AS strt
+      FROM docs
+      UNION ALL
+      SELECT doc_id, doc_id, 24, 'clip', 1, 8
+      FROM docs WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id, doc_id, 24, 'mut', 2, 8
+      FROM docs WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id, doc_id + 1, 24, 'steal', 3, 8
+      FROM docs WHERE doc_id % 7 = 0
+    ),
+    smp AS (
+      SELECT v.doc_id, v.variant, v.vcode, s.j,
+             ((v.src*31 + (s.j + v.strt)*(s.j + v.strt)*(3 + v.src % 11)
+               + (s.j + v.strt)*(17 + v.src % 13)) % 4001) - 2000
+             + CASE WHEN v.variant = 'mut' AND s.j IN (10, 11)
+                    THEN 7 ELSE 0 END AS s
+      FROM variants v, UNNEST(range(0, v.len)) AS s(j)
+    ),
+    en AS (
+      SELECT doc_id, variant, vcode, j // 2 AS t,
+             SUM(CAST(s AS BIGINT) * s) AS e
+      FROM smp GROUP BY doc_id, variant, vcode, j // 2
+      HAVING COUNT(*) = 2
+    ),
+    fsig AS (
+      SELECT doc_id, variant, vcode, doc_id * 10 + vcode AS key, t,
+             CAST(e AS VARCHAR) AS sig
+      FROM en
+    ),
+    sh AS (
+      SELECT f1.key, f1.doc_id, f1.variant, f1.t,
+             f1.sig || ':' || f2.sig || ':' || f3.sig AS shingle
+      FROM fsig f1
+      JOIN fsig f2 ON f2.key = f1.key AND f2.t = f1.t + 1
+      JOIN fsig f3 ON f3.key = f1.key AND f3.t = f1.t + 2
+    ),
+    nsh AS (SELECT key, COUNT(*) AS n_sh FROM sh GROUP BY key),
+    votes AS (
+      SELECT a.key AS ka, b.key AS kb, a.doc_id AS da, b.doc_id AS db,
+             a.variant AS va, b.variant AS vb,
+             a.t - b.t AS off, COUNT(*) AS cnt
+      FROM sh a
+      JOIN sh b ON a.shingle = b.shingle AND a.key < b.key
+      GROUP BY a.key, b.key, a.doc_id, b.doc_id, a.variant, b.variant,
+               a.t - b.t
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY ka, kb
+                                   ORDER BY cnt DESC, ABS(off), off) AS rn
+      FROM votes
+    ),
+    best AS (
+      SELECT ka, kb, da, db, va, vb, off AS best_off
+      FROM ranked WHERE rn = 1
+    ),
+    tot AS (SELECT ka, kb, SUM(cnt) AS n_match FROM votes GROUP BY ka, kb),
+    kept AS (
+      SELECT b.*, t.n_match, na.n_sh AS nsa, nb.n_sh AS nsb
+      FROM best b
+      JOIN tot t ON t.ka = b.ka AND t.kb = b.kb
+      JOIN nsh na ON na.key = b.ka
+      JOIN nsh nb ON nb.key = b.kb
+      WHERE 2 * t.n_match >= LEAST(na.n_sh, nb.n_sh)
+    )
+    SELECT CASE WHEN da = db THEN va || '-' || vb
+                ELSE 'x:' || va || '-' || vb END AS pair_kind,
+           CASE WHEN 2 * n_match >= GREATEST(nsa, nsb) THEN 'neardup'
+                ELSE 'contained' END AS relation,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN n_match = LEAST(nsa, nsb)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_full,
+           CAST(SUM(n_match) AS BIGINT) AS sum_match,
+           CAST(MIN(best_off) AS INTEGER) AS min_off,
+           CAST(MAX(best_off) AS INTEGER) AS max_off,
+           MIN(da) AS min_doc, MAX(db) AS max_doc
+    FROM kept
+    GROUP BY CASE WHEN da = db THEN va || '-' || vb
+                  ELSE 'x:' || va || '-' || vb END,
+             CASE WHEN 2 * n_match >= GREATEST(nsa, nsb) THEN 'neardup'
+                  ELSE 'contained' END
+    """,
+    doc="Audio clip CONTAINMENT with offset recovery — the audio twin of "
+    "dedup_video_contained and the Shazam shape (Wang 2003) reduced to "
+    "its time axis: every variant's REAL RIFF/WAVE bytes decode through "
+    "the chunk walk, channel-0 PCM folds into two-sample frame "
+    "energies, each positional 3-gram of energies is a LANDMARK, an "
+    "inverted index on landmark yields matched position pairs, each "
+    "match votes its offset, and the one-sided rule classifies: "
+    "'contained' when matches clear half the SMALLER side's landmarks "
+    "but not half the LARGER side's (an excerpt inside a longer track), "
+    "'neardup' otherwise — with the modal offset recovering WHERE the "
+    "excerpt sits. The fixture stream carries doc-dependent QUADRATIC "
+    "coefficients: the linear fixture formula makes every doc a "
+    "time-shift of every other (simulated: hundreds of spurious "
+    "cross-doc alignments), the 1-D version of the pHash slope lesson. "
+    "Runtime pins: 67/67 excerpts full-contained at frame offset 4, "
+    "40/40 corrupted excerpts contained but NEVER full (offset 4), "
+    "29/29 cross-doc excerpts full-contained in the neighbor track at "
+    "offset -4. Scale: |clips| x frames landmark rows, one shuffle on "
+    "landmark; hot landmarks (silence) cap exactly like the image "
+    "bands; voting is bounded by clip length, not corpus.",
+    tags=("extension", "dedup", "multimodal", "audio", "temporal"),
+)
+def dedup_audio_contained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from apache_hive_1_2_2_src_spark.extensions.multimodal import (
+        stage_audio_clip_payloads,
+        wav_energy_frames,
+    )
+
+    pay = spark.read.parquet(stage_audio_clip_payloads(spark, sf_dir))
+
+    def fp_batches(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "variant": [], "t": [], "sig": []}
+            for doc_id, variant, payload in zip(
+                pdf["doc_id"], pdf["variant"], pdf["payload"]
+            ):
+                for t, e in enumerate(wav_energy_frames(bytes(payload))):
+                    out["doc_id"].append(int(doc_id))
+                    out["variant"].append(str(variant))
+                    out["t"].append(t)
+                    out["sig"].append(str(e))
+            yield pd.DataFrame(out)
+
+    fsig = (
+        pay.mapInPandas(
+            fp_batches, "doc_id bigint, variant string, t int, sig string"
+        )
+        .withColumn(
+            "vcode",
+            F.when(F.col("variant") == "orig", 0)
+            .when(F.col("variant") == "clip", 1)
+            .when(F.col("variant") == "mut", 2)
+            .otherwise(3),
+        )
+        .select(
+            (F.col("doc_id") * 10 + F.col("vcode")).alias("key"),
+            "doc_id", "variant", "t", "sig",
+        )
+        # landmark-stream-sized; checkpoint so the 3-gram joins and the
+        # vote/total/count reuses never re-decode the WAVs
+        .localCheckpoint()
+    )
+    f1, f2, f3 = fsig.alias("f1"), fsig.alias("f2"), fsig.alias("f3")
+    sh = (
+        f1.join(
+            f2,
+            (F.col("f2.key") == F.col("f1.key"))
+            & (F.col("f2.t") == F.col("f1.t") + 1),
+        )
+        .join(
+            f3,
+            (F.col("f3.key") == F.col("f1.key"))
+            & (F.col("f3.t") == F.col("f1.t") + 2),
+        )
+        .select(
+            F.col("f1.key").alias("key"),
+            F.col("f1.doc_id").alias("doc_id"),
+            F.col("f1.variant").alias("variant"),
+            F.col("f1.t").alias("t"),
+            F.concat_ws(
+                ":", F.col("f1.sig"), F.col("f2.sig"), F.col("f3.sig")
+            ).alias("shingle"),
+        )
+    )
+    nsh = sh.groupBy("key").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    votes = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.key") < F.col("b.key")),
+        )
+        .groupBy(
+            F.col("a.key").alias("ka"), F.col("b.key").alias("kb"),
+            F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"),
+            F.col("a.variant").alias("va"), F.col("b.variant").alias("vb"),
+            (F.col("a.t") - F.col("b.t")).alias("off"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    best = (
+        votes.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("ka", "kb").orderBy(
+                    F.col("cnt").desc(), F.abs("off"), F.col("off")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("ka", "kb", "da", "db", "va", "vb",
+                F.col("off").alias("best_off"))
+    )
+    tot = votes.groupBy("ka", "kb").agg(F.sum("cnt").alias("n_match"))
+    kept = (
+        best.join(tot, ["ka", "kb"])
+        .join(nsh.select(F.col("key").alias("ka"),
+                         F.col("n_sh").alias("nsa")), "ka")
+        .join(nsh.select(F.col("key").alias("kb"),
+                         F.col("n_sh").alias("nsb")), "kb")
+        .filter(2 * F.col("n_match") >= F.least("nsa", "nsb"))
+        .withColumn(
+            "pair_kind",
+            F.when(
+                F.col("da") == F.col("db"),
+                F.concat(F.col("va"), F.lit("-"), F.col("vb")),
+            ).otherwise(
+                F.concat(F.lit("x:"), F.col("va"), F.lit("-"), F.col("vb"))
+            ),
+        )
+        .withColumn(
+            "relation",
+            F.when(
+                2 * F.col("n_match") >= F.greatest("nsa", "nsb"),
+                F.lit("neardup"),
+            ).otherwise(F.lit("contained")),
+        )
+    )
+    out = kept.groupBy("pair_kind", "relation").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(
+            F.when(F.col("n_match") == F.least("nsa", "nsb"), 1).otherwise(0)
+        ).cast("long").alias("n_full"),
+        F.sum("n_match").cast("long").alias("sum_match"),
+        F.min("best_off").alias("min_off"),
+        F.max("best_off").alias("max_off"),
+        F.min("da").alias("min_doc"),
+        F.max("db").alias("max_doc"),
+    )
+    got = {(r["pair_kind"], r["relation"]): r for r in out.collect()}
+    c = got.get(("orig-clip", "contained"),
+                {"n_pairs": 0, "n_full": 0, "min_off": None, "max_off": None})
+    if (c["n_pairs"], c["n_full"], c["min_off"], c["max_off"]) != (67, 67, 4, 4):
+        raise AssertionError(f"excerpt containment broken: {c}")
+    m = got.get(("orig-mut", "contained"),
+                {"n_pairs": 0, "n_full": 0, "min_off": None, "max_off": None})
+    if (m["n_pairs"], m["n_full"], m["min_off"], m["max_off"]) != (40, 0, 4, 4):
+        raise AssertionError(f"corrupted-excerpt containment broken: {m}")
+    s = got.get(("x:steal-orig", "contained"),
+                {"n_pairs": 0, "n_full": 0, "min_off": None, "max_off": None})
+    if (s["n_pairs"], s["n_full"], s["min_off"], s["max_off"]) != (29, 29, -4, -4):
+        raise AssertionError(f"cross-doc containment broken: {s}")
+    return out

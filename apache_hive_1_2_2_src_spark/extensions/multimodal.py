@@ -2896,3 +2896,132 @@ def stage_video_clip_payloads(spark: SparkSession, sf_dir: str) -> str:
         "overwrite"
     ).parquet(path)
     return path
+
+
+# --------------- Audio clip containment corpus (r15) ----------------------
+
+
+def _aclip_sample(doc_id: int, i: int, c: int = 0) -> int:
+    """Channel-c sample i of the containment corpus. Unlike the linear
+    _wav_fixture_sample, this carries doc-dependent QUADRATIC and linear
+    coefficients: a purely linear stream makes every doc a time-shift of
+    every other (31*Δdoc ≡ 17*k mod 4001 is always solvable), which
+    hash-collapsed a simulated corpus into hundreds of spurious
+    cross-doc containments — the 1-D version of the pHash slope lesson.
+    The quadratic term breaks shift-equivalence: aligning two docs would
+    need equal quadratic coefficients AND a matching linear shift AND a
+    matching constant, and the 200-doc corpus was simulated to confirm
+    zero accidental alignments."""
+    return (
+        (
+            doc_id * 31
+            + i * i * (3 + doc_id % 11)
+            + i * (17 + doc_id % 13)
+            + c * 7
+        )
+        % 4001
+    ) - 2000
+
+
+def wav_energy_frames(buf: bytes) -> list[int]:
+    """Channel-0 two-sample frame energies of a RIFF/WAVE buffer — the
+    positional fingerprint stream for audio containment (Wang 2003's
+    landmark idea reduced to its time axis: a landmark is the exact
+    energy triple at a position; matching landmarks vote their offset).
+    An odd trailing sample is dropped (no partial frames), mirroring the
+    oracle's HAVING COUNT(*)=2."""
+    _rate, channels, samples = _wav_samples(buf)
+    ch0 = samples[::channels]
+    return [
+        int(ch0[2 * f]) ** 2 + int(ch0[2 * f + 1]) ** 2
+        for f in range(len(ch0) // 2)
+    ]
+
+
+def stage_audio_clip_payloads(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the audio clip-CONTAINMENT corpus as (doc_id, variant,
+    payload): 'orig' = a 50..150-sample WAV per doc_id < 200 (mono or
+    stereo by doc parity; the quadratic fixture stream); 'clip' = a
+    MONO re-encode of channel-0 samples 8..31 for doc_id%3==0 (a
+    sample-aligned excerpt — 12 frames inside the original's 25..75);
+    'mut' = the same excerpt with samples 10/11 shifted +7 for
+    doc_id%5==0 (one frame of the excerpt corrupted — partial
+    containment); 'steal' = the NEXT doc's excerpt published under this
+    doc's id for doc_id%7==0 (cross-document containment, the
+    sampled-track shape)."""
+    import hashlib
+    import os
+
+    from apache_hive_1_2_2_src_spark.sources.io import _tmp
+
+    tag = hashlib.md5(os.path.normpath(sf_dir).encode()).hexdigest()[:12]
+    path = _tmp(f"mm_payloads_aclip_{tag}")
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 200)
+        .repartition(8, "doc_id")
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "variant": [], "payload": []}
+            for i in (int(x) for x in pdf["doc_id"]):
+                rate = 8000 + (i % 3) * 4000
+                ch = 1 + i % 2
+                nf = 50 + i % 101
+                out["doc_id"].append(i)
+                out["variant"].append("orig")
+                out["payload"].append(
+                    encode_wav_pcm16(
+                        rate, ch,
+                        [
+                            tuple(_aclip_sample(i, j, c) for c in range(ch))
+                            for j in range(nf)
+                        ],
+                    )
+                )
+                if i % 3 == 0:
+                    out["doc_id"].append(i)
+                    out["variant"].append("clip")
+                    out["payload"].append(
+                        encode_wav_pcm16(
+                            rate, 1,
+                            [(_aclip_sample(i, 8 + j),) for j in range(24)],
+                        )
+                    )
+                if i % 5 == 0:
+                    out["doc_id"].append(i)
+                    out["variant"].append("mut")
+                    out["payload"].append(
+                        encode_wav_pcm16(
+                            rate, 1,
+                            [
+                                (
+                                    _aclip_sample(i, 8 + j)
+                                    + (7 if j in (10, 11) else 0),
+                                )
+                                for j in range(24)
+                            ],
+                        )
+                    )
+                if i % 7 == 0:
+                    out["doc_id"].append(i)
+                    out["variant"].append("steal")
+                    out["payload"].append(
+                        encode_wav_pcm16(
+                            rate, 1,
+                            [
+                                (_aclip_sample(i + 1, 8 + j),)
+                                for j in range(24)
+                            ],
+                        )
+                    )
+            yield pd.DataFrame(out)
+
+    d.mapInPandas(gen, "doc_id bigint, variant string, payload binary").write.mode(
+        "overwrite"
+    ).parquet(path)
+    return path

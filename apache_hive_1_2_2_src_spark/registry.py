@@ -202,6 +202,7 @@ FRESH = (
     "acid_exclusive_overwrite_lifecycle",
     "dedup_video_contained",
     "acid_show_locks_txns_compactions",
+    "dedup_audio_contained",
     # stale-green rotation, second tranche (VERDICT r14 item 1): the six
     # <=r4 stragglers + the 38-query r5 cohort — after this round the
     # oldest driver-green row anywhere is r6 and the rotation settles
@@ -214,7 +215,9 @@ FRESH = (
     "csv_roundtrip_agg",
     "date_extract_suite",
     "dedup_exact",
-    "dedup_ngram_jaccard",
+    # dedup_ngram_jaccard yielded its slot to dedup_audio_contained
+    # (dedup stays ten-fold covered in the window); it rotates first in
+    # r16 with the other yields
     "dedup_simhash",
     "explode_words",
     "join_inner",

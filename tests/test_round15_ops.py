@@ -409,3 +409,65 @@ def test_show_locks_fifo_states_match_sql_rule():
     lm.release(11, "default.orders")
     assert lm.state(12, "default.orders") == "ACQUIRED"
     assert lm.state(13, "default.orders") == "WAITING"
+
+
+def test_audio_clip_energy_slices_and_quadratic_antialias():
+    """The excerpt's frame-energy stream IS the matching slice of the
+    original's (pins the encode->decode->energy chain is
+    position-invariant), the corrupted excerpt differs EXACTLY at its
+    middle frame, the stolen excerpt matches the neighbor's stream —
+    and the quadratic fixture term actually breaks cross-doc
+    shift-equivalence (the linear formula collapses: documented
+    anti-lesson)."""
+    from apache_hive_1_2_2_src_spark.extensions.multimodal import (
+        _aclip_sample,
+        encode_wav_pcm16,
+        wav_energy_frames,
+    )
+
+    def frames(doc, ch):
+        nf = 50 + doc % 101
+        return wav_energy_frames(
+            encode_wav_pcm16(
+                8000, ch,
+                [
+                    tuple(_aclip_sample(doc, j, c) for c in range(ch))
+                    for j in range(nf)
+                ],
+            )
+        )
+
+    for doc in (6, 105):  # 105 % 15 == 0: clip+mut coexist
+        ch = 1 + doc % 2
+        orig = frames(doc, ch)
+        assert len(orig) == (50 + doc % 101) // 2
+        clip = wav_energy_frames(
+            encode_wav_pcm16(
+                8000, 1, [(_aclip_sample(doc, 8 + j),) for j in range(24)]
+            )
+        )
+        assert clip == orig[4:16]
+        mut = wav_energy_frames(
+            encode_wav_pcm16(
+                8000, 1,
+                [
+                    (_aclip_sample(doc, 8 + j) + (7 if j in (10, 11) else 0),)
+                    for j in range(24)
+                ],
+            )
+        )
+        assert mut[:5] == orig[4:9] and mut[6:] == orig[10:16]
+        assert mut[5] != orig[9]
+    # stolen excerpt = the neighbor's slice
+    steal = wav_energy_frames(
+        encode_wav_pcm16(
+            8000, 1, [(_aclip_sample(8, 8 + j),) for j in range(24)]
+        )
+    )
+    assert steal == frames(8, 1 + 8 % 2)[4:16]
+    # the anti-alias property: no cross-doc slice of doc 3's stream
+    # reproduces doc 6's excerpt energies (linear formulas DO collapse)
+    other = frames(3, 1 + 3 % 2)
+    clip6 = frames(6, 1 + 6 % 2)[4:16]
+    for start in range(len(other) - len(clip6) + 1):
+        assert other[start:start + len(clip6)] != clip6
