@@ -1938,3 +1938,254 @@ def acid_show_locks_txns_compactions(
         )
     )
     return lock_out.unionByName(txn_out).unionByName(comp_out)
+
+
+# --------- Heartbeat timeout housekeeper (r15) ----------------------------
+
+# Heartbeat event log: (txn_id, event in open/heartbeat/commit, ts).
+# Housekeeper sweep at T=10 with timeout W=5: an OPEN txn whose last
+# open/heartbeat event is older than T-W times out and is ABORTED
+# (TxnHandler.performTimeOuts); committed txns are immune.
+_HB_LOG = (
+    (1, "open", 1),
+    (5, "open", 1),
+    (2, "open", 2),
+    (3, "open", 3),
+    (5, "heartbeat", 3),
+    (1, "heartbeat", 4),
+    (3, "commit", 5),
+    (4, "open", 6),
+    (1, "heartbeat", 7),
+)
+_HB_NOW, _HB_TIMEOUT = 10, 5
+
+_HB_LOG_SQL = "SELECT * FROM (VALUES " + ", ".join(
+    f"({t}, '{e}', {ts})" for t, e, ts in _HB_LOG
+) + ") AS hb_log(txn_id, event, ts)"
+
+# The lock queue at sweep time: the doomed txn 2 holds an EXCLUSIVE
+# lock; two readers wait behind it. Removing txn 2's locks must promote
+# BOTH readers (FIFO re-promotion after timeout).
+_HB_LOCK_REQS = (
+    (2, "X", "default.orders"),
+    (1, "SR", "default.orders"),
+    (4, "SR", "default.orders"),
+    (5, "SW", "default.lineitem"),
+    (4, "SW", "default.lineitem"),
+)
+
+_HB_LOCK_SQL = "SELECT * FROM (VALUES " + ", ".join(
+    f"({i + 1}, {t}, '{lt}', '{res}')"
+    for i, (t, lt, res) in enumerate(_HB_LOCK_REQS)
+) + ") AS lock_reqs(lock_id, txn_id, lock_type, resource)"
+
+
+@register(
+    "acid_heartbeat_timeout",
+    # The oracle derives both phases in SQL: txn states fold to the
+    # latest event; a txn times out iff still open with its newest
+    # open/heartbeat older than NOW - TIMEOUT; 'after' locks are the
+    # queue minus timed-out txns' entries with grant states re-derived
+    # by the same no-barging EXISTS rule over the SURVIVORS.
+    oracle=f"""
+    WITH hb_log AS ({_HB_LOG_SQL}),
+    lock_reqs AS ({_HB_LOCK_SQL}),
+    latest AS (
+      SELECT txn_id, event,
+             ROW_NUMBER() OVER (PARTITION BY txn_id ORDER BY ts DESC) AS rn
+      FROM hb_log
+    ),
+    cur AS (SELECT txn_id, event AS last_event FROM latest WHERE rn = 1),
+    beat AS (
+      SELECT txn_id, MAX(ts) AS last_beat
+      FROM hb_log WHERE event IN ('open', 'heartbeat') GROUP BY txn_id
+    ),
+    txns AS (
+      SELECT c.txn_id,
+             CASE WHEN c.last_event = 'commit' THEN 'COMMITTED'
+                  ELSE 'OPEN' END AS before_state,
+             CASE WHEN c.last_event = 'commit' THEN 'COMMITTED'
+                  WHEN b.last_beat < {_HB_NOW} - {_HB_TIMEOUT}
+                  THEN 'ABORTED' ELSE 'OPEN' END AS after_state
+      FROM cur c JOIN beat b ON b.txn_id = c.txn_id
+    ),
+    doomed AS (
+      SELECT txn_id FROM txns
+      WHERE before_state = 'OPEN' AND after_state = 'ABORTED'
+    ),
+    locks_before AS (
+      SELECT a.lock_id, a.txn_id, a.lock_type, a.resource,
+             CASE WHEN EXISTS (
+               SELECT 1 FROM lock_reqs b
+               WHERE b.resource = a.resource AND b.lock_id < a.lock_id
+                 AND (b.lock_type = 'X' OR a.lock_type = 'X')
+             ) THEN 'WAITING' ELSE 'ACQUIRED' END AS state
+      FROM lock_reqs a
+    ),
+    survivors AS (
+      SELECT * FROM lock_reqs
+      WHERE txn_id NOT IN (SELECT txn_id FROM doomed)
+    ),
+    locks_after AS (
+      SELECT a.lock_id, a.txn_id, a.lock_type, a.resource,
+             CASE WHEN EXISTS (
+               SELECT 1 FROM survivors b
+               WHERE b.resource = a.resource AND b.lock_id < a.lock_id
+                 AND (b.lock_type = 'X' OR a.lock_type = 'X')
+             ) THEN 'WAITING' ELSE 'ACQUIRED' END AS state
+      FROM survivors a
+    )
+    SELECT 'before' AS phase, 'txn' AS surface,
+           CAST(txn_id AS BIGINT) AS id, '' AS kind, before_state AS state
+    FROM txns
+    UNION ALL
+    SELECT 'after', 'txn', CAST(txn_id AS BIGINT), '', after_state FROM txns
+    UNION ALL
+    SELECT 'before', 'lock', CAST(lock_id AS BIGINT), lock_type, state
+    FROM locks_before
+    UNION ALL
+    SELECT 'after', 'lock', CAST(lock_id AS BIGINT), lock_type, state
+    FROM locks_after
+    """,
+    doc="Heartbeat TIMEOUT housekeeping — the AcidHouseKeeperService "
+    "sweep (reference anchors: metastore/txn/TxnHandler.java "
+    "performTimeOuts + timeOutLocks, ql/txn/AcidHouseKeeperService."
+    "java): an OPEN transaction whose newest open/heartbeat event is "
+    "older than NOW - timeout is ABORTED by the housekeeper (committed "
+    "txns immune, freshly-opened and freshly-beaten txns survive), and "
+    "the dead txns' locks leave the queue — which must PROMOTE the "
+    "FIFO waiters behind them (two readers blocked by the doomed "
+    "writer's EXCLUSIVE both acquire after the sweep; a shared-writer "
+    "pair where one partner dies keeps the survivor granted). The "
+    "Spark side replays the sweep operationally through AcidLockManager "
+    "(request -> release(doomed) -> re-check) AND derives both phases "
+    "declaratively; the runtime asserts the two agree on every lock "
+    "before returning. Scale: housekeeping is metastore-sized metadata "
+    "— the point of covering it is correctness of what readers see "
+    "next, not throughput.",
+    tags=("workload", "acid", "txn"),
+)
+def acid_heartbeat_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Operational sweep through the real lock manager.
+    lm = AcidLockManager()
+    for txn, lt, res in _HB_LOCK_REQS:
+        lm.request(txn, lt, res)
+    before_states = {
+        i + 1: lm.state(txn, res)
+        for i, (txn, lt, res) in enumerate(_HB_LOCK_REQS)
+    }
+    # performTimeOuts: latest open/heartbeat older than NOW - TIMEOUT
+    last_event: dict[int, str] = {}
+    last_beat: dict[int, int] = {}
+    for t, e, ts in sorted(_HB_LOG, key=lambda r: r[2]):
+        last_event[t] = e
+        if e in ("open", "heartbeat"):
+            last_beat[t] = ts
+    doomed = {
+        t
+        for t, e in last_event.items()
+        if e != "commit" and last_beat[t] < _HB_NOW - _HB_TIMEOUT
+    }
+    if doomed != {2, 5}:
+        raise AssertionError(f"timeout sweep picked {doomed}, expected 2,5")
+    for t in doomed:
+        lm.release(t)
+    after_states = {
+        i + 1: lm.state(txn, res)
+        for i, (txn, lt, res) in enumerate(_HB_LOCK_REQS)
+        if txn not in doomed
+    }
+    # The promotion the sweep must cause: both readers behind the doomed
+    # X acquire; the surviving shared writer stays granted.
+    if after_states != {2: "ACQUIRED", 3: "ACQUIRED", 5: "ACQUIRED"}:
+        raise AssertionError(f"post-sweep promotion broken: {after_states}")
+
+    hb = spark.createDataFrame(
+        list(_HB_LOG), "txn_id long, event string, ts long"
+    )
+    cur = hb.groupBy("txn_id").agg(
+        F.max_by("event", "ts").alias("last_event")
+    )
+    beat = (
+        hb.filter(F.col("event").isin("open", "heartbeat"))
+        .groupBy("txn_id")
+        .agg(F.max("ts").alias("last_beat"))
+    )
+    txns = cur.join(beat, "txn_id").select(
+        "txn_id",
+        F.when(F.col("last_event") == "commit", "COMMITTED")
+        .otherwise("OPEN").alias("before_state"),
+        F.when(F.col("last_event") == "commit", "COMMITTED")
+        .when(
+            F.col("last_beat") < F.lit(_HB_NOW - _HB_TIMEOUT), "ABORTED"
+        )
+        .otherwise("OPEN").alias("after_state"),
+    )
+    lock_rows = spark.createDataFrame(
+        [
+            (i + 1, txn, lt, res)
+            for i, (txn, lt, res) in enumerate(_HB_LOCK_REQS)
+        ],
+        "lock_id long, txn_id long, lock_type string, resource string",
+    )
+
+    def grant_states(rows: DataFrame) -> DataFrame:
+        a, b = rows.alias("a"), rows.alias("b")
+        blocked = (
+            a.join(
+                b,
+                (F.col("b.resource") == F.col("a.resource"))
+                & (F.col("b.lock_id") < F.col("a.lock_id"))
+                & (
+                    (F.col("b.lock_type") == "X")
+                    | (F.col("a.lock_type") == "X")
+                ),
+                "left_semi",
+            )
+            .select(F.col("a.lock_id").alias("lock_id"))
+            .withColumn("state", F.lit("WAITING"))
+        )
+        return rows.join(blocked, "lock_id", "left").withColumn(
+            "state", F.coalesce("state", F.lit("ACQUIRED"))
+        )
+
+    doomed_df = txns.filter(
+        (F.col("before_state") == "OPEN")
+        & (F.col("after_state") == "ABORTED")
+    ).select("txn_id")
+    locks_before = grant_states(lock_rows)
+    survivors = lock_rows.join(doomed_df, "txn_id", "left_anti")
+    locks_after = grant_states(survivors)
+
+    # Pin the declarative derivation to the operational sweep.
+    got_before = {
+        r["lock_id"]: r["state"] for r in locks_before.collect()
+    }
+    if got_before != before_states:
+        raise AssertionError(
+            f"before-phase SQL rule disagrees: {got_before}"
+        )
+    got_after = {r["lock_id"]: r["state"] for r in locks_after.collect()}
+    if got_after != after_states:
+        raise AssertionError(f"after-phase SQL rule disagrees: {got_after}")
+
+    def txn_phase(phase: str, col: str) -> DataFrame:
+        return txns.select(
+            F.lit(phase).alias("phase"), F.lit("txn").alias("surface"),
+            F.col("txn_id").cast("long").alias("id"),
+            F.lit("").alias("kind"), F.col(col).alias("state"),
+        )
+
+    def lock_phase(phase: str, rows: DataFrame) -> DataFrame:
+        return rows.select(
+            F.lit(phase).alias("phase"), F.lit("lock").alias("surface"),
+            F.col("lock_id").cast("long").alias("id"),
+            F.col("lock_type").alias("kind"), "state",
+        )
+
+    return (
+        txn_phase("before", "before_state")
+        .unionByName(txn_phase("after", "after_state"))
+        .unionByName(lock_phase("before", locks_before))
+        .unionByName(lock_phase("after", locks_after))
+    )

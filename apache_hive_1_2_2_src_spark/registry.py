@@ -203,6 +203,7 @@ FRESH = (
     "dedup_video_contained",
     "acid_show_locks_txns_compactions",
     "dedup_audio_contained",
+    "acid_heartbeat_timeout",
     # stale-green rotation, second tranche (VERDICT r14 item 1): the six
     # <=r4 stragglers + the 38-query r5 cohort — after this round the
     # oldest driver-green row anywhere is r6 and the rotation settles
@@ -241,7 +242,9 @@ FRESH = (
     "subquery_exists_correlated",
     "tablesample_percent_rows",
     "text_context_ngrams",
-    "text_fingerprint",
+    # text_fingerprint yielded its slot to acid_heartbeat_timeout (text
+    # stays four-fold covered in the window); it rotates first in r16
+    # with the other yields
     "text_lang_id",
     # text_ngrams_top yielded its slot to dedup_video_contained (text
     # stays six-fold covered in the window); it rotates first in r16
