@@ -70,6 +70,7 @@ HEADLINE = (
     "text_bpe_pack_chain",  # BPE train+apply -> per-(lang,shard) 2048-token bin packing (r13; steps trainer + shard windows r14)
     "similarity_ivf_two_level",  # coarse + 4 per-cell sub-quantizer chains, 2x2 probe search (r14)
     "dedup_video_phash",  # animated-GIF decode + per-frame integer-DCT pHash + inverted-index overlap (r15)
+    "dedup_audio_contained",  # WAV decode + positional energy landmarks + one-sided offset voting (r15)
 )
 
 # All 22 TPC-H query shapes in query order — timed as ONE sequential suite

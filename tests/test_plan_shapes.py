@@ -634,3 +634,15 @@ def test_window_spec_parser_handles_parenthesized_exprs(spark):
     assert specs1 and all(len(s) == 1 for s in specs1), specs1
     with pytest.raises(AssertionError):
         assert_no_single_key_window(one)
+
+
+def test_containment_queries_no_cartesian_no_bnlj(spark, registry):
+    """Both one-sided containment plans (video shingles, audio landmarks)
+    must stay pure equi-join pipelines: candidate generation is an
+    inverted-index self-join on shingle/landmark, never all-pairs, and
+    the only window is the (ka, kb) pair-partitioned modal-offset rank
+    (SCALE.md r15 containment audit: 0 cartesians, 0 BNLJ)."""
+    for name in ("dedup_video_contained", "dedup_audio_contained"):
+        p = plan_text(registry[name].build(spark, SF_DIR))
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
