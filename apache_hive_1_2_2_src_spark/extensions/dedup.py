@@ -3156,3 +3156,270 @@ def dedup_audio_contained(spark: SparkSession, sf_dir: str) -> DataFrame:
     if (s["n_pairs"], s["n_full"], s["min_off"], s["max_off"]) != (29, 29, -4, -4):
         raise AssertionError(f"cross-doc containment broken: {s}")
     return out
+
+
+# ------------------ Image CROP containment (r15) --------------------------
+
+
+def _crop_oracle() -> str:
+    # The four 2x2-block corner values, each the quadratic fixture
+    # formula at (x0 + 2bx + i, y0 + 2by + j) with the 'mut' block's +9
+    # applied inside the mod-256 ring — generated here so the SQL stays
+    # structurally identical to _crop_fixture_pixel.
+    def corner(i: int, j: int) -> str:
+        X = f"(v.x0 + 2*g.bx + {i})"
+        Y = f"(v.y0 + 2*g.by + {j})"
+        base = (
+            f"(v.src*3 + {X}*{X}*(2 + v.src%5) + {X}*(1 + v.src%7)"
+            f" + {Y}*{Y}*(3 + v.src%11) + {Y}*(2 + v.src%3)) % 256"
+        )
+        mut = (
+            "CASE WHEN v.variant = 'mut' AND g.bx = 1 AND g.by = 1 "
+            "THEN 9 ELSE 0 END"
+        )
+        return f"(({base}) + {mut}) % 256"
+
+    sel = ",\n             ".join(
+        f"{corner(i, j)} AS v{i}{j}" for j in (0, 1) for i in (0, 1)
+    )
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, 16 + doc_id % 13 AS w, 12 + doc_id % 7 AS h
+      FROM documents WHERE doc_id < 200
+    ),
+    variants AS (
+      SELECT doc_id, doc_id AS src, 0 AS x0, 0 AS y0,
+             w // 2 AS bw, h // 2 AS bh, 'orig' AS variant, 0 AS vcode
+      FROM docs
+      UNION ALL
+      SELECT doc_id, doc_id, 4, 2, 4, 3, 'crop', 1
+      FROM docs WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id, doc_id, 4, 2, 4, 3, 'mut', 2
+      FROM docs WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id, doc_id + 1, 4, 2, 4, 3, 'steal', 3
+      FROM docs WHERE doc_id % 7 = 0
+    ),
+    corners AS (
+      SELECT v.doc_id, v.variant, v.vcode, g.bx, g.by,
+             {sel}
+      FROM variants v,
+           LATERAL (SELECT bxx.bx, byy.by
+                    FROM UNNEST(range(0, v.bw)) AS bxx(bx),
+                         UNNEST(range(0, v.bh)) AS byy(by)) AS g
+    ),
+    lm AS (
+      SELECT doc_id, variant, vcode, doc_id * 10 + vcode AS key, bx, by,
+             CAST(v00 AS VARCHAR) || ':' || CAST(v10 AS VARCHAR) || ':'
+               || CAST(v01 AS VARCHAR) || ':' || CAST(v11 AS VARCHAR)
+               AS sig
+      FROM corners
+    ),
+    nlm AS (SELECT key, COUNT(*) AS n_lm FROM lm GROUP BY key),
+    votes AS (
+      SELECT a.key AS ka, b.key AS kb, a.doc_id AS da, b.doc_id AS db,
+             a.variant AS va, b.variant AS vb,
+             a.bx - b.bx AS dx, a.by - b.by AS dy, COUNT(*) AS cnt
+      FROM lm a
+      JOIN lm b ON a.sig = b.sig AND a.key < b.key
+      GROUP BY a.key, b.key, a.doc_id, b.doc_id, a.variant, b.variant,
+               a.bx - b.bx, a.by - b.by
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY ka, kb
+               ORDER BY cnt DESC, ABS(dx) + ABS(dy), dx, dy) AS rn
+      FROM votes
+    ),
+    best AS (
+      SELECT ka, kb, da, db, va, vb, dx AS best_dx, dy AS best_dy
+      FROM ranked WHERE rn = 1
+    ),
+    tot AS (SELECT ka, kb, SUM(cnt) AS n_match FROM votes GROUP BY ka, kb),
+    kept AS (
+      SELECT b.*, t.n_match, na.n_lm AS nsa, nb.n_lm AS nsb
+      FROM best b
+      JOIN tot t ON t.ka = b.ka AND t.kb = b.kb
+      JOIN nlm na ON na.key = b.ka
+      JOIN nlm nb ON nb.key = b.kb
+      WHERE 2 * t.n_match >= LEAST(na.n_lm, nb.n_lm)
+    )
+    SELECT CASE WHEN da = db THEN va || '-' || vb
+                ELSE 'x:' || va || '-' || vb END AS pair_kind,
+           CASE WHEN 2 * n_match >= GREATEST(nsa, nsb) THEN 'neardup'
+                ELSE 'contained' END AS relation,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN n_match = LEAST(nsa, nsb)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_full,
+           CAST(SUM(n_match) AS BIGINT) AS sum_match,
+           CAST(MIN(best_dx) AS INTEGER) AS min_dx,
+           CAST(MAX(best_dx) AS INTEGER) AS max_dx,
+           CAST(MIN(best_dy) AS INTEGER) AS min_dy,
+           CAST(MAX(best_dy) AS INTEGER) AS max_dy,
+           MIN(da) AS min_doc, MAX(db) AS max_doc
+    FROM kept
+    GROUP BY CASE WHEN da = db THEN va || '-' || vb
+                  ELSE 'x:' || va || '-' || vb END,
+             CASE WHEN 2 * n_match >= GREATEST(nsa, nsb) THEN 'neardup'
+                  ELSE 'contained' END
+    """
+
+
+@register(
+    "dedup_image_cropped",
+    oracle=_crop_oracle(),
+    doc="Image CROP containment — the SPATIAL member of the containment "
+    "triad (video/audio cover time; this covers space): a crop is a 2-D "
+    "sub-sequence, so the same one-sided machinery runs over 2x2-block "
+    "landmarks with TWO-dimensional offset voting — non-overlapping "
+    "pixel-block signatures from REAL decoded BMP bytes form an "
+    "inverted index, matched block positions vote their (dx, dy), the "
+    "modal offset (ties toward the smallest |dx|+|dy|) recovers WHERE "
+    "the crop sits, and the verdict is 'contained' when matches clear "
+    "half the smaller side's blocks but not half the larger side's. "
+    "The fixture stream is quadratic in BOTH axes with doc-dependent "
+    "coefficients (a linear gradient makes every doc a spatial shift "
+    "of every other — simulated collapse, the 2-D form of the audio "
+    "corpus's anti-alias lesson). Runtime pins: 67/67 crops "
+    "full-contained at block offset (2,1), 40/40 mutated crops "
+    "contained but NEVER full (one corrupted block), 29/29 stolen "
+    "crops full-contained in the neighbor image at (-2,-1). Scale: "
+    "|images| x blocks landmark rows, one shuffle on signature; flat "
+    "backgrounds (the hot-landmark class) cap exactly like the pHash "
+    "bands; voting is bounded by crop area, not corpus.",
+    tags=("extension", "dedup", "multimodal", "phash", "temporal"),
+)
+def dedup_image_cropped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from apache_hive_1_2_2_src_spark.extensions.multimodal import (
+        image_block_signatures,
+        stage_image_crop_payloads,
+    )
+
+    pay = spark.read.parquet(stage_image_crop_payloads(spark, sf_dir))
+
+    def lm_batches(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "variant": [], "bx": [], "by": [],
+                   "sig": []}
+            for doc_id, variant, payload in zip(
+                pdf["doc_id"], pdf["variant"], pdf["payload"]
+            ):
+                for bx, by, sig in image_block_signatures(bytes(payload)):
+                    out["doc_id"].append(int(doc_id))
+                    out["variant"].append(str(variant))
+                    out["bx"].append(bx)
+                    out["by"].append(by)
+                    out["sig"].append(sig)
+            yield pd.DataFrame(out)
+
+    lm = (
+        pay.mapInPandas(
+            lm_batches,
+            "doc_id bigint, variant string, bx int, by int, sig string",
+        )
+        .withColumn(
+            "vcode",
+            F.when(F.col("variant") == "orig", 0)
+            .when(F.col("variant") == "crop", 1)
+            .when(F.col("variant") == "mut", 2)
+            .otherwise(3),
+        )
+        .select(
+            (F.col("doc_id") * 10 + F.col("vcode")).alias("key"),
+            "doc_id", "variant", "bx", "by", "sig",
+        )
+        # landmark-table-sized; checkpoint so the inverted-index
+        # self-join and count reuses never re-decode the BMPs
+        .localCheckpoint()
+    )
+    nlm = lm.groupBy("key").agg(F.count(F.lit(1)).alias("n_lm"))
+    a, b = lm.alias("a"), lm.alias("b")
+    votes = (
+        a.join(
+            b,
+            (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.key") < F.col("b.key")),
+        )
+        .groupBy(
+            F.col("a.key").alias("ka"), F.col("b.key").alias("kb"),
+            F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"),
+            F.col("a.variant").alias("va"), F.col("b.variant").alias("vb"),
+            (F.col("a.bx") - F.col("b.bx")).alias("dx"),
+            (F.col("a.by") - F.col("b.by")).alias("dy"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    best = (
+        votes.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("ka", "kb").orderBy(
+                    F.col("cnt").desc(),
+                    F.abs("dx") + F.abs("dy"),
+                    F.col("dx"), F.col("dy"),
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("ka", "kb", "da", "db", "va", "vb",
+                F.col("dx").alias("best_dx"), F.col("dy").alias("best_dy"))
+    )
+    tot = votes.groupBy("ka", "kb").agg(F.sum("cnt").alias("n_match"))
+    kept = (
+        best.join(tot, ["ka", "kb"])
+        .join(nlm.select(F.col("key").alias("ka"),
+                         F.col("n_lm").alias("nsa")), "ka")
+        .join(nlm.select(F.col("key").alias("kb"),
+                         F.col("n_lm").alias("nsb")), "kb")
+        .filter(2 * F.col("n_match") >= F.least("nsa", "nsb"))
+        .withColumn(
+            "pair_kind",
+            F.when(
+                F.col("da") == F.col("db"),
+                F.concat(F.col("va"), F.lit("-"), F.col("vb")),
+            ).otherwise(
+                F.concat(F.lit("x:"), F.col("va"), F.lit("-"), F.col("vb"))
+            ),
+        )
+        .withColumn(
+            "relation",
+            F.when(
+                2 * F.col("n_match") >= F.greatest("nsa", "nsb"),
+                F.lit("neardup"),
+            ).otherwise(F.lit("contained")),
+        )
+    )
+    out = kept.groupBy("pair_kind", "relation").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(
+            F.when(F.col("n_match") == F.least("nsa", "nsb"), 1).otherwise(0)
+        ).cast("long").alias("n_full"),
+        F.sum("n_match").cast("long").alias("sum_match"),
+        F.min("best_dx").alias("min_dx"),
+        F.max("best_dx").alias("max_dx"),
+        F.min("best_dy").alias("min_dy"),
+        F.max("best_dy").alias("max_dy"),
+        F.min("da").alias("min_doc"),
+        F.max("db").alias("max_doc"),
+    )
+    got = {(r["pair_kind"], r["relation"]): r for r in out.collect()}
+
+    def offs(r):
+        return (r["n_pairs"], r["n_full"], r["min_dx"], r["max_dx"],
+                r["min_dy"], r["max_dy"])
+
+    empty = {"n_pairs": 0, "n_full": 0, "min_dx": None, "max_dx": None,
+             "min_dy": None, "max_dy": None}
+    c = got.get(("orig-crop", "contained"), empty)
+    if offs(c) != (67, 67, 2, 2, 1, 1):
+        raise AssertionError(f"crop containment broken: {c}")
+    m = got.get(("orig-mut", "contained"), empty)
+    if offs(m) != (40, 0, 2, 2, 1, 1):
+        raise AssertionError(f"mutated-crop containment broken: {m}")
+    s = got.get(("x:steal-orig", "contained"), empty)
+    if offs(s) != (29, 29, -2, -2, -1, -1):
+        raise AssertionError(f"cross-doc crop containment broken: {s}")
+    return out

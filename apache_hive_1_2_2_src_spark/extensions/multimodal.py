@@ -3025,3 +3025,116 @@ def stage_audio_clip_payloads(spark: SparkSession, sf_dir: str) -> str:
         "overwrite"
     ).parquet(path)
     return path
+
+
+# --------------- Image crop containment corpus (r15) ----------------------
+
+
+def _crop_fixture_pixel(doc_id: int, x: int, y: int) -> int:
+    """Gray value at (x, y) of the crop-containment stream — quadratic
+    in BOTH axes with doc-dependent coefficients, the 2-D version of
+    the audio corpus's anti-alias lesson: purely linear gradients make
+    every doc a spatial shift of every other, collapsing the landmark
+    index into spurious cross-doc crops (simulated before this formula
+    was chosen; the quadratic terms leave zero accidental alignments
+    across the 200-doc corpus)."""
+    return (
+        doc_id * 3
+        + x * x * (2 + doc_id % 5)
+        + x * (1 + doc_id % 7)
+        + y * y * (3 + doc_id % 11)
+        + y * (2 + doc_id % 3)
+    ) % 256
+
+
+def _crop_fixture_dims(doc_id: int) -> tuple[int, int]:
+    return 16 + doc_id % 13, 12 + doc_id % 7
+
+
+def image_block_signatures(buf: bytes) -> list[tuple[int, int, str]]:
+    """Non-overlapping 2x2-block landmarks of an image: (bx, by, sig)
+    where sig joins the four gray values in (0,0),(1,0),(0,1),(1,1)
+    order. Odd trailing pixel rows/columns are dropped (no partial
+    blocks). The spatial analog of wav_energy_frames — positional exact
+    landmarks that an inverted index + 2-D offset voting turns into
+    crop-containment evidence."""
+    w, h, px = image_pixels(buf)
+    out = []
+    for by in range(h // 2):
+        for bx in range(w // 2):
+            vals = []
+            for j in (0, 1):
+                for i in (0, 1):
+                    r, g, b = px(2 * bx + i, 2 * by + j)
+                    vals.append((r + g + b) // 3)
+            out.append((bx, by, ":".join(str(v) for v in vals)))
+    return out
+
+
+def stage_image_crop_payloads(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the image crop-CONTAINMENT corpus as (doc_id, variant,
+    payload): 'orig' = a 16..28 x 12..18 grayscale BMP per doc_id < 200
+    (the quadratic fixture stream); 'crop' = the 8x6 REGION at pixel
+    (4, 2) re-encoded as its own BMP for doc_id%3==0 (block-aligned
+    crop); 'mut' = the same crop with block (1,1)'s four pixels shifted
+    +9 mod 256 for doc_id%5==0 (partial containment); 'steal' = the
+    NEXT doc's crop published under this doc's id for doc_id%7==0
+    (cross-document crop — the thumbnail-repost shape)."""
+    import hashlib
+    import os
+
+    from apache_hive_1_2_2_src_spark.sources.io import _tmp
+
+    tag = hashlib.md5(os.path.normpath(sf_dir).encode()).hexdigest()[:12]
+    path = _tmp(f"mm_payloads_icrop_{tag}")
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 200)
+        .repartition(8, "doc_id")
+    )
+
+    def crop_bmp(src: int, mut: bool) -> bytes:
+        def pixel(x: int, y: int) -> tuple[int, int, int]:
+            v = _crop_fixture_pixel(src, 4 + x, 2 + y)
+            if mut and x in (2, 3) and y in (2, 3):
+                v = (v + 9) % 256
+            return v, v, v
+
+        return encode_bmp24(8, 6, pixel)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "variant": [], "payload": []}
+            for i in (int(x) for x in pdf["doc_id"]):
+                w, h = _crop_fixture_dims(i)
+                out["doc_id"].append(i)
+                out["variant"].append("orig")
+                out["payload"].append(
+                    encode_bmp24(
+                        w, h,
+                        lambda x, y, i=i: (
+                            _crop_fixture_pixel(i, x, y),
+                        ) * 3,
+                    )
+                )
+                if i % 3 == 0:
+                    out["doc_id"].append(i)
+                    out["variant"].append("crop")
+                    out["payload"].append(crop_bmp(i, False))
+                if i % 5 == 0:
+                    out["doc_id"].append(i)
+                    out["variant"].append("mut")
+                    out["payload"].append(crop_bmp(i, True))
+                if i % 7 == 0:
+                    out["doc_id"].append(i)
+                    out["variant"].append("steal")
+                    out["payload"].append(crop_bmp(i + 1, False))
+            yield pd.DataFrame(out)
+
+    d.mapInPandas(gen, "doc_id bigint, variant string, payload binary").write.mode(
+        "overwrite"
+    ).parquet(path)
+    return path

@@ -204,6 +204,7 @@ FRESH = (
     "acid_show_locks_txns_compactions",
     "dedup_audio_contained",
     "acid_heartbeat_timeout",
+    "dedup_image_cropped",
     # stale-green rotation, second tranche (VERDICT r14 item 1): the six
     # <=r4 stragglers + the 38-query r5 cohort — after this round the
     # oldest driver-green row anywhere is r6 and the rotation settles
@@ -219,7 +220,9 @@ FRESH = (
     # dedup_ngram_jaccard yielded its slot to dedup_audio_contained
     # (dedup stays ten-fold covered in the window); it rotates first in
     # r16 with the other yields
-    "dedup_simhash",
+    # dedup_simhash yielded its slot to dedup_image_cropped (dedup
+    # stays ten-fold covered in the window); it rotates first in r16
+    # with the other yields
     "explode_words",
     "join_inner",
     "lateral_view_word_count",

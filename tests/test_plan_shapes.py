@@ -637,12 +637,14 @@ def test_window_spec_parser_handles_parenthesized_exprs(spark):
 
 
 def test_containment_queries_no_cartesian_no_bnlj(spark, registry):
-    """Both one-sided containment plans (video shingles, audio landmarks)
+    """The one-sided containment plans (video shingles, audio landmarks,
+    image crop blocks)
     must stay pure equi-join pipelines: candidate generation is an
     inverted-index self-join on shingle/landmark, never all-pairs, and
     the only window is the (ka, kb) pair-partitioned modal-offset rank
     (SCALE.md r15 containment audit: 0 cartesians, 0 BNLJ)."""
-    for name in ("dedup_video_contained", "dedup_audio_contained"):
+    for name in ("dedup_video_contained", "dedup_audio_contained",
+                 "dedup_image_cropped"):
         p = plan_text(registry[name].build(spark, SF_DIR))
         assert "CartesianProduct" not in p, name
         assert "BroadcastNestedLoopJoin" not in p, name

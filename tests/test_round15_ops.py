@@ -471,3 +471,55 @@ def test_audio_clip_energy_slices_and_quadratic_antialias():
     clip6 = frames(6, 1 + 6 % 2)[4:16]
     for start in range(len(other) - len(clip6) + 1):
         assert other[start:start + len(clip6)] != clip6
+
+
+def test_image_crop_block_signature_slices():
+    """A crop's 2x2-block landmark grid IS the matching sub-grid of the
+    original's (pins the BMP encode->decode->landmark chain is
+    position-invariant in BOTH axes), the mutated crop differs at
+    EXACTLY block (1,1), and the stolen crop matches the neighbor —
+    the three spatial containment classes."""
+    from apache_hive_1_2_2_src_spark.extensions.multimodal import (
+        _crop_fixture_dims,
+        _crop_fixture_pixel,
+        encode_bmp24,
+        image_block_signatures,
+    )
+
+    def orig_sigs(doc):
+        w, h = _crop_fixture_dims(doc)
+        return {
+            (bx, by): sig
+            for bx, by, sig in image_block_signatures(
+                encode_bmp24(
+                    w, h,
+                    lambda x, y: (_crop_fixture_pixel(doc, x, y),) * 3,
+                )
+            )
+        }
+
+    def crop_sigs(src, mut):
+        def pixel(x, y):
+            v = _crop_fixture_pixel(src, 4 + x, 2 + y)
+            if mut and x in (2, 3) and y in (2, 3):
+                v = (v + 9) % 256
+            return v, v, v
+
+        return {
+            (bx, by): sig
+            for bx, by, sig in image_block_signatures(encode_bmp24(8, 6, pixel))
+        }
+
+    for doc in (6, 105):
+        orig = orig_sigs(doc)
+        crop = crop_sigs(doc, False)
+        assert len(crop) == 12
+        for (bx, by), sig in crop.items():
+            assert sig == orig[(bx + 2, by + 1)]
+        mut = crop_sigs(doc, True)
+        diff = [k for k in crop if mut[k] != crop[k]]
+        assert diff == [(1, 1)]
+    steal = crop_sigs(8, False)
+    neighbor = orig_sigs(8)
+    for (bx, by), sig in steal.items():
+        assert sig == neighbor[(bx + 2, by + 1)]
