@@ -22,7 +22,7 @@ from __future__ import annotations
 import atexit
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from apache_hive_1_2_2_src_spark.operators.helpers import dsum, sql_dsum
@@ -2347,4 +2347,228 @@ def _phash_probe_dedup(
         raise TimeoutError("pHash dedup drain did not finish in 300s")
     return spark.read.parquet(out_dir).select(
         "key", "doc_id", "variant", "n_dup_prior", "verdict"
+    )
+
+
+# ------- Streaming incremental containment landmark store (r15 preview) ---
+#
+# The containment triad's streaming form: audio clips arrive in ordered
+# drops; each foreachBatch decodes its batch's REAL WAV bytes to
+# positional energy landmarks, probes a landmark store PARTITIONED by
+# hash(shingle) mod k for earlier keys sharing 3-gram landmarks, votes
+# offsets against those earlier keys only, and emits one-sided
+# containment verdicts (ka = earlier key, kb = later key — exactly the
+# batch query's a.key < b.key orientation, so the drained union must
+# reproduce dedup_audio_contained's kept set regardless of arrival
+# order). Pytest-certified this round (tests/test_round15_ops.py);
+# rides the r16 FRESH window as a registered query per COVERAGE.md's
+# r16 plan.
+
+LAST_LMK_STORE: dict = {}
+
+
+def _landmark_probe_contained(
+    spark: SparkSession, sf_dir: str, n_batches: int = 3, store_k: int = 8
+) -> DataFrame:
+    import pandas as pd
+
+    from apache_hive_1_2_2_src_spark.extensions.multimodal import (
+        stage_audio_clip_payloads,
+        wav_energy_frames,
+    )
+
+    STORE_K = store_k
+    base = _tmp_base("hive_spark_slmk_")
+    inbox = os.path.join(base, "inbox")
+    store = os.path.join(base, "lmk_store")
+    counts = os.path.join(base, "counts")
+    out_dir = os.path.join(base, "verdicts")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(inbox, exist_ok=True)
+    LAST_LMK_STORE["store"] = store
+    LAST_LMK_STORE["store_k"] = STORE_K
+
+    pay = spark.read.parquet(stage_audio_clip_payloads(spark, sf_dir))
+    step = 200 // n_batches + 1
+    for b in range(n_batches):
+        stage = os.path.join(base, f"stage_{b}")
+        pay.where(
+            (F.col("doc_id") >= b * step) & (F.col("doc_id") < (b + 1) * step)
+        ).coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        dest = os.path.join(inbox, f"drop_{b}.parquet")
+        os.rename(os.path.join(stage, part), dest)
+        os.utime(dest, (1_600_000_000 + 60 * b, 1_600_000_000 + 60 * b))
+
+    def energy_batches(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "variant": [], "t": [], "sig": []}
+            for doc_id, variant, payload in zip(
+                pdf["doc_id"], pdf["variant"], pdf["payload"]
+            ):
+                for t, e in enumerate(wav_energy_frames(bytes(payload))):
+                    out["doc_id"].append(int(doc_id))
+                    out["variant"].append(str(variant))
+                    out["t"].append(t)
+                    out["sig"].append(str(e))
+            yield pd.DataFrame(out)
+
+    def probe_and_index(batch: DataFrame, epoch_id: int) -> None:
+        sp = batch.sparkSession
+        fsig = (
+            batch.mapInPandas(
+                energy_batches,
+                "doc_id bigint, variant string, t int, sig string",
+            )
+            .withColumn(
+                "vcode",
+                F.when(F.col("variant") == "orig", 0)
+                .when(F.col("variant") == "clip", 1)
+                .when(F.col("variant") == "mut", 2)
+                .otherwise(3),
+            )
+            .select(
+                (F.col("doc_id") * 10 + F.col("vcode")).alias("key"),
+                "t", "sig",
+            )
+        )
+        f1, f2, f3 = fsig.alias("f1"), fsig.alias("f2"), fsig.alias("f3")
+        sh = (
+            f1.join(
+                f2,
+                (F.col("f2.key") == F.col("f1.key"))
+                & (F.col("f2.t") == F.col("f1.t") + 1),
+            )
+            .join(
+                f3,
+                (F.col("f3.key") == F.col("f1.key"))
+                & (F.col("f3.t") == F.col("f1.t") + 2),
+            )
+            .select(
+                F.col("f1.key").alias("key"),
+                F.col("f1.t").alias("t"),
+                F.concat_ws(
+                    ":", F.col("f1.sig"), F.col("f2.sig"), F.col("f3.sig")
+                ).alias("shingle"),
+            )
+            .withColumn(
+                "pb",
+                F.pmod(F.xxhash64(F.col("shingle")), F.lit(STORE_K)),
+            )
+            .persist()
+        )
+        needed_pb = [r.pb for r in sh.select("pb").distinct().collect()]
+        if os.path.isdir(store) and needed_pb:
+            prior = sp.read.parquet(store).where(F.col("pb").isin(needed_pb))
+            touched = {
+                r.f
+                for r in prior.select(
+                    F.input_file_name().alias("f")
+                ).distinct().collect()
+            }
+            bad = [
+                f for f in touched
+                if not any(f"/pb={p}/" in f for p in needed_pb)
+            ]
+            if bad:
+                raise AssertionError(
+                    f"landmark probe escaped its partitions: {bad[:3]}"
+                )
+            prior = prior.select("key", "t", "shingle")
+        else:
+            prior = sp.createDataFrame([], "key bigint, t int, shingle string")
+        # earlier = the store plus same-batch smaller keys: verdicts see
+        # exactly the strictly-earlier key set, so arrival order is
+        # invisible (the pHash-store device)
+        earlier = prior.unionByName(sh.select("key", "t", "shingle"))
+        votes = (
+            sh.alias("nb")
+            .join(
+                earlier.alias("ob"),
+                (F.col("nb.shingle") == F.col("ob.shingle"))
+                & (F.col("ob.key") < F.col("nb.key")),
+            )
+            .groupBy(
+                F.col("ob.key").alias("ka"),
+                F.col("nb.key").alias("kb"),
+                (F.col("ob.t") - F.col("nb.t")).alias("off"),
+            )
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        best = (
+            votes.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("ka", "kb").orderBy(
+                        F.col("cnt").desc(), F.abs("off"), F.col("off")
+                    )
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select("ka", "kb", F.col("off").alias("best_off"))
+        )
+        tot = votes.groupBy("ka", "kb").agg(F.sum("cnt").alias("n_match"))
+        batch_counts = sh.groupBy("key").agg(
+            F.count(F.lit(1)).alias("n_sh")
+        )
+        if os.path.isdir(counts):
+            all_counts = (
+                sp.read.parquet(counts)
+                .select("key", "n_sh")
+                .unionByName(batch_counts)
+            )
+        else:
+            all_counts = batch_counts
+        kept = (
+            best.join(tot, ["ka", "kb"])
+            .join(
+                all_counts.select(
+                    F.col("key").alias("ka"), F.col("n_sh").alias("nsa")
+                ),
+                "ka",
+            )
+            .join(
+                all_counts.select(
+                    F.col("key").alias("kb"), F.col("n_sh").alias("nsb")
+                ),
+                "kb",
+            )
+            .filter(2 * F.col("n_match") >= F.least("nsa", "nsb"))
+            .select(
+                "ka", "kb", "best_off",
+                F.col("n_match").cast("long").alias("n_match"),
+                F.when(
+                    2 * F.col("n_match") >= F.greatest("nsa", "nsb"),
+                    F.lit("neardup"),
+                ).otherwise(F.lit("contained")).alias("relation"),
+                (F.col("n_match") == F.least("nsa", "nsb")).alias("full"),
+            )
+        )
+        kept.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"epoch={epoch_id}")
+        )
+        batch_counts.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(counts, f"epoch={epoch_id}")
+        )
+        sh.select("key", "t", "shingle", "pb").repartition(
+            STORE_K, "pb"
+        ).write.partitionBy("pb").mode("overwrite").parquet(
+            os.path.join(store, f"epoch={epoch_id}")
+        )
+        sh.unpersist()
+
+    q = (
+        spark.readStream.schema("doc_id bigint, variant string, payload binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inbox)
+        .writeStream.foreachBatch(probe_and_index)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("landmark containment drain did not finish in 300s")
+    return spark.read.parquet(out_dir).select(
+        "ka", "kb", "best_off", "n_match", "relation", "full"
     )

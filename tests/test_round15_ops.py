@@ -523,3 +523,50 @@ def test_image_crop_block_signature_slices():
     neighbor = orig_sigs(8)
     for (bx, by), sig in steal.items():
         assert sig == neighbor[(bx + 2, by + 1)]
+
+
+def test_streaming_landmark_containment_matches_batch_pins(spark):
+    """The streaming containment landmark store (r16 registration
+    candidate, coded+certified in r15): three ordered drops through a
+    hash(shingle)-partitioned store must reproduce the batch query's
+    one-sided kept set — the three recall classes land with the exact
+    batch counts and offsets, cross-drop pairs included (doc 133's
+    stolen excerpt arrives a drop before its doc-134 container), and
+    the in-batch probe assertions prove every store read stayed inside
+    the probed pb partitions."""
+    import os
+
+    from apache_hive_1_2_2_src_spark.streaming.windows import (
+        LAST_LMK_STORE,
+        _landmark_probe_contained,
+    )
+    from tests.conftest import SF_DIR
+
+    pairs = _landmark_probe_contained(spark, SF_DIR, n_batches=3).collect()
+    VAR = {0: "orig", 1: "clip", 2: "mut", 3: "steal"}
+    groups: dict = {}
+    for r in pairs:
+        da, db = r["ka"] // 10, r["kb"] // 10
+        va, vb = VAR[r["ka"] % 10], VAR[r["kb"] % 10]
+        pk = f"{va}-{vb}" if da == db else f"x:{va}-{vb}"
+        g = groups.setdefault(
+            (pk, r["relation"]), {"n": 0, "full": 0, "offs": set()}
+        )
+        g["n"] += 1
+        g["full"] += bool(r["full"])
+        g["offs"].add(r["best_off"])
+    c = groups[("orig-clip", "contained")]
+    assert (c["n"], c["full"], c["offs"]) == (67, 67, {4})
+    m = groups[("orig-mut", "contained")]
+    assert (m["n"], m["full"], m["offs"]) == (40, 0, {4})
+    s = groups[("x:steal-orig", "contained")]
+    assert (s["n"], s["full"], s["offs"]) == (29, 29, {-4})
+    # the cross-drop straddle pair really exists (steal(133) -> orig(134))
+    assert any(r["ka"] == 1333 and r["kb"] == 1340 for r in pairs)
+    # the store on disk is genuinely band-partitioned
+    store = LAST_LMK_STORE["store"]
+    pbs = {
+        d for e in os.listdir(store) if e.startswith("epoch=")
+        for d in os.listdir(os.path.join(store, e)) if d.startswith("pb=")
+    }
+    assert len(pbs) == LAST_LMK_STORE["store_k"]
