@@ -186,12 +186,14 @@ STABLE_WINDOW = (
 # either way. (r12's 18 FRESH names all certified in CORRECTNESS_r12 and
 # rotated out; the displaced stable tail returns automatically.)
 FRESH = (
-    # the EIGHT r15 registrations ride first so each earns a driver-green
-    # row in its first round (never-green guard); the streaming pHash
-    # query also carries the window's streaming tag. PRIORITY = flagship
-    # + these 49, zero stable tail: the 44-name rotation yielded ONE
-    # slot (workload_part_type_share, r5-green, workload tag still
-    # triple-covered) to dedup_video_phash — it rotates first in r16.
+    # the THIRTEEN r15 registrations ride first so each earns a
+    # driver-green row in its first round (never-green guard); the
+    # streaming pHash query also carries the window's streaming tag.
+    # PRIORITY = flagship + these 49, zero stable tail: the 44-name
+    # rotation yielded EIGHT slots (all r5-green, every yielded tag
+    # still >=triple-covered in the window, each noted in place below)
+    # to the sixth-through-thirteenth registrations — the yields lead
+    # the r16 rotation (COVERAGE.md r16 plan item 2).
     "acid_concurrent_writers",
     "dedup_image_phash",
     "dedup_image_phash_clusters",
