@@ -2508,6 +2508,9 @@ def _landmark_probe_contained(
             .select("ka", "kb", F.col("off").alias("best_off"))
         )
         tot = votes.groupBy("ka", "kb").agg(F.sum("cnt").alias("n_match"))
+        # per-key landmark counts: ONE row per key, so the counts store
+        # is metastore-sized (|corpus| rows) and the full read below is
+        # metadata, unlike the landmark store whose reads must prune
         batch_counts = sh.groupBy("key").agg(
             F.count(F.lit(1)).alias("n_sh")
         )
