@@ -570,3 +570,28 @@ def test_streaming_landmark_containment_matches_batch_pins(spark):
         for d in os.listdir(os.path.join(store, e)) if d.startswith("pb=")
     }
     assert len(pbs) == LAST_LMK_STORE["store_k"]
+
+
+def test_streaming_landmark_containment_batch_count_invariant(spark):
+    """Draining the same corpus as ONE drop must yield the identical
+    kept set as the three-drop drain (the pHash store's batch-count
+    pin applied to the containment store): verdicts depend on the
+    strictly-earlier key set, never on how arrivals were batched."""
+    from apache_hive_1_2_2_src_spark.streaming.windows import (
+        _landmark_probe_contained,
+    )
+    from tests.conftest import SF_DIR
+
+    one = {
+        (r["ka"], r["kb"], r["best_off"], r["n_match"], r["relation"],
+         r["full"])
+        for r in _landmark_probe_contained(spark, SF_DIR, n_batches=1)
+        .collect()
+    }
+    three = {
+        (r["ka"], r["kb"], r["best_off"], r["n_match"], r["relation"],
+         r["full"])
+        for r in _landmark_probe_contained(spark, SF_DIR, n_batches=3)
+        .collect()
+    }
+    assert one == three and len(one) > 150
