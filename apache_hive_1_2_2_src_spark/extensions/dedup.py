@@ -2587,12 +2587,144 @@ def dedup_video_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------ Video clip CONTAINMENT (r15, round-16 plan item) ------
 
 
+# The one-sided containment verdict, shared by the video/audio/image
+# containment queries. SQL half: everything downstream of the per-variant
+# landmark stream `sh(key, doc_id, variant, t, shingle)` — inverted-index
+# votes, modal offset, totals, the one-sided keep rule, and the
+# pair_kind/relation classification (the image oracle keeps its own 2-D
+# copy of this stanza with (dx, dy) offsets). Spark half:
+# _containment_pairs below generalizes the same algebra over N offset
+# dimensions. Changing the keep threshold or the tie-break means changing
+# exactly these two definitions plus the image oracle's 2-D stanza.
+_CONTAIN_TAIL_1D = """    nsh AS (SELECT key, COUNT(*) AS n_sh FROM sh GROUP BY key),
+    votes AS (
+      SELECT a.key AS ka, b.key AS kb, a.doc_id AS da, b.doc_id AS db,
+             a.variant AS va, b.variant AS vb,
+             a.t - b.t AS off, COUNT(*) AS cnt
+      FROM sh a
+      JOIN sh b ON a.shingle = b.shingle AND a.key < b.key
+      GROUP BY a.key, b.key, a.doc_id, b.doc_id, a.variant, b.variant,
+               a.t - b.t
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY ka, kb
+                                   ORDER BY cnt DESC, ABS(off), off) AS rn
+      FROM votes
+    ),
+    best AS (
+      SELECT ka, kb, da, db, va, vb, off AS best_off
+      FROM ranked WHERE rn = 1
+    ),
+    tot AS (SELECT ka, kb, SUM(cnt) AS n_match FROM votes GROUP BY ka, kb),
+    kept AS (
+      SELECT b.*, t.n_match, na.n_sh AS nsa, nb.n_sh AS nsb
+      FROM best b
+      JOIN tot t ON t.ka = b.ka AND t.kb = b.kb
+      JOIN nsh na ON na.key = b.ka
+      JOIN nsh nb ON nb.key = b.kb
+      WHERE 2 * t.n_match >= LEAST(na.n_sh, nb.n_sh)
+    )
+    SELECT CASE WHEN da = db THEN va || '-' || vb
+                ELSE 'x:' || va || '-' || vb END AS pair_kind,
+           CASE WHEN 2 * n_match >= GREATEST(nsa, nsb) THEN 'neardup'
+                ELSE 'contained' END AS relation,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN n_match = LEAST(nsa, nsb)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_full,
+           CAST(SUM(n_match) AS BIGINT) AS sum_match,
+           CAST(MIN(best_off) AS INTEGER) AS min_off,
+           CAST(MAX(best_off) AS INTEGER) AS max_off,
+           MIN(da) AS min_doc, MAX(db) AS max_doc
+    FROM kept
+    GROUP BY CASE WHEN da = db THEN va || '-' || vb
+                  ELSE 'x:' || va || '-' || vb END,
+             CASE WHEN 2 * n_match >= GREATEST(nsa, nsb) THEN 'neardup'
+                  ELSE 'contained' END
+    """
+
+
+def _containment_pairs(
+    sh: DataFrame, pos_cols: tuple[str, ...], off_names: tuple[str, ...]
+) -> DataFrame:
+    """One-sided containment pair verdicts over a positional landmark
+    frame ``sh(key, doc_id, variant, *pos_cols, shingle)``: inverted
+    index on shingle (a.key < b.key), offset voting per position column,
+    modal offset with ties toward the smallest total |offset|, landmark
+    counts, keep iff matches clear HALF THE SMALLER side, then classify
+    'contained' (still short of half the larger side) vs 'neardup'.
+    Returns (ka, kb, da, db, va, vb, best_<off>..., n_match, nsa, nsb,
+    pair_kind, relation)."""
+    nsh = sh.groupBy("key").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    offs = [
+        (F.col(f"a.{p}") - F.col(f"b.{p}")).alias(n)
+        for p, n in zip(pos_cols, off_names)
+    ]
+    votes = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.key") < F.col("b.key")),
+        )
+        .groupBy(
+            F.col("a.key").alias("ka"), F.col("b.key").alias("kb"),
+            F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"),
+            F.col("a.variant").alias("va"), F.col("b.variant").alias("vb"),
+            *offs,
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total_abs = None
+    for n in off_names:
+        total_abs = F.abs(n) if total_abs is None else total_abs + F.abs(n)
+    best = (
+        votes.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("ka", "kb").orderBy(
+                    F.col("cnt").desc(), total_abs,
+                    *[F.col(n) for n in off_names],
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("ka", "kb", "da", "db", "va", "vb",
+                *[F.col(n).alias(f"best_{n}") for n in off_names])
+    )
+    tot = votes.groupBy("ka", "kb").agg(F.sum("cnt").alias("n_match"))
+    return (
+        best.join(tot, ["ka", "kb"])
+        .join(nsh.select(F.col("key").alias("ka"),
+                         F.col("n_sh").alias("nsa")), "ka")
+        .join(nsh.select(F.col("key").alias("kb"),
+                         F.col("n_sh").alias("nsb")), "kb")
+        # one-sided keep rule: half the SMALLER side's landmarks
+        .filter(2 * F.col("n_match") >= F.least("nsa", "nsb"))
+        .withColumn(
+            "pair_kind",
+            F.when(
+                F.col("da") == F.col("db"),
+                F.concat(F.col("va"), F.lit("-"), F.col("vb")),
+            ).otherwise(
+                F.concat(F.lit("x:"), F.col("va"), F.lit("-"), F.col("vb"))
+            ),
+        )
+        .withColumn(
+            "relation",
+            F.when(
+                2 * F.col("n_match") >= F.greatest("nsa", "nsb"),
+                F.lit("neardup"),
+            ).otherwise(F.lit("contained")),
+        )
+    )
+
+
 def _video_contained_oracle() -> str:
     from apache_hive_1_2_2_src_spark.extensions.multimodal import (
         _PHASH_COS_SQL,
     )
 
-    return """
+    return ("""
     WITH cos_t AS (__COS__),
     docs AS (
       SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h,
@@ -2678,51 +2810,7 @@ def _video_contained_oracle() -> str:
       FROM fsig f1
       JOIN fsig f2 ON f2.key = f1.key AND f2.t = f1.t + 1
     ),
-    nsh AS (SELECT key, COUNT(*) AS n_sh FROM sh GROUP BY key),
-    votes AS (
-      SELECT a.key AS ka, b.key AS kb, a.doc_id AS da, b.doc_id AS db,
-             a.variant AS va, b.variant AS vb,
-             a.t - b.t AS off, COUNT(*) AS cnt
-      FROM sh a
-      JOIN sh b ON a.shingle = b.shingle AND a.key < b.key
-      GROUP BY a.key, b.key, a.doc_id, b.doc_id, a.variant, b.variant,
-               a.t - b.t
-    ),
-    ranked AS (
-      SELECT *, ROW_NUMBER() OVER (PARTITION BY ka, kb
-                                   ORDER BY cnt DESC, ABS(off), off) AS rn
-      FROM votes
-    ),
-    best AS (
-      SELECT ka, kb, da, db, va, vb, off AS best_off
-      FROM ranked WHERE rn = 1
-    ),
-    tot AS (SELECT ka, kb, SUM(cnt) AS n_match FROM votes GROUP BY ka, kb),
-    kept AS (
-      SELECT b.*, t.n_match, na.n_sh AS nsa, nb.n_sh AS nsb
-      FROM best b
-      JOIN tot t ON t.ka = b.ka AND t.kb = b.kb
-      JOIN nsh na ON na.key = b.ka
-      JOIN nsh nb ON nb.key = b.kb
-      WHERE 2 * t.n_match >= LEAST(na.n_sh, nb.n_sh)
-    )
-    SELECT CASE WHEN da = db THEN va || '-' || vb
-                ELSE 'x:' || va || '-' || vb END AS pair_kind,
-           CASE WHEN 2 * n_match >= GREATEST(nsa, nsb) THEN 'neardup'
-                ELSE 'contained' END AS relation,
-           CAST(COUNT(*) AS BIGINT) AS n_pairs,
-           CAST(SUM(CASE WHEN n_match = LEAST(nsa, nsb)
-                         THEN 1 ELSE 0 END) AS BIGINT) AS n_full,
-           CAST(SUM(n_match) AS BIGINT) AS sum_match,
-           CAST(MIN(best_off) AS INTEGER) AS min_off,
-           CAST(MAX(best_off) AS INTEGER) AS max_off,
-           MIN(da) AS min_doc, MAX(db) AS max_doc
-    FROM kept
-    GROUP BY CASE WHEN da = db THEN va || '-' || vb
-                  ELSE 'x:' || va || '-' || vb END,
-             CASE WHEN 2 * n_match >= GREATEST(nsa, nsb) THEN 'neardup'
-                  ELSE 'contained' END
-    """.replace("__COS__", _PHASH_COS_SQL)
+""" + _CONTAIN_TAIL_1D).replace("__COS__", _PHASH_COS_SQL)
 
 
 @register(
@@ -2810,61 +2898,7 @@ def dedup_video_contained(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shingle"
         ),
     )
-    nsh = sh.groupBy("key").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    votes = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.key") < F.col("b.key")),
-        )
-        .groupBy(
-            F.col("a.key").alias("ka"), F.col("b.key").alias("kb"),
-            F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"),
-            F.col("a.variant").alias("va"), F.col("b.variant").alias("vb"),
-            (F.col("a.t") - F.col("b.t")).alias("off"),
-        )
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    best = (
-        votes.withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("ka", "kb").orderBy(
-                    F.col("cnt").desc(), F.abs("off"), F.col("off")
-                )
-            ),
-        )
-        .filter(F.col("rn") == 1)
-        .select("ka", "kb", "da", "db", "va", "vb",
-                F.col("off").alias("best_off"))
-    )
-    tot = votes.groupBy("ka", "kb").agg(F.sum("cnt").alias("n_match"))
-    kept = (
-        best.join(tot, ["ka", "kb"])
-        .join(nsh.select(F.col("key").alias("ka"),
-                         F.col("n_sh").alias("nsa")), "ka")
-        .join(nsh.select(F.col("key").alias("kb"),
-                         F.col("n_sh").alias("nsb")), "kb")
-        # one-sided keep rule: half the SMALLER side's shingles
-        .filter(2 * F.col("n_match") >= F.least("nsa", "nsb"))
-        .withColumn(
-            "pair_kind",
-            F.when(
-                F.col("da") == F.col("db"),
-                F.concat(F.col("va"), F.lit("-"), F.col("vb")),
-            ).otherwise(
-                F.concat(F.lit("x:"), F.col("va"), F.lit("-"), F.col("vb"))
-            ),
-        )
-        .withColumn(
-            "relation",
-            F.when(
-                2 * F.col("n_match") >= F.greatest("nsa", "nsb"),
-                F.lit("neardup"),
-            ).otherwise(F.lit("contained")),
-        )
-    )
+    kept = _containment_pairs(sh, ("t",), ("off",))
     out = kept.groupBy("pair_kind", "relation").agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
         F.sum(
@@ -2946,51 +2980,7 @@ def dedup_video_contained(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN fsig f2 ON f2.key = f1.key AND f2.t = f1.t + 1
       JOIN fsig f3 ON f3.key = f1.key AND f3.t = f1.t + 2
     ),
-    nsh AS (SELECT key, COUNT(*) AS n_sh FROM sh GROUP BY key),
-    votes AS (
-      SELECT a.key AS ka, b.key AS kb, a.doc_id AS da, b.doc_id AS db,
-             a.variant AS va, b.variant AS vb,
-             a.t - b.t AS off, COUNT(*) AS cnt
-      FROM sh a
-      JOIN sh b ON a.shingle = b.shingle AND a.key < b.key
-      GROUP BY a.key, b.key, a.doc_id, b.doc_id, a.variant, b.variant,
-               a.t - b.t
-    ),
-    ranked AS (
-      SELECT *, ROW_NUMBER() OVER (PARTITION BY ka, kb
-                                   ORDER BY cnt DESC, ABS(off), off) AS rn
-      FROM votes
-    ),
-    best AS (
-      SELECT ka, kb, da, db, va, vb, off AS best_off
-      FROM ranked WHERE rn = 1
-    ),
-    tot AS (SELECT ka, kb, SUM(cnt) AS n_match FROM votes GROUP BY ka, kb),
-    kept AS (
-      SELECT b.*, t.n_match, na.n_sh AS nsa, nb.n_sh AS nsb
-      FROM best b
-      JOIN tot t ON t.ka = b.ka AND t.kb = b.kb
-      JOIN nsh na ON na.key = b.ka
-      JOIN nsh nb ON nb.key = b.kb
-      WHERE 2 * t.n_match >= LEAST(na.n_sh, nb.n_sh)
-    )
-    SELECT CASE WHEN da = db THEN va || '-' || vb
-                ELSE 'x:' || va || '-' || vb END AS pair_kind,
-           CASE WHEN 2 * n_match >= GREATEST(nsa, nsb) THEN 'neardup'
-                ELSE 'contained' END AS relation,
-           CAST(COUNT(*) AS BIGINT) AS n_pairs,
-           CAST(SUM(CASE WHEN n_match = LEAST(nsa, nsb)
-                         THEN 1 ELSE 0 END) AS BIGINT) AS n_full,
-           CAST(SUM(n_match) AS BIGINT) AS sum_match,
-           CAST(MIN(best_off) AS INTEGER) AS min_off,
-           CAST(MAX(best_off) AS INTEGER) AS max_off,
-           MIN(da) AS min_doc, MAX(db) AS max_doc
-    FROM kept
-    GROUP BY CASE WHEN da = db THEN va || '-' || vb
-                  ELSE 'x:' || va || '-' || vb END,
-             CASE WHEN 2 * n_match >= GREATEST(nsa, nsb) THEN 'neardup'
-                  ELSE 'contained' END
-    """,
+""" + _CONTAIN_TAIL_1D,
     doc="Audio clip CONTAINMENT with offset recovery — the audio twin of "
     "dedup_video_contained and the Shazam shape (Wang 2003) reduced to "
     "its time axis: every variant's REAL RIFF/WAVE bytes decode through "
@@ -3077,60 +3067,7 @@ def dedup_audio_contained(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("shingle"),
         )
     )
-    nsh = sh.groupBy("key").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    votes = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.key") < F.col("b.key")),
-        )
-        .groupBy(
-            F.col("a.key").alias("ka"), F.col("b.key").alias("kb"),
-            F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"),
-            F.col("a.variant").alias("va"), F.col("b.variant").alias("vb"),
-            (F.col("a.t") - F.col("b.t")).alias("off"),
-        )
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    best = (
-        votes.withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("ka", "kb").orderBy(
-                    F.col("cnt").desc(), F.abs("off"), F.col("off")
-                )
-            ),
-        )
-        .filter(F.col("rn") == 1)
-        .select("ka", "kb", "da", "db", "va", "vb",
-                F.col("off").alias("best_off"))
-    )
-    tot = votes.groupBy("ka", "kb").agg(F.sum("cnt").alias("n_match"))
-    kept = (
-        best.join(tot, ["ka", "kb"])
-        .join(nsh.select(F.col("key").alias("ka"),
-                         F.col("n_sh").alias("nsa")), "ka")
-        .join(nsh.select(F.col("key").alias("kb"),
-                         F.col("n_sh").alias("nsb")), "kb")
-        .filter(2 * F.col("n_match") >= F.least("nsa", "nsb"))
-        .withColumn(
-            "pair_kind",
-            F.when(
-                F.col("da") == F.col("db"),
-                F.concat(F.col("va"), F.lit("-"), F.col("vb")),
-            ).otherwise(
-                F.concat(F.lit("x:"), F.col("va"), F.lit("-"), F.col("vb"))
-            ),
-        )
-        .withColumn(
-            "relation",
-            F.when(
-                2 * F.col("n_match") >= F.greatest("nsa", "nsb"),
-                F.lit("neardup"),
-            ).otherwise(F.lit("contained")),
-        )
-    )
+    kept = _containment_pairs(sh, ("t",), ("off",))
     out = kept.groupBy("pair_kind", "relation").agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
         F.sum(
@@ -3335,62 +3272,8 @@ def dedup_image_cropped(spark: SparkSession, sf_dir: str) -> DataFrame:
         # self-join and count reuses never re-decode the BMPs
         .localCheckpoint()
     )
-    nlm = lm.groupBy("key").agg(F.count(F.lit(1)).alias("n_lm"))
-    a, b = lm.alias("a"), lm.alias("b")
-    votes = (
-        a.join(
-            b,
-            (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.key") < F.col("b.key")),
-        )
-        .groupBy(
-            F.col("a.key").alias("ka"), F.col("b.key").alias("kb"),
-            F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"),
-            F.col("a.variant").alias("va"), F.col("b.variant").alias("vb"),
-            (F.col("a.bx") - F.col("b.bx")).alias("dx"),
-            (F.col("a.by") - F.col("b.by")).alias("dy"),
-        )
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    best = (
-        votes.withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("ka", "kb").orderBy(
-                    F.col("cnt").desc(),
-                    F.abs("dx") + F.abs("dy"),
-                    F.col("dx"), F.col("dy"),
-                )
-            ),
-        )
-        .filter(F.col("rn") == 1)
-        .select("ka", "kb", "da", "db", "va", "vb",
-                F.col("dx").alias("best_dx"), F.col("dy").alias("best_dy"))
-    )
-    tot = votes.groupBy("ka", "kb").agg(F.sum("cnt").alias("n_match"))
-    kept = (
-        best.join(tot, ["ka", "kb"])
-        .join(nlm.select(F.col("key").alias("ka"),
-                         F.col("n_lm").alias("nsa")), "ka")
-        .join(nlm.select(F.col("key").alias("kb"),
-                         F.col("n_lm").alias("nsb")), "kb")
-        .filter(2 * F.col("n_match") >= F.least("nsa", "nsb"))
-        .withColumn(
-            "pair_kind",
-            F.when(
-                F.col("da") == F.col("db"),
-                F.concat(F.col("va"), F.lit("-"), F.col("vb")),
-            ).otherwise(
-                F.concat(F.lit("x:"), F.col("va"), F.lit("-"), F.col("vb"))
-            ),
-        )
-        .withColumn(
-            "relation",
-            F.when(
-                2 * F.col("n_match") >= F.greatest("nsa", "nsb"),
-                F.lit("neardup"),
-            ).otherwise(F.lit("contained")),
-        )
+    kept = _containment_pairs(
+        lm.withColumnRenamed("sig", "shingle"), ("bx", "by"), ("dx", "dy")
     )
     out = kept.groupBy("pair_kind", "relation").agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs"),

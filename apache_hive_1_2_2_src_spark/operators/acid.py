@@ -1760,11 +1760,6 @@ _SHOW_COMPACT_SQL = "SELECT * FROM (VALUES " + ", ".join(
     for i, db, tb, pt, ty, ev, ts in _SHOW_COMPACT_LOG
 ) + ") AS compact_log(id, db, tbl, part, kind, event, ts)"
 
-_LOCK_TYPE_NAMES = {
-    "SR": "SHARED_READ", "SW": "SHARED_WRITE", "X": "EXCLUSIVE",
-}
-
-
 @register(
     "acid_show_locks_txns_compactions",
     # The oracle re-derives all three introspection tables in SQL: lock

@@ -261,8 +261,8 @@ FRESH = (
     # acid_show_locks_txns_compactions (text stays five-fold covered in
     # the window); it rotates first in r16 with the other yields
     # text_unigram_rarity yielded its slot to
-    # acid_exclusive_overwrite_lifecycle (text stays seven-fold covered
-    # in the window); it rotates first in r16 with the other two yields
+    # acid_exclusive_overwrite_lifecycle (text stays covered in the
+    # window); it rotates first in r16 with the other seven yields
     "udaf_pandas_grouped_demo",
     "window_first_last_value",
     "window_lead_lag",
