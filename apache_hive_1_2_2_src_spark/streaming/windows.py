@@ -2459,22 +2459,15 @@ def _landmark_probe_contained(
         )
         needed_pb = [r.pb for r in sh.select("pb").distinct().collect()]
         if os.path.isdir(store) and needed_pb:
-            prior = sp.read.parquet(store).where(F.col("pb").isin(needed_pb))
-            touched = {
-                r.f
-                for r in prior.select(
-                    F.input_file_name().alias("f")
-                ).distinct().collect()
-            }
-            bad = [
-                f for f in touched
-                if not any(f"/pb={p}/" in f for p in needed_pb)
-            ]
-            if bad:
-                raise AssertionError(
-                    f"landmark probe escaped its partitions: {bad[:3]}"
-                )
-            prior = prior.select("key", "t", "shingle")
+            # partition-pruned probe: only the batch's own pb buckets.
+            # That the pruning actually holds at the FILE level is gated
+            # post-drain by the bytes-ratio test (assert_prune_ratio over
+            # the real store in tests/test_round15_ops.py) — an in-batch
+            # input_file_name check against pb dirs would be vacuous
+            # here, since the .where() already constrains surviving rows.
+            prior = sp.read.parquet(store).where(
+                F.col("pb").isin(needed_pb)
+            ).select("key", "t", "shingle")
         else:
             prior = sp.createDataFrame([], "key bigint, t int, shingle string")
         # earlier = the store plus same-batch smaller keys: verdicts see

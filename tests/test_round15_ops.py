@@ -532,8 +532,8 @@ def test_streaming_landmark_containment_matches_batch_pins(spark):
     one-sided kept set — the three recall classes land with the exact
     batch counts and offsets, cross-drop pairs included (doc 133's
     stolen excerpt arrives a drop before its doc-134 container), and
-    the in-batch probe assertions prove every store read stayed inside
-    the probed pb partitions."""
+    the post-drain bytes-ratio gate below proves the store probes stay
+    partition-pruned at the file level."""
     import os
 
     from apache_hive_1_2_2_src_spark.streaming.windows import (
@@ -570,6 +570,21 @@ def test_streaming_landmark_containment_matches_batch_pins(spark):
         for d in os.listdir(os.path.join(store, e)) if d.startswith("pb=")
     }
     assert len(pbs) == LAST_LMK_STORE["store_k"]
+    # probe the REAL post-drain store the way a batch lookup does and
+    # assert the bytes ratio stays pruned (the pHash-store gate applied
+    # to the landmark store — catches a silently-unpartitioned store)
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), "..", "tools")
+    )
+    from pyspark.sql import functions as SF
+    from scale_harness import assert_prune_ratio
+
+    probe = spark.read.parquet(store).where(SF.col("pb").isin([0, 3]))
+    assert_prune_ratio(
+        "landmark store, 2-of-8 shingle probe", probe, store, 0.45
+    )
 
 
 def test_streaming_landmark_containment_batch_count_invariant(spark):
