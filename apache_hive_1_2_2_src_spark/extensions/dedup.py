@@ -2596,7 +2596,7 @@ def dedup_video_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
 # _containment_pairs below generalizes the same algebra over N offset
 # dimensions. Changing the keep threshold or the tie-break means changing
 # exactly these two definitions plus the image oracle's 2-D stanza.
-_CONTAIN_TAIL_1D = """    nsh AS (SELECT key, COUNT(*) AS n_sh FROM sh GROUP BY key),
+_CONTAIN_KEPT_1D = """    nsh AS (SELECT key, COUNT(*) AS n_sh FROM sh GROUP BY key),
     votes AS (
       SELECT a.key AS ka, b.key AS kb, a.doc_id AS da, b.doc_id AS db,
              a.variant AS va, b.variant AS vb,
@@ -2624,7 +2624,9 @@ _CONTAIN_TAIL_1D = """    nsh AS (SELECT key, COUNT(*) AS n_sh FROM sh GROUP BY 
       JOIN nsh nb ON nb.key = b.kb
       WHERE 2 * t.n_match >= LEAST(na.n_sh, nb.n_sh)
     )
-    SELECT CASE WHEN da = db THEN va || '-' || vb
+"""
+
+_CONTAIN_AGG_SQL = """    SELECT CASE WHEN da = db THEN va || '-' || vb
                 ELSE 'x:' || va || '-' || vb END AS pair_kind,
            CASE WHEN 2 * n_match >= GREATEST(nsa, nsb) THEN 'neardup'
                 ELSE 'contained' END AS relation,
@@ -2641,6 +2643,8 @@ _CONTAIN_TAIL_1D = """    nsh AS (SELECT key, COUNT(*) AS n_sh FROM sh GROUP BY 
              CASE WHEN 2 * n_match >= GREATEST(nsa, nsb) THEN 'neardup'
                   ELSE 'contained' END
     """
+
+_CONTAIN_TAIL_1D = _CONTAIN_KEPT_1D + _CONTAIN_AGG_SQL
 
 
 def _containment_pairs(
@@ -2929,13 +2933,7 @@ def dedup_video_contained(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------ Audio clip CONTAINMENT (r15) --------------------------
 
 
-@register(
-    "dedup_audio_contained",
-    # The oracle replays decode -> channel-0 two-sample frame energies
-    # (HAVING COUNT(*)=2 drops an odd tail) -> positional 3-gram energy
-    # landmarks -> inverted-index offset voting -> the one-sided verdict,
-    # all from the quadratic fixture stream.
-    oracle="""
+_AUDIO_CLIP_CTES = """
     WITH docs AS (
       SELECT doc_id, 50 + doc_id % 101 AS nf
       FROM documents WHERE doc_id < 200
@@ -2980,7 +2978,16 @@ def dedup_video_contained(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN fsig f2 ON f2.key = f1.key AND f2.t = f1.t + 1
       JOIN fsig f3 ON f3.key = f1.key AND f3.t = f1.t + 2
     ),
-""" + _CONTAIN_TAIL_1D,
+"""
+
+
+@register(
+    "dedup_audio_contained",
+    # The oracle replays decode -> channel-0 two-sample frame energies
+    # (HAVING COUNT(*)=2 drops an odd tail) -> positional 3-gram energy
+    # landmarks -> inverted-index offset voting -> the one-sided verdict,
+    # all from the quadratic fixture stream.
+    oracle=_AUDIO_CLIP_CTES + _CONTAIN_TAIL_1D,
     doc="Audio clip CONTAINMENT with offset recovery — the audio twin of "
     "dedup_video_contained and the Shazam shape (Wang 2003) reduced to "
     "its time axis: every variant's REAL RIFF/WAVE bytes decode through "

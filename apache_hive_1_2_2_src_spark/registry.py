@@ -186,13 +186,13 @@ STABLE_WINDOW = (
 # either way. (r12's 18 FRESH names all certified in CORRECTNESS_r12 and
 # rotated out; the displaced stable tail returns automatically.)
 FRESH = (
-    # the THIRTEEN r15 registrations ride first so each earns a
+    # the FOURTEEN r15 registrations ride first so each earns a
     # driver-green row in its first round (never-green guard); the
     # streaming pHash query also carries the window's streaming tag.
     # PRIORITY = flagship + these 49, zero stable tail: the 44-name
-    # rotation yielded EIGHT slots (all r5-green, every yielded tag
+    # rotation yielded NINE slots (all r5-green, every yielded tag
     # still >=triple-covered in the window, each noted in place below)
-    # to the sixth-through-thirteenth registrations — the yields lead
+    # to the sixth-through-fourteenth registrations — the yields lead
     # the r16 rotation (COVERAGE.md r16 plan item 2).
     "acid_concurrent_writers",
     "dedup_image_phash",
@@ -207,6 +207,7 @@ FRESH = (
     "dedup_audio_contained",
     "acid_heartbeat_timeout",
     "dedup_image_cropped",
+    "streaming_dedup_contained_incremental",
     # stale-green rotation, second tranche (VERDICT r14 item 1): the six
     # <=r4 stragglers + the 38-query r5 cohort — after this round the
     # oldest driver-green row anywhere is r6 and the rotation settles
@@ -255,7 +256,10 @@ FRESH = (
     # stays six-fold covered in the window); it rotates first in r16
     # with the other yields
     "text_pii_scrub",
-    "text_quality_score",
+    # text_quality_score yielded its slot to
+    # streaming_dedup_contained_incremental (text stays four-fold
+    # covered in the window); it rotates first in r16 with the other
+    # yields
     "text_token_count_regex",
     # text_token_stats yielded its slot to
     # acid_show_locks_txns_compactions (text stays five-fold covered in

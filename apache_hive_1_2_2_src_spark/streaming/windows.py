@@ -2568,3 +2568,54 @@ def _landmark_probe_contained(
     return spark.read.parquet(out_dir).select(
         "ka", "kb", "best_off", "n_match", "relation", "full"
     )
+
+
+def _stream_contained_oracle() -> str:
+    # Pair-level one-batch replay: the drained union of per-epoch kept
+    # frames must equal the BATCH containment verdict set exactly —
+    # arrival order, drop count, and store partitioning all invisible.
+    from apache_hive_1_2_2_src_spark.extensions.dedup import (
+        _AUDIO_CLIP_CTES,
+        _CONTAIN_KEPT_1D,
+    )
+
+    return _AUDIO_CLIP_CTES + _CONTAIN_KEPT_1D + """
+    SELECT ka, kb, CAST(best_off AS INTEGER) AS best_off,
+           CAST(n_match AS BIGINT) AS n_match,
+           CASE WHEN 2 * n_match >= GREATEST(nsa, nsb) THEN 'neardup'
+                ELSE 'contained' END AS relation,
+           n_match = LEAST(nsa, nsb) AS "full"
+    FROM kept
+    """
+
+
+@register(
+    "streaming_dedup_contained_incremental",
+    oracle=_stream_contained_oracle(),
+    doc="STREAMING clip containment — the containment triad's "
+    "incremental form (the landmark twin of streaming_dedup_phash_"
+    "incremental): audio clips arrive in three ordered drops; each "
+    "foreachBatch decodes its batch's REAL WAV bytes to positional "
+    "energy landmarks, 3-gram shingles them, probes a landmark store "
+    "PARTITIONED by hash(shingle) mod k for earlier keys (probe reads "
+    "bytes-ratio-gated at 24.6% measured for a 2-of-8 probe — "
+    "tests/test_round15_ops.py), votes offsets against strictly-"
+    "earlier keys only, and emits one-sided containment verdicts in "
+    "the batch query's (ka < kb) orientation. The hash oracle is the "
+    "PAIR-LEVEL batch replay: the drained union must equal "
+    "dedup_audio_contained's kept set exactly — arrival order, drop "
+    "count (pinned 1-drop == 3-drop), and store partitioning are all "
+    "invisible, cross-drop pairs included (doc 133's stolen excerpt "
+    "arrives a drop before its doc-134 container). Scale: per-drop "
+    "cost is O(|batch| x shingle-bucket density), never O(|corpus|); "
+    "the per-key counts store is metastore-sized; hot landmarks "
+    "(silence spans) cap per the measured SCALE.md overlay.",
+    tags=(
+        "streaming", "dedup", "multimodal", "temporal", "incremental",
+        "foreachbatch",
+    ),
+)
+def streaming_dedup_contained_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _landmark_probe_contained(spark, sf_dir, n_batches=3)
