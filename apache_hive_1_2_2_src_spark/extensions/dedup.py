@@ -2086,6 +2086,39 @@ def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------- Video near-dup dedup (r15) ----------------------
+#
+# Hot-landmark document-frequency cap, shared by every inverted-index
+# query below (video frame-hash near-dup, temporal shingles, the
+# video/audio/image containment triad, and the streaming landmark store).
+# SCALE.md's r15 overlays measured the uncapped self-join at 953x
+# (corpus-wide static intro frame, 20k clips) and ~449,000x (corpus-wide
+# silence span, 8k tracks) candidate blow-up — quadratic in corpus size,
+# and for containment ALSO verdict-corrupting (silence-on-silence votes
+# count quiet air as content). The cap drops every index row whose
+# landmark appears more than _LANDMARK_DF_CAP times corpus-wide BEFORE
+# the per-key counts and the self-join, so both the n_match evidence and
+# the nsa/nsb denominators range over informative landmarks only — the
+# same device as the text shingle caps (ngram_jaccard, df<=64 since r4)
+# and the pHash band cap (_PHASH_BUCKET_CAP). One window count over the
+# index, shuffle-keyed by the landmark exactly like the join that
+# follows; every DuckDB oracle mirrors it with a QUALIFY COUNT(*) OVER
+# (PARTITION BY landmark) <= cap stanza.
+
+_LANDMARK_DF_CAP = 64
+
+
+def _cap_hot_landmarks(
+    frame: DataFrame, sig_col: str = "shingle", cap: int = _LANDMARK_DF_CAP
+) -> DataFrame:
+    """Drop index rows whose landmark occurs more than ``cap`` times
+    corpus-wide (one window count, same shuffle key as the downstream
+    inverted-index self-join)."""
+    w = Window.partitionBy(sig_col)
+    return (
+        frame.withColumn("__lm_df", F.count(F.lit(1)).over(w))
+        .filter(F.col("__lm_df") <= cap)
+        .drop("__lm_df")
+    )
 
 
 def _video_phash_oracle() -> str:
@@ -2166,13 +2199,15 @@ def _video_phash_oracle() -> str:
       FROM bands GROUP BY doc_id, variant, vcode, t
     ),
     ksig AS (SELECT DISTINCT key, doc_id, variant, sig FROM fsig),
-    ncnt AS (SELECT key, COUNT(*) AS n_sigs FROM ksig GROUP BY key),
+    ksigc AS (SELECT * FROM ksig
+              QUALIFY COUNT(*) OVER (PARTITION BY sig) <= __CAP__),
+    ncnt AS (SELECT key, COUNT(*) AS n_sigs FROM ksigc GROUP BY key),
     shared AS (
       SELECT a.key AS ka, b.key AS kb, a.doc_id AS da, b.doc_id AS db,
              a.variant AS va, b.variant AS vb,
              COUNT(*) AS n_common
-      FROM ksig a
-      JOIN ksig b ON a.sig = b.sig AND a.key < b.key
+      FROM ksigc a
+      JOIN ksigc b ON a.sig = b.sig AND a.key < b.key
       GROUP BY a.key, b.key, a.doc_id, b.doc_id, a.variant, b.variant
     ),
     kept AS (
@@ -2191,7 +2226,9 @@ def _video_phash_oracle() -> str:
            MIN(da) AS min_doc, MAX(db) AS max_doc
     FROM kept
     GROUP BY CASE WHEN da = db THEN va || '-' || vb ELSE 'cross' END
-    """.replace("__COS__", _PHASH_COS_SQL)
+    """.replace("__COS__", _PHASH_COS_SQL).replace(
+        "__CAP__", str(_LANDMARK_DF_CAP)
+    )
 
 
 @register(
@@ -2211,8 +2248,10 @@ def _video_phash_oracle() -> str:
     "runtime pins: every comment-extension re-encode (67) is "
     "IDENTICAL-set, every last-frame trim (50) still pairs with its "
     "original (shared-prefix class). Scale: |videos|*frames index rows, "
-    "one shuffle on frame hash; hot frame-hashes cap exactly like the "
-    "image bands at production scale.",
+    "one shuffle on frame hash; hot frame-hashes (corpus-wide static "
+    "intro/black frames — SCALE.md's measured 953x overlay) are capped "
+    "IN PLAN at df <= 64 (_cap_hot_landmarks, mirrored in the oracle's "
+    "ksigc QUALIFY stanza) before the counts and the self-join.",
     tags=("extension", "dedup", "multimodal", "video", "pandas_udf"),
 )
 def dedup_video_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2262,6 +2301,7 @@ def dedup_video_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         # self-join doesn't decode every video twice
         .localCheckpoint()
     )
+    ksig = _cap_hot_landmarks(ksig, "sig")
     ncnt = ksig.groupBy("key").agg(F.count(F.lit(1)).alias("n_sigs"))
     a, b = ksig.alias("a"), ksig.alias("b")
     shared = (
@@ -2404,13 +2444,15 @@ def _video_temporal_oracle() -> str:
       FROM fsig f1
       JOIN fsig f2 ON f2.key = f1.key AND f2.t = f1.t + 1
     ),
-    nsh AS (SELECT key, COUNT(*) AS n_sh FROM sh GROUP BY key),
+    shc AS (SELECT * FROM sh
+            QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= __CAP__),
+    nsh AS (SELECT key, COUNT(*) AS n_sh FROM shc GROUP BY key),
     votes AS (
       SELECT a.key AS ka, b.key AS kb, a.doc_id AS da, b.doc_id AS db,
              a.variant AS va, b.variant AS vb,
              a.t - b.t AS off, COUNT(*) AS cnt
-      FROM sh a
-      JOIN sh b ON a.shingle = b.shingle AND a.key < b.key
+      FROM shc a
+      JOIN shc b ON a.shingle = b.shingle AND a.key < b.key
       GROUP BY a.key, b.key, a.doc_id, b.doc_id, a.variant, b.variant,
                a.t - b.t
     ),
@@ -2443,7 +2485,9 @@ def _video_temporal_oracle() -> str:
            MIN(da) AS min_doc, MAX(db) AS max_doc
     FROM kept
     GROUP BY CASE WHEN da = db THEN va || '-' || vb ELSE 'cross' END
-    """.replace("__COS__", _PHASH_COS_SQL)
+    """.replace("__COS__", _PHASH_COS_SQL).replace(
+        "__CAP__", str(_LANDMARK_DF_CAP)
+    )
 
 
 @register(
@@ -2463,7 +2507,10 @@ def _video_temporal_oracle() -> str:
     "clips at offset 0, zero spurious cross pairs under the "
     "half-overlap rule. Scale: |videos| x frames shingle rows, one "
     "shuffle on shingle; offset voting groups by (pair, offset) — "
-    "bounded by clip length, not corpus.",
+    "bounded by clip length, not corpus; hot shingles (static "
+    "intro/outro SEQUENCES make corpus-wide 2-grams — SCALE.md r15) "
+    "are capped IN PLAN at df <= 64 (_cap_hot_landmarks, mirrored in "
+    "the oracle's shc QUALIFY stanza).",
     tags=("extension", "dedup", "multimodal", "video", "temporal"),
 )
 def dedup_video_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2519,6 +2566,7 @@ def dedup_video_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shingle"
         ),
     )
+    sh = _cap_hot_landmarks(sh)
     nsh = sh.groupBy("key").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     votes = (
@@ -2589,20 +2637,23 @@ def dedup_video_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The one-sided containment verdict, shared by the video/audio/image
 # containment queries. SQL half: everything downstream of the per-variant
-# landmark stream `sh(key, doc_id, variant, t, shingle)` — inverted-index
-# votes, modal offset, totals, the one-sided keep rule, and the
-# pair_kind/relation classification (the image oracle keeps its own 2-D
-# copy of this stanza with (dx, dy) offsets). Spark half:
-# _containment_pairs below generalizes the same algebra over N offset
-# dimensions. Changing the keep threshold or the tie-break means changing
-# exactly these two definitions plus the image oracle's 2-D stanza.
-_CONTAIN_KEPT_1D = """    nsh AS (SELECT key, COUNT(*) AS n_sh FROM sh GROUP BY key),
+# landmark stream `sh(key, doc_id, variant, t, shingle)` — the df<=64
+# hot-landmark cap (shc), inverted-index votes, modal offset, totals, the
+# one-sided keep rule, and the pair_kind/relation classification (the
+# image oracle keeps its own 2-D copy of this stanza with (dx, dy)
+# offsets). Spark half: _containment_pairs below generalizes the same
+# algebra over N offset dimensions. Changing the cap, the keep threshold,
+# or the tie-break means changing exactly these two definitions plus the
+# image oracle's 2-D stanza.
+_CONTAIN_KEPT_1D = """    shc AS (SELECT * FROM sh
+            QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= __CAP__),
+    nsh AS (SELECT key, COUNT(*) AS n_sh FROM shc GROUP BY key),
     votes AS (
       SELECT a.key AS ka, b.key AS kb, a.doc_id AS da, b.doc_id AS db,
              a.variant AS va, b.variant AS vb,
              a.t - b.t AS off, COUNT(*) AS cnt
-      FROM sh a
-      JOIN sh b ON a.shingle = b.shingle AND a.key < b.key
+      FROM shc a
+      JOIN shc b ON a.shingle = b.shingle AND a.key < b.key
       GROUP BY a.key, b.key, a.doc_id, b.doc_id, a.variant, b.variant,
                a.t - b.t
     ),
@@ -2644,20 +2695,28 @@ _CONTAIN_AGG_SQL = """    SELECT CASE WHEN da = db THEN va || '-' || vb
                   ELSE 'contained' END
     """
 
+_CONTAIN_KEPT_1D = _CONTAIN_KEPT_1D.replace("__CAP__", str(_LANDMARK_DF_CAP))
 _CONTAIN_TAIL_1D = _CONTAIN_KEPT_1D + _CONTAIN_AGG_SQL
 
 
 def _containment_pairs(
-    sh: DataFrame, pos_cols: tuple[str, ...], off_names: tuple[str, ...]
+    sh: DataFrame,
+    pos_cols: tuple[str, ...],
+    off_names: tuple[str, ...],
+    cap: int = _LANDMARK_DF_CAP,
 ) -> DataFrame:
     """One-sided containment pair verdicts over a positional landmark
-    frame ``sh(key, doc_id, variant, *pos_cols, shingle)``: inverted
-    index on shingle (a.key < b.key), offset voting per position column,
-    modal offset with ties toward the smallest total |offset|, landmark
-    counts, keep iff matches clear HALF THE SMALLER side, then classify
-    'contained' (still short of half the larger side) vs 'neardup'.
-    Returns (ka, kb, da, db, va, vb, best_<off>..., n_match, nsa, nsb,
-    pair_kind, relation)."""
+    frame ``sh(key, doc_id, variant, *pos_cols, shingle)``: df<=64
+    hot-landmark cap (_cap_hot_landmarks — drops corpus-wide landmarks
+    like silence spans / static frames / flat backgrounds BEFORE the
+    counts and the join, per SCALE.md's measured ~449,000x overlay),
+    inverted index on shingle (a.key < b.key), offset voting per
+    position column, modal offset with ties toward the smallest total
+    |offset|, landmark counts, keep iff matches clear HALF THE SMALLER
+    side, then classify 'contained' (still short of half the larger
+    side) vs 'neardup'. Returns (ka, kb, da, db, va, vb, best_<off>...,
+    n_match, nsa, nsb, pair_kind, relation)."""
+    sh = _cap_hot_landmarks(sh, cap=cap)
     nsh = sh.groupBy("key").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     offs = [
@@ -2842,8 +2901,9 @@ def _video_contained_oracle() -> str:
     "NEVER full (offset 1), 29/29 stolen clips cross-contained at "
     "offset -2. Scale: identical to the temporal query — |videos| x "
     "frames shingle rows, one shuffle on shingle, offset voting "
-    "bounded by clip length; hot shingles (static intro frames) cap "
-    "exactly like the image bands.",
+    "bounded by clip length; hot shingles (static intro frames — "
+    "SCALE.md's measured 953x overlay) are capped IN PLAN at df <= 64 "
+    "inside _containment_pairs, mirrored in the oracle's shc stanza.",
     tags=("extension", "dedup", "multimodal", "video", "temporal"),
 )
 def dedup_video_contained(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3006,8 +3066,10 @@ _AUDIO_CLIP_CTES = """
     "40/40 corrupted excerpts contained but NEVER full (offset 4), "
     "29/29 cross-doc excerpts full-contained in the neighbor track at "
     "offset -4. Scale: |clips| x frames landmark rows, one shuffle on "
-    "landmark; hot landmarks (silence) cap exactly like the image "
-    "bands; voting is bounded by clip length, not corpus.",
+    "landmark; hot landmarks (silence spans — SCALE.md's measured "
+    "~449,000x verdict-corrupting overlay) are capped IN PLAN at "
+    "df <= 64 inside _containment_pairs, mirrored in the oracle's shc "
+    "stanza; voting is bounded by clip length, not corpus.",
     tags=("extension", "dedup", "multimodal", "audio", "temporal"),
 )
 def dedup_audio_contained(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3160,13 +3222,15 @@ def _crop_oracle() -> str:
                AS sig
       FROM corners
     ),
-    nlm AS (SELECT key, COUNT(*) AS n_lm FROM lm GROUP BY key),
+    lmc AS (SELECT * FROM lm
+            QUALIFY COUNT(*) OVER (PARTITION BY sig) <= {_LANDMARK_DF_CAP}),
+    nlm AS (SELECT key, COUNT(*) AS n_lm FROM lmc GROUP BY key),
     votes AS (
       SELECT a.key AS ka, b.key AS kb, a.doc_id AS da, b.doc_id AS db,
              a.variant AS va, b.variant AS vb,
              a.bx - b.bx AS dx, a.by - b.by AS dy, COUNT(*) AS cnt
-      FROM lm a
-      JOIN lm b ON a.sig = b.sig AND a.key < b.key
+      FROM lmc a
+      JOIN lmc b ON a.sig = b.sig AND a.key < b.key
       GROUP BY a.key, b.key, a.doc_id, b.doc_id, a.variant, b.variant,
                a.bx - b.bx, a.by - b.by
     ),
@@ -3230,8 +3294,11 @@ def _crop_oracle() -> str:
     "contained but NEVER full (one corrupted block), 29/29 stolen "
     "crops full-contained in the neighbor image at (-2,-1). Scale: "
     "|images| x blocks landmark rows, one shuffle on signature; flat "
-    "backgrounds (the hot-landmark class) cap exactly like the pHash "
-    "bands; voting is bounded by crop area, not corpus.",
+    "backgrounds (the hot-landmark class — worse than 1-D because 2-D "
+    "offset voting multiplies span^2 per pair, SCALE.md r16 overlay) "
+    "are capped IN PLAN at df <= 64 inside _containment_pairs, "
+    "mirrored in the oracle's lmc stanza; voting is bounded by crop "
+    "area, not corpus.",
     tags=("extension", "dedup", "multimodal", "phash", "temporal"),
 )
 def dedup_image_cropped(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -2372,6 +2372,7 @@ def _landmark_probe_contained(
 ) -> DataFrame:
     import pandas as pd
 
+    from apache_hive_1_2_2_src_spark.extensions.dedup import _LANDMARK_DF_CAP
     from apache_hive_1_2_2_src_spark.extensions.multimodal import (
         stage_audio_clip_payloads,
         wav_energy_frames,
@@ -2473,11 +2474,34 @@ def _landmark_probe_contained(
         # earlier = the store plus same-batch smaller keys: verdicts see
         # exactly the strictly-earlier key set, so arrival order is
         # invisible (the pHash-store device)
-        earlier = prior.unionByName(sh.select("key", "t", "shingle"))
+        earlier = prior.withColumn("is_new", F.lit(False)).unionByName(
+            sh.select("key", "t", "shingle").withColumn(
+                "is_new", F.lit(True)
+            )
+        )
+        # hot-landmark cap, the streaming form of _cap_hot_landmarks
+        # (SCALE.md's measured ~449,000x silence overlay): drop probe
+        # rows whose landmark's SO-FAR document frequency (store rows in
+        # the batch's pb buckets + this batch — complete per landmark,
+        # since pb = hash(shingle) co-locates every occurrence) exceeds
+        # the cap. The landmark STORE keeps hot rows so later batches
+        # still see true prefix df; on a hot-free corpus this equals the
+        # batch query's global cap exactly (the oracle's batch-replay
+        # pins certify it), while a landmark that turns hot mid-stream
+        # stops matching from that batch on — the bounded-state trade
+        # every no-retraction incremental index makes.
+        cool = (
+            earlier.withColumn(
+                "__lm_df",
+                F.count(F.lit(1)).over(Window.partitionBy("shingle")),
+            )
+            .filter(F.col("__lm_df") <= _LANDMARK_DF_CAP)
+            .drop("__lm_df")
+        )
         votes = (
-            sh.alias("nb")
+            cool.filter(F.col("is_new")).alias("nb")
             .join(
-                earlier.alias("ob"),
+                cool.alias("ob"),
                 (F.col("nb.shingle") == F.col("ob.shingle"))
                 & (F.col("ob.key") < F.col("nb.key")),
             )
@@ -2503,9 +2527,14 @@ def _landmark_probe_contained(
         tot = votes.groupBy("ka", "kb").agg(F.sum("cnt").alias("n_match"))
         # per-key landmark counts: ONE row per key, so the counts store
         # is metastore-sized (|corpus| rows) and the full read below is
-        # metadata, unlike the landmark store whose reads must prune
-        batch_counts = sh.groupBy("key").agg(
-            F.count(F.lit(1)).alias("n_sh")
+        # metadata, unlike the landmark store whose reads must prune.
+        # Counts range over the key's COOL landmarks (cap mirrored from
+        # the batch query: nsa/nsb denominators count informative
+        # landmarks only, frozen at insertion time).
+        batch_counts = (
+            cool.filter(F.col("is_new"))
+            .groupBy("key")
+            .agg(F.count(F.lit(1)).alias("n_sh"))
         )
         if os.path.isdir(counts):
             all_counts = (
@@ -2609,7 +2638,9 @@ def _stream_contained_oracle() -> str:
     "arrives a drop before its doc-134 container). Scale: per-drop "
     "cost is O(|batch| x shingle-bucket density), never O(|corpus|); "
     "the per-key counts store is metastore-sized; hot landmarks "
-    "(silence spans) cap per the measured SCALE.md overlay.",
+    "(silence spans — SCALE.md's measured ~449,000x overlay) are "
+    "capped IN PLAN at so-far df <= 64 over store+batch, mirroring "
+    "the batch query's _cap_hot_landmarks.",
     tags=(
         "streaming", "dedup", "multimodal", "temporal", "incremental",
         "foreachbatch",

@@ -1,0 +1,94 @@
+"""Round-16 additions: the hot-landmark df cap is ACTIVE in the six
+containment/temporal dedup plans (VERDICT r15 item 1). SCALE.md's r15
+overlays measured the uncapped inverted-index self-join at 953x
+(corpus-wide static frame) and ~449,000x (silence span) candidate blow-up;
+these tests pin that the shipped plans carry the cap, that the cap sheds
+exactly the hot bucket while keeping every content match, and that the
+cap's window shows up in the executed plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from apache_hive_1_2_2_src_spark.extensions.dedup import (
+    _LANDMARK_DF_CAP,
+    _cap_hot_landmarks,
+    _containment_pairs,
+)
+from apache_hive_1_2_2_src_spark.plans import plan_text
+
+
+def _hot_overlay_frame(spark, n_hot_keys: int = 80):
+    """A landmark corpus with one corpus-wide hot landmark: keys 1 and 2
+    share six aligned content landmarks (key 2 shifted +3); ``n_hot_keys``
+    filler keys carry ONLY the hot landmark plus one unique noise
+    landmark. Every key also carries 'HOT', so df('HOT') = n_hot_keys + 2
+    > cap."""
+    rows = []
+    for t in range(6):
+        rows.append((1, 100, "orig", t, f"c{t}"))
+        rows.append((2, 200, "clip", t + 3, f"c{t}"))
+    rows.append((1, 100, "orig", 90, "HOT"))
+    rows.append((2, 200, "clip", 91, "HOT"))
+    for k in range(n_hot_keys):
+        rows.append((1000 + k, 1000 + k, "orig", 0, "HOT"))
+        rows.append((1000 + k, 1000 + k, "orig", 1, f"noise{k}"))
+    return spark.createDataFrame(
+        rows, "key bigint, doc_id bigint, variant string, t int, shingle string"
+    )
+
+
+def test_cap_drops_hot_bucket_keeps_content(spark):
+    sh = _hot_overlay_frame(spark)
+    kept = _containment_pairs(sh, ("t",), ("off",)).collect()
+    # The ONLY surviving pair is the content pair — every hot-only pair
+    # (C(82, 2) of them uncapped) is shed with the hot bucket.
+    assert len(kept) == 1
+    r = kept[0]
+    assert (r["ka"], r["kb"]) == (1, 2)
+    # All six content landmarks matched; denominators count informative
+    # (cool) landmarks only, so the pair is a full neardup at offset -3.
+    assert (r["n_match"], r["nsa"], r["nsb"]) == (6, 6, 6)
+    assert r["best_off"] == -3
+    assert r["relation"] == "neardup"
+
+
+def test_uncapped_overlay_reproduces_the_blowup(spark):
+    # Control: with the cap lifted, the same corpus floods — every pair of
+    # hot-only keys shares 'HOT' (n_match=1, nsa=nsb=2 clears the
+    # one-sided rule), exactly the measured SCALE.md failure shape.
+    sh = _hot_overlay_frame(spark)
+    kept = _containment_pairs(sh, ("t",), ("off",), cap=10**9)
+    n = kept.count()
+    assert n > 3000  # C(80,2) hot-only pairs + hot<->content pairs
+
+
+def test_cap_window_in_containment_plan(spark):
+    sh = _hot_overlay_frame(spark)
+    p = plan_text(_containment_pairs(sh, ("t",), ("off",)))
+    # The df cap is one window count partitioned by the landmark; it must
+    # appear in the executed plan (windowspecdefinition over shingle).
+    assert "windowspecdefinition(shingle" in p
+
+
+def test_cap_helper_threshold_boundary(spark):
+    # df == cap stays; df == cap + 1 drops.
+    rows = [(k, "at_cap") for k in range(_LANDMARK_DF_CAP)] + [
+        (k, "over_cap") for k in range(_LANDMARK_DF_CAP + 1)
+    ]
+    df = spark.createDataFrame(rows, "key bigint, shingle string")
+    out = _cap_hot_landmarks(df)
+    got = {r["shingle"] for r in out.select("shingle").distinct().collect()}
+    assert got == {"at_cap"}
+
+
+def test_registered_audio_containment_plan_carries_cap(spark, registry):
+    from tests.conftest import SF_DIR
+
+    df = registry["dedup_audio_contained"].build(spark, SF_DIR)
+    # build() runs the recall pins (67/40/29 with the cap active) and
+    # returns the verdict frame; its plan must show the landmark-df
+    # window feeding the inverted-index join.
+    p = plan_text(df)
+    assert "windowspecdefinition(shingle" in p
