@@ -186,95 +186,64 @@ STABLE_WINDOW = (
 # either way. (r12's 18 FRESH names all certified in CORRECTNESS_r12 and
 # rotated out; the displaced stable tail returns automatically.)
 FRESH = (
-    # the FOURTEEN r15 registrations ride first so each earns a
-    # driver-green row in its first round (never-green guard); the
-    # streaming pHash query also carries the window's streaming tag.
-    # PRIORITY = flagship + these 49, zero stable tail: the 44-name
-    # rotation yielded NINE slots (all r5-green, every yielded tag
-    # still >=triple-covered in the window, each noted in place below)
-    # to the sixth-through-fourteenth registrations — the yields lead
-    # the r16 rotation (COVERAGE.md r16 plan item 2).
-    "acid_concurrent_writers",
-    "dedup_image_phash",
-    "dedup_image_phash_clusters",
-    "dedup_audio_fingerprint",
-    "streaming_dedup_phash_incremental",
-    "dedup_video_phash",
-    "dedup_video_temporal",
-    "acid_exclusive_overwrite_lifecycle",
-    "dedup_video_contained",
-    "acid_show_locks_txns_compactions",
-    "dedup_audio_contained",
-    "acid_heartbeat_timeout",
-    "dedup_image_cropped",
-    "streaming_dedup_contained_incremental",
-    # stale-green rotation, second tranche (VERDICT r14 item 1): the six
-    # <=r4 stragglers + the 38-query r5 cohort — after this round the
-    # oldest driver-green row anywhere is r6 and the rotation settles
-    # into a steady ~2-round cadence. All 44 re-verified by the local
-    # 349/349 sweep before riding.
-    "agg_basic_counts",
-    "agg_collect_list_set",
-    "analyze_table_stats",
-    "cond_if_case_coalesce",
-    "csv_roundtrip_agg",
-    "date_extract_suite",
-    "dedup_exact",
-    # dedup_ngram_jaccard yielded its slot to dedup_audio_contained
-    # (dedup stays ten-fold covered in the window); it rotates first in
-    # r16 with the other yields
-    # dedup_simhash yielded its slot to dedup_image_cropped (dedup
-    # stays ten-fold covered in the window); it rotates first in r16
-    # with the other yields
-    "explode_words",
-    "join_inner",
-    "lateral_view_word_count",
-    "multimodal_decode_stub",
-    "multimodal_frame_sample",
-    "multimodal_metadata",
-    "order_by_limit_topk",
-    "pipeline_curate_corpus",
-    "pipeline_pack_sequences",
-    "sample_split_train_val",
-    "scan_filter_project",
-    "script_transform_sql",
-    "similarity_ann_ivf",
-    "similarity_ann_lsh_signbits",
-    # similarity_cosine_threshold yielded its slot to
-    # dedup_video_temporal (similarity stays triple-covered in the
-    # window); it rotates with workload_part_type_share first in r16
-    "similarity_cosine_topk",
-    "str_basic_suite",
-    "subquery_exists_correlated",
-    "tablesample_percent_rows",
-    "text_context_ngrams",
-    # text_fingerprint yielded its slot to acid_heartbeat_timeout (text
-    # stays four-fold covered in the window); it rotates first in r16
-    # with the other yields
-    "text_lang_id",
-    # text_ngrams_top yielded its slot to dedup_video_contained (text
-    # stays six-fold covered in the window); it rotates first in r16
-    # with the other yields
-    "text_pii_scrub",
-    # text_quality_score yielded its slot to
-    # streaming_dedup_contained_incremental (text stays four-fold
-    # covered in the window); it rotates first in r16 with the other
-    # yields
-    "text_token_count_regex",
-    # text_token_stats yielded its slot to
-    # acid_show_locks_txns_compactions (text stays five-fold covered in
-    # the window); it rotates first in r16 with the other yields
-    # text_unigram_rarity yielded its slot to
-    # acid_exclusive_overwrite_lifecycle (text stays covered in the
-    # window); it rotates first in r16 with the other seven yields
-    "udaf_pandas_grouped_demo",
-    "window_first_last_value",
-    "window_lead_lag",
-    "workload_local_supplier_volume",
-    # workload_part_type_share yielded its slot to dedup_video_phash
-    # (window holds 50); it leads the r16 rotation
-    "workload_returned_items",
-    "workload_shipping_priority",
+    # r16 rotation, steady state (VERDICT r15 item 2, frozen in
+    # COVERAGE.md end-of-r15): the NINE r5-green yields from the r15
+    # window ride first (they gave their slots to the fourteen r15
+    # registrations last round), then the full 36-name r6 cohort —
+    # after this round the oldest driver-green row anywhere is r7 and
+    # the rotation holds its ~2-round full-refresh cadence. All 45
+    # re-verified by the local 363/363 sf0.01 sweep (with the r16
+    # hot-landmark cap active) before riding. 45 FRESH + flagship
+    # leaves 4 tail slots, filled from STABLE_WINDOW in order
+    # (streaming_acid_delta_ingest, workload_product_profit,
+    # flagship_sql_text, acid_read_compacted — r13/r15-green, breadth
+    # anchors).
+    "workload_part_type_share",
+    "similarity_cosine_threshold",
+    "text_unigram_rarity",
+    "text_ngrams_top",
+    "text_token_stats",
+    "dedup_ngram_jaccard",
+    "text_fingerprint",
+    "dedup_simhash",
+    "text_quality_score",
+    # the r6 cohort (36 names, frozen list in COVERAGE.md r16 plan)
+    "cast_suite",
+    "collection_array_hof_suite",
+    "date_arith_suite",
+    "decimal_scale_suite",
+    "dedup_embedding_cosine",
+    "dynamic_partition_overwrite",
+    "json_roundtrip_agg",
+    "lateral_view_outer_nulls",
+    "mapjoin_hint_sql",
+    "math_trig_suite",
+    "null_semantics_suite",
+    "orc_roundtrip_agg",
+    "pivot_case_when",
+    "ptf_matchpath_emulated",
+    "ptf_matchpath_multisym",
+    "regex_serde_read",
+    "sample_reservoir_per_source",
+    "similarity_kmeans_train",
+    "stack_unpivot",
+    "str_regex_suite",
+    "streaming_foreachbatch_upsert",
+    "streaming_watermark_window",
+    "text_repetition_filter",
+    "types_char_varchar_suite",
+    "window_named_sql",
+    "window_percent_rank_partitioned",
+    "window_range_frame",
+    "workload_customer_order_counts",
+    "workload_important_stock",
+    "workload_market_share",
+    "workload_min_cost_supplier",
+    "workload_parts_supplier_cnt",
+    "workload_promotion_suppliers",
+    "workload_revenue_forecast",
+    "workload_suppliers_kept_waiting",
+    "xpath_suite",
 )
 
 PRIORITY = (
