@@ -1772,6 +1772,10 @@ def _phash_pair_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("extension", "dedup", "multimodal", "phash", "pandas_udf"),
 )
 def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from apache_hive_1_2_2_src_spark.extensions.multimodal import (
+        fixture_variant_count,
+    )
+
     kept = _phash_pair_frame(spark, sf_dir).withColumn(
         "pair_kind",
         F.when(
@@ -1793,9 +1797,9 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # row-direction, threshold, or banding bug breaks these before it
     # breaks the hash oracle.
     got = {r["pair_kind"]: r for r in out.collect()}
-    if got.get("orig-reenc", {"n_exact": 0})["n_exact"] != 67:
+    if got.get("orig-reenc", {"n_exact": 0})["n_exact"] != fixture_variant_count("phash", "reenc"):
         raise AssertionError(f"reenc recall broken: {got.get('orig-reenc')}")
-    if got.get("orig-pert", {"n_exact": 0})["n_exact"] != 24:
+    if got.get("orig-pert", {"n_exact": 0})["n_exact"] != fixture_variant_count("phash", "pert"):
         raise AssertionError(f"pert recall broken: {got.get('orig-pert')}")
     return out
 
@@ -1977,6 +1981,7 @@ def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from apache_hive_1_2_2_src_spark.extensions.multimodal import (
+        fixture_variant_count,
         stage_audiofp_payloads,
         wav_fingerprint_bands,
     )
@@ -2076,11 +2081,11 @@ def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("db").alias("max_doc"),
     )
     got = {r["pair_kind"]: r for r in out.collect()}
-    if got.get("orig-amp", {"n_exact": 0})["n_exact"] != 67:
+    if got.get("orig-amp", {"n_exact": 0})["n_exact"] != fixture_variant_count("audiofp", "amp"):
         raise AssertionError(f"amp recall broken: {got.get('orig-amp')}")
-    if got.get("orig-junk", {"n_exact": 0})["n_exact"] != 40:
+    if got.get("orig-junk", {"n_exact": 0})["n_exact"] != fixture_variant_count("audiofp", "junk"):
         raise AssertionError(f"junk recall broken: {got.get('orig-junk')}")
-    if got.get("orig-noise", {"n_pairs": 0})["n_pairs"] != 29:
+    if got.get("orig-noise", {"n_pairs": 0})["n_pairs"] != fixture_variant_count("audiofp", "noise"):
         raise AssertionError(f"noise recall broken: {got.get('orig-noise')}")
     return out
 
@@ -2258,6 +2263,7 @@ def dedup_video_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from apache_hive_1_2_2_src_spark.extensions.multimodal import (
+        fixture_variant_count,
         stage_video_payloads,
         video_frame_phashes,
     )
@@ -2345,9 +2351,9 @@ def dedup_video_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("db").alias("max_doc"),
     )
     got = {r["pair_kind"]: r for r in out.collect()}
-    if got.get("orig-reenc", {"n_identical": 0})["n_identical"] != 67:
+    if got.get("orig-reenc", {"n_identical": 0})["n_identical"] != fixture_variant_count("video", "reenc"):
         raise AssertionError(f"reenc recall broken: {got.get('orig-reenc')}")
-    if got.get("orig-trim", {"n_pairs": 0})["n_pairs"] != 50:
+    if got.get("orig-trim", {"n_pairs": 0})["n_pairs"] != fixture_variant_count("video", "trim"):
         raise AssertionError(f"trim recall broken: {got.get('orig-trim')}")
     return out
 
@@ -2517,6 +2523,7 @@ def dedup_video_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from apache_hive_1_2_2_src_spark.extensions.multimodal import (
+        fixture_variant_count,
         stage_video_temporal_payloads,
         video_frame_phashes,
     )
@@ -2624,10 +2631,12 @@ def dedup_video_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     got = {r["pair_kind"]: r for r in out.collect()}
     s = got.get("orig-shift", {"n_pairs": 0, "n_abs_off_two": 0})
-    if (s["n_pairs"], s["n_abs_off_two"]) != (50, 50):
+    n_shift = fixture_variant_count("vtemporal", "shift")
+    if (s["n_pairs"], s["n_abs_off_two"]) != (n_shift, n_shift):
         raise AssertionError(f"shift alignment broken: {s}")
     lo = got.get("orig-loop", {"n_pairs": 0, "n_off_zero": 0})
-    if (lo["n_pairs"], lo["n_off_zero"]) != (34, 34):
+    n_loop = fixture_variant_count("vtemporal", "loop")
+    if (lo["n_pairs"], lo["n_off_zero"]) != (n_loop, n_loop):
         raise AssertionError(f"loop alignment broken: {lo}")
     return out
 
@@ -2910,6 +2919,7 @@ def dedup_video_contained(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from apache_hive_1_2_2_src_spark.extensions.multimodal import (
+        fixture_variant_count,
         stage_video_clip_payloads,
         video_frame_phashes,
     )
@@ -2977,15 +2987,18 @@ def dedup_video_contained(spark: SparkSession, sf_dir: str) -> DataFrame:
     got = {(r["pair_kind"], r["relation"]): r for r in out.collect()}
     c = got.get(("orig-clip", "contained"),
                 {"n_pairs": 0, "n_full": 0, "min_off": None, "max_off": None})
-    if (c["n_pairs"], c["n_full"], c["min_off"], c["max_off"]) != (67, 67, 3, 3):
+    n_clip = fixture_variant_count("vclip", "clip")
+    if (c["n_pairs"], c["n_full"], c["min_off"], c["max_off"]) != (n_clip, n_clip, 3, 3):
         raise AssertionError(f"mid-slice containment broken: {c}")
     m = got.get(("orig-mut", "contained"),
                 {"n_pairs": 0, "n_full": 0, "min_off": None, "max_off": None})
-    if (m["n_pairs"], m["n_full"], m["min_off"], m["max_off"]) != (40, 0, 1, 1):
+    n_mut = fixture_variant_count("vclip", "mut")
+    if (m["n_pairs"], m["n_full"], m["min_off"], m["max_off"]) != (n_mut, 0, 1, 1):
         raise AssertionError(f"mutated-slice containment broken: {m}")
     s = got.get(("x:steal-orig", "contained"),
                 {"n_pairs": 0, "n_full": 0, "min_off": None, "max_off": None})
-    if (s["n_pairs"], s["n_full"], s["min_off"], s["max_off"]) != (29, 29, -2, -2):
+    n_steal = fixture_variant_count("vclip", "steal")
+    if (s["n_pairs"], s["n_full"], s["min_off"], s["max_off"]) != (n_steal, n_steal, -2, -2):
         raise AssertionError(f"cross-doc containment broken: {s}")
     return out
 
@@ -3076,6 +3089,7 @@ def dedup_audio_contained(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from apache_hive_1_2_2_src_spark.extensions.multimodal import (
+        fixture_variant_count,
         stage_audio_clip_payloads,
         wav_energy_frames,
     )
@@ -3151,15 +3165,18 @@ def dedup_audio_contained(spark: SparkSession, sf_dir: str) -> DataFrame:
     got = {(r["pair_kind"], r["relation"]): r for r in out.collect()}
     c = got.get(("orig-clip", "contained"),
                 {"n_pairs": 0, "n_full": 0, "min_off": None, "max_off": None})
-    if (c["n_pairs"], c["n_full"], c["min_off"], c["max_off"]) != (67, 67, 4, 4):
+    n_clip = fixture_variant_count("aclip", "clip")
+    if (c["n_pairs"], c["n_full"], c["min_off"], c["max_off"]) != (n_clip, n_clip, 4, 4):
         raise AssertionError(f"excerpt containment broken: {c}")
     m = got.get(("orig-mut", "contained"),
                 {"n_pairs": 0, "n_full": 0, "min_off": None, "max_off": None})
-    if (m["n_pairs"], m["n_full"], m["min_off"], m["max_off"]) != (40, 0, 4, 4):
+    n_mut = fixture_variant_count("aclip", "mut")
+    if (m["n_pairs"], m["n_full"], m["min_off"], m["max_off"]) != (n_mut, 0, 4, 4):
         raise AssertionError(f"corrupted-excerpt containment broken: {m}")
     s = got.get(("x:steal-orig", "contained"),
                 {"n_pairs": 0, "n_full": 0, "min_off": None, "max_off": None})
-    if (s["n_pairs"], s["n_full"], s["min_off"], s["max_off"]) != (29, 29, -4, -4):
+    n_steal = fixture_variant_count("aclip", "steal")
+    if (s["n_pairs"], s["n_full"], s["min_off"], s["max_off"]) != (n_steal, n_steal, -4, -4):
         raise AssertionError(f"cross-doc containment broken: {s}")
     return out
 
@@ -3305,6 +3322,7 @@ def dedup_image_cropped(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from apache_hive_1_2_2_src_spark.extensions.multimodal import (
+        fixture_variant_count,
         image_block_signatures,
         stage_image_crop_payloads,
     )
@@ -3371,12 +3389,14 @@ def dedup_image_cropped(spark: SparkSession, sf_dir: str) -> DataFrame:
     empty = {"n_pairs": 0, "n_full": 0, "min_dx": None, "max_dx": None,
              "min_dy": None, "max_dy": None}
     c = got.get(("orig-crop", "contained"), empty)
-    if offs(c) != (67, 67, 2, 2, 1, 1):
+    n_crop = fixture_variant_count("crop", "crop")
+    if offs(c) != (n_crop, n_crop, 2, 2, 1, 1):
         raise AssertionError(f"crop containment broken: {c}")
     m = got.get(("orig-mut", "contained"), empty)
-    if offs(m) != (40, 0, 2, 2, 1, 1):
+    if offs(m) != (fixture_variant_count("crop", "mut"), 0, 2, 2, 1, 1):
         raise AssertionError(f"mutated-crop containment broken: {m}")
     s = got.get(("x:steal-orig", "contained"), empty)
-    if offs(s) != (29, 29, -2, -2, -1, -1):
+    n_steal = fixture_variant_count("crop", "steal")
+    if offs(s) != (n_steal, n_steal, -2, -2, -1, -1):
         raise AssertionError(f"cross-doc crop containment broken: {s}")
     return out

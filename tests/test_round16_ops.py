@@ -92,3 +92,30 @@ def test_registered_audio_containment_plan_carries_cap(spark, registry):
     # window feeding the inverted-index join.
     p = plan_text(df)
     assert "windowspecdefinition(shingle" in p
+
+
+def test_fixture_variant_counts_match_oracle_formulas():
+    # The DuckDB oracles carry SQL mirrors of the variant-membership
+    # predicates (doc_id % 3 = 0, ...); they cannot share the Python
+    # lambdas, so pin the implied counts HERE (magic numbers belong in
+    # tests, not registered query bodies — the queries derive theirs
+    # from fixture_variant_count).
+    from apache_hive_1_2_2_src_spark.extensions.multimodal import (
+        fixture_variant_count,
+    )
+
+    expected = {
+        ("phash", "reenc"): 67, ("phash", "pert"): 24,
+        ("audiofp", "amp"): 67, ("audiofp", "junk"): 40,
+        ("audiofp", "noise"): 29,
+        ("video", "reenc"): 67, ("video", "trim"): 50,
+        ("vtemporal", "shift"): 50, ("vtemporal", "loop"): 34,
+        ("vclip", "clip"): 67, ("vclip", "mut"): 40,
+        ("vclip", "steal"): 29,
+        ("aclip", "clip"): 67, ("aclip", "mut"): 40,
+        ("aclip", "steal"): 29,
+        ("crop", "crop"): 67, ("crop", "mut"): 40,
+        ("crop", "steal"): 29,
+    }
+    for (corpus, variant), n in expected.items():
+        assert fixture_variant_count(corpus, variant) == n, (corpus, variant)
