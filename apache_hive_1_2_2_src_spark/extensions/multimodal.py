@@ -1193,11 +1193,15 @@ def decode_jpeg_gray(buf: bytes) -> tuple[int, int, int]:
     clamp to [0,255], crop the 8-padded MCU grid to (width, height).
     Returns (width, height, sum of gray pixel values). Refuses
     progressive (SOF2), multi-component, and restart-interval streams
-    loudly rather than guessing."""
+    loudly rather than guessing. A NATIVE_DECODERS["jpeg"] entry takes
+    the path instead (same contract — see the injection seam)."""
     import struct
 
     import numpy as np
 
+    native = NATIVE_DECODERS.get("jpeg")
+    if native:
+        return native(buf)
     if buf[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: missing SOI")
     pos = 2
@@ -1888,9 +1892,14 @@ _AUD_WIN = 25  # frames per analysis window
 def _wav_samples(buf: bytes) -> tuple[int, int, tuple]:
     """RIFF/WAVE PCM16 chunk walk returning the RAW interleaved samples
     (the per-sample form the feature kernels need; decode_wav_pcm16
-    keeps its summary-stats contract on top of the same parse rules)."""
+    keeps its summary-stats contract on top of the same parse rules).
+    A NATIVE_DECODERS["wav"] entry takes the path instead (same
+    (rate, channels, samples) contract — see the injection seam)."""
     import struct as _struct
 
+    native = NATIVE_DECODERS.get("wav")
+    if native:
+        return native(buf)
     if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE buffer")
     pos, fmt_chunk, data_chunk = 12, None, None
@@ -2241,18 +2250,79 @@ def _ppm_pixels(buf: bytes):
     return width, height, pixel
 
 
+# ---- native decoder injection seam (r16) --------------------------------
+#
+# The pure-Python codecs are correct, Arrow-batched, and fail-loud, but
+# entropy decoding measures 1.3-3.4 MB/s/core vs ~150 MB/s/core for
+# native libraries (SCALE.md r15: ~100x crossover above ~10 GB of
+# JPEG/GIF). This registry is the swap point: a callable registered for
+# a sniffed format REPLACES the pure-Python decode while keeping the
+# exact output contract, so transport, schema, oracle CTEs, and every
+# downstream kernel stay untouched (the ORC vectorized-reader pattern —
+# the engine keeps the contract, the codec is pluggable). Contracts:
+#   "bmp"/"png"/"ppm"/"gif": buf -> (w, h, pixel) with pixel(x, y) ->
+#       (r, g, b)           [image_pixels dispatch]
+#   "gif_frames": buf -> (w, h, [pixel, ...])  [decode_gif_frames]
+#   "jpeg": buf -> (w, h, gray_sum)            [decode_jpeg_gray]
+#   "wav": buf -> (rate, channels, samples)    [_wav_samples]
+# Kernels run inside executor worker processes, so driver-side
+# register_native_decoder calls do NOT propagate; for cluster use set
+# SPARK_GRAFT_NATIVE_DECODERS="pkg.module:hook" (spark.executorEnv /
+# spark-env) and the hook(register_native_decoder) runs at module import
+# in every process. Contract equivalence (fake native decoder taking the
+# path, byte-identical outputs) is pinned in tests/test_round16_ops.py.
+
+NATIVE_DECODERS: dict[str, object] = {}
+
+
+def register_native_decoder(fmt: str, fn) -> None:
+    """Install ``fn`` as the decoder for ``fmt`` (see contract table)."""
+    NATIVE_DECODERS[fmt] = fn
+
+
+def unregister_native_decoder(fmt: str) -> None:
+    NATIVE_DECODERS.pop(fmt, None)
+
+
+def _load_native_decoders_from_env() -> None:
+    """Import-time hook: SPARK_GRAFT_NATIVE_DECODERS="pkg.module:attr"
+    names a callable invoked as attr(register_native_decoder). Runs in
+    every Python process that imports this module — driver AND executor
+    workers — which is what makes the seam usable on a cluster."""
+    import importlib
+    import os as _os
+
+    spec = _os.environ.get("SPARK_GRAFT_NATIVE_DECODERS")
+    if not spec:
+        return
+    mod_name, _, attr = spec.partition(":")
+    hook = getattr(importlib.import_module(mod_name), attr or "register_decoders")
+    hook(register_native_decoder)
+
+
+_load_native_decoders_from_env()
+
+
 def image_pixels(buf: bytes):
     """Magic-byte dispatch to a random-access pixel view — BMP, PNG,
     PPM, and (single- or first-frame) GIF; anything else fails loudly,
     never guesses. Cross-container pHash equality for the lossless RGB
-    trio is pinned in tests/test_round15_ops.py."""
+    trio is pinned in tests/test_round15_ops.py. A decoder registered
+    in NATIVE_DECODERS for the sniffed format takes the path instead
+    of the pure-Python codec (same (w, h, pixel) contract)."""
     if buf[:2] == b"BM":
-        return _bmp_pixels(buf)
+        native = NATIVE_DECODERS.get("bmp")
+        return native(buf) if native else _bmp_pixels(buf)
     if buf[:8] == _PNG_SIG:
-        return _png_pixels(buf)
+        native = NATIVE_DECODERS.get("png")
+        return native(buf) if native else _png_pixels(buf)
     if buf[:2] == b"P6":
-        return _ppm_pixels(buf)
+        native = NATIVE_DECODERS.get("ppm")
+        return native(buf) if native else _ppm_pixels(buf)
     if buf[:4] == b"GIF8":
+        native = NATIVE_DECODERS.get("gif")
+        if native:
+            return native(buf)
         w, h, frames = decode_gif_frames(buf)
         return w, h, frames[0]
     raise ValueError("image_pixels: not a BMP/PNG/PPM/GIF magic")
@@ -2624,7 +2694,12 @@ def decode_gif_frames(buf: bytes):
     walking; local color tables and interlacing raise. The multi-frame
     generalization of decode_gif87a — frames share the logical screen
     in these fixtures, so each image block must cover the full canvas
-    (left/top/size validated loudly)."""
+    (left/top/size validated loudly). A NATIVE_DECODERS["gif_frames"]
+    entry takes the path instead (same (w, h, [pixel, ...]) contract —
+    see the injection seam)."""
+    native = NATIVE_DECODERS.get("gif_frames")
+    if native:
+        return native(buf)
     if len(buf) < 13 or buf[:4] != b"GIF8" or buf[4:6] not in (b"7a", b"9a"):
         raise ValueError("not a GIF87a/89a payload")
     sw, sh, packed, _bg, _aspect = struct.unpack_from("<HHBBB", buf, 6)

@@ -119,3 +119,83 @@ def test_fixture_variant_counts_match_oracle_formulas():
     }
     for (corpus, variant), n in expected.items():
         assert fixture_variant_count(corpus, variant) == n, (corpus, variant)
+
+
+def test_native_decoder_seam_dispatches_and_byte_matches():
+    # A fake "native" decoder (pure-Python codec + call counter) must
+    # take the dispatch path and produce byte-identical downstream
+    # results — the contract a real libjpeg-turbo/libvips swap must hold.
+    from apache_hive_1_2_2_src_spark.extensions import multimodal as mm
+
+    w, h = mm._bmp_fixture_dims(7)
+    bmp = mm.encode_bmp24(w, h, mm._phash_fixture_pixel(7))
+    wav = mm.encode_wav_pcm16(
+        8000, 1, [(mm._wav_fixture_sample(7, j, 0),) for j in range(40)]
+    )
+    gif = mm.encode_gif89a_anim(
+        w, h, mm._gif_palette, lambda t: mm._vid_fixture_index(7, t), 4
+    )
+
+    base_phash = mm.phash64_bands(bmp)
+    base_wav = mm._wav_samples(wav)
+    base_frames = mm.video_frame_phashes(gif)
+
+    calls = {"bmp": 0, "wav": 0, "gif_frames": 0}
+
+    def fake_bmp(buf):
+        calls["bmp"] += 1
+        return mm._bmp_pixels(buf)
+
+    def fake_wav(buf):
+        calls["wav"] += 1
+        import struct as s
+
+        n = (len(buf) - 44) // 2
+        rate, ch = 8000, 1
+        return rate, ch, s.unpack(f"<{n}h", buf[44 : 44 + 2 * n])
+
+    def fake_gif_frames(buf):
+        calls["gif_frames"] += 1
+        mm.unregister_native_decoder("gif_frames")
+        try:
+            return mm.decode_gif_frames(buf)
+        finally:
+            mm.register_native_decoder("gif_frames", fake_gif_frames)
+
+    try:
+        mm.register_native_decoder("bmp", fake_bmp)
+        mm.register_native_decoder("wav", fake_wav)
+        mm.register_native_decoder("gif_frames", fake_gif_frames)
+        assert mm.phash64_bands(bmp) == base_phash
+        assert mm._wav_samples(wav) == base_wav
+        assert mm.video_frame_phashes(gif) == base_frames
+        assert calls == {"bmp": 1, "wav": 1, "gif_frames": 1}
+    finally:
+        for fmt in ("bmp", "wav", "gif_frames"):
+            mm.unregister_native_decoder(fmt)
+
+
+def test_native_decoder_env_hook_loads_module(tmp_path, monkeypatch):
+    # The cluster path: SPARK_GRAFT_NATIVE_DECODERS names a module:attr
+    # hook that runs at import in every Python process (executors too).
+    import sys
+
+    from apache_hive_1_2_2_src_spark.extensions import multimodal as mm
+
+    mod = tmp_path / "fake_native_codecs.py"
+    mod.write_text(
+        "def install(register):\n"
+        "    register('ppm', lambda buf: ('fake', 'native', 'ppm'))\n"
+    )
+    monkeypatch.syspath_prepend(str(tmp_path))
+    monkeypatch.setenv(
+        "SPARK_GRAFT_NATIVE_DECODERS", "fake_native_codecs:install"
+    )
+    try:
+        mm._load_native_decoders_from_env()
+        assert mm.image_pixels(b"P6 1 1 255 \x00\x00\x00") == (
+            "fake", "native", "ppm",
+        )
+    finally:
+        mm.unregister_native_decoder("ppm")
+        sys.modules.pop("fake_native_codecs", None)
