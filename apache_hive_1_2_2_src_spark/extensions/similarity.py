@@ -1126,17 +1126,21 @@ def similarity_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_M, _PQ_SUB = 4, 16  # 64-dim embeddings -> 4 subspaces x 16 dims
 
 
-def _pq_oracle() -> str:
+def _pq_oracle(frm: str = "embeddings", head: str = "") -> str:
     """Replay of the full PQ pipeline: one quantized-Lloyd training chain
     PER SUBSPACE (namespaced CTEs), cosine-assigned codes, per-query ADC
     lookup tables of subvector dot products, and the explicitly-
     parenthesized 4-term ADC sum (float addition order fixed so Spark's
-    expression and DuckDB's agree bit-for-bit)."""
-    sql: list[str] = []
+    expression and DuckDB's agree bit-for-bit). ``frm`` is the relation
+    the pipeline reads (the OPQ query points it at a rotated CTE
+    prepended via ``head``)."""
+    sql: list[str] = [head] if head else []
     cents = []
     for m in range(_PQ_M):
         lo, hi = m * _PQ_SUB + 1, (m + 1) * _PQ_SUB
-        frags, cur = _kmq_train_ctes(pref=f"m{m}_", src=f"embedding[{lo}:{hi}]")
+        frags, cur = _kmq_train_ctes(
+            pref=f"m{m}_", src=f"embedding[{lo}:{hi}]", frm=frm
+        )
         sql += frags
         cents.append(cur)
     cos = _sql_cos("embedding", "ce")
@@ -1157,7 +1161,7 @@ def _pq_oracle() -> str:
       SELECT q.query_id, c.cid AS code{m}, {dot} AS d{m}
       FROM (SELECT vec_id AS query_id,
                    embedding[{m * _PQ_SUB + 1}:{(m + 1) * _PQ_SUB}] AS qe
-            FROM embeddings WHERE vec_id >= 490) q
+            FROM {frm} WHERE vec_id >= 490) q
       CROSS JOIN {cents[m]} c
     )"""
         for m in range(_PQ_M)
@@ -1172,7 +1176,7 @@ def _pq_oracle() -> str:
     scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
              (((lut0.d0 + lut1.d1) + lut2.d2) + lut3.d3) AS adc
-      FROM (SELECT vec_id FROM embeddings WHERE vec_id >= 490) q
+      FROM (SELECT vec_id FROM {frm} WHERE vec_id >= 490) q
       JOIN codes c ON c.vec_id <> q.vec_id
       JOIN lut0 ON lut0.query_id = q.vec_id AND lut0.code0 = c.code0
       JOIN lut1 ON lut1.query_id = q.vec_id AND lut1.code1 = c.code1
@@ -1209,9 +1213,14 @@ def _pq_oracle() -> str:
     tags=("extension", "similarity", "pq", "iterative"),
 )
 def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return _pq_adc_report(e)
+
+
+def _pq_adc_report(e: DataFrame) -> DataFrame:
+    """The PQ-ADC pipeline over any (vec_id, embedding) frame — shared by
+    the plain-PQ query and the OPQ rotated form."""
+    from pyspark.sql.window import Window
 
     def sub(m: int, col="embedding"):
         return F.slice(col, m * _PQ_SUB + 1, _PQ_SUB)
@@ -1254,6 +1263,115 @@ def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("query_id", "cand_id", F.round("adc", 6).alias("adc"), "rk")
     )
+
+
+# ----------------------- OPQ-style rotation before PQ (r16) --------------
+
+# Exactly-replayable orthonormal rotation: a sign-twisted Walsh-Hadamard
+# matrix, coef(u, v) = (-1)^(popcount(u AND v) + popcount(v)) / 8. Every
+# entry is EXACTLY +-0.125 (64 = 2^6, so the 1/sqrt(64) scale is an exact
+# binary float), rows are orthonormal (pinned at runtime and in pytest),
+# and both engines compute it from the same integer bit arithmetic — no
+# stored matrix, no SVD on the driver. This is the structured-rotation
+# member of the OPQ family (Ge et al. 2013 'Optimized Product
+# Quantization' — their RR/parametric baselines; FAISS ships the same
+# idea as OPQMatrix/ITQ-style pre-rotation): PQ quantizes each 16-dim
+# subspace independently, so energy concentrated in a few coordinates
+# (or correlated across subspace boundaries) quantizes poorly; an
+# orthonormal rotation spreads every input coordinate across ALL
+# subspaces while preserving dot products exactly, so the ADC geometry
+# downstream is unchanged. The learned-SVD OPQ variant needs an
+# eigendecomposition (driver-side d x d math — cheap at any corpus
+# scale, since the covariance accumulates distributed into d^2 cells)
+# but its float orbit is not bit-replayable in SQL; the structured
+# rotation keeps the full pipeline hash-oracled.
+
+_OPQ_DIM = _PQ_M * _PQ_SUB  # 64
+
+
+def opq_rotate(col: Column) -> Column:
+    """Rotate an array<float> embedding by the sign-twisted Hadamard
+    matrix, as a fixed-order fold per output coordinate (bit-matches the
+    DuckDB replay the same way _dot does)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(_OPQ_DIM - 1)),
+        lambda u: F.aggregate(
+            F.sequence(F.lit(0), F.lit(_OPQ_DIM - 1)),
+            F.lit(0.0),
+            lambda acc, v: acc
+            + (
+                F.lit(1)
+                - F.lit(2) * ((F.bit_count(u.bitwiseAND(v)) + F.bit_count(v)) % 2)
+            ).cast("double")
+            * F.lit(0.125)
+            * F.element_at(col, v + 1).cast("double"),
+        ),
+    )
+
+
+_SQL_OPQ_ROTATE = (
+    f"list_transform(range(0, {_OPQ_DIM}), u -> "
+    f"list_sum(list_transform(range(0, {_OPQ_DIM}), v -> "
+    "CAST(1 - 2*((bit_count(u & v) + bit_count(v)) % 2) AS DOUBLE) "
+    "* 0.125 * CAST(embedding[v + 1] AS DOUBLE))))"
+)
+
+
+@register(
+    "similarity_opq_rotate_pq",
+    oracle=_pq_oracle(
+        frm="rot_e",
+        head=(
+            "rot_e AS (SELECT vec_id, "
+            + _SQL_OPQ_ROTATE
+            + " AS embedding FROM embeddings),"
+        ),
+    ),
+    doc="OPQ-style rotation before product quantization (Ge et al. 2013; "
+    "the structured-rotation member of the family, FAISS's pre-rotation "
+    "device): embeddings rotate through a sign-twisted Walsh-Hadamard "
+    "matrix — every coefficient EXACTLY +-0.125, rows orthonormal, both "
+    "engines deriving it from the same popcount arithmetic — then the "
+    "certified PQ-ADC pipeline (4 subspaces x 8-code quantized-Lloyd "
+    "codebooks, per-query LUTs, fixed-order 4-term ADC sum) runs on the "
+    "rotated space unchanged. The rotation preserves dot products "
+    "exactly (runtime-pinned to 1e-9 on a metadata-sized sample), so "
+    "exact search is invariant while PQ sees decorrelated, "
+    "energy-spread coordinates — the failure mode it fixes is a few "
+    "high-variance dims landing in one subspace and starving the "
+    "other codebooks. Scale: the rotation is pure codegen arithmetic "
+    "per row (no shuffle, no driver matrix), everything downstream "
+    "inherits the PQ query's broadcast-LUT shape.",
+    tags=("extension", "similarity", "pq", "iterative"),
+)
+def similarity_opq_rotate_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    rot = e.select("vec_id", opq_rotate(F.col("embedding")).alias("embedding"))
+    # orthonormality pin (metadata-sized): rotation must preserve the
+    # dot products of the first few vectors to double precision.
+    probe = e.filter(F.col("vec_id") < 3).select("vec_id", "embedding")
+    rprobe = rot.filter(F.col("vec_id") < 3)
+    a, b = probe.alias("a"), probe.alias("b")
+    ra, rb = rprobe.alias("ra"), rprobe.alias("rb")
+    drift = (
+        a.join(b, F.col("a.vec_id") <= F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("i"), F.col("b.vec_id").alias("j"),
+            _dot(F.col("a.embedding"), F.col("b.embedding")).alias("d"),
+        )
+        .join(
+            ra.join(rb, F.col("ra.vec_id") <= F.col("rb.vec_id")).select(
+                F.col("ra.vec_id").alias("i"), F.col("rb.vec_id").alias("j"),
+                _dot(F.col("ra.embedding"), F.col("rb.embedding")).alias("rd"),
+            ),
+            ["i", "j"],
+        )
+        .select(F.max(F.abs(F.col("d") - F.col("rd"))).alias("mx"))
+        .collect()[0]["mx"]
+    )
+    if drift > 1e-9:
+        raise AssertionError(f"OPQ rotation not orthonormal: drift={drift}")
+    return _pq_adc_report(rot)
 
 
 def _ivfpq_oracle() -> str:

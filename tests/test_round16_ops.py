@@ -243,3 +243,37 @@ def test_streaming_counts_join_never_forces_counts_broadcast(spark, tmp_path):
         assert joined.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_opq_rotation_orthonormal_and_dot_preserving(spark):
+    # The sign-twisted Hadamard matrix must be exactly orthonormal
+    # (every entry +-0.125, an exact binary float) and therefore
+    # preserve dot products — the property that makes the OPQ query's
+    # exact-search geometry invariant under the rotation.
+    import random
+
+    from apache_hive_1_2_2_src_spark.extensions.similarity import (
+        _OPQ_DIM,
+        _dot,
+        opq_rotate,
+    )
+
+    def coef(u, v):
+        return (1 - 2 * (((u & v).bit_count() + v.bit_count()) % 2)) * 0.125
+
+    for a in range(_OPQ_DIM):
+        for b in range(a, _OPQ_DIM):
+            s = sum(coef(a, v) * coef(b, v) for v in range(_OPQ_DIM))
+            assert abs(s - (1.0 if a == b else 0.0)) < 1e-12
+
+    rng = random.Random(16)
+    x = [rng.uniform(-1, 1) for _ in range(_OPQ_DIM)]
+    y = [rng.uniform(-1, 1) for _ in range(_OPQ_DIM)]
+    df = spark.createDataFrame(
+        [(x, y)], "x array<float>, y array<float>"
+    ).select(
+        _dot(F.col("x"), F.col("y")).alias("d"),
+        _dot(opq_rotate(F.col("x")), opq_rotate(F.col("y"))).alias("rd"),
+    )
+    r = df.collect()[0]
+    assert abs(r["d"] - r["rd"]) < 1e-9
