@@ -1339,9 +1339,10 @@ _SQL_OPQ_ROTATE = (
     "exact search is invariant while PQ sees decorrelated, "
     "energy-spread coordinates — the failure mode it fixes is a few "
     "high-variance dims landing in one subspace and starving the "
-    "other codebooks. Scale: the rotation is pure codegen arithmetic "
-    "per row (no shuffle, no driver matrix), everything downstream "
-    "inherits the PQ query's broadcast-LUT shape.",
+    "other codebooks. Scale: the rotation is shuffle-free per-row "
+    "expression arithmetic (O(d^2) fused into the scan projection — "
+    "no shuffle, no driver matrix), everything downstream inherits "
+    "the PQ query's broadcast-LUT shape.",
     tags=("extension", "similarity", "pq", "iterative"),
 )
 def similarity_opq_rotate_pq(spark: SparkSession, sf_dir: str) -> DataFrame:

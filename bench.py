@@ -71,6 +71,7 @@ HEADLINE = (
     "similarity_ivf_two_level",  # coarse + 4 per-cell sub-quantizer chains, 2x2 probe search (r14)
     "dedup_video_phash",  # animated-GIF decode + per-frame integer-DCT pHash + inverted-index overlap (r15)
     "dedup_audio_contained",  # WAV decode + positional energy landmarks + one-sided offset voting (r15)
+    "similarity_opq_rotate_pq",  # Hadamard pre-rotation + the 4-chain PQ-ADC pipeline (r16)
 )
 
 # All 22 TPC-H query shapes in query order — timed as ONE sequential suite
