@@ -186,10 +186,12 @@ STABLE_WINDOW = (
 # either way. (r12's 18 FRESH names all certified in CORRECTNESS_r12 and
 # rotated out; the displaced stable tail returns automatically.)
 FRESH = (
-    # the ONE r16 registration rides first so it earns a driver-green
+    # the TWO r16 registrations ride first so each earns a driver-green
     # row in its first round (never-green guard): OPQ-style structured
-    # rotation before PQ (VERDICT r15 optional item 9).
+    # rotation before PQ (VERDICT r15 optional item 9) and the
+    # subspace variance-balance audit that decides when to apply it.
     "similarity_opq_rotate_pq",
+    "similarity_subspace_variance_audit",
     # r16 rotation, steady state (VERDICT r15 item 2, frozen in
     # COVERAGE.md end-of-r15): the NINE r5-green yields from the r15
     # window ride first (they gave their slots to the fourteen r15
@@ -198,10 +200,9 @@ FRESH = (
     # the rotation holds its ~2-round full-refresh cadence. All 45
     # re-verified by the local 363/363 sf0.01 sweep (with the r16
     # hot-landmark cap active) before riding. 45 rotation names + the
-    # new registration + flagship leaves 3 tail slots, filled from
+    # two new registrations + flagship leaves 2 tail slots, filled from
     # STABLE_WINDOW in order (streaming_acid_delta_ingest,
-    # workload_product_profit, flagship_sql_text — r13/r15-green,
-    # breadth anchors).
+    # workload_product_profit — r13/r15-green breadth anchors).
     "workload_part_type_share",
     "similarity_cosine_threshold",
     "text_unigram_rarity",
