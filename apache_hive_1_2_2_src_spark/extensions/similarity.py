@@ -1375,6 +1375,98 @@ def similarity_opq_rotate_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pq_adc_report(rot)
 
 
+def opq_learned_rotation(e: DataFrame, m: int = _PQ_M) -> list[list[float]]:
+    """LEARNED OPQ rotation — the parametric form of Ge et al. 2013 §4
+    ('eigenvalue allocation'): distributed covariance accumulation via
+    floor-quantized INTEGER partial sums (each Arrow batch emits one
+    flattened d x d bigint frame; the reduce is order-independent, and
+    the driver ever sees only d^2 + d cells — metadata-sized at ANY
+    corpus scale), then a driver-side d x d eigendecomposition and a
+    greedy allocation of eigen-directions to the M subspaces balancing
+    the per-subspace eigenvalue log-product (the paper's independence-
+    times-balance criterion). Returns the rotation matrix R as rows;
+    apply x' = R @ x, then PQ quantizes balanced, decorrelated
+    subspaces. Not hash-oracle-replayable (the eig float orbit differs
+    across LAPACK builds), so it ships as a helper certified by pytest
+    against the structured rotation on the energy-concentrated overlay
+    (tests/test_round16_ops.py) rather than as a registered [Q] query —
+    the structured `opq_rotate` remains the oracled member."""
+    import numpy as np
+    import pandas as pd
+
+    d = _OPQ_DIM
+    q = _VARQ
+
+    def partials(batches):
+        s1 = np.zeros(d, dtype=np.int64)
+        s2 = np.zeros((d, d), dtype=np.int64)
+        n = 0
+        for pdf in batches:
+            x = np.floor(
+                np.stack(pdf["embedding"].to_numpy()).astype(np.float64) * q
+            ).astype(np.int64)
+            s1 += x.sum(axis=0)
+            s2 += x.T @ x
+            n += x.shape[0]
+        yield pd.DataFrame(
+            {"idx": range(d * d + d + 1),
+             "v": list(s2.ravel()) + list(s1) + [n]}
+        )
+
+    cells = (
+        e.select("embedding")
+        .mapInPandas(partials, "idx int, v long")
+        .groupBy("idx")
+        .agg(F.sum("v").alias("v"))
+        .collect()
+    )
+    flat = {r["idx"]: r["v"] for r in cells}
+    n = flat[d * d + d]
+    s1 = np.array([flat[d * d + i] for i in range(d)], dtype=np.float64)
+    s2 = np.array(
+        [[flat[u * d + v] for v in range(d)] for u in range(d)],
+        dtype=np.float64,
+    )
+    cov = (s2 / n - np.outer(s1 / n, s1 / n)) / (float(q) * float(q))
+    eigval, eigvec = np.linalg.eigh(cov)
+    order = np.argsort(eigval)[::-1]
+    eigval, eigvec = eigval[order], eigvec[:, order]
+    # greedy log-product balancing: biggest eigenvalue first, into the
+    # non-full bucket with the smallest accumulated log-product
+    sub = d // m
+    buckets: list[list[int]] = [[] for _ in range(m)]
+    logs = [0.0] * m
+    for i in range(d):
+        open_b = [b for b in range(m) if len(buckets[b]) < sub]
+        b = min(open_b, key=lambda bb: logs[bb])
+        buckets[b].append(i)
+        logs[b] += float(np.log(max(eigval[i], 1e-12)))
+    perm = [i for b in range(m) for i in buckets[b]]
+    rot = eigvec[:, perm].T  # rows = allocated eigen-directions
+    return [[float(x) for x in row] for row in rot]
+
+
+def apply_rotation(e: DataFrame, rot: list[list[float]]) -> DataFrame:
+    """Rotate (vec_id, embedding) by a matrix (rows of R) — one
+    Arrow-batched numpy matmul per batch, no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    r = np.array(rot, dtype=np.float64)
+
+    def rotate(batches):
+        for pdf in batches:
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"],
+                 "embedding": list((x @ r.T).tolist())}
+            )
+
+    return e.select("vec_id", "embedding").mapInPandas(
+        rotate, "vec_id bigint, embedding array<double>"
+    )
+
+
 # The variance-balance audit that operationalizes the OPQ production
 # rule (SCALE.md r16: rotate when subspace variance is unbalanced, skip
 # when isotropic). Quantization at 2^14 keeps q^2 <= 2^28, so the
