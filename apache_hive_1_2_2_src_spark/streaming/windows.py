@@ -2368,8 +2368,16 @@ LAST_LMK_STORE: dict = {}
 
 
 def _landmark_probe_contained(
-    spark: SparkSession, sf_dir: str, n_batches: int = 3, store_k: int = 8
+    spark: SparkSession,
+    sf_dir: str,
+    n_batches: int = 3,
+    store_k: int = 8,
+    payloads_path: str | None = None,
+    n_docs: int = 200,
 ) -> DataFrame:
+    """``payloads_path``/``n_docs`` let overlay tests drive the SAME probe
+    over a synthetic corpus (e.g. the hot-silence overlay); the
+    registered query always uses the staged fixture corpus defaults."""
     import pandas as pd
 
     from apache_hive_1_2_2_src_spark.extensions.dedup import _LANDMARK_DF_CAP
@@ -2389,8 +2397,10 @@ def _landmark_probe_contained(
     LAST_LMK_STORE["store"] = store
     LAST_LMK_STORE["store_k"] = STORE_K
 
-    pay = spark.read.parquet(stage_audio_clip_payloads(spark, sf_dir))
-    step = 200 // n_batches + 1
+    pay = spark.read.parquet(
+        payloads_path or stage_audio_clip_payloads(spark, sf_dir)
+    )
+    step = n_docs // n_batches + 1
     for b in range(n_batches):
         stage = os.path.join(base, f"stage_{b}")
         pay.where(

@@ -364,3 +364,64 @@ def test_opq_rotations_rescue_concentrated_corpus(spark):
     assert plain == 0.0
     assert structured > plain
     assert learned > plain
+
+
+def test_streaming_cap_drops_hot_silence_keeps_content(spark, tmp_path):
+    # The streaming form of the hot-landmark cap, exercised on a corpus
+    # that actually HAS a hot landmark (the registered fixtures are
+    # silence-free, so there the cap filter never drops a row): 90
+    # tracks all open with a silence span (the corpus-wide '0:0:0'
+    # 3-gram, df=360 >> 64); tracks 0 and 1 share real content at a
+    # 2-frame offset; every other track is unique. Uncapped, every one
+    # of the C(90,2)=4005 pairs clears the one-sided rule on silence
+    # votes alone; capped, exactly the content pair survives — and the
+    # landmark STORE must still retain the hot rows (later batches need
+    # true prefix df).
+    import glob
+
+    from apache_hive_1_2_2_src_spark.extensions.multimodal import (
+        encode_wav_pcm16,
+    )
+    from apache_hive_1_2_2_src_spark.streaming.windows import (
+        LAST_LMK_STORE,
+        _landmark_probe_contained,
+    )
+
+    def wav(samples):
+        return encode_wav_pcm16(8000, 1, [(s,) for s in samples])
+
+    silence = [0] * 12  # 6 zero-energy frames -> four '0:0:0' shingles
+    content = [100 + j for j in range(16)]  # 8 shared content frames
+    rows = []
+    for k in range(90):
+        if k == 0:
+            samples = silence + content
+        elif k == 1:
+            samples = silence + [9001, 9002, 9003, 9004] + content
+        else:
+            samples = silence + [1000 + 17 * k + j for j in range(16)]
+        rows.append((k, "orig", bytearray(wav(samples))))
+    pay_path = str(tmp_path / "hot_payloads")
+    spark.createDataFrame(
+        rows, "doc_id bigint, variant string, payload binary"
+    ).coalesce(1).write.mode("overwrite").parquet(pay_path)
+
+    out = _landmark_probe_contained(
+        spark, "unused", n_batches=3, payloads_path=pay_path, n_docs=90
+    ).collect()
+    assert len(out) == 1, out
+    r = out[0]
+    assert (r["ka"], r["kb"]) == (0, 10)  # key = doc_id * 10 + vcode
+    # 6 shared content 3-grams, all voting offset a.t - b.t = -2;
+    # cool-landmark denominators: 8 (track 0) vs 10 (track 1)
+    assert (r["n_match"], r["best_off"]) == (6, -2)
+    assert r["relation"] == "neardup" and not r["full"]
+    # the store keeps the hot rows: 4 silence shingles x 90 tracks
+    store_files = glob.glob(LAST_LMK_STORE["store"] + "/epoch=*/pb=*/*.parquet")
+    assert store_files
+    n_hot = (
+        spark.read.parquet(LAST_LMK_STORE["store"])
+        .filter(F.col("shingle") == "0:0:0")
+        .count()
+    )
+    assert n_hot == 360
