@@ -2303,11 +2303,11 @@ def dedup_video_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(":", "b0", "b1", "b2", "b3").alias("sig"),
         )
         .distinct()
-        # frame-index-sized (|videos| x <=8 rows); checkpoint so the
-        # self-join doesn't decode every video twice
-        .localCheckpoint()
     )
-    ksig = _cap_hot_landmarks(ksig, "sig")
+    # frame-index-sized (|videos| x <=8 rows); cap BEFORE the checkpoint
+    # so the df window is materialized once — not recomputed by ncnt plus
+    # both self-join branches — and the self-join never decodes twice
+    ksig = _cap_hot_landmarks(ksig, "sig").localCheckpoint()
     ncnt = ksig.groupBy("key").agg(F.count(F.lit(1)).alias("n_sigs"))
     a, b = ksig.alias("a"), ksig.alias("b")
     shared = (
@@ -2573,7 +2573,9 @@ def dedup_video_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shingle"
         ),
     )
-    sh = _cap_hot_landmarks(sh)
+    # checkpoint the CAPPED shingle frame: the t/t+1 join + df window run
+    # once, not recomputed by nsh plus both self-join branches
+    sh = _cap_hot_landmarks(sh).localCheckpoint()
     nsh = sh.groupBy("key").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     votes = (
@@ -2725,7 +2727,10 @@ def _containment_pairs(
     side, then classify 'contained' (still short of half the larger
     side) vs 'neardup'. Returns (ka, kb, da, db, va, vb, best_<off>...,
     n_match, nsa, nsb, pair_kind, relation)."""
-    sh = _cap_hot_landmarks(sh, cap=cap)
+    # checkpoint the CAPPED landmark frame: the df window runs once, not
+    # recomputed by nsh plus both self-join branches (callers checkpoint
+    # only their pre-cap decode frames)
+    sh = _cap_hot_landmarks(sh, cap=cap).localCheckpoint()
     nsh = sh.groupBy("key").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     offs = [

@@ -2275,9 +2275,64 @@ def _ppm_pixels(buf: bytes):
 NATIVE_DECODERS: dict[str, object] = {}
 
 
-def register_native_decoder(fmt: str, fn) -> None:
-    """Install ``fn`` as the decoder for ``fmt`` (see contract table)."""
+def register_native_decoder(fmt: str, fn, verify_with: bytes | None = None) -> None:
+    """Install ``fn`` as the decoder for ``fmt`` (see contract table).
+
+    ``verify_with``: optional fixture payload in ``fmt``'s container; when
+    given, ``fn`` is run against the pure-Python codec on it BEFORE
+    installation and a contract divergence (dims, sampled pixels, frames,
+    samples) raises instead of silently corrupting hash-certified results.
+    """
+    if verify_with is not None:
+        err = _native_decoder_divergence(fmt, fn, verify_with)
+        if err:
+            raise ValueError(
+                f"native decoder for {fmt!r} diverges from the pure-Python "
+                f"codec on the verification payload: {err}"
+            )
     NATIVE_DECODERS[fmt] = fn
+
+
+def _native_decoder_divergence(fmt: str, fn, buf: bytes) -> str | None:
+    """Compare ``fn(buf)`` to the pure codec; return a reason or None.
+
+    Pixel-view contracts compare dims plus an 8x8 sample grid (the exact
+    grid phash64_bands reads); tuple contracts compare whole outputs.
+    """
+    if fmt in ("bmp", "png", "ppm", "gif"):
+        pure_map = {"bmp": _bmp_pixels, "png": _png_pixels, "ppm": _ppm_pixels}
+        if fmt == "gif":
+            w0, h0, frames = decode_gif_frames(buf)
+            p0 = frames[0]
+        else:
+            w0, h0, p0 = pure_map[fmt](buf)
+        w1, h1, p1 = fn(buf)
+        if (w0, h0) != (w1, h1):
+            return f"dims ({w1},{h1}) != ({w0},{h0})"
+        for ty in range(8):
+            for tx in range(8):
+                x, y = tx * w0 // 8, ty * h0 // 8
+                if p0(x, y) != p1(x, y):
+                    return f"pixel({x},{y}) {p1(x, y)} != {p0(x, y)}"
+        return None
+    pure = {"gif_frames": decode_gif_frames, "jpeg": decode_jpeg_gray,
+            "wav": _wav_samples}.get(fmt)
+    if pure is None:
+        return None  # unknown contract: nothing to check against
+    got, want = fn(buf), pure(buf)
+    if fmt == "gif_frames":
+        w0, h0, fr0 = want
+        w1, h1, fr1 = got
+        if (w0, h0, len(fr0)) != (w1, h1, len(fr1)):
+            return f"shape ({w1},{h1},{len(fr1)}) != ({w0},{h0},{len(fr0)})"
+        for i, (a, b) in enumerate(zip(fr0, fr1)):
+            for ty in range(8):
+                for tx in range(8):
+                    x, y = tx * w0 // 8, ty * h0 // 8
+                    if a(x, y) != b(x, y):
+                        return f"frame {i} pixel({x},{y}) differs"
+        return None
+    return None if got == want else f"{got!r} != {want!r}"
 
 
 def unregister_native_decoder(fmt: str) -> None:
@@ -2296,8 +2351,15 @@ def _load_native_decoders_from_env() -> None:
     if not spec:
         return
     mod_name, _, attr = spec.partition(":")
-    hook = getattr(importlib.import_module(mod_name), attr or "register_decoders")
-    hook(register_native_decoder)
+    try:
+        hook = getattr(importlib.import_module(mod_name), attr or "register_decoders")
+        hook(register_native_decoder)
+    except Exception as exc:  # a typo'd spec must not break every query
+        raise RuntimeError(
+            f"SPARK_GRAFT_NATIVE_DECODERS={spec!r} failed to load "
+            f"(expected 'pkg.module:attr' naming a callable taking "
+            f"register_native_decoder): {exc}"
+        ) from exc
 
 
 _load_native_decoders_from_env()

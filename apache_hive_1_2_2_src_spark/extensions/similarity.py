@@ -1501,8 +1501,10 @@ _VARQ = 1 << 14
       FROM stats
     )
     SELECT subspace, n_vals, sum_q, sum_q2, var6,
-           ROUND(MAX(var6) OVER () / MIN(var6) OVER (), 3) AS imbalance3,
-           MAX(var6) OVER () / MIN(var6) OVER () > 4.0
+           ROUND(MAX(var6) OVER () / NULLIF(MIN(var6) OVER (), 0), 3)
+             AS imbalance3,
+           CASE WHEN MIN(var6) OVER () = 0 THEN TRUE
+                ELSE MAX(var6) OVER () / MIN(var6) OVER () > 4.0 END
              AS rotate_recommended
     FROM vars
     ORDER BY subspace""",
@@ -1554,8 +1556,17 @@ def similarity_subspace_variance_audit(
         out.crossJoin(F.broadcast(ext))
         .select(
             "subspace", "n_vals", "sum_q", "sum_q2", "var6",
-            F.round(F.col("mxv") / F.col("mnv"), 3).alias("imbalance3"),
-            (F.col("mxv") / F.col("mnv") > 4.0).alias("rotate_recommended"),
+            # mnv = 0 guard on BOTH sides: Spark's Divide yields NULL on /0
+            # while DuckDB's IEEE double division yields inf — exactly the
+            # corpus (a zero-variance subspace) where the audit matters.
+            # Contract: imbalance3 NULL, rotate_recommended TRUE (infinite
+            # imbalance is the strongest possible rotate signal).
+            F.when(
+                F.col("mnv") != 0, F.round(F.col("mxv") / F.col("mnv"), 3)
+            ).alias("imbalance3"),
+            F.when(F.col("mnv") == 0, F.lit(True))
+            .otherwise(F.col("mxv") / F.col("mnv") > 4.0)
+            .alias("rotate_recommended"),
         )
         .orderBy("subspace")
     )

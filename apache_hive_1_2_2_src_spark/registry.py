@@ -186,69 +186,68 @@ STABLE_WINDOW = (
 # either way. (r12's 18 FRESH names all certified in CORRECTNESS_r12 and
 # rotated out; the displaced stable tail returns automatically.)
 FRESH = (
-    # the TWO r16 registrations ride first so each earns a driver-green
-    # row in its first round (never-green guard): OPQ-style structured
-    # rotation before PQ (VERDICT r15 optional item 9) and the
-    # subspace variance-balance audit that decides when to apply it.
-    "similarity_opq_rotate_pq",
-    "similarity_subspace_variance_audit",
-    # r16 rotation, steady state (VERDICT r15 item 2, frozen in
-    # COVERAGE.md end-of-r15): the NINE r5-green yields from the r15
-    # window ride first (they gave their slots to the fourteen r15
-    # registrations last round), then the full 36-name r6 cohort —
-    # after this round the oldest driver-green row anywhere is r7 and
-    # the rotation holds its ~2-round full-refresh cadence. All 45
-    # re-verified by the local 363/363 sf0.01 sweep (with the r16
-    # hot-landmark cap active) before riding. 45 rotation names + the
-    # two new registrations + flagship leaves 2 tail slots, filled from
-    # STABLE_WINDOW in order (streaming_acid_delta_ingest,
-    # workload_product_profit — r13/r15-green breadth anchors).
-    "workload_part_type_share",
-    "similarity_cosine_threshold",
-    "text_unigram_rarity",
-    "text_ngrams_top",
-    "text_token_stats",
-    "dedup_ngram_jaccard",
-    "text_fingerprint",
-    "dedup_simhash",
-    "text_quality_score",
-    # the r6 cohort (36 names, frozen list in COVERAGE.md r16 plan)
-    "cast_suite",
-    "collection_array_hof_suite",
-    "date_arith_suite",
-    "decimal_scale_suite",
-    "dedup_embedding_cosine",
-    "dynamic_partition_overwrite",
-    "json_roundtrip_agg",
-    "lateral_view_outer_nulls",
-    "mapjoin_hint_sql",
-    "math_trig_suite",
-    "null_semantics_suite",
-    "orc_roundtrip_agg",
-    "pivot_case_when",
-    "ptf_matchpath_emulated",
-    "ptf_matchpath_multisym",
-    "regex_serde_read",
-    "sample_reservoir_per_source",
-    "similarity_kmeans_train",
-    "stack_unpivot",
-    "str_regex_suite",
-    "streaming_foreachbatch_upsert",
-    "streaming_watermark_window",
-    "text_repetition_filter",
-    "types_char_varchar_suite",
-    "window_named_sql",
-    "window_percent_rank_partitioned",
-    "window_range_frame",
-    "workload_customer_order_counts",
-    "workload_important_stock",
-    "workload_market_share",
-    "workload_min_cost_supplier",
-    "workload_parts_supplier_cnt",
-    "workload_promotion_suppliers",
-    "workload_revenue_forecast",
-    "workload_suppliers_kept_waiting",
-    "xpath_suite",
+    # r17 lead (VERDICT r16 item 1): the SIX cap-modified containment/
+    # temporal dedup plans. Their newest driver-green rows are r15 — i.e.
+    # they certify the PRE-cap plans; r16 added the df<=64 hot-landmark
+    # cap to the executed plan + oracle of each. The external chain must
+    # certify the capped code it will be trusted for.
+    "dedup_video_phash",
+    "dedup_video_temporal",
+    "dedup_video_contained",
+    "dedup_audio_contained",
+    "dedup_image_cropped",
+    "streaming_dedup_contained_incremental",
+    # r17 rotation, steady state (VERDICT r16 item 1, second half): the
+    # full 39-name r7 cohort — after this round the oldest driver-green
+    # row anywhere is r8 and the ~2-round full-refresh cadence holds.
+    # All 39 re-verified by the local 365/365 sf0.01 sweep before riding.
+    # 6 cap leads + 39 rotation names + flagship leaves 4 tail slots,
+    # filled from STABLE_WINDOW in order (streaming_acid_delta_ingest,
+    # workload_product_profit, flagship_sql_text, acid_read_compacted —
+    # r13/r15/r16-green breadth anchors).
+    "agg_distinct_grouping_sets",
+    "agg_percentile_array",
+    "coercion_lattice_suite",
+    "cte_with_clause_sql",
+    "ddl_bucketed_dialect_lifecycle",
+    "ddl_insert_values",
+    "ddl_show_describe",
+    "ddl_view_lifecycle",
+    "dedup_incremental_batch",
+    "dedup_substring_spans",
+    "dedup_threshold_sweep",
+    "diagnostics_key_skew",
+    "events_attribution_last_touch",
+    "events_dau_wau",
+    "events_funnel",
+    "events_retention_cohorts",
+    "events_sessionize",
+    "json_typed_projection",
+    "msck_repair_partitions",
+    "order_nulls_suite",
+    "pipeline_corpus_diff",
+    "sample_kfold_assign",
+    "sample_token_budget",
+    "script_reduce_sql",
+    "sentences_tokenize",
+    "sequencefile_roundtrip_agg",
+    "similarity_knn_label_audit",
+    "sql_variable_substitution",
+    "str_json_suite",
+    "streaming_static_enrich",
+    "streaming_stream_join",
+    "text_chunk_windows",
+    "text_contamination_apply",
+    "text_lang_confusion",
+    "text_tfidf_cosine",
+    "timeseries_gap_fill",
+    "uniontype_emulated",
+    "workload_basket_pairs",
+    "workload_scd2_dimension",
+    # breadth: the r17 window's udtf representative (the r7 cohort has
+    # none and the auto-filled tail truncates before reaching
+    # lateral_view_sql in STABLE_WINDOW order).
+    "lateral_view_sql",
 )
 
 PRIORITY = (

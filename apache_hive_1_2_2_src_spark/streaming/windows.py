@@ -2650,7 +2650,15 @@ def _stream_contained_oracle() -> str:
     "the per-key counts store is metastore-sized; hot landmarks "
     "(silence spans — SCALE.md's measured ~449,000x overlay) are "
     "capped IN PLAN at so-far df <= 64 over store+batch, mirroring "
-    "the batch query's _cap_hot_landmarks.",
+    "the batch query's _cap_hot_landmarks. PRECONDITION for the "
+    "pair-level oracle equality: the fixture corpus is hot-FREE (no "
+    "landmark's global df exceeds 64) — on a corpus with a globally-"
+    "hot landmark the so-far cap diverges from the batch query's "
+    "global cap (early batches still match a landmark whose PREFIX "
+    "df <= 64), the bounded-state trade every no-retraction index "
+    "makes; the synthetic hot-silence overlay covering that branch "
+    "lives in tests/test_round16_ops.py, so a fixture change that "
+    "introduces a hot landmark shows up here first.",
     tags=(
         "streaming", "dedup", "multimodal", "temporal", "incremental",
         "foreachbatch",

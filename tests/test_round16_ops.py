@@ -66,10 +66,18 @@ def test_uncapped_overlay_reproduces_the_blowup(spark):
 
 def test_cap_window_in_containment_plan(spark):
     sh = _hot_overlay_frame(spark)
+    # The df cap is one window count partitioned by the landmark. Since
+    # r17 the capped frame is localCheckpoint-ed (ADVICE r16: materialize
+    # the window ONCE instead of recomputing it for nsh plus both
+    # self-join branches), so the window executes at build time and the
+    # downstream plan reads the checkpointed RDD: pin the window in the
+    # cap stage's own plan — the exact frame _containment_pairs
+    # checkpoints — and the checkpoint scan in the verdict plan.
+    p_cap = plan_text(_cap_hot_landmarks(sh))
+    assert "windowspecdefinition(shingle" in p_cap
     p = plan_text(_containment_pairs(sh, ("t",), ("off",)))
-    # The df cap is one window count partitioned by the landmark; it must
-    # appear in the executed plan (windowspecdefinition over shingle).
-    assert "windowspecdefinition(shingle" in p
+    assert "windowspecdefinition(shingle" not in p  # moved into build time
+    assert "ExistingRDD" in p  # joins read the materialized capped frame
 
 
 def test_cap_helper_threshold_boundary(spark):
@@ -88,10 +96,15 @@ def test_registered_audio_containment_plan_carries_cap(spark, registry):
 
     df = registry["dedup_audio_contained"].build(spark, SF_DIR)
     # build() runs the recall pins (67/40/29 with the cap active) and
-    # returns the verdict frame; its plan must show the landmark-df
-    # window feeding the inverted-index join.
+    # returns the verdict frame. Since r17 the capped landmark frame is
+    # localCheckpoint-ed inside _containment_pairs (window materialized
+    # once), so the verdict plan reads the checkpointed RDD rather than
+    # re-deriving the window: pin the checkpoint scan and the absence of
+    # a recomputed cap window. That the cap EXECUTED is pinned by the
+    # hash oracle (its QUALIFY df<=64 stanza) and the recall pins.
     p = plan_text(df)
-    assert "windowspecdefinition(shingle" in p
+    assert "ExistingRDD" in p
+    assert "windowspecdefinition(shingle" not in p
 
 
 def test_fixture_variant_counts_match_oracle_formulas():

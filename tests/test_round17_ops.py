@@ -1,0 +1,141 @@
+"""Round-17 additions (ADVICE r16): registration-time native-decoder
+verification, error-isolated env hook, the subspace-variance-audit
+zero-division guard, and the cap-before-checkpoint materialization.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+
+def _bmp_fixture():
+    from apache_hive_1_2_2_src_spark.extensions import multimodal as mm
+
+    w, h = mm._bmp_fixture_dims(7)
+    return mm.encode_bmp24(w, h, mm._phash_fixture_pixel(7)), mm
+
+
+def test_native_decoder_verify_with_accepts_matching():
+    bmp, mm = _bmp_fixture()
+    try:
+        mm.register_native_decoder("bmp", mm._bmp_pixels, verify_with=bmp)
+        assert mm.NATIVE_DECODERS["bmp"] is mm._bmp_pixels
+    finally:
+        mm.unregister_native_decoder("bmp")
+
+
+def test_native_decoder_verify_with_rejects_wrong_dims():
+    bmp, mm = _bmp_fixture()
+
+    def bad(buf):
+        w, h, p = mm._bmp_pixels(buf)
+        return w + 1, h, p  # native decoder reporting wrong width
+
+    with pytest.raises(ValueError, match="diverges"):
+        mm.register_native_decoder("bmp", bad, verify_with=bmp)
+    assert "bmp" not in mm.NATIVE_DECODERS  # never installed
+
+
+def test_native_decoder_verify_with_rejects_wrong_pixels():
+    bmp, mm = _bmp_fixture()
+
+    def bad(buf):
+        w, h, p = mm._bmp_pixels(buf)
+        return w, h, lambda x, y: (0, 0, 0)  # silently corrupting decoder
+
+    with pytest.raises(ValueError, match="pixel"):
+        mm.register_native_decoder("bmp", bad, verify_with=bmp)
+    assert "bmp" not in mm.NATIVE_DECODERS
+
+
+def test_native_decoder_verify_with_tuple_contract():
+    from apache_hive_1_2_2_src_spark.extensions import multimodal as mm
+
+    wav = mm.encode_wav_pcm16(
+        8000, 1, [(mm._wav_fixture_sample(7, j, 0),) for j in range(40)]
+    )
+    mm.register_native_decoder("wav", mm._wav_samples, verify_with=wav)
+    mm.unregister_native_decoder("wav")
+    with pytest.raises(ValueError, match="diverges"):
+        mm.register_native_decoder(
+            "wav", lambda buf: (8000, 2, ()), verify_with=wav
+        )
+    assert "wav" not in mm.NATIVE_DECODERS
+
+
+def test_native_decoder_env_hook_error_names_env_var(monkeypatch):
+    # A typo'd spec must fail with a message naming the env var and the
+    # spec — not an anonymous ImportError from inside module import.
+    from apache_hive_1_2_2_src_spark.extensions import multimodal as mm
+
+    monkeypatch.setenv(
+        "SPARK_GRAFT_NATIVE_DECODERS", "no_such_module_xyz:install"
+    )
+    with pytest.raises(RuntimeError) as ei:
+        mm._load_native_decoders_from_env()
+    assert "SPARK_GRAFT_NATIVE_DECODERS" in str(ei.value)
+    assert "no_such_module_xyz" in str(ei.value)
+
+
+def test_variance_audit_zero_variance_guard(spark, registry, tmp_path):
+    # A corpus where subspace 0 has ZERO variance: Spark's Divide yields
+    # NULL on /0 while DuckDB's IEEE division yields inf — the guard must
+    # make plan and oracle agree (imbalance3 NULL, rotate_recommended
+    # TRUE) exactly when the audit's output is most surprising.
+    import pyspark.sql.functions as F
+
+    emb = spark.range(40).select(
+        F.col("id").alias("vec_id"),
+        F.concat(
+            F.array(*[F.lit(0.0)] * 16),  # subspace 0: constant
+            F.array(
+                *[
+                    (F.col("id") * (i + 3) % 17).cast("double") / 17
+                    for i in range(48)
+                ]
+            ),
+        ).alias("embedding"),
+        F.lit("x").alias("label"),
+    )
+    sf = str(tmp_path / "sfzero")
+    emb.write.parquet(sf + "/embeddings.parquet")
+
+    q = registry["similarity_subspace_variance_audit"]
+    rows = q.build(spark, sf).collect()
+    assert [r["subspace"] for r in rows] == [0, 1, 2, 3]
+    assert all(r["imbalance3"] is None for r in rows)
+    assert all(r["rotate_recommended"] is True for r in rows)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf}/embeddings.parquet/*.parquet')"
+    )
+    orc = con.execute(q.oracle).fetchall()
+    assert [(r[0], r[5], r[6]) for r in orc] == [
+        (s, None, True) for s in range(4)
+    ]
+    # and the non-degenerate columns still agree with Spark's
+    assert [(r["n_vals"], r["sum_q"], r["sum_q2"]) for r in rows] == [
+        (r[1], r[2], r[3]) for r in orc
+    ]
+
+
+def test_containment_cap_materialized_once(spark):
+    # ADVICE r16: the capped landmark frame is localCheckpoint-ed, so the
+    # df window runs ONCE at build time; nsh and both self-join branches
+    # read the materialized RDD instead of re-deriving the window.
+    from apache_hive_1_2_2_src_spark.extensions.dedup import (
+        _containment_pairs,
+    )
+    from apache_hive_1_2_2_src_spark.plans import plan_text
+    from tests.test_round16_ops import _hot_overlay_frame
+
+    kept = _containment_pairs(_hot_overlay_frame(spark), ("t",), ("off",))
+    p = plan_text(kept)
+    assert p.count("windowspecdefinition(shingle") == 0
+    assert "ExistingRDD" in p
+    # behavior unchanged: hot bucket shed, content pair kept
+    rows = kept.collect()
+    assert len(rows) == 1 and rows[0]["relation"] == "neardup"
