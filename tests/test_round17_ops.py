@@ -139,3 +139,94 @@ def test_containment_cap_materialized_once(spark):
     # behavior unchanged: hot bucket shed, content pair kept
     rows = kept.collect()
     assert len(rows) == 1 and rows[0]["relation"] == "neardup"
+
+
+def _spectrum_corpus(spark, n=500, k_latent=8):
+    # Correlated decaying-spectrum corpus (tools/measure_opq_ivfpq.py):
+    # 8 latent factors, geometrically decaying scales, mixed into 64
+    # dims by a fixed random loading matrix — off-diagonal covariance.
+    import random
+
+    rng = random.Random(7)
+    load = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(k_latent)]
+    centers = [
+        [rng.uniform(-1, 1) for _ in range(k_latent)] for _ in range(32)
+    ]
+    rows = []
+    for i in range(n):
+        c = centers[rng.randrange(32)]
+        z = [c[j] * (0.7 ** j) + rng.gauss(0, 0.05 * 0.7 ** j)
+             for j in range(k_latent)]
+        x = [sum(z[j] * load[j][d] for j in range(k_latent))
+             + rng.gauss(0, 0.02) for d in range(64)]
+        rows.append((i, [float(v) for v in x]))
+    return spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>"
+    )
+
+
+def _exact_top3_set(e):
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from apache_hive_1_2_2_src_spark.extensions.similarity import _dot
+
+    q = e.filter(F.col("vec_id") >= 490).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    pairs = (
+        q.crossJoin(e.select(F.col("vec_id").alias("cand_id"), "embedding"))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id",
+                _dot(F.col("qe"), F.col("embedding")).alias("d"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("d").desc(), "cand_id")),
+        )
+        .filter(F.col("rk") <= 3)
+    )
+    return {(r["query_id"], r["cand_id"]) for r in pairs.collect()}
+
+
+def test_opq_composed_with_residual_ivfpq(spark):
+    # The r17 composition measurement's two load-bearing inequalities
+    # (SCALE.md r17, tools/measure_opq_ivfpq.py), pinned with the fully
+    # deterministic structured rotation (no LAPACK orbit):
+    # (a) on the correlated-spectrum corpus the rotation still pays
+    #     INSIDE the residual pipeline (measured 0.067 -> 0.100);
+    # (b) on the axis-concentrated corpus residual encoding alone
+    #     SUBSUMES the rotation — plain residual recall beats every
+    #     rotated FLAT variant (measured 0.233 vs 0.133), which is why
+    #     variance imbalance alone no longer gates rotation for IVF+PQ.
+    import pyspark.sql.functions as F
+
+    from apache_hive_1_2_2_src_spark.extensions.similarity import (
+        _pq_adc_report,
+        ivfpq_residual_topk,
+        opq_rotate,
+    )
+    from tests.test_round16_ops import _concentrated_corpus
+
+    def recall(df, truth):
+        got = {(r["query_id"], r["cand_id"]) for r in df.collect()}
+        return len(got & truth) / len(truth)
+
+    spec = _spectrum_corpus(spark).localCheckpoint()
+    truth = _exact_top3_set(spec)
+    spec_rot = spec.select(
+        "vec_id", opq_rotate(F.col("embedding")).alias("embedding")
+    ).localCheckpoint()
+    plain = recall(ivfpq_residual_topk(spark, spec), truth)
+    rotated = recall(ivfpq_residual_topk(spark, spec_rot), truth)
+    assert rotated > plain  # (a): 0.100 > 0.067 at these seeds
+
+    conc = _concentrated_corpus(spark).localCheckpoint()
+    truth_c = _exact_top3_set(conc)
+    conc_rot = conc.select(
+        "vec_id", opq_rotate(F.col("embedding")).alias("embedding")
+    ).localCheckpoint()
+    resid_plain = recall(ivfpq_residual_topk(spark, conc), truth_c)
+    flat_rotated = recall(_pq_adc_report(conc_rot), truth_c)
+    assert resid_plain > flat_rotated  # (b): 0.233 > 0.133
