@@ -993,6 +993,7 @@ def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH basket AS (
       SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      QUALIFY COUNT(*) OVER (PARTITION BY l_orderkey) <= 64
     ),
     pairs AS (
       SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
@@ -1011,17 +1012,33 @@ def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     "it's this exact self-join): distinct (order, part) pairs self-join "
     "on the order key with part_a < part_b, count baskets per pair, "
     "top-20 with a total-order tie-break. The self-join fan-out is "
-    "quadratic in BASKET SIZE, not corpus size — TPC-H orders hold <= 7 "
-    "items so the worst key contributes 21 rows; at 100 TB you cap or "
-    "sample mega-baskets exactly like the shingle-df cap in the dedup "
-    "ops (same inverted-index algebra, orders as documents and parts as "
-    "terms). One shuffle on the order key, partial-agg on the pair, "
+    "quadratic in BASKET SIZE, not corpus size, so mega-baskets are "
+    "capped IN PLAN at 64 items (r17; the shingle-df-cap algebra from "
+    "the dedup ops — orders as documents, parts as terms; one window "
+    "count keyed on the join's own shuffle key, mirrored by the "
+    "oracle's QUALIFY stanza): measured at sf0.01, ONE synthetic "
+    "5000-part wholesale/bot order adds 12.6M join rows — 106x the "
+    "whole corpus's 119k — and its n_baskets=1 artifact pairs take ALL "
+    "20 top-20 slots via the tie-break (SCALE.md r17); TPC-H baskets "
+    "hold <= 7 items so the cap is invisible on the fixture. One "
+    "shuffle on the order key, partial-agg on the pair, "
     "TakeOrderedAndProject for the top-k.",
     tags=("workload", "basket", "join"),
 )
 def workload_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
     li = load_table(spark, sf_dir, "lineitem")
-    basket = li.select("l_orderkey", "l_partkey").distinct()
+    basket = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .withColumn(
+            "__bsz",
+            F.count(F.lit(1)).over(Window.partitionBy("l_orderkey")),
+        )
+        .filter(F.col("__bsz") <= 64)
+        .drop("__bsz")
+    )
     a, b = basket.alias("a"), basket.alias("b")
     pairs = (
         a.join(
