@@ -1375,26 +1375,20 @@ def similarity_opq_rotate_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pq_adc_report(rot)
 
 
-def opq_learned_rotation(e: DataFrame, m: int = _PQ_M) -> list[list[float]]:
-    """LEARNED OPQ rotation — the parametric form of Ge et al. 2013 §4
-    ('eigenvalue allocation'): distributed covariance accumulation via
-    floor-quantized INTEGER partial sums (each Arrow batch emits one
-    flattened d x d bigint frame; the reduce is order-independent, and
-    the driver ever sees only d^2 + d cells — metadata-sized at ANY
-    corpus scale), then a driver-side d x d eigendecomposition and a
-    greedy allocation of eigen-directions to the M subspaces balancing
-    the per-subspace eigenvalue log-product (the paper's independence-
-    times-balance criterion). Returns the rotation matrix R as rows;
-    apply x' = R @ x, then PQ quantizes balanced, decorrelated
-    subspaces. Not hash-oracle-replayable (the eig float orbit differs
-    across LAPACK builds), so it ships as a helper certified by pytest
-    against the structured rotation on the energy-concentrated overlay
-    (tests/test_round16_ops.py) rather than as a registered [Q] query —
-    the structured `opq_rotate` remains the oracled member."""
+def _cov_integer_cells(e: DataFrame, d: int = _OPQ_DIM) -> DataFrame:
+    """Distributed integer covariance accumulation over (vec_id,
+    embedding): each Arrow batch floor-quantizes at _VARQ (= 2^14; the
+    multiply is by a power of two, so numpy's double floor and SQL's
+    FLOOR(CAST(val AS DOUBLE) * 16384) agree bit-exactly) and emits ONE
+    flattened frame of bigint partial sums; the keyed reduce is
+    order-independent. Returns (idx, v) with d^2 + d + 1 rows — idx in
+    [0, d^2) is the raveled sum-of-products matrix, [d^2, d^2+d) the
+    per-coordinate sums, d^2+d the row count. Metadata-sized at ANY
+    corpus scale; shared by opq_learned_rotation (collects it) and
+    similarity_covariance_offdiag_audit (stays in plan)."""
     import numpy as np
     import pandas as pd
 
-    d = _OPQ_DIM
     q = _VARQ
 
     def partials(batches):
@@ -1413,13 +1407,34 @@ def opq_learned_rotation(e: DataFrame, m: int = _PQ_M) -> list[list[float]]:
              "v": list(s2.ravel()) + list(s1) + [n]}
         )
 
-    cells = (
+    return (
         e.select("embedding")
         .mapInPandas(partials, "idx int, v long")
         .groupBy("idx")
         .agg(F.sum("v").alias("v"))
-        .collect()
     )
+
+
+def opq_learned_rotation(e: DataFrame, m: int = _PQ_M) -> list[list[float]]:
+    """LEARNED OPQ rotation — the parametric form of Ge et al. 2013 §4
+    ('eigenvalue allocation'): distributed covariance accumulation via
+    floor-quantized INTEGER partial sums (each Arrow batch emits one
+    flattened d x d bigint frame; the reduce is order-independent, and
+    the driver ever sees only d^2 + d cells — metadata-sized at ANY
+    corpus scale), then a driver-side d x d eigendecomposition and a
+    greedy allocation of eigen-directions to the M subspaces balancing
+    the per-subspace eigenvalue log-product (the paper's independence-
+    times-balance criterion). Returns the rotation matrix R as rows;
+    apply x' = R @ x, then PQ quantizes balanced, decorrelated
+    subspaces. Not hash-oracle-replayable (the eig float orbit differs
+    across LAPACK builds), so it ships as a helper certified by pytest
+    against the structured rotation on the energy-concentrated overlay
+    (tests/test_round16_ops.py) rather than as a registered [Q] query —
+    the structured `opq_rotate` remains the oracled member."""
+    import numpy as np
+
+    d = _OPQ_DIM
+    cells = _cov_integer_cells(e).collect()
     flat = {r["idx"]: r["v"] for r in cells}
     n = flat[d * d + d]
     s1 = np.array([flat[d * d + i] for i in range(d)], dtype=np.float64)
@@ -1427,6 +1442,7 @@ def opq_learned_rotation(e: DataFrame, m: int = _PQ_M) -> list[list[float]]:
         [[flat[u * d + v] for v in range(d)] for u in range(d)],
         dtype=np.float64,
     )
+    q = _VARQ
     cov = (s2 / n - np.outer(s1 / n, s1 / n)) / (float(q) * float(q))
     eigval, eigvec = np.linalg.eigh(cov)
     order = np.argsort(eigval)[::-1]
@@ -1569,6 +1585,150 @@ def similarity_subspace_variance_audit(
             .alias("rotate_recommended"),
         )
         .orderBy("subspace")
+    )
+
+
+@register(
+    "similarity_covariance_offdiag_audit",
+    oracle=f"""
+    WITH vals AS (
+      SELECT vec_id, CAST(pos - 1 AS INTEGER) AS c,
+             CAST(floor(CAST(val AS DOUBLE) * {_VARQ}) AS BIGINT) AS qv
+      FROM (SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS pos,
+                   unnest(embedding) AS val
+            FROM embeddings)
+    ),
+    nrow AS (SELECT CAST(COUNT(*) AS HUGEINT) AS nvec FROM embeddings),
+    s1 AS (SELECT c, CAST(SUM(qv) AS HUGEINT) AS s1v FROM vals GROUP BY c),
+    s2 AS (
+      SELECT a.c AS cu, b.c AS cv,
+             CAST(SUM(CAST(a.qv AS HUGEINT) * b.qv) AS HUGEINT) AS s2v
+      FROM vals a JOIN vals b ON b.vec_id = a.vec_id AND b.c >= a.c
+      GROUP BY a.c, b.c
+    ),
+    cuv AS (
+      SELECT cu, cv, ABS(n.nvec * s2.s2v - sa.s1v * sb.s1v) AS cmag
+      FROM s2
+      JOIN s1 sa ON sa.c = s2.cu
+      JOIN s1 sb ON sb.c = s2.cv
+      CROSS JOIN nrow n
+    ),
+    kinds AS (
+      SELECT CASE WHEN cu = cv THEN 'diag'
+                  WHEN cu // {_PQ_SUB} = cv // {_PQ_SUB} THEN 'within_block'
+                  ELSE 'cross_block' END AS kind,
+             CAST(COUNT(*) AS BIGINT) AS n_cells,
+             SUM(cmag) AS mass
+      FROM cuv GROUP BY 1
+    ),
+    flags AS (
+      SELECT MAX(CASE WHEN kind = 'cross_block' THEN mass END) AS cm,
+             MAX(CASE WHEN kind = 'diag' THEN mass END) AS dm
+      FROM kinds
+    )
+    SELECT k.kind, k.n_cells, CAST(k.mass AS VARCHAR) AS mass_str,
+           f.cm > f.dm AS cross_exceeds_diag,
+           f.cm > 2 * f.dm AS rotate_learned_recommended,
+           f.cm > 4 * f.dm AS rotate_strongly_recommended
+    FROM kinds k CROSS JOIN flags f
+    ORDER BY kind""",
+    doc="Covariance OFF-DIAGONAL mass audit — the decision operator for "
+    "the r17 OPQ x residual-IVF+PQ production rule (SCALE.md r17: with "
+    "residual encoding, subspace variance imbalance is SUBSUMED by the "
+    "coarse-centroid subtraction, so rotation is gated on CORRELATION "
+    "instead). The exact integer covariance numerators |n*s2_uv - "
+    "s1_u*s1_v| from the same floor-quantized partial sums as "
+    "opq_learned_rotation (_cov_integer_cells: one corpus pass, d^2+d+1 "
+    "bigint cells, everything downstream metadata-sized) are bucketed "
+    "into diag / within-block / cross-block (PQ subspaces of 16 dims) "
+    "and mass-summed in DECIMAL(38,0) — exact in both engines, so "
+    "masses ship as strings and the decision flags are pure decimal "
+    "comparisons, no division. Measured gates (tools/measure_opq_ivfpq "
+    ".py corpora): correlated spectrum cross/diag = 10.0 (rotation "
+    "pays, residual recall 0.067 -> 0.100), fixture 0.87 (rotation "
+    "hurts), axis-concentrated 0.03 (residual subsumes it) — "
+    "rotate_learned_recommended fires past 2x, strongly past 4x. "
+    "Scale: one Arrow pass + a 4161-row keyed reduce; the quadratic "
+    "d^2-per-vector unnest exists only oracle-side.",
+    tags=("extension", "similarity", "agg"),
+)
+def similarity_covariance_offdiag_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d, sub = _OPQ_DIM, _PQ_SUB
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # one corpus pass; checkpoint so the three derivations below (s2,
+    # s1, n) read the materialized 4161-cell frame, not the corpus
+    cells = _cov_integer_cells(e).localCheckpoint()
+    s2 = cells.filter(F.col("idx") < d * d).select(
+        F.floor(F.col("idx") / d).cast("int").alias("cu"),
+        (F.col("idx") % d).cast("int").alias("cv"),
+        F.col("v").alias("s2v"),
+    )
+    s1 = cells.filter(
+        (F.col("idx") >= d * d) & (F.col("idx") < d * d + d)
+    ).select((F.col("idx") - d * d).cast("int").alias("c"),
+             F.col("v").alias("s1v"))
+    nrow = cells.filter(F.col("idx") == d * d + d).select(
+        F.col("v").alias("nvec")
+    )
+
+    def dec(c):
+        return c.cast("decimal(19,0)")
+
+    cuv = (
+        s2.filter(F.col("cu") <= F.col("cv"))
+        .join(
+            F.broadcast(
+                s1.select(F.col("c").alias("cu"), F.col("s1v").alias("s1u"))
+            ),
+            "cu",
+        )
+        .join(
+            F.broadcast(
+                s1.select(F.col("c").alias("cv"), F.col("s1v").alias("s1w"))
+            ),
+            "cv",
+        )
+        .crossJoin(F.broadcast(nrow))
+        .select(
+            "cu", "cv",
+            F.abs(
+                dec(F.col("nvec")) * dec(F.col("s2v"))
+                - dec(F.col("s1u")) * dec(F.col("s1w"))
+            ).alias("cmag"),
+        )
+    )
+    kinds = (
+        cuv.withColumn(
+            "kind",
+            F.when(F.col("cu") == F.col("cv"), F.lit("diag"))
+            .when(
+                F.floor(F.col("cu") / sub) == F.floor(F.col("cv") / sub),
+                F.lit("within_block"),
+            )
+            .otherwise(F.lit("cross_block")),
+        )
+        .groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.sum("cmag").alias("mass"),
+        )
+    )
+    flags = kinds.agg(
+        F.max(F.when(F.col("kind") == "cross_block", F.col("mass"))).alias("cm"),
+        F.max(F.when(F.col("kind") == "diag", F.col("mass"))).alias("dm"),
+    )
+    return (
+        kinds.crossJoin(F.broadcast(flags))
+        .select(
+            "kind", "n_cells",
+            F.col("mass").cast("string").alias("mass_str"),
+            (F.col("cm") > F.col("dm")).alias("cross_exceeds_diag"),
+            (F.col("cm") > 2 * F.col("dm")).alias("rotate_learned_recommended"),
+            (F.col("cm") > 4 * F.col("dm")).alias("rotate_strongly_recommended"),
+        )
+        .orderBy("kind")
     )
 
 

@@ -186,6 +186,11 @@ STABLE_WINDOW = (
 # either way. (r12's 18 FRESH names all certified in CORRECTNESS_r12 and
 # rotated out; the displaced stable tail returns automatically.)
 FRESH = (
+    # the r17 registration rides first so it earns a driver-green row in
+    # its first round (never-green guard): the covariance off-diagonal
+    # audit — the decision operator for the r17 OPQ x residual-IVF+PQ
+    # production rule (SCALE.md r17).
+    "similarity_covariance_offdiag_audit",
     # r17 lead (VERDICT r16 item 1): the SIX cap-modified containment/
     # temporal dedup plans. Their newest driver-green rows are r15 — i.e.
     # they certify the PRE-cap plans; r16 added the df<=64 hot-landmark

@@ -261,3 +261,37 @@ def test_basket_pairs_cap_in_plan_and_overlay(spark, registry, tmp_path):
     # every surviving pair comes from the small baskets; the 199*200/2
     # mega pairs are shed with the basket
     assert rows and all(r["part_a"] < 7 and r["part_b"] < 7 for r in rows)
+
+
+def test_covariance_offdiag_audit_decision_behavior(spark, tmp_path):
+    # The registered decision operator must fire exactly where the r17
+    # composition measurement says rotation pays: the correlated
+    # spectrum corpus (cross/diag measured 10.0) recommends, the
+    # axis-concentrated corpus (0.03 — residual encoding subsumes the
+    # rotation) does not.
+    import pyspark.sql.functions as F
+
+    from apache_hive_1_2_2_src_spark.registry import load_all
+    from tests.test_round16_ops import _concentrated_corpus
+
+    q = load_all()["similarity_covariance_offdiag_audit"]
+
+    def run(corpus, name):
+        sf = str(tmp_path / name)
+        corpus.withColumn("label", F.lit("x")).write.parquet(
+            sf + "/embeddings.parquet"
+        )
+        rows = {r["kind"]: r for r in q.build(spark, sf).collect()}
+        assert set(rows) == {"diag", "within_block", "cross_block"}
+        assert rows["diag"]["n_cells"] == 64
+        assert rows["within_block"]["n_cells"] == 4 * 16 * 15 // 2
+        assert rows["cross_block"]["n_cells"] == (64 * 63 // 2) - 480
+        return rows["diag"]
+
+    spec = run(_spectrum_corpus(spark), "sfspec")
+    assert spec["rotate_learned_recommended"] is True
+    assert spec["rotate_strongly_recommended"] is True
+
+    conc = run(_concentrated_corpus(spark), "sfconc")
+    assert conc["cross_exceeds_diag"] is False
+    assert conc["rotate_learned_recommended"] is False
