@@ -72,6 +72,7 @@ HEADLINE = (
     "dedup_video_phash",  # animated-GIF decode + per-frame integer-DCT pHash + inverted-index overlap (r15)
     "dedup_audio_contained",  # WAV decode + positional energy landmarks + one-sided offset voting (r15)
     "similarity_opq_rotate_pq",  # Hadamard pre-rotation + the 4-chain PQ-ADC pipeline (r16)
+    "similarity_covariance_offdiag_audit",  # one-pass integer covariance block masses (r17)
 )
 
 # All 22 TPC-H query shapes in query order — timed as ONE sequential suite
