@@ -574,7 +574,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def connected_component_labels(
-    pairs: DataFrame, *, max_iters: int = 24, stats: dict | None = None
+    pairs: DataFrame, *, max_iters: int = 48, stats: dict | None = None
 ) -> DataFrame:
     """Per-MEMBER component labels (n, lbl) — the label frame behind
     connected_components; exposed so cluster-aware operators (e.g.
