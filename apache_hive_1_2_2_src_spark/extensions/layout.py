@@ -284,12 +284,29 @@ def layout_zorder3d_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def zorder_layout(df: DataFrame, xcol: str, ycol: str, n_files: int) -> DataFrame:
+def zorder_layout(
+    df: DataFrame,
+    xcol: str,
+    ycol: str,
+    n_files: int,
+    tiebreaker: str | None = None,
+) -> DataFrame:
     """Production z-order write recipe: attach the morton column and
     range-cluster into ``n_files`` contiguous curve segments. Caller writes
     with ``.drop("__morton").write.parquet(...)`` (or keeps the column).
     Keys must be INTEGER columns (``_check_scale_range`` raises TypeError
     otherwise) — cast dates/timestamps/decimals to BIGINT first.
+
+    ``tiebreaker``: a UNIQUE (or near-unique) column to break curve-code
+    ties in the range partitioner. RangePartitioner cannot split rows
+    whose range key is EQUAL, so a hot cell — 90% of rows on one (x, y)
+    — lands in ONE output partition no matter what n_files says
+    (measured: 2M rows, 90% hot -> max partition 1.84M, 29.4x the ideal;
+    SCALE.md r17). With the table's natural unique key as tiebreaker the
+    same overlay balances to ~1x. Deterministic by construction — never
+    a rand() salt, which is unsafe in a shuffle key under partial task
+    retries (nondeterministic re-draws can dup/lose rows on fetch
+    failure). Within-file order still sorts by the curve code alone.
 
     The scaling bounds come from one metadata-sized aggregate that is
     COLLECTED (one row, four longs — negligible at any scale): driver-side
@@ -315,7 +332,8 @@ def zorder_layout(df: DataFrame, xcol: str, ycol: str, n_files: int) -> DataFram
         .withColumn("__morton", morton32(F.col("__sx"), F.col("__sy")))
         .drop("__sx", "__sy")
     )
-    return with_z.repartitionByRange(n_files, "__morton").sortWithinPartitions(
+    keys = ["__morton"] + ([tiebreaker] if tiebreaker else [])
+    return with_z.repartitionByRange(n_files, *keys).sortWithinPartitions(
         "__morton"
     )
 
@@ -511,7 +529,13 @@ def layout_hilbert_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def hilbert_layout(df: DataFrame, xcol: str, ycol: str, n_files: int) -> DataFrame:
+def hilbert_layout(
+    df: DataFrame,
+    xcol: str,
+    ycol: str,
+    n_files: int,
+    tiebreaker: str | None = None,
+) -> DataFrame:
     """Production Hilbert write recipe (mirror of zorder_layout): attach
     the packed Hilbert code and range-cluster into n_files contiguous —
     and, unlike Morton, CONNECTED — curve segments. Caller writes with
@@ -519,7 +543,10 @@ def hilbert_layout(df: DataFrame, xcol: str, ycol: str, n_files: int) -> DataFra
     one-row extent is collected so over-wide key ranges raise
     (``_check_scale_range``) instead of wrapping int64, and the bounds are
     inlined as literals (no crossJoin on the per-row path). Integer keys
-    only — same TypeError contract as ``zorder_layout``."""
+    only — same TypeError contract as ``zorder_layout``. ``tiebreaker``:
+    same hot-cell range-partitioner device as ``zorder_layout`` — pass
+    the table's unique key so equal Hilbert codes can split across
+    output files (SCALE.md r17)."""
     b = df.agg(
         F.min(xcol).alias("xmin"),
         F.max(xcol).alias("xmax"),
@@ -533,6 +560,7 @@ def hilbert_layout(df: DataFrame, xcol: str, ycol: str, n_files: int) -> DataFra
         "__hilbert",
         F.expr(hilbert_fold_sql(f"({sx})", f"({sy})", "spark")),
     )
-    return with_h.repartitionByRange(n_files, "__hilbert").sortWithinPartitions(
+    keys = ["__hilbert"] + ([tiebreaker] if tiebreaker else [])
+    return with_h.repartitionByRange(n_files, *keys).sortWithinPartitions(
         "__hilbert"
     )

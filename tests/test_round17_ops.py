@@ -295,3 +295,37 @@ def test_covariance_offdiag_audit_decision_behavior(spark, tmp_path):
     conc = run(_concentrated_corpus(spark), "sfconc")
     assert conc["cross_exceeds_diag"] is False
     assert conc["rotate_learned_recommended"] is False
+
+
+def test_curve_layout_hot_cell_tiebreaker_balances(spark):
+    # r17 audit (SCALE.md): RangePartitioner cannot split EQUAL range
+    # keys, so a hot (x, y) cell lands whole in one output partition —
+    # measured 29.4x the ideal at 90% skew. The tiebreaker (the table's
+    # unique key) lets equal curve codes split; same overlay balances
+    # to ~1x. Within-partition order still sorts by the curve code.
+    import pyspark.sql.functions as F
+
+    from apache_hive_1_2_2_src_spark.extensions.layout import zorder_layout
+
+    n, files = 200_000, 16
+    df = spark.range(n).select(
+        F.col("id").alias("rid"),
+        F.when(F.col("id") % 10 < 9, F.lit(12345))
+        .otherwise((F.col("id") * 7919) % 100000).cast("long").alias("x"),
+        F.when(F.col("id") % 10 < 9, F.lit(54321))
+        .otherwise((F.col("id") * 104729) % 100000).cast("long").alias("y"),
+    )
+
+    def sizes(clustered):
+        return sorted(
+            r["c"]
+            for r in clustered.groupBy(
+                F.spark_partition_id().alias("p")
+            ).agg(F.count(F.lit(1)).alias("c")).collect()
+        )
+
+    hot = sizes(zorder_layout(df, "x", "y", files))
+    assert hot[-1] > 5 * (n / files)  # the hot cell swamps one partition
+    bal = sizes(zorder_layout(df, "x", "y", files, tiebreaker="rid"))
+    assert sum(bal) == n
+    assert bal[-1] < 2 * (n / files)  # split across files
