@@ -1339,10 +1339,16 @@ _SQL_OPQ_ROTATE = (
     "exact search is invariant while PQ sees decorrelated, "
     "energy-spread coordinates — the failure mode it fixes is a few "
     "high-variance dims landing in one subspace and starving the "
-    "other codebooks. Scale: the rotation is shuffle-free per-row "
+    "other codebooks. SCOPE (r17): this applies to the FLAT PQ "
+    "pipeline; composing the rotation with residual IVF+PQ measured as "
+    "a no-op on axis-concentrated energy (the coarse-centroid "
+    "subtraction subsumes it) and pays only on correlated spectra — "
+    "gate residual indexes on similarity_covariance_offdiag_audit "
+    "(SCALE.md r17). Scale: the rotation is shuffle-free per-row "
     "expression arithmetic (O(d^2) fused into the scan projection — "
     "no shuffle, no driver matrix), everything downstream inherits "
-    "the PQ query's broadcast-LUT shape.",
+    "the PQ query's broadcast-LUT shape; rotate real corpora through "
+    "the numpy apply_rotation kernel (3.3x the replayable fold).",
     tags=("extension", "similarity", "pq", "iterative"),
 )
 def similarity_opq_rotate_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1532,9 +1538,13 @@ _VARQ = 1 << 14
     "max/min subspace variance, and rotate_recommended fires past 4x "
     "(the energy-concentrated overlay that measured 0.000 -> 0.133 "
     "recall@3 under rotation sits at imbalance ~1000x; the isotropic "
-    "fixture corpus, where rotation HURT, sits near 1x). Scale: one "
-    "explode + one 4-group integer aggregation — a single map-side-"
-    "combining shuffle of 4 rows, no vectors on the driver.",
+    "fixture corpus, where rotation HURT, sits near 1x). SCOPE (r17): "
+    "this imbalance signal gates the FLAT PQ pipeline only — residual "
+    "IVF+PQ's coarse-centroid subtraction subsumes variance imbalance "
+    "(SCALE.md r17), so residual indexes gate on "
+    "similarity_covariance_offdiag_audit's correlation signal instead. "
+    "Scale: one explode + one 4-group integer aggregation — a single "
+    "map-side-combining shuffle of 4 rows, no vectors on the driver.",
     tags=("extension", "similarity", "agg"),
 )
 def similarity_subspace_variance_audit(
