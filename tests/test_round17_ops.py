@@ -329,3 +329,25 @@ def test_curve_layout_hot_cell_tiebreaker_balances(spark):
     bal = sizes(zorder_layout(df, "x", "y", files, tiebreaker="rid"))
     assert sum(bal) == n
     assert bal[-1] < 2 * (n / files)  # split across files
+
+
+def test_tfidf_cap_identical_corpus_verdict(spark):
+    # SCALE.md r17: on an every-doc-identical corpus the df<=64 postings
+    # cap must route the identical flood OUT of the self-join (exact
+    # dedup's job, one groupBy) while still finding the informative
+    # near-dup pair.
+    import pyspark.sql.functions as F
+
+    from apache_hive_1_2_2_src_spark.extensions.text import (
+        tfidf_cosine_pairs,
+    )
+
+    same = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, same) for i in range(100)]
+    rows.append((9001, "zeta omega kappa lambda sigma tau upsilon phi chi"))
+    rows.append((9002, "zeta omega kappa lambda sigma tau upsilon phi psi"))
+    d = spark.createDataFrame(rows, "doc_id bigint, text string").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    got = [(r["doc_a"], r["doc_b"]) for r in tfidf_cosine_pairs(d).collect()]
+    assert got == [(9001, 9002)]
