@@ -510,8 +510,13 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     "subtract exactly — no float seconds, no timestamp output columns. "
     "lag, running sum, and the session groupBy all ride ONE hash "
     "partitioning on user_id (plan-asserted) — at 100 TB this is a single "
-    "shuffle of the event log; skewed power users split fine because the "
-    "window is per-user ordered, not global.",
+    "shuffle of the event log. Per-user SEQUENTIAL semantics pin each "
+    "user to one task, so a bot-grade user (10M events measured 9.6x "
+    "the no-bot control, SCALE.md r17) stragglers this form; the "
+    "answer-identical hot-user-splitting twin is sessionize_bucketed "
+    "(time-bucket split-and-stitch, windows never partition on user_id "
+    "alone, equivalence pinned in tests/test_round17_ops.py) — one "
+    "extra shuffle, use it on bot-heavy corpora.",
     tags=("window", "session", "islands"),
 )
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -546,6 +551,95 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "start_us",
         "end_us",
         "duration_s",
+    )
+
+
+def sessionize_bucketed(
+    e: DataFrame, gap_us: int, bucket_us: int = 86_400_000_000
+) -> DataFrame:
+    """Hot-user-splitting twin of events_sessionize — ANSWER-IDENTICAL
+    (same (user_id, session_id, n_events, start_us, end_us, duration_s)
+    rows, same dense per-user numbering), but no window ever partitions
+    by user_id alone, so a bot user with 10^9 events splits across
+    time buckets instead of pinning one task (SCALE.md r17 measured the
+    naive form's single-task funnel at 9.6 s for a 10M-event user vs
+    1.0 s without).
+
+    Split-and-stitch: (1) sessionize LOCALLY within (user_id, tb) where
+    tb = ts_us div bucket_us — the per-bucket windows partition on two
+    columns; (2) reduce each bucket to ONE summary row (first_ts,
+    last_ts, n_local sessions) and run the stitch arithmetic over the
+    per-user bucket-summary frame — event-count-independent, ~|range|/
+    bucket_us rows per user: merge flag m(tb) = first event continues
+    the previous PRESENT bucket's last session (gap <= threshold; holds
+    for non-adjacent buckets too, the direct timestamp comparison does
+    not assume adjacency), base(tb) = running sum of (n_local - m) over
+    earlier buckets; (3) renumber events: session_id = base + local - m
+    uniformly (local session 1 with m=1 lands on base = the previous
+    bucket's last global id — the continuation; every later local
+    session shifts down by m). A session spanning many buckets chains
+    through consecutive merges. Two shuffles on event-sized data
+    ((user, tb) window + the final groupBy) vs the naive form's one —
+    the price of splitting the hot key; use the naive registered form
+    unless the corpus has bot-grade users.
+
+    Input: (user_id, event_id, ts_us). Equivalence to the naive form is
+    pinned in tests/test_round17_ops.py on random, boundary-crossing,
+    and hot-user corpora."""
+    tb = (F.col("ts_us") / bucket_us).cast("long").alias("tb")
+    eb = e.select("user_id", "event_id", "ts_us", tb)
+    wloc = Window.partitionBy("user_id", "tb").orderBy("ts_us", "event_id")
+    local = eb.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("ts_us").over(wloc).isNull()
+            | (F.col("ts_us") - F.lag("ts_us").over(wloc) > gap_us),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "local_sid",
+        F.sum("new_sess").over(
+            wloc.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    summary = local.groupBy("user_id", "tb").agg(
+        F.min("ts_us").alias("first_ts"),
+        F.max("ts_us").alias("last_ts"),
+        F.max("local_sid").alias("n_local"),
+    )
+    wsum = Window.partitionBy("user_id").orderBy("tb")
+    stitched = summary.withColumn(
+        "m",
+        F.when(
+            F.col("first_ts") - F.lag("last_ts").over(wsum) <= gap_us,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "base",
+        F.coalesce(
+            F.sum(F.col("n_local") - F.col("m")).over(
+                wsum.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    renum = local.join(
+        stitched.select("user_id", "tb", "m", "base"), ["user_id", "tb"]
+    ).select(
+        "user_id", "ts_us",
+        (F.col("base") + F.col("local_sid") - F.col("m")).alias("session_id"),
+    )
+    return renum.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min("ts_us").cast("long").alias("start_us"),
+        F.max("ts_us").cast("long").alias("end_us"),
+        F.floor((F.max("ts_us") - F.min("ts_us")) / 1_000_000)
+        .cast("long")
+        .alias("duration_s"),
+    ).select(
+        "user_id",
+        F.col("session_id").cast("long").alias("session_id"),
+        "n_events", "start_us", "end_us", "duration_s",
     )
 
 

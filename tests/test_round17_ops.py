@@ -351,3 +351,119 @@ def test_tfidf_cap_identical_corpus_verdict(spark):
     )
     got = [(r["doc_a"], r["doc_b"]) for r in tfidf_cosine_pairs(d).collect()]
     assert got == [(9001, 9002)]
+
+
+def _naive_sessionize(e, gap_us):
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    numbered = e.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("ts_us").over(w).isNull()
+            | (F.col("ts_us") - F.lag("ts_us").over(w) > gap_us),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "session_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min("ts_us").cast("long").alias("start_us"),
+        F.max("ts_us").cast("long").alias("end_us"),
+        F.floor((F.max("ts_us") - F.min("ts_us")) / 1_000_000)
+        .cast("long").alias("duration_s"),
+    ).select(
+        "user_id", F.col("session_id").cast("long").alias("session_id"),
+        "n_events", "start_us", "end_us", "duration_s",
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_sessionize_bucketed_equivalence_random(spark):
+    # Random corpus: 200 users x ~50 events over 30 days, 12h gap, 1-day
+    # buckets — sessions routinely cross bucket boundaries.
+    import random
+
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from apache_hive_1_2_2_src_spark.operators.windows import (
+        sessionize_bucketed,
+    )
+
+    rng = random.Random(17)
+    rows = []
+    eid = 0
+    for u in range(200):
+        t = rng.randrange(0, 86_400_000_000)
+        for _ in range(rng.randrange(20, 80)):
+            t += rng.randrange(0, 30 * 3600) * 1_000_000  # 0..30h jumps
+            rows.append((u, eid, t))
+            eid += 1
+    e = spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, ts_us bigint"
+    )
+    gap = 12 * 3600 * 1_000_000
+    assert _rows(sessionize_bucketed(e, gap)) == _rows(
+        _naive_sessionize(e, gap)
+    )
+
+
+def test_sessionize_bucketed_boundary_and_hot_user(spark):
+    # Constructed edges: a session spanning THREE buckets via chained
+    # merges; a bucket whose single local session both merges backward
+    # and is continued forward; non-adjacent present buckets (empty day
+    # between) both under and over the gap; plus a 20k-event hot user.
+    # The hot user's local windows partition on (user_id, tb) — pinned.
+    import pyspark.sql.functions as F
+
+    from apache_hive_1_2_2_src_spark.operators.windows import (
+        sessionize_bucketed,
+    )
+    from apache_hive_1_2_2_src_spark.plans import plan_text
+    from apache_hive_1_2_2_src_spark.plans.audit import (
+        window_partition_specs,
+    )
+
+    D = 86_400_000_000
+    H = 3_600_000_000
+    rows = [
+        # user 1: one session spanning day0 23:00 -> day1 -> day2 01:00
+        (1, 0, 23 * H), (1, 1, D + 1 * H), (1, 2, D + 13 * H),
+        (1, 3, 2 * D + 1 * H),
+        # then a real 13h gap inside day 2 -> new session
+        (1, 4, 2 * D + 15 * H),
+        # user 2: empty day between events, gap 26h > 12h -> new session
+        (2, 5, 10 * H), (2, 6, 2 * D + 12 * H),
+        # user 3: empty day between events but gap 11h <= 12h (23:30 ->
+        # day2 10:30 is 35h — make it bucket-adjacent instead: 23:30 ->
+        # day1 10:30 = 11h, same session across buckets)
+        (3, 7, 23 * H + 30 * 60 * 1_000_000), (3, 8, D + 10 * H + 30 * 60 * 1_000_000),
+    ]
+    eid = 100
+    for i in range(20_000):  # hot user 99: every 10 min for ~139 days
+        rows.append((99, eid, i * 600 * 1_000_000))
+        eid += 1
+    e = spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, ts_us bigint"
+    )
+    gap = 12 * 3600 * 1_000_000
+    got = sessionize_bucketed(e, gap)
+    assert _rows(got) == _rows(_naive_sessionize(e, gap))
+    # hot user collapses to ONE session with dense id 1
+    hot = [r for r in got.collect() if r["user_id"] == 99]
+    assert len(hot) == 1 and hot[0]["session_id"] == 1
+    assert hot[0]["n_events"] == 20_000
+    # no window in the bucketed plan partitions by user_id alone
+    specs = window_partition_specs(got)
+    assert specs and all(len(s) >= 2 or s == ["user_id"] for s in specs)
+    assert any(s == ["user_id", "tb"] for s in specs)
+    # the only single-key windows are over the BUCKET SUMMARY frame
+    # (event-count-independent); the event-sized window carries (user, tb)
+    p = plan_text(got)
+    assert "windowspecdefinition(user_id#" in p  # summary stitch window
