@@ -922,6 +922,46 @@ def streaming_acid_delta_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 LAST_LSH_STORES: dict = {}
 
 
+def compact_partitioned_store(
+    spark: SparkSession, path: str, part_col: str = "pb"
+) -> tuple[int, int]:
+    """Housekeeping compactor for the hash-partitioned streaming state
+    stores (sig/shingle/landmark/IVF): every foreachBatch drop appends
+    ONE parquet file per touched ``part_col=<v>`` dir, so file count
+    grows O(epochs x buckets) while bytes stay O(state) — measured
+    54 -> 216 files across 3 -> 12 drops on the same corpus (SCALE.md
+    r17); at a minutes-cadence year that is millions of small files.
+    Rewrites the store to one file per partition dir (read -> write to
+    a side dir with the repartition-first discipline -> directory
+    swap), preserving the ``part_col=`` layout so probe-side partition
+    pruning is untouched. Returns (files_before, files_after).
+
+    NOT concurrent-safe with an in-flight drop — run it between drops,
+    exactly like the ACID Cleaner runs between transactions; a crash
+    between the two renames leaves either the original store or the
+    compacted one plus a ``<path>__old`` to reclaim, never a mix."""
+    import glob as _glob
+    import shutil as _shutil
+
+    def _nfiles() -> int:
+        return len(
+            _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        )
+
+    before = _nfiles()
+    df = spark.read.parquet(path)
+    k = df.select(part_col).distinct().count()
+    side = path + "__compact"
+    df.repartition(k, part_col).write.mode("overwrite").partitionBy(
+        part_col
+    ).parquet(side)
+    old = path + "__old"
+    os.rename(path, old)
+    os.rename(side, path)
+    _shutil.rmtree(old, ignore_errors=True)
+    return before, _nfiles()
+
+
 def _lsh_probe_dedup(
     spark: SparkSession, sf_dir: str, n_batches: int, store_buckets: int = 8
 ) -> DataFrame:

@@ -467,3 +467,50 @@ def test_sessionize_bucketed_boundary_and_hot_user(spark):
     # (event-count-independent); the event-sized window carries (user, tb)
     p = plan_text(got)
     assert "windowspecdefinition(user_id#" in p  # summary stitch window
+
+
+def test_compact_partitioned_store_preserves_content_and_pruning(spark):
+    # SCALE.md r17: streaming store file count grows O(epochs x buckets)
+    # while bytes stay O(state). The compactor must collapse to ~1 file
+    # per partition dir, preserve content EXACTLY, and keep the pb=
+    # layout so plan-level partition pruning still works.
+    import glob
+    import os
+
+    import pyspark.sql.functions as F
+
+    from apache_hive_1_2_2_src_spark.streaming.windows import (
+        _tmp_base,
+        compact_partitioned_store,
+    )
+
+    base = _tmp_base("hive_spark_compactst_")
+    store = os.path.join(base, "store")
+    # 6 "drops", each appending one file per touched partition dir
+    for drop in range(6):
+        spark.range(drop * 100, drop * 100 + 100).select(
+            F.col("id").alias("k"), F.pmod(F.col("id"), F.lit(8)).cast("int").alias("pb")
+        ).repartition(8, "pb").write.mode("append").partitionBy("pb").parquet(store)
+    before_rows = sorted(
+        (r["k"], r["pb"]) for r in spark.read.parquet(store).collect()
+    )
+    nfiles = len(glob.glob(store + "/**/*.parquet", recursive=True))
+    assert nfiles >= 6 * 8  # the measured epoch-growth shape
+
+    before, after = compact_partitioned_store(spark, store)
+    assert before == nfiles and after == 8  # one file per partition dir
+    after_rows = sorted(
+        (r["k"], r["pb"]) for r in spark.read.parquet(store).collect()
+    )
+    assert after_rows == before_rows
+    # pruned probe still READS only the probed dirs (execution ground
+    # truth via input_file_name — df.inputFiles() ignores filter-based
+    # partition pruning, see tools/scale_harness.files_opened)
+    probe = spark.read.parquet(store).where(F.col("pb").isin([2, 5]))
+    opened = {
+        r["f"].split("pb=")[1].split("/")[0]
+        for r in probe.select(
+            F.input_file_name().alias("f")
+        ).distinct().collect()
+    }
+    assert opened == {"2", "5"}
