@@ -514,3 +514,40 @@ def test_compact_partitioned_store_preserves_content_and_pruning(spark):
         ).distinct().collect()
     }
     assert opened == {"2", "5"}
+
+
+def test_compactor_on_real_lsh_stores_preserves_prune_gate(spark):
+    # The compactor pinned on the synthetic store, re-pinned on the REAL
+    # post-drain LSH state stores: drain the 3-drop ingest, compact both
+    # stores in place, assert file counts collapse to <= store_buckets
+    # (+1 tolerance for empty-partition absence), content row-counts
+    # survive, and a bucket-restricted probe still reads only its dirs.
+    import glob
+    import os
+
+    import pyspark.sql.functions as F
+
+    from apache_hive_1_2_2_src_spark.streaming import windows as sw
+    from apache_hive_1_2_2_src_spark.streaming.windows import (
+        compact_partitioned_store,
+    )
+    from tests.conftest import SF_DIR
+
+    sw._lsh_probe_dedup(spark, SF_DIR, n_batches=3).count()
+    for store, part_col in (
+        (sw.LAST_LSH_STORES["sig"], "sb"),
+        (sw.LAST_LSH_STORES["shingle"], "db"),
+    ):
+        nrows = spark.read.parquet(store).count()
+        before, after = compact_partitioned_store(spark, store, part_col)
+        assert after <= sw.LAST_LSH_STORES["store_buckets"]
+        assert after < before
+        assert spark.read.parquet(store).count() == nrows
+        probe = spark.read.parquet(store).where(F.col(part_col).isin([0, 3]))
+        opened = {
+            r["f"].split(f"{part_col}=")[1].split("/")[0]
+            for r in probe.select(
+                F.input_file_name().alias("f")
+            ).distinct().collect()
+        }
+        assert opened <= {"0", "3"}
