@@ -644,6 +644,62 @@ def sessionize_bucketed(
 
 
 @register(
+    "sessionize_bucketed",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us
+      FROM events
+    ),
+    gapped AS (
+      SELECT user_id, event_id, ts_us,
+             CASE WHEN LAG(ts_us) OVER w IS NULL
+                    OR ts_us - LAG(ts_us) OVER w > 43200000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ),
+    numbered AS (
+      SELECT user_id, event_id, ts_us,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gapped
+    )
+    SELECT user_id,
+           CAST(session_id AS BIGINT) AS session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(ts_us) AS BIGINT) AS start_us,
+           CAST(MAX(ts_us) AS BIGINT) AS end_us,
+           CAST((MAX(ts_us) - MIN(ts_us)) // 1000000 AS BIGINT) AS duration_s
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+    doc="Hot-user-splitting sessionization (the bot-corpus twin of "
+    "events_sessionize — ANSWER-IDENTICAL by construction, so the oracle "
+    "is the SAME naive islands SQL; DuckDB computes the single-key form, "
+    "Spark computes the split-and-stitch form, and the hash match IS the "
+    "external equivalence certificate on top of the pytest pins in "
+    "tests/test_round17_ops.py). No window over event-sized data ever "
+    "partitions on user_id alone: local sessionize runs within "
+    "(user_id, day-bucket), each bucket reduces to ONE summary row, and "
+    "the stitch window rides the bucket-summary frame (~|active days| "
+    "rows per user, event-count-independent). A 10^9-event bot user "
+    "therefore spreads across ~|days| tasks instead of pinning one "
+    "(SCALE.md r17: 10M-event bot, naive 10.2 s -> 7.3 s even on "
+    "local[32]; the gap widens with executor count because the straggler "
+    "bounds the naive stage). Two event-sized shuffles vs the naive "
+    "form's one — use events_sessionize on human-bounded corpora, this "
+    "form when per-key cardinality is adversarial. The no-single-key-"
+    "window property is plan-asserted in tests/test_round18_ops.py.",
+    tags=("window", "session", "islands", "skew"),
+)
+def sessionize_bucketed_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us")
+    )
+    return sessionize_bucketed(e, gap_us=12 * 3600 * 1_000_000)
+
+
+@register(
     "events_session_dynamic_gap",
     oracle="""
     WITH e AS (

@@ -186,73 +186,57 @@ STABLE_WINDOW = (
 # either way. (r12's 18 FRESH names all certified in CORRECTNESS_r12 and
 # rotated out; the displaced stable tail returns automatically.)
 FRESH = (
-    # the r17 registration rides first so it earns a driver-green row in
-    # its first round (never-green guard): the covariance off-diagonal
-    # audit — the decision operator for the r17 OPQ x residual-IVF+PQ
-    # production rule (SCALE.md r17).
-    "similarity_covariance_offdiag_audit",
-    # r17 lead (VERDICT r16 item 1): the SIX cap-modified containment/
-    # temporal dedup plans. Their newest driver-green rows are r15 — i.e.
-    # they certify the PRE-cap plans; r16 added the df<=64 hot-landmark
-    # cap to the executed plan + oracle of each. The external chain must
-    # certify the capped code it will be trusted for.
-    "dedup_video_phash",
-    "dedup_video_temporal",
-    "dedup_video_contained",
-    "dedup_audio_contained",
-    "dedup_image_cropped",
-    "streaming_dedup_contained_incremental",
-    # r17 rotation, steady state (VERDICT r16 item 1, second half): the
-    # full 39-name r7 cohort — after this round the oldest driver-green
-    # row anywhere is r8 and the ~2-round full-refresh cadence holds.
-    # All 39 re-verified by the local 365/365 sf0.01 sweep before riding.
-    # 6 cap leads + 39 rotation names + flagship leaves 4 tail slots,
-    # filled from STABLE_WINDOW in order (streaming_acid_delta_ingest,
-    # workload_product_profit, flagship_sql_text, acid_read_compacted —
-    # r13/r15/r16-green breadth anchors).
-    "agg_distinct_grouping_sets",
-    "agg_percentile_array",
-    "coercion_lattice_suite",
-    "cte_with_clause_sql",
-    "ddl_bucketed_dialect_lifecycle",
-    "ddl_insert_values",
-    "ddl_show_describe",
-    "ddl_view_lifecycle",
-    "dedup_incremental_batch",
-    "dedup_substring_spans",
-    "dedup_threshold_sweep",
-    "diagnostics_key_skew",
-    "events_attribution_last_touch",
-    "events_dau_wau",
-    "events_funnel",
-    "events_retention_cohorts",
-    "events_sessionize",
-    "json_typed_projection",
-    "msck_repair_partitions",
-    "order_nulls_suite",
-    "pipeline_corpus_diff",
-    "sample_kfold_assign",
-    "sample_token_budget",
-    "script_reduce_sql",
-    "sentences_tokenize",
-    "sequencefile_roundtrip_agg",
-    "similarity_knn_label_audit",
-    "sql_variable_substitution",
-    "str_json_suite",
-    "streaming_static_enrich",
-    "streaming_stream_join",
-    "text_chunk_windows",
-    "text_contamination_apply",
-    "text_lang_confusion",
-    "text_tfidf_cosine",
-    "timeseries_gap_fill",
-    "uniontype_emulated",
-    "workload_basket_pairs",
-    "workload_scd2_dimension",
-    # breadth: the r17 window's udtf representative (the r7 cohort has
-    # none and the auto-filled tail truncates before reaching
-    # lateral_view_sql in STABLE_WINDOW order).
-    "lateral_view_sql",
+    # r18 registrations ride first so each earns a driver-green row in its
+    # first round (never-green guard): the hot-user-splitting sessionize
+    # twin (VERDICT r17 item 3 — the bot-corpus path the docs point users
+    # to now carries its own external row; oracle = the naive islands SQL,
+    # so the hash match doubles as the equivalence certificate).
+    "sessionize_bucketed",
+    # r18 rotation (VERDICT r17 item 2): the full 32-name r8 cohort — the
+    # oldest-driver-green block (newest green row = r8 for each, computed
+    # from CORRECTNESS_r01..r17). After this round the oldest driver-green
+    # row anywhere is r9 and the ~2-round refresh cadence holds. All 32
+    # re-verified by the local 366/366 sf0.01 sweep before riding.
+    # 1 new + 32 rotation + flagship leaves 16 tail slots, filled from
+    # STABLE_WINDOW in order (streaming_acid_delta_ingest ... join_asof) —
+    # covering the streaming/udtf/extension breadth tags the cohort lacks.
+    "agg_approx_count_distinct",
+    "agg_approx_top_k",
+    "agg_argmax_struct",
+    "agg_filter_clause_sql",
+    "agg_histogram_numeric",
+    "agg_mode_exact",
+    "agg_stats_merge_incremental",
+    "agg_weighted_median",
+    "cluster_by_sql",
+    "ddl_partitioned_insert",
+    "ddl_stored_as_hive_dialect",
+    "fixedwidth_read",
+    "insert_overwrite_directory",
+    "join_asof_forward",
+    "join_range_interval",
+    "json_tuple_extract",
+    "multi_insert_fanout",
+    "schema_evolution_merge",
+    "text_delimited_read",
+    "virtual_columns_invariants",
+    "window_agg_default_frame",
+    "window_ntile_partitioned",
+    "window_running_sum_rows_frame",
+    "workload_disjunctive_revenue",
+    "workload_idle_customers",
+    "workload_large_volume_customer",
+    "workload_min_cost_supplier_sql",
+    "workload_nation_volume_shipping",
+    "workload_order_priority_check",
+    "workload_shipmode_priority",
+    "workload_small_qty_revenue",
+    "workload_top_supplier",
+    # breadth: the cohort carries no functions-tagged query and the
+    # auto-filled tail truncates before reaching the STABLE_WINDOW
+    # functions reps — ride the OLDEST-green functions query (r10), so
+    # the breadth slot also advances the refresh cadence.
+    "collection_map_suite",
 )
 
 PRIORITY = (
