@@ -992,7 +992,13 @@ def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     "workload_basket_pairs",
     oracle="""
     WITH basket AS (
-      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      -- DISTINCT must complete BEFORE the cap window: DuckDB evaluates a
+      -- same-block QUALIFY against the pre-DISTINCT rows (verified r18),
+      -- which would cap on raw line count while the Spark plan caps on
+      -- distinct basket size — divergent exactly on duplicate-heavy
+      -- wholesale orders (>64 lines, <=64 distinct parts). Subquery
+      -- placement makes both engines cap on distinct (order, part) rows.
+      SELECT * FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
       QUALIFY COUNT(*) OVER (PARTITION BY l_orderkey) <= 64
     ),
     pairs AS (
@@ -1016,7 +1022,9 @@ def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     "capped IN PLAN at 64 items (r17; the shingle-df-cap algebra from "
     "the dedup ops — orders as documents, parts as terms; one window "
     "count keyed on the join's own shuffle key, mirrored by the "
-    "oracle's QUALIFY stanza): measured at sf0.01, ONE synthetic "
+    "oracle's QUALIFY stanza outside the DISTINCT subquery so both "
+    "engines cap on DISTINCT basket size, not raw line count — r18 "
+    "fix): measured at sf0.01, ONE synthetic "
     "5000-part wholesale/bot order adds 12.6M join rows — 106x the "
     "whole corpus's 119k — and its n_baskets=1 artifact pairs take ALL "
     "20 top-20 slots via the tie-break (SCALE.md r17); TPC-H baskets "

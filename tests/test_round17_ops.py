@@ -262,6 +262,40 @@ def test_basket_pairs_cap_in_plan_and_overlay(spark, registry, tmp_path):
     # mega pairs are shed with the basket
     assert rows and all(r["part_a"] < 7 and r["part_b"] < 7 for r in rows)
 
+    # r18 (ADVICE): duplicate-line overlay — an order with >64 RAW lines
+    # but <=64 DISTINCT parts (the duplicate-heavy wholesale shape the cap
+    # exists for) must survive on BOTH engines. DuckDB evaluates a
+    # same-block QUALIFY before DISTINCT, so the old oracle capped on raw
+    # line count and shed this order while the Spark plan kept it —
+    # invisible on TPC-H (<=7 lines/order). The oracle's DISTINCT now
+    # lives in a subquery under the QUALIFY; this pins the agreement.
+    import duckdb
+
+    sf2 = str(tmp_path / "sfdup")
+    dup = spark.range(200).select(
+        F.lit(777).alias("l_orderkey"),
+        (F.col("id") % 50).alias("l_partkey"),  # 200 lines, 50 distinct
+    )
+    li.unionByName(dup).write.parquet(sf2 + "/lineitem.parquet")
+    got = sorted(tuple(r) for r in q.build(spark, sf2).collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{sf2}/lineitem.parquet/*.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.execute(q.oracle).fetchall())
+    assert got == want
+    # negative control: the pre-r18 same-block QUALIFY form (cap on raw
+    # line count) sheds order 777 and genuinely diverges here — proving
+    # this overlay exercises the divergence the fix closes.
+    old_form = q.oracle.replace(
+        "SELECT * FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
+        "SELECT DISTINCT l_orderkey, l_partkey FROM lineitem",
+    )
+    assert old_form != q.oracle
+    old = sorted(tuple(r) for r in con.execute(old_form).fetchall())
+    assert old != got
+
 
 def test_covariance_offdiag_audit_decision_behavior(spark, tmp_path):
     # The registered decision operator must fire exactly where the r17
