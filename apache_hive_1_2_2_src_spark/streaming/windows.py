@@ -921,6 +921,10 @@ def streaming_acid_delta_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # regression gate in tests/test_round13_ops.py reads the REAL stores.
 LAST_LSH_STORES: dict = {}
 
+# Last streaming_ivf_index_maintenance run's cell store — the r18 compactor
+# pin reads the REAL post-drain IVF store, not a synthetic one.
+LAST_IVF_STORES: dict = {}
+
 
 def compact_partitioned_store(
     spark: SparkSession, path: str, part_col: str = "pb"
@@ -932,33 +936,77 @@ def compact_partitioned_store(
     54 -> 216 files across 3 -> 12 drops on the same corpus (SCALE.md
     r17); at a minutes-cadence year that is millions of small files.
     Rewrites the store to one file per partition dir (read -> write to
-    a side dir with the repartition-first discipline -> directory
-    swap), preserving the ``part_col=`` layout so probe-side partition
-    pruning is untouched. Returns (files_before, files_after).
+    a side dir with the repartition-first discipline -> validate ->
+    directory swap), preserving the ``part_col=`` layout so probe-side
+    partition pruning is untouched. Returns (files_before, files_after).
 
-    NOT concurrent-safe with an in-flight drop — run it between drops,
-    exactly like the ACID Cleaner runs between transactions; a crash
-    between the two renames leaves either the original store or the
-    compacted one plus a ``<path>__old`` to reclaim, never a mix."""
-    import glob as _glob
-    import shutil as _shutil
+    All filesystem metadata ops go through the Hadoop FS API (r18 —
+    VERDICT r17 item 1), so the compactor runs unchanged against
+    file://, hdfs://, and s3a:// stores; file counting is ONE
+    ``inputFiles()`` round trip (the r12-measured fast listing, see
+    write_hive_bucketed) rather than per-file gateway calls.
+
+    Crash contract (validate-before-rename, hive_bucketing discipline):
+    the side store is fully written AND row-count-validated before the
+    first rename, so every reachable crash state is recoverable and THIS
+    function reclaims it at entry:
+    - ``path`` present: any ``__old``/``__compact`` sidecars are stale
+      leftovers of an interrupted prior run — deleted, then compaction
+      proceeds normally.
+    - ``path`` absent + ``__old`` present: crashed inside the two-rename
+      window. ``__compact`` (validated before the window opened) is
+      renamed into place if present, else ``__old`` is restored — the
+      store reappears either way, never a mix.
+    A reader CAN observe a missing ``path`` inside the two-rename window
+    itself (rename(path, old) committed, rename(side, path) not yet) —
+    run the compactor between drops with probes quiesced, exactly like
+    the ACID Cleaner runs between transactions. On HDFS each rename is
+    an atomic metadata op; on S3A a dir rename is a non-atomic
+    copy+delete, so the quiesce window is longer but the entry-time
+    reclaim still restores any interruption."""
+    from apache_hive_1_2_2_src_spark.sources.hive_bucketing import _hadoop_fs
+
+    _, fs, P = _hadoop_fs(spark, path)
+    tgt, old, side = P(path), P(path + "__old"), P(path + "__compact")
+
+    if fs.exists(tgt):
+        fs.delete(old, True)
+        fs.delete(side, True)
+    elif fs.exists(old):
+        done = fs.exists(side) and fs.rename(side, tgt)
+        if not done and not fs.rename(old, tgt):
+            raise RuntimeError(f"could not restore {path} from __old")
+        fs.delete(old, True)
+        fs.delete(side, True)
+    else:
+        raise FileNotFoundError(f"no store at {path} (and no __old to reclaim)")
 
     def _nfiles() -> int:
-        return len(
-            _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        return sum(
+            1 for f in spark.read.parquet(path).inputFiles()
+            if f.endswith(".parquet")
         )
 
     before = _nfiles()
     df = spark.read.parquet(path)
     k = df.select(part_col).distinct().count()
-    side = path + "__compact"
     df.repartition(k, part_col).write.mode("overwrite").partitionBy(
         part_col
-    ).parquet(side)
-    old = path + "__old"
-    os.rename(path, old)
-    os.rename(side, path)
-    _shutil.rmtree(old, ignore_errors=True)
+    ).parquet(path + "__compact")
+    n_src = df.count()
+    n_side = spark.read.parquet(path + "__compact").count()
+    if n_src != n_side:
+        fs.delete(side, True)
+        raise RuntimeError(
+            f"compacted store row count {n_side} != source {n_src}; "
+            f"store untouched"
+        )
+    if not fs.rename(tgt, old):
+        raise RuntimeError(f"rename {path} -> __old failed; store untouched")
+    if not fs.rename(side, tgt):
+        fs.rename(old, tgt)  # put the original back before failing
+        raise RuntimeError(f"rename __compact -> {path} failed; restored")
+    fs.delete(old, True)
     return before, _nfiles()
 
 
@@ -2026,6 +2074,7 @@ def streaming_ivf_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
     store = os.path.join(base, "cell_store")
     ckpt = os.path.join(base, "ckpt")
     os.makedirs(inbox, exist_ok=True)
+    LAST_IVF_STORES["cell"] = store
 
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     # The quantizer trains ONCE on the initial corpus slice (FAISS's

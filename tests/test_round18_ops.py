@@ -39,3 +39,144 @@ def test_sessionize_bucketed_query_matches_naive(spark, registry):
     rows_a = sorted(map(tuple, a.collect()))
     rows_b = sorted(map(tuple, b.collect()))
     assert rows_a == rows_b
+
+
+# ---------------- FS-API state-store compactor (VERDICT r17 item 1) -------
+
+
+def _mk_store(spark, store: str, drops: int = 4, buckets: int = 8):
+    import pyspark.sql.functions as F
+
+    for drop in range(drops):
+        spark.range(drop * 100, drop * 100 + 100).select(
+            F.col("id").alias("k"),
+            F.pmod(F.col("id"), F.lit(buckets)).cast("int").alias("pb"),
+        ).repartition(buckets, "pb").write.mode("append").partitionBy(
+            "pb"
+        ).parquet(store)
+    return sorted((r["k"], r["pb"]) for r in spark.read.parquet(store).collect())
+
+
+def test_compactor_reclaims_stale_sidecars_with_store_present(spark, tmp_path):
+    """Crash state (a): a prior run died AFTER writing __compact but BEFORE
+    the first rename — path intact, stale sidecars present. Entry must
+    delete both (a stale __old would make rename(path, __old) fail; a stale
+    __compact holds outdated state) and compact normally."""
+    import os
+
+    from apache_hive_1_2_2_src_spark.streaming.windows import (
+        compact_partitioned_store,
+    )
+
+    store = str(tmp_path / "store")
+    rows = _mk_store(spark, store)
+    # fabricate stale sidecars: an old snapshot and a half-written compact
+    os.makedirs(store + "__old")
+    with open(store + "__old/junk", "w") as f:
+        f.write("stale")
+    spark.range(3).write.parquet(store + "__compact")
+
+    before, after = compact_partitioned_store(spark, store)
+    assert after == 8 < before
+    assert not os.path.exists(store + "__old")
+    assert not os.path.exists(store + "__compact")
+    assert sorted(
+        (r["k"], r["pb"]) for r in spark.read.parquet(store).collect()
+    ) == rows
+
+
+def test_compactor_finishes_interrupted_swap(spark, tmp_path):
+    """Crash state (b): died between the two renames — path MISSING,
+    __old = original store, __compact = fully validated compacted store.
+    Entry must finish the swap (compacted data wins; it is equal by the
+    validate-before-rename contract) and reclaim __old."""
+    import os
+
+    from apache_hive_1_2_2_src_spark.streaming.windows import (
+        compact_partitioned_store,
+    )
+
+    store = str(tmp_path / "store")
+    rows = _mk_store(spark, store)
+    # run one real compaction to obtain a genuine __compact, then rewind
+    # the filesystem to the mid-swap state: path -> __old, side present
+    df = spark.read.parquet(store)
+    df.repartition(8, "pb").write.partitionBy("pb").parquet(store + "__compact")
+    os.rename(store, store + "__old")
+
+    before, after = compact_partitioned_store(spark, store)
+    assert after == 8
+    assert not os.path.exists(store + "__old")
+    assert not os.path.exists(store + "__compact")
+    assert sorted(
+        (r["k"], r["pb"]) for r in spark.read.parquet(store).collect()
+    ) == rows
+
+
+def test_compactor_restores_from_old_without_compact(spark, tmp_path):
+    """Crash state (c): __old present, no __compact (an operator deleted a
+    suspect side dir, or the side write itself was lost) — the original
+    store must come back."""
+    import os
+
+    from apache_hive_1_2_2_src_spark.streaming.windows import (
+        compact_partitioned_store,
+    )
+
+    store = str(tmp_path / "store")
+    rows = _mk_store(spark, store)
+    os.rename(store, store + "__old")
+
+    before, after = compact_partitioned_store(spark, store)
+    assert after == 8
+    assert sorted(
+        (r["k"], r["pb"]) for r in spark.read.parquet(store).collect()
+    ) == rows
+
+
+def test_compactor_missing_store_raises(spark, tmp_path):
+    import pytest
+
+    from apache_hive_1_2_2_src_spark.streaming.windows import (
+        compact_partitioned_store,
+    )
+
+    with pytest.raises(FileNotFoundError):
+        compact_partitioned_store(spark, str(tmp_path / "nope"))
+
+
+def test_compactor_on_real_ivf_store(spark):
+    """The r18 pin the verdict asked for: compact the REAL post-drain
+    streaming IVF cell store (epoch=N/cell=C layout from
+    streaming_ivf_index_maintenance), assert content equality, file-count
+    collapse to one file per cell, and plan-level cell pruning after the
+    rewrite (execution ground truth via input_file_name)."""
+    import pyspark.sql.functions as F
+
+    from apache_hive_1_2_2_src_spark.streaming import windows as sw
+    from apache_hive_1_2_2_src_spark.streaming.windows import (
+        compact_partitioned_store,
+    )
+
+    sw.streaming_ivf_index_maintenance(spark, SF_DIR).count()
+    store = sw.LAST_IVF_STORES["cell"]
+    pre = sorted(
+        (r["vec_id"], r["cell"], r["epoch"])
+        for r in spark.read.parquet(store).collect()
+    )
+    n_cells = spark.read.parquet(store).select("cell").distinct().count()
+
+    before, after = compact_partitioned_store(spark, store, part_col="cell")
+    assert after == n_cells < before  # epochs collapsed into cell dirs
+    post = sorted(
+        (r["vec_id"], r["cell"], r["epoch"])
+        for r in spark.read.parquet(store).collect()
+    )
+    assert post == pre
+    cells = sorted({c for _, c, _ in pre})[:2]
+    probe = spark.read.parquet(store).where(F.col("cell").isin(cells))
+    opened = {
+        r["f"].split("cell=")[1].split("/")[0]
+        for r in probe.select(F.input_file_name().alias("f")).distinct().collect()
+    }
+    assert opened == {str(c) for c in cells}
