@@ -1184,7 +1184,7 @@ def _idct_mat():
     return c
 
 
-def decode_jpeg_gray(buf: bytes) -> tuple[int, int, int]:
+def decode_jpeg_gray(buf: bytes, *, pure: bool = False) -> tuple[int, int, int]:
     """Decode a baseline grayscale JFIF: marker walk (APPn/COM skipped,
     DQT/SOF0/DHT parsed — any table ids), canonical Huffman decode of the
     entropy segment (DC categories + EXTEND, AC run/size with ZRL and
@@ -1194,12 +1194,17 @@ def decode_jpeg_gray(buf: bytes) -> tuple[int, int, int]:
     Returns (width, height, sum of gray pixel values). Refuses
     progressive (SOF2), multi-component, and restart-interval streams
     loudly rather than guessing. A NATIVE_DECODERS["jpeg"] entry takes
-    the path instead (same contract — see the injection seam)."""
+    the path instead (same contract — see the injection seam);
+    ``pure=True`` forces the pure-Python codec, which is what lets the
+    verification gate compare a CANDIDATE decoder against this function
+    even when a native decoder is already installed (r18 fix: the gate
+    previously validated replacements against the incumbent native
+    decoder — defeated exactly in the replace-a-bad-decoder case)."""
     import struct
 
     import numpy as np
 
-    native = NATIVE_DECODERS.get("jpeg")
+    native = None if pure else NATIVE_DECODERS.get("jpeg")
     if native:
         return native(buf)
     if buf[:2] != b"\xff\xd8":
@@ -1889,15 +1894,16 @@ def multimodal_sniff_quintet(spark: SparkSession, sf_dir: str) -> DataFrame:
 _AUD_WIN = 25  # frames per analysis window
 
 
-def _wav_samples(buf: bytes) -> tuple[int, int, tuple]:
+def _wav_samples(buf: bytes, *, pure: bool = False) -> tuple[int, int, tuple]:
     """RIFF/WAVE PCM16 chunk walk returning the RAW interleaved samples
     (the per-sample form the feature kernels need; decode_wav_pcm16
     keeps its summary-stats contract on top of the same parse rules).
     A NATIVE_DECODERS["wav"] entry takes the path instead (same
-    (rate, channels, samples) contract — see the injection seam)."""
+    (rate, channels, samples) contract — see the injection seam);
+    ``pure=True`` bypasses the dispatch for the verification gate."""
     import struct as _struct
 
-    native = NATIVE_DECODERS.get("wav")
+    native = None if pure else NATIVE_DECODERS.get("wav")
     if native:
         return native(buf)
     if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
@@ -2298,11 +2304,15 @@ def _native_decoder_divergence(fmt: str, fn, buf: bytes) -> str | None:
 
     Pixel-view contracts compare dims plus an 8x8 sample grid (the exact
     grid phash64_bands reads); tuple contracts compare whole outputs.
+    Every reference call forces ``pure=True`` (r18): the dispatching
+    decoders would otherwise route through an ALREADY-INSTALLED native
+    entry, validating a replacement candidate against the incumbent —
+    the gate must always measure against the pure-Python codec.
     """
     if fmt in ("bmp", "png", "ppm", "gif"):
         pure_map = {"bmp": _bmp_pixels, "png": _png_pixels, "ppm": _ppm_pixels}
         if fmt == "gif":
-            w0, h0, frames = decode_gif_frames(buf)
+            w0, h0, frames = decode_gif_frames(buf, pure=True)
             p0 = frames[0]
         else:
             w0, h0, p0 = pure_map[fmt](buf)
@@ -2315,8 +2325,11 @@ def _native_decoder_divergence(fmt: str, fn, buf: bytes) -> str | None:
                 if p0(x, y) != p1(x, y):
                     return f"pixel({x},{y}) {p1(x, y)} != {p0(x, y)}"
         return None
-    pure = {"gif_frames": decode_gif_frames, "jpeg": decode_jpeg_gray,
-            "wav": _wav_samples}.get(fmt)
+    pure = {
+        "gif_frames": lambda b: decode_gif_frames(b, pure=True),
+        "jpeg": lambda b: decode_jpeg_gray(b, pure=True),
+        "wav": lambda b: _wav_samples(b, pure=True),
+    }.get(fmt)
     if pure is None:
         return None  # unknown contract: nothing to check against
     got, want = fn(buf), pure(buf)
@@ -2354,7 +2367,14 @@ def _load_native_decoders_from_env() -> None:
     try:
         hook = getattr(importlib.import_module(mod_name), attr or "register_decoders")
         hook(register_native_decoder)
-    except Exception as exc:  # a typo'd spec must not break every query
+    except Exception as exc:
+        # Deliberate fail-fast: a spec that names a missing module/attr is
+        # a CONFIG error, and silently continuing would run every decode
+        # on the pure-Python codecs while the user believes the native
+        # ones are active — on a cluster that is a 100-1000x throughput
+        # surprise plus (for an out-of-contract native decoder never
+        # installed) silently different hashes. Every importing process
+        # (driver and executors) raises the same actionable message.
         raise RuntimeError(
             f"SPARK_GRAFT_NATIVE_DECODERS={spec!r} failed to load "
             f"(expected 'pkg.module:attr' naming a callable taking "
@@ -2748,7 +2768,7 @@ def encode_gif89a_anim(
     return bytes(out)
 
 
-def decode_gif_frames(buf: bytes):
+def decode_gif_frames(buf: bytes, *, pure: bool = False):
     """Decode EVERY image block of a GIF87a/89a with a global color
     table: returns (width, height, [frame_pixel, ...]) where each
     frame_pixel(x, y) -> (r, g, b) through the global palette.
@@ -2758,8 +2778,9 @@ def decode_gif_frames(buf: bytes):
     in these fixtures, so each image block must cover the full canvas
     (left/top/size validated loudly). A NATIVE_DECODERS["gif_frames"]
     entry takes the path instead (same (w, h, [pixel, ...]) contract —
-    see the injection seam)."""
-    native = NATIVE_DECODERS.get("gif_frames")
+    see the injection seam); ``pure=True`` bypasses the dispatch for
+    the verification gate."""
+    native = None if pure else NATIVE_DECODERS.get("gif_frames")
     if native:
         return native(buf)
     if len(buf) < 13 or buf[:4] != b"GIF8" or buf[4:6] not in (b"7a", b"9a"):

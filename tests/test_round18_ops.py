@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import re
 
+import pytest
+
 from tests.conftest import SF_DIR
 
 
@@ -143,6 +145,67 @@ def test_compactor_missing_store_raises(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         compact_partitioned_store(spark, str(tmp_path / "nope"))
+
+
+# ------------- native-decoder gate purity (ADVICE r17) --------------------
+
+
+def test_verify_gate_accepts_fix_over_bad_incumbent():
+    """Replace-a-bad-decoder scenario: a corrupting native decoder is
+    installed; registering the CORRECT decoder with verify_with must
+    succeed. Pre-r18 the gate's reference call dispatched through
+    NATIVE_DECODERS, so the candidate was compared against the bad
+    incumbent and the FIX was rejected — the exact case the gate's
+    docstring promises to catch."""
+    from apache_hive_1_2_2_src_spark.extensions import multimodal as mm
+
+    wav = mm.encode_wav_pcm16(
+        8000, 1, [(mm._wav_fixture_sample(7, j, 0),) for j in range(40)]
+    )
+
+    def bad(buf):
+        rate, ch, samples = mm._wav_samples(buf, pure=True)
+        return rate, ch, tuple(s + 1 for s in samples)
+
+    def good(buf):
+        return mm._wav_samples(buf, pure=True)
+
+    try:
+        mm.NATIVE_DECODERS["wav"] = bad  # incumbent installed unverified
+        mm.register_native_decoder("wav", good, verify_with=wav)
+        assert mm.NATIVE_DECODERS["wav"] is good
+        # and the gate still rejects a candidate equal to the BAD incumbent
+        with pytest.raises(ValueError, match="diverges"):
+            mm.register_native_decoder("wav", bad, verify_with=wav)
+        assert mm.NATIVE_DECODERS["wav"] is good
+    finally:
+        mm.unregister_native_decoder("wav")
+
+
+def test_verify_gate_ignores_cross_fmt_incumbent():
+    """'gif_frames' incumbent must not leak into a 'gif' verification: the
+    gate's gif reference is decode_gif_frames, which pre-r18 dispatched to
+    an installed gif_frames native decoder."""
+    from apache_hive_1_2_2_src_spark.extensions import multimodal as mm
+
+    w, h = mm._gif_fixture_dims(7)
+    gif = mm.encode_gif87a(w, h, mm._gif_palette, mm._gif_fixture_index(7))
+
+    def bad_frames(buf):
+        w0, h0, frames = mm.decode_gif_frames(buf, pure=True)
+        return w0, h0, [lambda x, y: (1, 2, 3) for _ in frames]
+
+    def good_gif(buf):
+        w0, h0, frames = mm.decode_gif_frames(buf, pure=True)
+        return w0, h0, frames[0]
+
+    try:
+        mm.NATIVE_DECODERS["gif_frames"] = bad_frames
+        mm.register_native_decoder("gif", good_gif, verify_with=gif)
+        assert mm.NATIVE_DECODERS["gif"] is good_gif
+    finally:
+        mm.unregister_native_decoder("gif")
+        mm.unregister_native_decoder("gif_frames")
 
 
 def test_compactor_on_real_ivf_store(spark):
