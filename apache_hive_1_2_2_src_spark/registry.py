@@ -190,8 +190,13 @@ FRESH = (
     # first round (never-green guard): the hot-user-splitting sessionize
     # twin (VERDICT r17 item 3 — the bot-corpus path the docs point users
     # to now carries its own external row; oracle = the naive islands SQL,
-    # so the hash match doubles as the equivalence certificate).
+    # so the hash match doubles as the equivalence certificate), and the
+    # store-compaction invisibility certificate (VERDICT r17 item 1 gone
+    # external: drain -> compact both REAL stores with the new Hadoop-FS
+    # compactor -> re-derive every verdict from the compacted stores;
+    # oracle = the incremental query's exact-Jaccard SQL).
     "sessionize_bucketed",
+    "streaming_dedup_compact_store",
     # r18 rotation (VERDICT r17 item 2): the full 32-name r8 cohort — the
     # oldest-driver-green block (newest green row = r8 for each, computed
     # from CORRECTNESS_r01..r17). After this round the oldest driver-green

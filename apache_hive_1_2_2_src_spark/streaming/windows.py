@@ -1216,15 +1216,13 @@ def _lsh_probe_dedup(
     return spark.read.parquet(out_dir).select("doc_id", "n_dup_prior", "verdict")
 
 
-@register(
-    "streaming_dedup_lsh_incremental",
-    # Exact-Jaccard oracle over the WHOLE corpus: for each doc, its
-    # near-dup partners with a smaller doc_id (= already ingested when the
-    # doc arrives, since drops are doc_id ranges in order). Certifies both
-    # the banded-LSH candidate recall (a missed band bucket loses a
-    # partner) and the incremental index bookkeeping (a signature lost
-    # from — or doubled in — the accumulated store shifts the counts).
-    oracle="""
+# Exact-Jaccard oracle over the WHOLE corpus: for each doc, its near-dup
+# partners with a smaller doc_id (= already ingested when the doc arrives,
+# since drops are doc_id ranges in order). Shared by the incremental query
+# (certifies banded-LSH recall + incremental index bookkeeping) and the
+# compaction query (same verdicts re-derived from the COMPACTED stores —
+# hash equality is the compaction-invisibility certificate).
+_LSH_DEDUP_ORACLE = """
     WITH pairs AS (
       WITH d AS (SELECT doc_id,
                         list_filter(string_split(text, ' '), x -> x <> '') AS w
@@ -1253,7 +1251,12 @@ def _lsh_probe_dedup(
            CASE WHEN COALESCE(c.n_dup_prior, 0) > 0
                 THEN 'drop' ELSE 'keep' END AS verdict
     FROM documents d LEFT JOIN cnt c ON c.doc_id = d.doc_id
-    """,
+    """
+
+
+@register(
+    "streaming_dedup_lsh_incremental",
+    oracle=_LSH_DEDUP_ORACLE,
     doc="STREAMING incremental near-dup dedup — the daily-ingest loop the "
     "batch twin (dedup_incremental_batch) models, closed end-to-end with "
     "real accumulated state (beyond-reference; the 1.2-era analogue is "
@@ -1277,6 +1280,95 @@ def _lsh_probe_dedup(
 )
 def streaming_dedup_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lsh_probe_dedup(spark, sf_dir, n_batches=3)
+
+
+@register(
+    "streaming_dedup_compact_store",
+    oracle=_LSH_DEDUP_ORACLE,
+    doc="State-store COMPACTION invisibility, certified externally (r18; "
+    "the store twin of streaming_acid_compact_during_ingest's guarantee): "
+    "drain the 3-drop incremental LSH ingest, compact BOTH accumulated "
+    "state stores in place with compact_partitioned_store (the Hadoop-FS "
+    "rewrite-and-swap housekeeping op that bounds the O(epochs x buckets) "
+    "file growth, SCALE.md r17/r18), then RE-DERIVE every verdict in "
+    "batch form from the COMPACTED stores ALONE — candidates from the "
+    "signature store's (band, sig) self-join with the partner strictly "
+    "earlier, exact-Jaccard verify against the shingle store. The oracle "
+    "is the same exact-Jaccard SQL as the incremental query, so the hash "
+    "match proves (1) the compaction was a pure rewrite — any row lost, "
+    "doubled, or mis-partitioned by the swap shifts a count — and (2) the "
+    "accumulated stores alone carry the full corpus state. The plan also "
+    "asserts the compactor actually ran: file counts must drop to at most "
+    "one per partition dir. Scale: the re-probe is the batch LSH shape "
+    "(shuffles on (band, sig) then on doc_id — dedup_minhash_lsh's cost "
+    "class); compaction reads+writes O(state) bytes once, the price that "
+    "buys bounded file counts for every later probe.",
+    tags=("streaming", "dedup", "lsh", "compaction", "incremental"),
+)
+def streaming_dedup_compact_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    THRESHOLD = 0.7
+    _lsh_probe_dedup(spark, sf_dir, n_batches=3).count()
+    sig_dir = LAST_LSH_STORES["sig"]
+    sh_dir = LAST_LSH_STORES["shingle"]
+    k = LAST_LSH_STORES["store_buckets"]
+    for store, part_col in ((sig_dir, "sb"), (sh_dir, "db")):
+        before, after = compact_partitioned_store(spark, store, part_col)
+        if after > k or after >= before:
+            raise AssertionError(
+                f"compaction did not collapse {store}: {before} -> {after} "
+                f"files (buckets={k})"
+            )
+
+    sig = spark.read.parquet(sig_dir).select("doc_id", "band", "sig")
+    sh = spark.read.parquet(sh_dir).select("doc_id", "sh")
+    cand = (
+        sig.alias("nb")
+        .join(
+            sig.alias("ob"),
+            (F.col("nb.band") == F.col("ob.band"))
+            & (F.col("nb.sig") == F.col("ob.sig"))
+            & (F.col("ob.doc_id") < F.col("nb.doc_id")),
+        )
+        .select(
+            F.col("nb.doc_id").alias("new_id"),
+            F.col("ob.doc_id").alias("old_id"),
+        )
+        .distinct()
+    )
+    n_sh = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    common = (
+        cand.join(sh.alias("sa"), F.col("new_id") == F.col("sa.doc_id"))
+        .join(
+            sh.alias("sb"),
+            (F.col("old_id") == F.col("sb.doc_id"))
+            & (F.col("sa.sh") == F.col("sb.sh")),
+        )
+        .groupBy("new_id", "old_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common") / (
+        F.col("na.n_sh") + F.col("nb.n_sh") - F.col("n_common")
+    )
+    dups = (
+        common.join(n_sh.alias("na"), F.col("new_id") == F.col("na.doc_id"))
+        .join(n_sh.alias("nb"), F.col("old_id") == F.col("nb.doc_id"))
+        .filter(jac >= THRESHOLD)
+        .groupBy("new_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_prior"))
+        .withColumnRenamed("new_id", "doc_id")
+    )
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .join(dups, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_dup_prior", F.lit(0)).cast("long").alias("n_dup_prior"),
+            F.when(F.coalesce("n_dup_prior", F.lit(0)) > 0, "drop")
+            .otherwise("keep")
+            .alias("verdict"),
+        )
+    )
 
 
 def write_partitioned_delta(

@@ -73,6 +73,8 @@ HEADLINE = (
     "dedup_audio_contained",  # WAV decode + positional energy landmarks + one-sided offset voting (r15)
     "similarity_opq_rotate_pq",  # Hadamard pre-rotation + the 4-chain PQ-ADC pipeline (r16)
     "similarity_covariance_offdiag_audit",  # one-pass integer covariance block masses (r17)
+    "sessionize_bucketed",  # hot-user split-and-stitch sessionize twin (r18)
+    "streaming_dedup_compact_store",  # drain + FS-API store compaction + batch re-probe (r18)
 )
 
 # All 22 TPC-H query shapes in query order — timed as ONE sequential suite
