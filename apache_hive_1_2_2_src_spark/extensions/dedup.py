@@ -3405,3 +3405,104 @@ def dedup_image_cropped(spark: SparkSession, sf_dir: str) -> DataFrame:
     if offs(s) != (n_steal, n_steal, -2, -2, -1, -1):
         raise AssertionError(f"cross-doc crop containment broken: {s}")
     return out
+
+
+def exact_collapse_prior_dup_counts(
+    d: DataFrame, threshold: float = 0.7
+) -> DataFrame:
+    """Answer-identical mega-cluster twin of the earlier-near-dup COUNT
+    (the streaming LSH verdict semantics: ``n_dup_prior(d) = #{e < d :
+    J(d, e) >= threshold}``, Jaccard over distinct word-3-gram shingles):
+    collapse EXACT-duplicate content BEFORE any pairwise work, so a
+    cluster of m byte-identical docs costs O(m) instead of the O(m^2)
+    candidate pairs the direct (band, sig)-bucket or shingle self-join
+    probe pays (measured r18, SCALE.md: the blow-up is the streaming
+    probe's one uncapped hot key).
+
+    Input ``d``: (doc_id, text). Output: (doc_id, n_dup_prior) equal row
+    for row to the direct computation (pinned in tests/test_round18_ops).
+
+    Three stages, all linear outside the REPRESENTATIVE pair probe:
+    1. content groups: gkey = md5(text) (128-bit — collision-safe where
+       the 8-byte xxhash64 shuffle-key trick documented on dedup_exact is
+       not exact enough for an answer-identity claim); per-group
+       representative = min doc_id. Identical text => identical distinct
+       shingle set => J(d, e) depends only on (G(d), G(e)) — the algebra
+       that makes the collapse exact.
+    2. near-dup GROUP pairs: exact shingle-Jaccard self-join over ONE doc
+       per distinct content. At 100 TB swap this candidate stage for the
+       banded-minhash probe (the verify is the same); the point of the
+       collapse is that the mega-cluster never reaches it.
+    3. expansion, pair-explosion-free: within-group term = (rank of d by
+       doc_id in its group) - 1 (earlier identical twins, J = 1); cross
+       term = #{partner-group members e < d}, computed with ONE window
+       per home group over (member queries UNION partner-member events)
+       ordered by doc_id — O(|G| + sum |partner groups|) rows, never
+       pairs. A 10^6-doc home group makes that window a single-key
+       linear pass (the sessionize_bucketed time-bucket split applies if
+       that ever stragglers; it is count arithmetic, not a join).
+    """
+    g = d.select("doc_id", F.md5(F.col("text")).alias("gkey"))
+    reps = g.groupBy("gkey").agg(F.min("doc_id").alias("rep_id"))
+    rep_docs = d.join(
+        reps, d["doc_id"] == reps["rep_id"]
+    ).select("gkey", "text")
+    s = rep_docs.select("gkey", F.explode(_shingles(_words())).alias("sh"))
+    n_sh = s.groupBy("gkey").agg(F.count(F.lit(1)).alias("n_sh"))
+    common = (
+        s.alias("a")
+        .join(
+            s.alias("b"),
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.gkey") < F.col("b.gkey")),
+        )
+        .groupBy(F.col("a.gkey").alias("ga"), F.col("b.gkey").alias("gb"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common") / (
+        F.col("na.n_sh") + F.col("nb.n_sh") - F.col("n_common")
+    )
+    gpairs = (
+        common.join(n_sh.alias("na"), F.col("ga") == F.col("na.gkey"))
+        .join(n_sh.alias("nb"), F.col("gb") == F.col("nb.gkey"))
+        .filter(jac >= threshold)
+        .select("ga", "gb")
+    )
+    partners = gpairs.unionByName(
+        gpairs.select(F.col("gb").alias("ga"), F.col("ga").alias("gb"))
+    )
+    events = partners.join(
+        g.alias("m"), F.col("gb") == F.col("m.gkey")
+    ).select(
+        F.col("ga").alias("gkey"),
+        F.col("m.doc_id").alias("doc_id"),
+        F.lit(1).alias("is_event"),
+    )
+    queries = g.select("gkey", "doc_id", F.lit(0).alias("is_event"))
+    u = queries.unionByName(events)
+    wcum = (
+        Window.partitionBy("gkey")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cross = (
+        u.withColumn(
+            "cross_cnt", F.coalesce(F.sum("is_event").over(wcum), F.lit(0))
+        )
+        .filter(F.col("is_event") == 0)
+        .select("gkey", "doc_id", "cross_cnt")
+    )
+    wr = Window.partitionBy("gkey").orderBy("doc_id")
+    # A group whose text yields ZERO shingles (< 3 words) never pairs under
+    # shingle Jaccard — not even with its own identical twins (the naive
+    # n_common >= 1 join has no rows), so its within-group term must be 0.
+    shingled = n_sh.select("gkey", F.lit(True).alias("has_sh"))
+    within = g.join(shingled, "gkey", "left").withColumn(
+        "rnk",
+        F.when(F.col("has_sh").isNotNull(), F.row_number().over(wr) - 1)
+        .otherwise(F.lit(0)),
+    )
+    return within.join(cross, ["gkey", "doc_id"]).select(
+        "doc_id",
+        (F.col("rnk") + F.col("cross_cnt")).cast("long").alias("n_dup_prior"),
+    )

@@ -243,3 +243,92 @@ def test_compactor_on_real_ivf_store(spark):
         for r in probe.select(F.input_file_name().alias("f")).distinct().collect()
     }
     assert opened == {str(c) for c in cells}
+
+
+# ------------- exact-collapse near-dup counts (r18 audit fix) -------------
+
+
+def _naive_prior_counts(d, threshold=0.7):
+    """Direct O(pairs) computation of n_dup_prior — the streaming oracle's
+    shape, used as the equivalence reference."""
+    import pyspark.sql.functions as F
+
+    from apache_hive_1_2_2_src_spark.extensions.dedup import _shingles, _words
+
+    s = d.select("doc_id", F.explode(_shingles(_words())).alias("sh"))
+    n_sh = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    common = (
+        s.alias("a")
+        .join(
+            s.alias("b"),
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common") / (
+        F.col("na.n_sh") + F.col("nb.n_sh") - F.col("n_common")
+    )
+    cnt = (
+        common.join(n_sh.alias("na"), F.col("doc_a") == F.col("na.doc_id"))
+        .join(n_sh.alias("nb"), F.col("doc_b") == F.col("nb.doc_id"))
+        .filter(jac >= threshold)
+        .groupBy("doc_b")
+        .agg(F.count(F.lit(1)).alias("n_dup_prior"))
+        .withColumnRenamed("doc_b", "doc_id")
+    )
+    return (
+        d.select("doc_id")
+        .join(cnt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_dup_prior", F.lit(0)).cast("long").alias("n_dup_prior"),
+        )
+    )
+
+
+def test_exact_collapse_prior_counts_matches_naive(spark):
+    """Answer identity of exact_collapse_prior_dup_counts on a corpus with
+    every structure the algebra must respect: identical mega-clusters
+    (within-group ranks), near-dup-but-not-identical content (cross-group
+    window counts, both directions, interleaved doc ids), unique docs
+    (zero counts), and identical SHORT texts with zero shingles (must NOT
+    count as twins — shingle Jaccard never pairs them)."""
+    import pyspark.sql.functions as F
+
+    from apache_hive_1_2_2_src_spark.extensions.dedup import (
+        exact_collapse_prior_dup_counts,
+    )
+    from tests.conftest import SF_DIR
+
+    from apache_hive_1_2_2_src_spark.tables import load_table
+
+    base = (
+        load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 200)
+    )
+    donor = base.filter(F.col("doc_id") == 5).first()["text"]
+    extra = []
+    # 12 identical clones of doc 5's text, ids interleaved around others
+    for i, did in enumerate([1000, 1003, 1007, 1010, 1015, 1020, 1025,
+                             1030, 1040, 1050, 1060, 1070]):
+        extra.append((did, donor))
+    # near-dup (not identical): same text with one word appended
+    extra += [(1101, donor + " zz"), (1102, donor + " zz"), (1103, donor + " qq")]
+    # zero-shingle identical twins
+    extra += [(1201, "a b"), (1202, "a b"), (1203, "a b")]
+    d = base.unionByName(
+        spark.createDataFrame(extra, "doc_id bigint, text string")
+    )
+    got = sorted(map(tuple, exact_collapse_prior_dup_counts(d).collect()))
+    want = sorted(map(tuple, _naive_prior_counts(d).collect()))
+    assert got == want
+    # sanity on the structures themselves: last clone has 11 earlier twins
+    # (+ any cross partners), zero-shingle twins all read 0
+    m = dict(got)
+    assert m[1070] >= 11
+    assert m[1201] == m[1202] == m[1203] == 0
