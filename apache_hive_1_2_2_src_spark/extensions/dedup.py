@@ -3506,3 +3506,78 @@ def exact_collapse_prior_dup_counts(
         "doc_id",
         (F.col("rnk") + F.col("cross_cnt")).cast("long").alias("n_dup_prior"),
     )
+
+
+# Exact-Jaccard prior-dup-count oracle over the WHOLE corpus: for each doc,
+# its near-dup partners with a smaller doc_id. Shared by THREE queries —
+# streaming_dedup_lsh_incremental (banded-LSH recall + incremental index
+# bookkeeping), streaming_dedup_compact_store (compaction invisibility on
+# the real stores), and dedup_collapse_prior_counts below (the
+# exact-collapse algebra) — one semantic, three independently certified
+# execution strategies.
+PRIOR_DUP_COUNT_ORACLE = """
+    WITH pairs AS (
+      WITH d AS (SELECT doc_id,
+                        list_filter(string_split(text, ' '), x -> x <> '') AS w
+                 FROM documents),
+      s AS (
+        SELECT doc_id, unnest(list_distinct(
+                 list_transform(range(1, len(w) - 1),
+                                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh
+        FROM d
+      ),
+      n AS (SELECT doc_id, COUNT(*) AS n_sh FROM s GROUP BY doc_id),
+      common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      )
+      SELECT doc_a, doc_b FROM common
+      JOIN n na ON na.doc_id = doc_a
+      JOIN n nb ON nb.doc_id = doc_b
+      WHERE n_common * 1.0 / (na.n_sh + nb.n_sh - n_common) >= 0.7
+    ),
+    cnt AS (SELECT doc_b AS doc_id, COUNT(*) AS n_dup_prior
+            FROM pairs GROUP BY doc_b)
+    SELECT d.doc_id,
+           CAST(COALESCE(c.n_dup_prior, 0) AS BIGINT) AS n_dup_prior,
+           CASE WHEN COALESCE(c.n_dup_prior, 0) > 0
+                THEN 'drop' ELSE 'keep' END AS verdict
+    FROM documents d LEFT JOIN cnt c ON c.doc_id = d.doc_id
+    """
+
+
+@register(
+    "dedup_collapse_prior_counts",
+    oracle=PRIOR_DUP_COUNT_ORACLE,
+    doc="Exact-collapse earlier-near-dup counts (r18 mega-cluster audit "
+    "fix, SCALE.md r18): the same per-doc n_dup_prior/verdict semantics "
+    "as streaming_dedup_lsh_incremental, computed by grouping IDENTICAL "
+    "content first (md5(text) — 128-bit because this is an answer-"
+    "IDENTITY claim, not a shuffle-key trick), probing ONE representative "
+    "per distinct text with the exact shingle-Jaccard self-join, and "
+    "expanding counts back arithmetically: within-group term = rank-1 "
+    "(earlier identical twins, J=1; zero-shingle texts excluded — "
+    "shingle Jaccard never pairs them), cross term = windowed count of "
+    "earlier partner-group members (queries UNION events per home group "
+    "— rows, never pairs). A cluster of m byte-identical docs costs O(m) "
+    "instead of the uncapped probes' C(m,2): measured 75.5 s -> 2.1 s at "
+    "m=12,000 clones with equal sums, and the blow-up class cannot be "
+    "capped instead because the exact-Jaccard oracle does not model "
+    "banding. The driver hash match against the SAME oracle as the "
+    "streaming queries externally certifies the collapse algebra; "
+    "row-level equality to the direct form is additionally pinned in "
+    "tests/test_round18_ops.py including the zero-shingle edge. Scale: "
+    "one content-hash groupBy + the representative-level pair probe "
+    "(swap in banded minhash at 100 TB) + two windows; the only "
+    "single-key window rides per-home-group member counts (linear).",
+    tags=("dedup", "extension", "near-dup", "skew"),
+)
+def dedup_collapse_prior_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    counts = exact_collapse_prior_dup_counts(d)
+    return counts.select(
+        "doc_id",
+        "n_dup_prior",
+        F.when(F.col("n_dup_prior") > 0, "drop").otherwise("keep").alias("verdict"),
+    )

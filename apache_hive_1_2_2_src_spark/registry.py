@@ -197,6 +197,10 @@ FRESH = (
     # oracle = the incremental query's exact-Jaccard SQL).
     "sessionize_bucketed",
     "streaming_dedup_compact_store",
+    # ...and the mega-cluster audit fix: exact-collapse prior-dup counts
+    # (same oracle as the two streaming dedup queries — three execution
+    # strategies certified against one semantic).
+    "dedup_collapse_prior_counts",
     # r18 rotation (VERDICT r17 item 2): the full 32-name r8 cohort — the
     # oldest-driver-green block (newest green row = r8 for each, computed
     # from CORRECTNESS_r01..r17). After this round the oldest driver-green

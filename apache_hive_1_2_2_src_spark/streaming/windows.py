@@ -1216,42 +1216,16 @@ def _lsh_probe_dedup(
     return spark.read.parquet(out_dir).select("doc_id", "n_dup_prior", "verdict")
 
 
-# Exact-Jaccard oracle over the WHOLE corpus: for each doc, its near-dup
-# partners with a smaller doc_id (= already ingested when the doc arrives,
-# since drops are doc_id ranges in order). Shared by the incremental query
-# (certifies banded-LSH recall + incremental index bookkeeping) and the
-# compaction query (same verdicts re-derived from the COMPACTED stores —
-# hash equality is the compaction-invisibility certificate).
-_LSH_DEDUP_ORACLE = """
-    WITH pairs AS (
-      WITH d AS (SELECT doc_id,
-                        list_filter(string_split(text, ' '), x -> x <> '') AS w
-                 FROM documents),
-      s AS (
-        SELECT doc_id, unnest(list_distinct(
-                 list_transform(range(1, len(w) - 1),
-                                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh
-        FROM d
-      ),
-      n AS (SELECT doc_id, COUNT(*) AS n_sh FROM s GROUP BY doc_id),
-      common AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-        FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
-      )
-      SELECT doc_a, doc_b FROM common
-      JOIN n na ON na.doc_id = doc_a
-      JOIN n nb ON nb.doc_id = doc_b
-      WHERE n_common * 1.0 / (na.n_sh + nb.n_sh - n_common) >= 0.7
-    ),
-    cnt AS (SELECT doc_b AS doc_id, COUNT(*) AS n_dup_prior
-            FROM pairs GROUP BY doc_b)
-    SELECT d.doc_id,
-           CAST(COALESCE(c.n_dup_prior, 0) AS BIGINT) AS n_dup_prior,
-           CASE WHEN COALESCE(c.n_dup_prior, 0) > 0
-                THEN 'drop' ELSE 'keep' END AS verdict
-    FROM documents d LEFT JOIN cnt c ON c.doc_id = d.doc_id
-    """
+# Exact-Jaccard prior-dup-count oracle — defined in extensions.dedup (the
+# import direction this module already uses for _shingles/_words) and
+# shared three ways: the incremental query (certifies banded-LSH recall +
+# incremental index bookkeeping), the compaction query (same verdicts
+# re-derived from the COMPACTED stores — hash equality is the
+# compaction-invisibility certificate), and dedup_collapse_prior_counts
+# (the exact-collapse algebra certificate).
+from apache_hive_1_2_2_src_spark.extensions.dedup import (  # noqa: E402
+    PRIOR_DUP_COUNT_ORACLE as _LSH_DEDUP_ORACLE,
+)
 
 
 @register(

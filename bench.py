@@ -75,6 +75,7 @@ HEADLINE = (
     "similarity_covariance_offdiag_audit",  # one-pass integer covariance block masses (r17)
     "sessionize_bucketed",  # hot-user split-and-stitch sessionize twin (r18)
     "streaming_dedup_compact_store",  # drain + FS-API store compaction + batch re-probe (r18)
+    "dedup_collapse_prior_counts",  # exact-collapse near-dup counts, mega-cluster-flat (r18)
 )
 
 # All 22 TPC-H query shapes in query order — timed as ONE sequential suite
