@@ -197,10 +197,12 @@ FRESH = (
     # oracle = the incremental query's exact-Jaccard SQL).
     "sessionize_bucketed",
     "streaming_dedup_compact_store",
-    # ...and the mega-cluster audit fix: exact-collapse prior-dup counts
-    # (same oracle as the two streaming dedup queries — three execution
-    # strategies certified against one semantic).
+    # ...and the mega-cluster audit fix, twice: exact-collapse prior-dup
+    # counts in batch form, then the same algebra composed into the
+    # streaming probe (group-keyed stores + per-doc member ledger). All
+    # four dedup strategies share ONE exact-Jaccard oracle.
     "dedup_collapse_prior_counts",
+    "streaming_dedup_collapse_incremental",
     # r18 rotation (VERDICT r17 item 2): the full 32-name r8 cohort — the
     # oldest-driver-green block (newest green row = r8 for each, computed
     # from CORRECTNESS_r01..r17). After this round the oldest driver-green

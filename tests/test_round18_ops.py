@@ -332,3 +332,70 @@ def test_exact_collapse_prior_counts_matches_naive(spark):
     m = dict(got)
     assert m[1070] >= 11
     assert m[1201] == m[1202] == m[1203] == 0
+
+
+# ---------- collapsed streaming LSH probe (r18 audit fix, streaming) ------
+
+
+def test_collapsed_streaming_probe_matches_plain(spark):
+    """The collapse-composed streaming probe must produce the plain
+    incremental probe's verdicts row for row (same exact-Jaccard oracle
+    both ways; this pins them against each other directly, including the
+    3-epoch store accumulation)."""
+    from apache_hive_1_2_2_src_spark.streaming import windows as sw
+
+    plain = sorted(
+        map(tuple, sw._lsh_probe_dedup(spark, SF_DIR, n_batches=3).collect())
+    )
+    collapsed = sorted(
+        map(tuple, sw._collapsed_probe_dedup(spark, SF_DIR, n_batches=3).collect())
+    )
+    assert plain == collapsed
+
+
+def test_collapsed_streaming_store_is_group_level(spark, tmp_path):
+    """The O(m)-not-O(m^2) witness without timing flakiness: drain a
+    clone-heavy overlay and assert the state stores hold GROUP-level rows
+    (sig store = 4 bands x distinct contents, shingle store keyed by
+    gkey) while only the member ledger is per-doc — and the clone
+    verdicts count earlier twins exactly."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from apache_hive_1_2_2_src_spark.streaming import windows as sw
+    from apache_hive_1_2_2_src_spark.tables import load_table
+
+    base = (
+        load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 60)
+    )
+    donor = base.filter(F.col("doc_id") == 5).first()["text"]
+    clones = spark.range(300).select(
+        (F.col("id") + 100_000).alias("doc_id"), F.lit(donor).alias("text")
+    )
+    sf = str(tmp_path / "sfclones")
+    os.makedirs(sf)
+    base.unionByName(clones).write.parquet(os.path.join(sf, "documents.parquet"))
+
+    out = sw._collapsed_probe_dedup(spark, sf, n_batches=3)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    n_docs = base.count() + 300
+    assert len(rows) == n_docs
+    # clone i has (doc 5) + i earlier identical twins (+ any near-dups of
+    # the donor in the base slice) — monotone by doc_id, all 'drop'
+    clone_ids = sorted(k for k in rows if k >= 100_000)
+    priors = [rows[k]["n_dup_prior"] for k in clone_ids]
+    assert priors == sorted(priors) and priors[0] >= 1
+    assert priors[-1] - priors[0] == 299  # exactly one new twin per clone
+    assert all(rows[k]["verdict"] == "drop" for k in clone_ids)
+
+    n_groups = base.unionByName(clones).select("text").distinct().count()
+    sig_rows = spark.read.parquet(sw.LAST_COLLAPSED_STORES["sig"]).count()
+    led_rows = spark.read.parquet(sw.LAST_COLLAPSED_STORES["ledger"]).count()
+    # sig store: <= 4 bands per DISTINCT content (zero-shingle groups have
+    # no sigs at all) — the 300-clone cluster contributes ONE group
+    assert sig_rows <= 4 * n_groups
+    assert sig_rows < 4 * n_docs / 2  # far below per-doc scale
+    assert led_rows == n_docs
