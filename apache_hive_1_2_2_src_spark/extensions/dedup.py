@@ -3449,14 +3449,72 @@ def exact_collapse_prior_dup_counts(
     ).select("gkey", "text")
     s = rep_docs.select("gkey", F.explode(_shingles(_words())).alias("sh"))
     n_sh = s.groupBy("gkey").agg(F.count(F.lit(1)).alias("n_sh"))
+    # Candidate stage with PREFIX FILTERING (All-Pairs/SSJoin; LOSSLESS
+    # for a Jaccard threshold, so the answer-identity claim stands):
+    # J(a,b) >= t implies |common| >= ceil(t*na), and >= ceil(t*na)
+    # common shingles cannot all hide in the last ceil(t*na)-1 positions
+    # of a's global-rarity ordering — so every qualifying pair shares a
+    # shingle where at least one side holds it in its PREFIX of length
+    # n - ceil(t*n) + 1 (rarest-first by (df, sh)). The raw self-join
+    # paid C(m,2) pairs on m distinct texts sharing one hot TEMPLATE
+    # shingle (17 s -> 343 s from m=2000 to 8000 measured, zero
+    # survivors — SCALE.md r18); template shingles are by definition
+    # frequent, so they sort LAST and never enter a prefix, while the
+    # prefix side of the join stays rare-by-construction.
+    df_ = s.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    wp = Window.partitionBy("gkey").orderBy("df", "sh")
+    ranked = (
+        s.join(df_, "sh")
+        .withColumn("pos", F.row_number().over(wp))
+        .join(n_sh, "gkey")
+    )
+    prefix = ranked.filter(
+        F.col("pos")
+        <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    ).select("gkey", "sh", "pos", "n_sh")
+    # prefix x prefix is lossless: the globally SMALLEST common shingle w
+    # of a qualifying pair has at most (c-1) common shingles after it in
+    # either set, so its position is <= n - ceil(t*n) + 1 on BOTH sides.
+    # The POSITIONAL filter rides inside the join condition (evaluated
+    # during the merge, before any materialization): matching at
+    # positions (i, j) bounds the overlap by 1 + min(na-i, nb-j), and
+    # J >= t needs c*(1+t) >= t*(na+nb); for the smallest common shingle
+    # the bound is loosest, so per-row pruning + distinct equals exact
+    # pair-level pruning (epsilon keeps the float comparison lossless —
+    # it can only ADMIT a candidate the verify then rejects). This is
+    # what kills the thin-uniqueness template cluster: docs sharing 5
+    # hot shingles out of 9 match only at positions whose residual
+    # bound (7) is below the required minoverlap (8) — zero candidates
+    # materialize where the raw join produced C(m,2).
+    ub = F.lit(1) + F.least(
+        F.col("p.n_sh") - F.col("p.pos"), F.col("q.n_sh") - F.col("q.pos")
+    )
+    cand = (
+        prefix.alias("p")
+        .join(
+            prefix.alias("q"),
+            (F.col("p.sh") == F.col("q.sh"))
+            & (F.col("p.gkey") != F.col("q.gkey"))
+            & (
+                ub * F.lit(1.0 + threshold)
+                >= F.lit(threshold) * (F.col("p.n_sh") + F.col("q.n_sh"))
+                - F.lit(1e-9)
+            ),
+        )
+        .select(
+            F.least(F.col("p.gkey"), F.col("q.gkey")).alias("ga"),
+            F.greatest(F.col("p.gkey"), F.col("q.gkey")).alias("gb"),
+        )
+        .distinct()
+    )
     common = (
-        s.alias("a")
+        cand.join(s.alias("a"), F.col("ga") == F.col("a.gkey"))
         .join(
             s.alias("b"),
-            (F.col("a.sh") == F.col("b.sh"))
-            & (F.col("a.gkey") < F.col("b.gkey")),
+            (F.col("gb") == F.col("b.gkey"))
+            & (F.col("a.sh") == F.col("b.sh")),
         )
-        .groupBy(F.col("a.gkey").alias("ga"), F.col("b.gkey").alias("gb"))
+        .groupBy("ga", "gb")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     jac = F.col("n_common") / (

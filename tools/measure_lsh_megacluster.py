@@ -77,6 +77,30 @@ def main() -> None:
         "exact_collapse_s": round(coll_s, 2),
     }))
 
+    # hot-TEMPLATE overlay (r18 follow-up audit): m DISTINCT texts sharing
+    # 5 template shingles (pairwise J=5/13, below threshold — zero true
+    # pairs). The raw rep-level self-join paid C(m,2) here too (17 s ->
+    # 343 s from m=2000 to 8000); the prefix+positional candidate stage
+    # (lossless, All-Pairs/PPJoin) prunes in-join: 12.0 s at m=8000.
+    for mh in (2000, 8000):
+        hot = spark.range(mh).select(
+            (F.col("id") + 200_000).alias("doc_id"),
+            F.concat(
+                F.lit("click here now to claim offer number "),
+                F.col("id").cast("string"), F.lit(" today"),
+            ).alias("text"),
+        )
+        hov = base.unionByName(hot).localCheckpoint()
+        t0 = time.time()
+        sh = (
+            exact_collapse_prior_dup_counts(hov)
+            .agg(F.sum("n_dup_prior")).first()[0]
+        )
+        print(json.dumps({
+            "hot_template_m": mh, "sum_prior": int(sh),
+            "exact_collapse_s": round(time.time() - t0, 2),
+        }), flush=True)
+
     # streaming probe end-to-end, overlay vs control
     for tag, frame in (("control", base), ("overlay", overlay)):
         d = f"/tmp/megacluster_{tag}"
