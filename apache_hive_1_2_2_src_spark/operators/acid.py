@@ -230,6 +230,16 @@ def resolve_acid_state(
     names = [
         st.getPath().getName() for st in fs.listStatus(root) if st.isDirectory()
     ]
+    return _resolve_from_names(names, txn_list)
+
+
+def _resolve_from_names(
+    names: list[str], txn_list: ValidTxnList | None = None
+) -> tuple[str | None, int, list[tuple[int, int, str]]]:
+    """The pure AcidUtils.getAcidState algebra over a listed name set —
+    shared by the flat resolver above (one listStatus) and the
+    partitioned reader's BULK listing (one glob for the whole tree,
+    r18)."""
     bases: list[tuple[int, str]] = []
     deltas: list[tuple[int, int, str]] = []
     for nm in names:
@@ -451,24 +461,51 @@ def read_acid_table_partitioned(
     ``__HIVE_DEFAULT_PARTITION__`` maps back to NULL). Unparseable
     paths raise loudly (same guard class as the flat reader). The merge
     keys on (partition, k): one shuffle, map-side max_by partial."""
-    from concurrent.futures import ThreadPoolExecutor
-
-    from apache_hive_1_2_2_src_spark.sources.hive_bucketing import (
-        list_hive_partitions,
-    )
-
-    by_val = list_hive_partitions(spark, table_path, part_col)
-    if not by_val:
-        raise FileNotFoundError(f"no {part_col}= partition dirs under {table_path}")
-    dirs = sorted(by_val.values())
-    with ThreadPoolExecutor(max_workers=16) as pool:
-        states = list(
-            pool.map(
-                lambda d: resolve_acid_state(spark, f"{table_path}/{d}"), dirs
-            )
+    # BULK listing (r18): the r17 form resolved each partition with its
+    # own listStatus through a 16-way Python thread pool — ~10 py4j round
+    # trips per partition, GIL-contended, measured 13.6 s at p=1000
+    # (SCALE.md r18). ONE distributed listing job now enumerates every
+    # leaf file of the tree (binaryFile source with only the `path`
+    # column selected — content pruned, never read; executors fan the
+    # LIST calls out, exactly Spark's own InMemoryFileIndex pattern, so
+    # this also parallelizes on an object store), and the per-partition
+    # getAcidState algebra runs in Python over the grouped dir names.
+    # py4j cost is O(1); driver holds one string per leaf file —
+    # metadata-scale, the same thing every Spark scan's file index holds.
+    # Two deviations from the listStatus form, both pathological: an acid
+    # dir with ZERO files is invisible (our writers always emit at least
+    # one part file, even for 0-row frames), and a FILE named like an
+    # acid dir would be picked up (nothing creates those).
+    prefix = f"{part_col}="
+    try:
+        leaf = (
+            spark.read.format("binaryFile")
+            .load(f"{table_path}/{prefix}*/*")
+            .select("path")
+            .collect()
         )
+    except Exception as exc:
+        raise FileNotFoundError(
+            f"no {part_col}= partition dirs under {table_path}: {exc}"
+        ) from None
+    children: dict[str, set[str]] = {}
+    for row in leaf:
+        # binaryFile's path column is Hadoop Path.toString — the RAW
+        # on-disk name behind a scheme prefix, NOT url-encoded (unlike
+        # input_file_name()), so Hive-escaped dir names like
+        # pt=x%25y%3Dz must pass through UNDECODED: strip the scheme
+        # textually, never url-decode (the r18 first cut unquoted and
+        # double-decoded the partition dir — path-not-found on read).
+        raw = re.sub(r"^[A-Za-z][A-Za-z0-9+.-]*:(//[^/]*)?", "", row["path"])
+        segs = raw.rstrip("/").split("/")
+        # .../<pt=v>/<acid dir>/<leaf file>
+        children.setdefault(segs[-3], set()).add(segs[-2])
+    children = {d: v for d, v in children.items() if d.startswith(prefix)}
+    if not children:
+        raise FileNotFoundError(f"no {part_col}= partition dirs under {table_path}")
     base_paths, delta_paths = [], []
-    for d, (base_dir, _txn, deltas) in zip(dirs, states):
+    for d in sorted(children):
+        base_dir, _txn, deltas = _resolve_from_names(sorted(children[d]))
         if base_dir is not None:
             base_paths.append(f"{table_path}/{d}/{base_dir}")
         delta_paths += [f"{table_path}/{d}/{nm}" for _mn, _mx, nm in deltas]
