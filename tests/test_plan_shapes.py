@@ -648,3 +648,41 @@ def test_containment_queries_no_cartesian_no_bnlj(spark, registry):
         p = plan_text(registry[name].build(spark, SF_DIR))
         assert "CartesianProduct" not in p, name
         assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_collapse_prior_counts_plan_shape(plans):
+    """The r18 exact-collapse query: no cartesian/nested-loop anywhere
+    (the candidate stage is an equi-join on the prefix shingle with the
+    positional bound as an extra condition), and the only windows are
+    the per-gkey rank/prefix/cumulative passes — never unpartitioned."""
+    p = plans("dedup_collapse_prior_counts")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "windowspecdefinition(gkey" in p
+    # the positional overlap bound must ride the join itself, not a
+    # post-join filter stage (the point is pruning BEFORE materialization)
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+
+
+def test_collapsed_streaming_stores_keep_prune_gate(spark):
+    """After a collapsed-probe drain, a bucket-restricted read of each
+    group-keyed store must open only its own partition dirs (the same
+    execution-ground-truth gate the doc-level stores carry)."""
+    import pyspark.sql.functions as F
+
+    from apache_hive_1_2_2_src_spark.streaming import windows as sw
+
+    sw._collapsed_probe_dedup(spark, SF_DIR, n_batches=3).count()
+    for store, pcol in (
+        (sw.LAST_COLLAPSED_STORES["sig"], "sb"),
+        (sw.LAST_COLLAPSED_STORES["shingle"], "gb"),
+        (sw.LAST_COLLAPSED_STORES["ledger"], "lb"),
+    ):
+        probe = spark.read.parquet(store).where(F.col(pcol).isin([0, 3]))
+        opened = {
+            r["f"].split(f"{pcol}=")[1].split("/")[0]
+            for r in probe.select(
+                F.input_file_name().alias("f")
+            ).distinct().collect()
+        }
+        assert opened <= {"0", "3"}, (store, opened)
