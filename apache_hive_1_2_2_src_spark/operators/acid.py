@@ -460,7 +460,15 @@ def read_acid_table_partitioned(
     pre-escaped so url_decode cannot turn a literal plus into a space;
     ``__HIVE_DEFAULT_PARTITION__`` maps back to NULL). Unparseable
     paths raise loudly (same guard class as the flat reader). The merge
-    keys on (partition, k): one shuffle, map-side max_by partial."""
+    keys on (partition, k): one shuffle, map-side max_by partial.
+
+    Listing is HYBRID (r18): one root listStatus counts the partition
+    dirs; at most ``_SMALL_TREE_PARTS`` of them resolve with direct
+    per-partition listStatus (sub-100 ms, no job overhead — the common
+    registered-query shape), while larger trees switch to ONE
+    distributed listing job so driver py4j cost stays O(1) and object-
+    store LIST calls fan out across executors (SCALE.md r18: the pooled
+    form cost 5.0 s of driver-bound round trips at p=1000)."""
     # BULK listing (r18): the r17 form resolved each partition with its
     # own listStatus through a 16-way Python thread pool — ~10 py4j round
     # trips per partition, GIL-contended, measured 13.6 s at p=1000
@@ -477,6 +485,28 @@ def read_acid_table_partitioned(
     # one part file, even for 0-row frames), and a FILE named like an
     # acid dir would be picked up (nothing creates those).
     prefix = f"{part_col}="
+    _, fs, P = _hadoop_fs(spark, table_path)
+    root = P(table_path)
+    if not fs.exists(root):
+        raise FileNotFoundError(table_path)
+    pdirs = [
+        st.getPath().getName()
+        for st in fs.listStatus(root)
+        if st.isDirectory() and st.getPath().getName().startswith(prefix)
+    ]
+    if not pdirs:
+        raise FileNotFoundError(f"no {part_col}= partition dirs under {table_path}")
+    if len(pdirs) <= _SMALL_TREE_PARTS:
+        base_paths, delta_paths = [], []
+        for d in sorted(pdirs):
+            base_dir, _txn, deltas = resolve_acid_state(
+                spark, f"{table_path}/{d}"
+            )
+            if base_dir is not None:
+                base_paths.append(f"{table_path}/{d}/{base_dir}")
+            delta_paths += [f"{table_path}/{d}/{nm}" for _mn, _mx, nm in deltas]
+        return _partitioned_merge(spark, table_path, part_col, base_paths,
+                                  delta_paths)
     try:
         leaf = (
             spark.read.format("binaryFile")
@@ -509,6 +539,26 @@ def read_acid_table_partitioned(
         if base_dir is not None:
             base_paths.append(f"{table_path}/{d}/{base_dir}")
         delta_paths += [f"{table_path}/{d}/{nm}" for _mn, _mx, nm in deltas]
+    return _partitioned_merge(spark, table_path, part_col, base_paths,
+                              delta_paths)
+
+
+# Partition-count threshold for the hybrid listing above: at or below it,
+# direct per-partition listStatus beats launching a listing job (the job
+# pays ~0.3-0.5 s of scheduling for ANY tree; 32 sequential listStatus
+# calls cost ~50 ms locally and one pooled LIST burst on an object store).
+_SMALL_TREE_PARTS = 32
+
+
+def _partitioned_merge(
+    spark: SparkSession,
+    table_path: str,
+    part_col: str,
+    base_paths: list[str],
+    delta_paths: list[str],
+) -> DataFrame:
+    """Build the two-relation merge over resolved base/delta dirs —
+    shared tail of read_acid_table_partitioned's two listing paths."""
 
     def loud(raw, what):
         return F.when(

@@ -399,3 +399,69 @@ def test_collapsed_streaming_store_is_group_level(spark, tmp_path):
     assert sig_rows <= 4 * n_groups
     assert sig_rows < 4 * n_docs / 2  # far below per-doc scale
     assert led_rows == n_docs
+
+
+def test_partitioned_acid_bulk_listing_path(spark, tmp_path):
+    """Above _SMALL_TREE_PARTS the partitioned reader switches to the
+    distributed listing job (SCALE.md r18). Exercise THAT path end to
+    end at 40 partitions — per-partition shadowing, Hive-escaped
+    partition values (the raw-path parse must not url-decode), junk
+    dirs at both levels, and NULL-partition mapping — and pin equality
+    with the small-tree listStatus path on the same tree."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from apache_hive_1_2_2_src_spark.operators import acid as A
+
+    tbl = str(tmp_path / "bigacid")
+
+    def rows(ks, st):
+        return spark.createDataFrame(
+            [(k, st, k * 10, "U") for k in ks],
+            "k long, st string, p long, op string",
+        )
+
+    # 38 plain partitions, one delta each
+    for i in range(38):
+        rows([i], "A").write.parquet(f"{tbl}/pt=v{i}/delta_1_1")
+    # escaped value with shadowing: stale base+delta under a fresh base_2
+    enc = "x%25y%3Dz"
+    rows([100], "OLD").write.parquet(f"{tbl}/pt={enc}/base_0")
+    rows([100], "OLDER").write.parquet(f"{tbl}/pt={enc}/delta_1_1")
+    rows([100, 101], "NEW").write.parquet(f"{tbl}/pt={enc}/base_2")
+    # NULL partition + junk at both levels
+    rows([200], "N").write.parquet(f"{tbl}/pt=__HIVE_DEFAULT_PARTITION__/delta_1_1")
+    spark.range(2).write.parquet(f"{tbl}/pt=v0/_tmp_junk")
+    spark.range(2).write.parquet(f"{tbl}/random_dir")
+
+    assert len([d for d in os.listdir(tbl) if d.startswith("pt=")]) == 40
+    assert 40 > A._SMALL_TREE_PARTS
+
+    key = lambda t: (t[0] is None, t[0] or "", t[1])  # noqa: E731
+    got = sorted(
+        ((r["pt"], r["k"], r["st"])
+         for r in A.read_acid_table_partitioned(spark, tbl, "pt").collect()),
+        key=key,
+    )
+    want = sorted(
+        [(f"v{i}", i, "A") for i in range(38)]
+        + [("x%y=z", 100, "NEW"), ("x%y=z", 101, "NEW"), (None, 200, "N")],
+        key=key,
+    )
+    assert got == want
+
+    # equality with the small-tree listStatus path on the SAME tree
+    import apache_hive_1_2_2_src_spark.operators.acid as acid_mod
+
+    old = acid_mod._SMALL_TREE_PARTS
+    try:
+        acid_mod._SMALL_TREE_PARTS = 10_000
+        got_small = sorted(
+            ((r["pt"], r["k"], r["st"])
+             for r in A.read_acid_table_partitioned(spark, tbl, "pt").collect()),
+            key=key,
+        )
+    finally:
+        acid_mod._SMALL_TREE_PARTS = old
+    assert got_small == got
