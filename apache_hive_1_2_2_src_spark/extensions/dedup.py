@@ -3408,7 +3408,7 @@ def dedup_image_cropped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def exact_collapse_prior_dup_counts(
-    d: DataFrame, threshold: float = 0.7
+    d: DataFrame, threshold: float = 0.7, prefix_salt: int = 1
 ) -> DataFrame:
     """Answer-identical mega-cluster twin of the earlier-near-dup COUNT
     (the streaming LSH verdict semantics: ``n_dup_prior(d) = #{e < d :
@@ -3489,11 +3489,37 @@ def exact_collapse_prior_dup_counts(
     ub = F.lit(1) + F.least(
         F.col("p.n_sh") - F.col("p.pos"), F.col("q.n_sh") - F.col("q.pos")
     )
+    # Hot-PREFIX salting knob (r19 — VERDICT r18 item 4, default OFF): at
+    # m >= ~10^5 thin-uniqueness template docs, ONE shingle key can sit in
+    # every prefix and its in-join enumeration (nothing materializes — the
+    # positional bound prunes per row) runs as a single merge-join task
+    # (66 s at m=32,000, SCALE.md r18). prefix_salt=S splits that key S
+    # ways: the probe side replicates S-fold (explode over 0..S-1), the
+    # build side pins each gkey to ONE salt (xxhash64 mod S), and the
+    # equality rides the join key — every (p, q) row still meets exactly
+    # once (at q's salt), so the candidate set and the answer are
+    # IDENTICAL (equal-sums pinned in tests/test_round19_ops.py and
+    # measured in tools/measure_prefix_salt.py). Cost when no key is hot:
+    # S-fold probe-side shuffle volume — which is why the registered
+    # query keeps S=1 and the preflight's max_rep_shingle_df verdict is
+    # the dial that should turn it on.
+    p_side, q_side = prefix.alias("p"), prefix.alias("q")
+    salt_eq = F.lit(True)
+    if prefix_salt > 1:
+        p_side = prefix.withColumn(
+            "psalt",
+            F.explode(F.sequence(F.lit(0), F.lit(prefix_salt - 1))),
+        ).alias("p")
+        q_side = prefix.withColumn(
+            "qsalt",
+            F.pmod(F.xxhash64("gkey"), F.lit(prefix_salt)).cast("int"),
+        ).alias("q")
+        salt_eq = F.col("p.psalt") == F.col("q.qsalt")
     cand = (
-        prefix.alias("p")
-        .join(
-            prefix.alias("q"),
+        p_side.join(
+            q_side,
             (F.col("p.sh") == F.col("q.sh"))
+            & salt_eq
             & (F.col("p.gkey") != F.col("q.gkey"))
             & (
                 ub * F.lit(1.0 + threshold)
@@ -3638,4 +3664,99 @@ def dedup_collapse_prior_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_dup_prior",
         F.when(F.col("n_dup_prior") > 0, "drop").otherwise("keep").alias("verdict"),
+    )
+
+
+@register(
+    "dedup_strategy_preflight",
+    oracle="""
+    WITH g AS (SELECT doc_id, md5(text) AS gkey FROM documents),
+    grp AS (SELECT gkey, COUNT(*) AS m, MIN(doc_id) AS rep_id
+            FROM g GROUP BY gkey),
+    gm AS (SELECT CAST(SUM(m) AS BIGINT) AS n_docs,
+                  CAST(COUNT(*) AS BIGINT) AS n_distinct_content,
+                  CAST(MAX(m) AS BIGINT) AS max_content_group,
+                  CAST(SUM(m * (m - 1)) / 2 AS BIGINT) AS identical_pair_mass
+           FROM grp),
+    w AS (SELECT d.doc_id,
+                 list_filter(string_split(d.text, ' '), x -> x <> '') AS w
+          FROM documents d JOIN grp ON grp.rep_id = d.doc_id),
+    s AS (SELECT doc_id, unnest(list_distinct(
+            list_transform(range(1, len(w) - 1),
+                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh
+          FROM w),
+    sm AS (SELECT CAST(COALESCE(MAX(df), 0) AS BIGINT) AS max_rep_shingle_df
+           FROM (SELECT sh, COUNT(*) AS df FROM s GROUP BY sh))
+    SELECT n_docs, n_distinct_content, max_content_group,
+           identical_pair_mass, max_rep_shingle_df,
+           CASE WHEN max_rep_shingle_df >= 2048 THEN 'collapse+prefix'
+                WHEN identical_pair_mass >= 3000000 THEN 'exact-collapse'
+                ELSE 'plain-probe' END AS strategy
+    FROM gm CROSS JOIN sm
+    """,
+    doc="Strategy-selection pre-flight for the four-strategy near-dup "
+    "family (VERDICT r18 item 3): ONE cheap diagnostic pass that "
+    "operationalizes SCALE.md r18's measured crossovers BEFORE a corpus "
+    "hits the quadratic failure modes. Two linear shuffles — a content "
+    "groupBy (the diagnostics_key_skew shape: group sizes + their "
+    "C(m,2) pair mass) and a representative-level shingle-df groupBy "
+    "(the hot-TEMPLATE detector) — emit one row of corpus diagnostics "
+    "plus a strategy verdict: 'plain-probe' (clean corpus: the direct "
+    "LSH probe, measured 22.7 s vs the collapse's 37 s at sf0.1 — "
+    "collapse overhead only pays when duplication mass exists), "
+    "'exact-collapse' when identical-content pair mass Sum C(m_i,2) >= "
+    "3e6 (the probes pay ~4.6 us per candidate pair — 8.0 M pairs cost "
+    "the plain probe 51.2 s vs 11.9 s collapsed at m=4,000 clones; 3e6 "
+    "pairs ~ the collapse's fixed overhead), and 'collapse+prefix' when "
+    "any representative-level shingle df >= 2048 (DISTINCT texts "
+    "sharing template shingles defeat plain collapse: C(df,2) "
+    "materialized candidates, measured 343 s at df=8,000; the "
+    "prefix+positional algebra cuts it to 12.0 s and is the only "
+    "strategy that survives both pathologies, so it takes precedence). "
+    "At 100 TB this runs as a side output of the ingest scan - the "
+    "group-size histogram and shingle-df tail are reusable by the "
+    "skew guards of every downstream dedup op.",
+    tags=("dedup", "extension", "diagnostic", "skew"),
+)
+def dedup_strategy_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return strategy_preflight_diagnostics(d)
+
+
+def strategy_preflight_diagnostics(d: DataFrame) -> DataFrame:
+    """The preflight over any (doc_id, text) frame — shared by the
+    registered query and the verdict-sensitivity pytest (which feeds it
+    the SCALE.md r18 pathology corpora and checks the verdict flips)."""
+    g = d.select("doc_id", F.md5(F.col("text")).alias("gkey"))
+    grp = g.groupBy("gkey").agg(
+        F.count(F.lit(1)).alias("m"), F.min("doc_id").alias("rep_id")
+    )
+    gm = grp.agg(
+        F.sum("m").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_content"),
+        F.max("m").cast("long").alias("max_content_group"),
+        (F.sum(F.col("m") * (F.col("m") - 1)) / 2)
+        .cast("long")
+        .alias("identical_pair_mass"),
+    )
+    s = (
+        d.join(grp.select("rep_id"), d["doc_id"] == F.col("rep_id"))
+        .select(F.explode(_shingles(_words())).alias("sh"))
+    )
+    sm = (
+        s.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(F.coalesce(F.max("df"), F.lit(0)).cast("long").alias(
+            "max_rep_shingle_df"))
+    )
+    return gm.crossJoin(sm).select(
+        "n_docs",
+        "n_distinct_content",
+        "max_content_group",
+        "identical_pair_mass",
+        "max_rep_shingle_df",
+        F.when(F.col("max_rep_shingle_df") >= 2048, "collapse+prefix")
+        .when(F.col("identical_pair_mass") >= 3_000_000, "exact-collapse")
+        .otherwise("plain-probe")
+        .alias("strategy"),
     )

@@ -264,6 +264,17 @@ def _resolve_from_names(
     return base_dir, base_txn, chosen
 
 
+def _glob_escape(path: str) -> str:
+    """Backslash-escape Hadoop-glob metacharacters (`* ? [ ] { } \\`) so a
+    LITERAL directory path reads as itself through ``spark.read`` — which
+    glob-interprets every path it is handed. Partition VALUES are safe
+    (Hive escapePathName percent-encodes glob chars on write); the table
+    root is the only place raw metacharacters can appear (ADVICE r18: a
+    `b[1]acid` root silently matched nothing, or worse, its `b1acid`
+    char-class neighbor)."""
+    return re.sub(r"([*?\[\]{}\\])", r"\\\1", path)
+
+
 def read_acid_table(
     spark: SparkSession,
     table_path: str,
@@ -280,7 +291,7 @@ def read_acid_table(
     parts: list[DataFrame] = []
     if base_dir is not None:
         parts.append(
-            spark.read.parquet(f"{table_path}/{base_dir}").withColumn(
+            spark.read.parquet(_glob_escape(f"{table_path}/{base_dir}")).withColumn(
                 "ver", F.lit(base_txn)
             )
         )
@@ -294,7 +305,7 @@ def read_acid_table(
         # and hundreds of deltas is the NORMAL state of a streaming-
         # ingested table between compactions, exactly when read cost
         # matters most (SCALE.md §ACID delta-count audit).
-        dpaths = [f"{table_path}/{nm}" for _mn, _mx, nm in deltas]
+        dpaths = [_glob_escape(f"{table_path}/{nm}") for _mn, _mx, nm in deltas]
         raw = F.regexp_extract(F.input_file_name(), r"/delta_\d+_(\d+)/[^/]*$", 1)
         # Loud guard (ADVICE r11): a file NOT directly under its
         # delta_M1_M2 dir (nested subdir, empty input_file_name) yields ''
@@ -507,17 +518,29 @@ def read_acid_table_partitioned(
             delta_paths += [f"{table_path}/{d}/{nm}" for _mn, _mx, nm in deltas]
         return _partitioned_merge(spark, table_path, part_col, base_paths,
                                   delta_paths)
+    # Hadoop glob semantics: `* ? [ ] { }` (and backslash) in the PATTERN
+    # are metacharacters. Partition values are safe — Hive/Spark
+    # escapePathName percent-encodes glob chars on write — but a raw
+    # table_path containing one would silently match nothing (ADVICE r18).
+    # Backslash-escape the table_path portion so it always matches itself
+    # literally; only the trailing `{prefix}*/*` stays a glob.
+    glob_root = _glob_escape(table_path)
     try:
         leaf = (
             spark.read.format("binaryFile")
-            .load(f"{table_path}/{prefix}*/*")
+            .load(f"{glob_root}/{prefix}*/*")
             .select("path")
             .collect()
         )
     except Exception as exc:
-        raise FileNotFoundError(
-            f"no {part_col}= partition dirs under {table_path}: {exc}"
-        ) from None
+        # The partition dirs were just confirmed to exist via listStatus,
+        # so a failure HERE is the listing job itself (permissions, FS
+        # outage, classpath) — say that, not "no partition dirs" (ADVICE
+        # r18: the misdiagnosis sent operators hunting a layout problem).
+        raise RuntimeError(
+            f"distributed listing of {table_path} failed (partition dirs "
+            f"exist; the binaryFile listing job errored)"
+        ) from exc
     children: dict[str, set[str]] = {}
     for row in leaf:
         # binaryFile's path column is Hadoop Path.toString — the RAW
@@ -594,7 +617,7 @@ def _partitioned_merge(
             "base version",
         ).cast("long")
         parts.append(
-            spark.read.parquet(*base_paths)
+            spark.read.parquet(*[_glob_escape(p) for p in base_paths])
             .withColumn("ver", bver)
             .withColumn(part_col, part)
         )
@@ -604,7 +627,7 @@ def _partitioned_merge(
             "delta version",
         ).cast("long")
         parts.append(
-            spark.read.parquet(*delta_paths)
+            spark.read.parquet(*[_glob_escape(p) for p in delta_paths])
             .withColumn("ver", dver)
             .withColumn(part_col, part)
         )
@@ -782,13 +805,14 @@ def read_acid_bucketed_point(
     n_files = 0
     if base_dir is not None:
         parts.append(
-            spark.read.parquet(f"{table_path}/{base_dir}/{b:06d}_0").withColumn(
+            spark.read.parquet(_glob_escape(f"{table_path}/{base_dir}/{b:06d}_0")).withColumn(
                 "ver", F.lit(base_txn)
             )
         )
         n_files += 1
     if deltas:
-        dpaths = [f"{table_path}/{nm}/{b:06d}_0" for _mn, _mx, nm in deltas]
+        dpaths = [_glob_escape(f"{table_path}/{nm}/{b:06d}_0")
+                  for _mn, _mx, nm in deltas]
         raw = F.regexp_extract(F.input_file_name(), r"/delta_\d+_(\d+)/[^/]*$", 1)
         ver = F.when(
             raw == "",

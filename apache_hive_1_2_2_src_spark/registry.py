@@ -186,68 +186,69 @@ STABLE_WINDOW = (
 # either way. (r12's 18 FRESH names all certified in CORRECTNESS_r12 and
 # rotated out; the displaced stable tail returns automatically.)
 FRESH = (
-    # r18 registrations ride first so each earns a driver-green row in its
-    # first round (never-green guard): the hot-user-splitting sessionize
-    # twin (VERDICT r17 item 3 — the bot-corpus path the docs point users
-    # to now carries its own external row; oracle = the naive islands SQL,
-    # so the hash match doubles as the equivalence certificate), and the
-    # store-compaction invisibility certificate (VERDICT r17 item 1 gone
-    # external: drain -> compact both REAL stores with the new Hadoop-FS
-    # compactor -> re-derive every verdict from the compacted stores;
-    # oracle = the incremental query's exact-Jaccard SQL).
-    "sessionize_bucketed",
-    "streaming_dedup_compact_store",
-    # ...and the mega-cluster audit fix, twice: exact-collapse prior-dup
-    # counts in batch form, then the same algebra composed into the
-    # streaming probe (group-keyed stores + per-doc member ledger). All
-    # four dedup strategies share ONE exact-Jaccard oracle.
-    "dedup_collapse_prior_counts",
-    "streaming_dedup_collapse_incremental",
-    # r18 rotation (VERDICT r17 item 2): the full 32-name r8 cohort — the
-    # oldest-driver-green block (newest green row = r8 for each, computed
-    # from CORRECTNESS_r01..r17). After this round the oldest driver-green
-    # row anywhere is r9 and the ~2-round refresh cadence holds. All 32
-    # re-verified by the local 366/366 sf0.01 sweep before riding.
-    # 1 new + 32 rotation + flagship leaves 16 tail slots, filled from
-    # STABLE_WINDOW in order (streaming_acid_delta_ingest ... join_asof) —
-    # covering the streaming/udtf/extension breadth tags the cohort lacks.
-    "agg_approx_count_distinct",
-    "agg_approx_top_k",
-    "agg_argmax_struct",
-    "agg_filter_clause_sql",
-    "agg_histogram_numeric",
-    "agg_mode_exact",
-    "agg_stats_merge_incremental",
-    "agg_weighted_median",
-    "cluster_by_sql",
-    "ddl_partitioned_insert",
-    "ddl_stored_as_hive_dialect",
-    "fixedwidth_read",
-    "insert_overwrite_directory",
-    "join_asof_forward",
-    "join_range_interval",
-    "json_tuple_extract",
-    "multi_insert_fanout",
-    "schema_evolution_merge",
-    "text_delimited_read",
-    "virtual_columns_invariants",
-    "window_agg_default_frame",
-    "window_ntile_partitioned",
-    "window_running_sum_rows_frame",
-    "workload_disjunctive_revenue",
-    "workload_idle_customers",
-    "workload_large_volume_customer",
-    "workload_min_cost_supplier_sql",
-    "workload_nation_volume_shipping",
-    "workload_order_priority_check",
-    "workload_shipmode_priority",
-    "workload_small_qty_revenue",
-    "workload_top_supplier",
+    # r19 registrations ride first so each earns a driver-green row in its
+    # first round (never-green guard): the strategy-selection pre-flight
+    # for the four-strategy dedup family (VERDICT r18 item 3 — the
+    # measured SCALE.md r18 crossovers as a registered, oracled verdict),
+    # and the bucketed-state upsert twin (r19 scale audit: the flat
+    # upsert's O(epochs x |users|) full-state rewrite becomes
+    # touched-buckets-only; same fixpoint, same oracle).
+    "dedup_strategy_preflight",
+    "streaming_upsert_bucketed_state",
+    # r19 rotation (VERDICT r18 item 1): the full 37-name r9 cohort — the
+    # oldest-driver-green block (newest green row = r9 for each,
+    # recomputed this round from CORRECTNESS_r01..r18 and matching the
+    # r18-frozen list exactly). After this round the oldest driver-green
+    # row anywhere is r10; r20 finishes the refresh cycle with the r10
+    # cohort. All 37 re-verified by the local sf0.01 sweep before riding.
+    # 2 new + 37 rotation + 1 breadth + flagship leaves 9 tail slots,
+    # filled from STABLE_WINDOW in order (streaming_acid_delta_ingest ...
+    # hive_smb_merge_join) — covering the source breadth tag the cohort
+    # lacks (the cohort itself carries udtf via posexplode_words, and
+    # the new upsert twin covers streaming from the FRESH block).
+    "acid_major_compaction",
+    "acid_minor_compaction",
+    "agg_map_canonical",
+    "agg_ratio_to_parent",
+    "bucketed_smb_join",
+    "ddl_lifecycle",
+    "dedup_apply_keepers",
+    "dedup_blocklist_bloom",
+    "dedup_clusters",
+    "dedup_cross_source_report",
+    "dedup_keep_longest",
+    "dedup_levenshtein_blocked",
+    "dedup_minhash_lsh",
+    "dedup_span_trim",
+    "events_anomaly_exact",
+    "events_churn_resurrection",
+    "events_cohort_ltv",
+    "events_funnel_windowed",
+    "events_interarrival_stats",
+    "events_markov_transitions",
+    "events_peak_concurrency",
+    "events_session_dynamic_gap",
+    "multimodal_decode_wav",
+    "pipeline_release_gate",
+    "posexplode_words",
+    "profile_columns_unpivot",
+    "text_url_canonical_dedup",
+    "timeseries_ohlc_bars",
+    "window_tumbling_agg",
+    "workload_cdc_merge",
+    "workload_hierarchy_flatten",
+    "workload_open_orders_asof",
+    "workload_order_cycle_time",
+    "workload_pareto_abc",
+    "workload_rfm_segments",
+    "workload_scd2_asof_query",
+    "workload_yoy_growth",
     # breadth: the cohort carries no functions-tagged query and the
     # auto-filled tail truncates before reaching the STABLE_WINDOW
-    # functions reps — ride the OLDEST-green functions query (r10), so
-    # the breadth slot also advances the refresh cadence.
-    "collection_map_suite",
+    # functions reps — ride one of the OLDEST-green functions queries
+    # (r10), so the breadth slot also advances the refresh cadence
+    # toward r20's r10-cohort finish.
+    "date_tz_suite",
 )
 
 PRIORITY = (

@@ -473,6 +473,67 @@ def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def reclaim_state_generation(sess: SparkSession, state: str) -> None:
+    """Entry-time crash reclamation for the ``state`` / ``state__old`` /
+    ``state__next`` generation-swap layout (the compact_partitioned_store
+    discipline, on the Hadoop FS API — file://, hdfs://, s3a://):
+
+    - ``state`` present: any ``__old``/``__next`` sidecars are stale
+      leftovers of an interrupted prior swap — deleted.
+    - ``state`` absent + ``__old`` present: crashed inside the two-rename
+      window. ``__next`` (validated before the window opened — see
+      commit_state_generation) is renamed into place if present, else
+      ``__old`` is restored; a complete state table reappears either way,
+      never a mix.
+    - neither present: first generation, nothing to reclaim.
+    """
+    from apache_hive_1_2_2_src_spark.sources.hive_bucketing import _hadoop_fs
+
+    _, fs, P = _hadoop_fs(sess, state)
+    tgt, told, tgen = P(state), P(state + "__old"), P(state + "__next")
+    if fs.exists(tgt):
+        fs.delete(told, True)
+        fs.delete(tgen, True)
+    elif fs.exists(told):
+        done = fs.exists(tgen) and fs.rename(tgen, tgt)
+        if not done and not fs.rename(told, tgt):
+            raise RuntimeError(f"could not restore {state} from __old")
+        fs.delete(told, True)
+        fs.delete(tgen, True)
+
+
+def commit_state_generation(
+    sess: SparkSession, state: str, gen: DataFrame, expected_rows: int
+) -> None:
+    """Write ``gen`` as the next generation of ``state`` and swap it into
+    place. The side dir is fully written AND row-count-validated against
+    ``expected_rows`` BEFORE the first rename — a lost or partial side
+    write can never enter the swap window, which is what makes
+    reclaim_state_generation's promote-``__next``-when-``state``-absent
+    rule safe. Writing to a side dir (not overwrite-in-place) matters
+    twice over: overwriting the parquet dir a plan is simultaneously
+    reading races file deletion, and a crash mid-overwrite would lose
+    state merged by checkpoint-committed earlier batches."""
+    from apache_hive_1_2_2_src_spark.sources.hive_bucketing import _hadoop_fs
+
+    _, fs, P = _hadoop_fs(sess, state)
+    tgt, told, tgen = P(state), P(state + "__old"), P(state + "__next")
+    gen.write.mode("overwrite").parquet(state + "__next")
+    n_gen = sess.read.parquet(state + "__next").count()
+    if n_gen != expected_rows:
+        fs.delete(tgen, True)
+        raise RuntimeError(
+            f"state generation row count {n_gen} != expected "
+            f"{expected_rows}; {state} untouched"
+        )
+    if fs.exists(tgt) and not fs.rename(tgt, told):
+        raise RuntimeError(f"rename {state} -> __old failed; state untouched")
+    if not fs.rename(tgen, tgt):
+        fs.rename(told, tgt)  # put the original back before failing
+        raise RuntimeError(f"rename __next -> {state} failed; restored")
+    fs.delete(told, True)
+
+
 @register(
     "streaming_foreachbatch_upsert",
     oracle="""
@@ -498,13 +559,19 @@ def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "oracle-checkable against the batch argmax. State table size is "
     "~|users|, not |events| — bounded regardless of feed length; on a "
     "cluster the overwrite becomes MERGE INTO on a transactional table "
-    "with the identical foreachBatch body.",
+    "with the identical foreachBatch body. The state-generation swap "
+    "runs on the Hadoop FS API with validate-before-rename + entry-time "
+    "crash reclamation (r19 — the compact_partitioned_store discipline; "
+    "crash states pinned in tests/test_round19_ops.py), so the same "
+    "body also runs against hdfs:// and s3a:// state locations.",
     tags=("streaming", "upsert", "foreachbatch"),
 )
 def streaming_foreachbatch_upsert(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
     from pyspark.sql.window import Window
+
+    from apache_hive_1_2_2_src_spark.sources.hive_bucketing import _hadoop_fs
 
     base = _tmp_base("hive_spark_upsert_")
     state, ckpt = os.path.join(base, "state"), os.path.join(base, "ckpt")
@@ -521,32 +588,26 @@ def streaming_foreachbatch_upsert(
         )
 
     def merge(batch: DataFrame, _epoch: int) -> None:
-        # Crash recovery: a crash after `state -> state_old` but before
-        # `gen -> state` leaves only the aside copy; restore it before
-        # merging so no committed batch's state is lost.
-        old = f"{state}_old"
-        if not os.path.isdir(state) and os.path.isdir(old):
-            os.rename(old, state)
+        # State-generation swap on the Hadoop FS API (r19 — VERDICT r18
+        # item 2, the compact_partitioned_store discipline): runs unchanged
+        # against file://, hdfs://, s3a:// state locations — this was the
+        # last os.rename state mutation in a registered query. Crash
+        # states are reclaimed at entry and the new generation is
+        # validated before the first rename (helpers below; pinned in
+        # tests/test_round19_ops.py). An interrupted batch was never
+        # checkpoint-committed, so the stream re-delivers it and the
+        # merge re-converges by argmax idempotence.
+        sess = batch.sparkSession
+        reclaim_state_generation(sess, state)
+        _, fs, P = _hadoop_fs(sess, state)
         cur = batch.select("user_id", "ts", "event_id", "value")
-        if os.path.isdir(state):
-            cur = cur.unionByName(batch.sparkSession.read.parquet(state))
-        # Write to a new generation dir then swap: overwriting the parquet
-        # dir we are simultaneously reading races file deletion. The swap
-        # keeps the old generation alive until the new one is in place
-        # (rename aside -> rename in -> delete old) so a crash at any point
-        # leaves a complete state table on disk — without this, a crash
-        # between rmtree(state) and rename(gen, state) would lose all state
-        # merged by checkpoint-committed earlier batches.
-        gen = f"{state}_next"
-        latest(cur).write.mode("overwrite").parquet(gen)
-        import shutil
-
-        old = f"{state}_old"
-        shutil.rmtree(old, ignore_errors=True)
-        if os.path.isdir(state):
-            os.rename(state, old)
-        os.rename(gen, state)
-        shutil.rmtree(old, ignore_errors=True)
+        if fs.exists(P(state)):
+            cur = cur.unionByName(sess.read.parquet(state))
+        # The argmax keeps exactly one row per user, so the generation's
+        # row count must equal the input's distinct-user count — the
+        # validation commit_state_generation checks before renaming.
+        n_users = cur.select("user_id").distinct().count()
+        commit_state_generation(sess, state, latest(cur), n_users)
 
     source = _read_events_stream(spark, inbox, max_files_per_trigger)
     q = (
@@ -565,6 +626,193 @@ def streaming_foreachbatch_upsert(
         "user_id",
         F.col("ts").cast("string").alias("last_ts"),
         F.col("value").alias("last_value"),
+    )
+
+
+# Last streaming_upsert_bucketed_state drain — the rewrite-amplification
+# measurement and the layout pins read these.
+LAST_BUCKETED_UPSERT: dict = {}
+
+
+def _bucketed_upsert_drain(
+    spark: SparkSession,
+    inbox: str,
+    state: str,
+    ckpt: str,
+    n_buckets: int = 8,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Drain ``inbox`` into a BUCKETED latest-state store: per-user argmax
+    state hash-partitioned into ``n_buckets`` independent generation-swap
+    dirs (``state/b00000`` ...), each governed by the
+    reclaim/commit_state_generation crash discipline. Each micro-batch
+    rewrites ONLY the buckets its users hash into — the flat upsert's
+    full-state rewrite (O(epochs x |users|) write amplification,
+    SCALE.md r19) becomes O(epochs x |touched buckets| x |bucket|), the
+    same plan-level pruning contract as the LSH state stores.
+
+    Crash contract: the merged generation for ALL touched buckets is
+    written to one side root and validated per bucket BEFORE the first
+    rename; the per-bucket swaps then commit independently. A crash
+    between bucket swaps leaves buckets on two generations — safe,
+    because the interrupted batch was never checkpoint-committed: the
+    stream re-delivers it and the argmax merge is idempotent per user,
+    so re-merging converges both generations to the same fixpoint (the
+    same argument as the flat form's re-delivery, pinned in
+    tests/test_round19_ops.py)."""
+    from pyspark.sql.window import Window
+
+    from apache_hive_1_2_2_src_spark.sources.hive_bucketing import _hadoop_fs
+
+    def ub_of(c: str):
+        return F.pmod(F.xxhash64(F.col(c)), F.lit(n_buckets)).cast("int")
+
+    def bdir(j: int) -> str:
+        return f"{state}/b{j:05d}"
+
+    def latest(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        return (
+            df.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("user_id", "ts", "event_id", "value")
+        )
+
+    LAST_BUCKETED_UPSERT.clear()
+    LAST_BUCKETED_UPSERT.update(
+        {"state": state, "n_buckets": n_buckets, "touched": []}
+    )
+
+    def merge(batch: DataFrame, _epoch: int) -> None:
+        sess = batch.sparkSession
+        _, fs, P = _hadoop_fs(sess, state)
+        side = state + "__next_root"
+        # entry-time reclaim: a stale side root is a pre-swap crash (state
+        # intact — delete it); each bucket dir reclaims its own crash
+        # states through the shared helper.
+        fs.delete(P(side), True)
+        for j in range(n_buckets):
+            reclaim_state_generation(sess, bdir(j))
+        cur = batch.select("user_id", "ts", "event_id", "value").withColumn(
+            "ub", ub_of("user_id")
+        )
+        touched = sorted(
+            r["ub"] for r in cur.select("ub").distinct().collect()
+        )
+        if not touched:
+            return
+        prior_paths = [bdir(j) for j in touched if fs.exists(P(bdir(j)))]
+        if prior_paths:
+            cur = cur.unionByName(
+                sess.read.parquet(*prior_paths).withColumn(
+                    "ub", ub_of("user_id")
+                )
+            )
+        merged = latest(cur).withColumn("ub", ub_of("user_id"))
+        merged.repartition(len(touched), "ub").write.partitionBy(
+            "ub"
+        ).parquet(side)
+        # validate per bucket BEFORE any rename: side rows per bucket must
+        # equal the merged input's distinct users per bucket
+        exp = {
+            r["ub"]: r["n"]
+            for r in cur.groupBy("ub")
+            .agg(F.countDistinct("user_id").alias("n"))
+            .collect()
+        }
+        got = {
+            r["ub"]: r["n"]
+            for r in sess.read.parquet(side)
+            .groupBy("ub")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        if got != exp:
+            fs.delete(P(side), True)
+            raise RuntimeError(
+                f"bucketed upsert generation diverges per bucket: "
+                f"{got} != {exp}; state untouched"
+            )
+        for j in touched:
+            b = bdir(j)
+            if not fs.rename(P(f"{side}/ub={j}"), P(b + "__next")):
+                raise RuntimeError(f"rename side -> {b}__next failed")
+            if fs.exists(P(b)) and not fs.rename(P(b), P(b + "__old")):
+                raise RuntimeError(f"rename {b} -> __old failed")
+            if not fs.rename(P(b + "__next"), P(b)):
+                fs.rename(P(b + "__old"), P(b))
+                raise RuntimeError(f"rename __next -> {b} failed; restored")
+            fs.delete(P(b + "__old"), True)
+        fs.delete(P(side), True)
+        LAST_BUCKETED_UPSERT["touched"].append(touched)
+
+    source = _read_events_stream(spark, inbox, max_files_per_trigger)
+    q = (
+        source.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("streaming_upsert_bucketed_state: drain exceeded 300 s")
+
+
+@register(
+    "streaming_upsert_bucketed_state",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, ts, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rk
+      FROM events
+    )
+    SELECT user_id,
+           CAST(ts AS VARCHAR) AS last_ts,
+           CAST(value AS DOUBLE) AS last_value
+    FROM ranked WHERE rk = 1
+    """,
+    doc="BUCKETED-state twin of streaming_foreachbatch_upsert (r19 scale "
+    "audit, SCALE.md r19): the flat upsert rewrites the WHOLE ~|users| "
+    "state table every micro-batch — O(epochs x |users|) write "
+    "amplification, the one cost that grows without bound on a "
+    "minutes-cadence feed over a large user base. Here the state is "
+    "hash-partitioned into n_buckets independent generation-swap dirs "
+    "(xxhash64(user_id) mod k — the LSH state-store discipline), each "
+    "micro-batch rewrites ONLY its touched buckets, and the drain runs "
+    "genuinely multi-batch (maxFilesPerTrigger=16 over the 32-file "
+    "inbox). Same fixpoint, same oracle as the flat form — the driver "
+    "hash match certifies that bucketing the state changes NOTHING "
+    "about the answer; per-bucket crash reclamation and the "
+    "mixed-generation re-delivery argument are pinned in "
+    "tests/test_round19_ops.py. At 100 TB pick k so a bucket ~ one "
+    "task (e.g. 4096): a batch touching u users rewrites "
+    "min(u, k)/k of the state instead of all of it.",
+    tags=("streaming", "upsert", "foreachbatch", "bucket"),
+)
+def streaming_upsert_bucketed_state(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 8
+) -> DataFrame:
+    from apache_hive_1_2_2_src_spark.sources.hive_bucketing import _hadoop_fs
+
+    base = _tmp_base("hive_spark_bupsert_")
+    state, ckpt = os.path.join(base, "state"), os.path.join(base, "ckpt")
+    inbox = _stage_events_inbox(spark, sf_dir)
+    _bucketed_upsert_drain(
+        spark, inbox, state, ckpt, n_buckets, max_files_per_trigger=16
+    )
+    _, fs, P = _hadoop_fs(spark, state)
+    bucket_dirs = [
+        f"{state}/b{j:05d}"
+        for j in range(n_buckets)
+        if fs.exists(P(f"{state}/b{j:05d}"))
+    ]
+    return spark.read.parquet(*bucket_dirs).select(
+        "user_id",
+        F.col("ts").cast("string").alias("last_ts"),
+        F.col("value").cast("double").alias("last_value"),
     )
 
 
@@ -834,6 +1082,46 @@ def streaming_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def file_source_ledger_retention_confs(
+    compact_interval: int = 10,
+    cleanup_delay_ms: int = 0,
+    min_batches_to_retain: int = 10,
+) -> dict[str, str]:
+    """The sources/0 seen-file-ledger retention recipe as CODE (r19 —
+    VERDICT r18 item 6; SCALE.md r18 regime 3 recorded it as prose).
+
+    A file-source checkpoint's ``sources/0`` dir accumulates one entry
+    file per epoch plus a CUMULATIVE ``.compact`` ledger rewritten every
+    ``compactInterval`` epochs — the one unbounded checkpoint resource
+    (O(files-ever-seen) bytes per compact; ~100 B/file measured). The
+    engine's own cleaner bounds the FILE COUNT, but only after
+    ``cleanupDelay`` (default 10 min) — which never fires inside short
+    drains and lets minutes-cadence jobs carry hundreds of obsolete
+    entry files between compactions. Applying these confs when the
+    stream STARTS keeps ``sources/0`` at ~compactInterval entry files +
+    ONE live ledger (measured at 65 epochs in
+    tests/test_round19_ops.py; without the recipe the r18 measurement
+    held 120 entry files + every ``.compact`` ever written). Superseded
+    ``.compact`` files are governed by ``minBatchesToRetain`` — the SAME
+    knob that purges offsets/commits (r18: 120 -> 22 files at
+    retain=10) — while entry files answer to ``deletion`` +
+    ``cleanupDelay``; the recipe sets all three, because setting only
+    the delay still retains every old ledger. The live ledger's CONTENT
+    still grows with files-ever-seen — that part is inherent to the
+    source's exactly-once contract, and the coarse-granularity +
+    inbox/checkpoint rotation rule (SCALE.md r18) remains the firehose
+    answer."""
+    return {
+        "spark.sql.streaming.fileSource.log.compactInterval":
+            str(compact_interval),
+        "spark.sql.streaming.fileSource.log.deletion": "true",
+        "spark.sql.streaming.fileSource.log.cleanupDelay":
+            str(cleanup_delay_ms),
+        "spark.sql.streaming.minBatchesToRetain":
+            str(min_batches_to_retain),
+    }
+
+
 @register(
     "streaming_acid_delta_ingest",
     # Exactly-once through the WHOLE chain: every event lands in exactly
@@ -989,17 +1277,41 @@ def compact_partitioned_store(
 
     before = _nfiles()
     df = spark.read.parquet(path)
-    k = df.select(part_col).distinct().count()
+    # Per-partition source counts, ONE groupBy (bounded by store_buckets —
+    # metadata-sized). k == 0 means an existing-but-empty store (all rows
+    # expired/compacted away): nothing to rewrite, and repartition(0)
+    # would die with an opaque Spark error (ADVICE r18) — return early,
+    # store untouched.
+    src_counts = {
+        r[0]: r[1] for r in df.groupBy(part_col).count().collect()
+    }
+    k = len(src_counts)
+    if k == 0:
+        return before, before
     df.repartition(k, part_col).write.mode("overwrite").partitionBy(
         part_col
     ).parquet(path + "__compact")
-    n_src = df.count()
-    n_side = spark.read.parquet(path + "__compact").count()
-    if n_src != n_side:
+    # Validate the side store PER PARTITION, not by a single total (ADVICE
+    # r18): a total can balance a dropped row in one partition against a
+    # duplicated row in another; the per-key comparison also catches rows
+    # landing in the wrong `part_col=` dir.
+    side_counts = {
+        r[0]: r[1]
+        for r in spark.read.parquet(path + "__compact")
+        .groupBy(part_col)
+        .count()
+        .collect()
+    }
+    if src_counts != side_counts:
         fs.delete(side, True)
+        bad = sorted(
+            str(v)
+            for v in set(src_counts) | set(side_counts)
+            if src_counts.get(v) != side_counts.get(v)
+        )
         raise RuntimeError(
-            f"compacted store row count {n_side} != source {n_src}; "
-            f"store untouched"
+            f"compacted store per-partition counts diverge at "
+            f"{part_col}={bad[:5]}; store untouched"
         )
     if not fs.rename(tgt, old):
         raise RuntimeError(f"rename {path} -> __old failed; store untouched")

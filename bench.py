@@ -76,6 +76,7 @@ HEADLINE = (
     "sessionize_bucketed",  # hot-user split-and-stitch sessionize twin (r18)
     "streaming_dedup_compact_store",  # drain + FS-API store compaction + batch re-probe (r18)
     "dedup_collapse_prior_counts",  # exact-collapse near-dup counts, mega-cluster-flat (r18)
+    "dedup_strategy_preflight",  # 2-shuffle duplication-mass diagnostic + strategy verdict (r19)
 )
 
 # All 22 TPC-H query shapes in query order — timed as ONE sequential suite

@@ -147,6 +147,31 @@ def test_compactor_missing_store_raises(spark, tmp_path):
         compact_partitioned_store(spark, str(tmp_path / "nope"))
 
 
+def test_compactor_empty_store_untouched(spark, tmp_path):
+    """ADVICE r18: an existing-but-EMPTY store (every row expired or
+    compacted away upstream) used to reach repartition(0) and die with an
+    opaque Spark error. Now: early return, store untouched, (before,
+    before) reported."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from apache_hive_1_2_2_src_spark.streaming.windows import (
+        compact_partitioned_store,
+    )
+
+    store = str(tmp_path / "store")
+    spark.range(0).select(
+        F.col("id").alias("k"), F.lit(0).cast("int").alias("pb")
+    ).write.parquet(store)
+    files = sorted(os.listdir(store))
+
+    before, after = compact_partitioned_store(spark, store)
+    assert (before, after) == (before, before)
+    assert sorted(os.listdir(store)) == files
+    assert spark.read.parquet(store).count() == 0
+
+
 # ------------- native-decoder gate purity (ADVICE r17) --------------------
 
 
@@ -465,3 +490,25 @@ def test_partitioned_acid_bulk_listing_path(spark, tmp_path):
     finally:
         acid_mod._SMALL_TREE_PARTS = old
     assert got_small == got
+
+
+def test_partitioned_acid_bulk_listing_glob_metachar_root(spark, tmp_path):
+    """ADVICE r18: a table_path containing Hadoop-glob metacharacters used
+    to silently match nothing in the bulk listing (the load pattern was
+    built from raw strings) and surface as a bogus 'no pt= partition
+    dirs'. The root is now backslash-escaped — a `[...]` directory reads
+    identically through both listing strategies."""
+    import apache_hive_1_2_2_src_spark.operators.acid as A
+
+    tbl = str(tmp_path / "b[1]acid")
+    for i in range(40):
+        spark.createDataFrame(
+            [(i, "A", i * 10, "U")], "k long, st string, p long, op string"
+        ).write.parquet(f"{tbl}/pt=v{i}/delta_1_1")
+
+    assert 40 > A._SMALL_TREE_PARTS
+    got = sorted(
+        (r["pt"], r["k"])
+        for r in A.read_acid_table_partitioned(spark, tbl, "pt").collect()
+    )
+    assert got == sorted((f"v{i}", i) for i in range(40))
