@@ -339,3 +339,101 @@ def test_file_source_ledger_retention_recipe(spark, tmp_path):
     # and every epoch genuinely landed (retention must not eat data)
     deltas = [n for n in os.listdir(table) if n.startswith("delta_")]
     assert len(deltas) == epochs
+
+
+# ------- bucketed upsert state (r19 scale audit) --------------------------
+
+
+def test_bucketed_upsert_rewrites_only_touched_buckets(spark, tmp_path):
+    """The whole point of the bucketed state: an epoch whose users hash
+    into ONE bucket must rewrite that bucket alone — every other bucket
+    dir's files stay byte-for-byte identical (same names, same sizes,
+    untouched)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from apache_hive_1_2_2_src_spark.streaming.windows import (
+        LAST_BUCKETED_UPSERT,
+        _assert_stream_schema,
+        _bucketed_upsert_drain,
+    )
+
+    n_buckets = 8
+    base = str(tmp_path / "bu")
+    inbox, state, ckpt = f"{base}/inbox", f"{base}/state", f"{base}/ckpt"
+    os.makedirs(inbox)
+
+    def stage(drop, rows):
+        df = (
+            spark.createDataFrame(
+                rows,
+                "event_id long, user_id long, event_type string, value double",
+            )
+            .withColumn("ts_us", F.lit(1_600_000_000_000_000 + drop))
+            .withColumn("props", F.lit(None).cast("string"))
+        )
+        _assert_stream_schema(df)
+        stage_dir = f"{base}/stage"
+        df.coalesce(1).write.mode("overwrite").parquet(stage_dir)
+        part = next(f for f in os.listdir(stage_dir) if f.endswith(".parquet"))
+        dest = f"{inbox}/drop_{drop}.parquet"
+        os.rename(f"{stage_dir}/{part}", dest)
+        os.utime(dest, (1_600_000_000 + 60 * drop,) * 2)
+
+    # drop 0: 64 users spread over all buckets; drop 1: ONE user
+    stage(0, [(i, i, "click", float(i)) for i in range(64)])
+    stage(1, [(1000, 7, "click", 99.0)])
+
+    _bucketed_upsert_drain(
+        spark, inbox, state, ckpt, n_buckets, max_files_per_trigger=1
+    )
+    touched = LAST_BUCKETED_UPSERT["touched"]
+    assert len(touched) == 2
+    assert len(touched[0]) == n_buckets  # 64 spread users hit every bucket
+    assert len(touched[1]) == 1  # the single-user epoch rewrote ONE bucket
+
+    # the untouched bucket dirs' files carry epoch-0 mtimes only
+    lone = touched[1][0]
+    for j in range(n_buckets):
+        bdir = f"{state}/b{j:05d}"
+        files = sorted(os.listdir(bdir))
+        assert files, bdir
+        if j != lone:
+            # parquet part files written in epoch 0 survive untouched
+            newest = max(
+                os.path.getmtime(os.path.join(bdir, f)) for f in files
+            )
+            oldest_lone = min(
+                os.path.getmtime(os.path.join(f"{state}/b{lone:05d}", f))
+                for f in os.listdir(f"{state}/b{lone:05d}")
+            )
+            assert newest < oldest_lone
+
+    # and the final state is the argmax across both drops
+    import glob as _glob
+
+    got = {
+        (r["user_id"], r["value"])
+        for r in spark.read.parquet(
+            *_glob.glob(f"{state}/b0*")
+        ).collect()
+    }
+    want = {(i, float(i)) for i in range(64) if i != 7} | {(7, 99.0)}
+    assert got == want
+
+
+def test_bucketed_upsert_matches_flat_and_argmax(spark):
+    """Same fixpoint as the flat upsert and the batch argmax — bucketing
+    the state changes nothing about the answer."""
+    from apache_hive_1_2_2_src_spark.streaming.windows import (
+        streaming_upsert_bucketed_state,
+    )
+    from tests.test_streaming_upsert import _batch_argmax
+
+    want = _batch_argmax(spark)
+    got = {
+        tuple(r)
+        for r in streaming_upsert_bucketed_state(spark, SF_DIR).collect()
+    }
+    assert got == want
