@@ -32,12 +32,38 @@ from apache_hive_1_2_2_src_spark.tables import load_table
 
 
 def _dot(a: Column, b: Column) -> Column:
+    # NOTE (r19 optimization round): an unrolled left-deep element_at
+    # chain (bit-identical association) was measured as a NET LOSS at
+    # bench scale: the ~600-node expression costs 1.5-4 s of Janino
+    # compilation PER DISTINCT STAGE, and the training chains plan
+    # dozens of such stages (chain materialize 1.7 s fold vs 4.8-10.4 s
+    # unrolled). The fold's real pathology was _cos sitting inside
+    # window ORDER BY specs — the sort comparator re-evaluates order
+    # expressions per comparison — fixed instead by projecting the
+    # cosine to a column before every window (see _nearest_cid).
     prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
 
 def _cos(a: Column, b: Column) -> Column:
     return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a small frame to the session's default
+    parallelism before a fan-out join feeding an expensive projection
+    (r19 optimization; guide §2.5 — AQE coalesces post-shuffle
+    partitions by BYTES and cannot see that the next join multiplies
+    rows ~100-400x and then evaluates a 64-dim cosine per pair).
+    Measured: the nprobe=2 scored join emitted 753,880 pairs from a
+    2000-row coalesced-to-1-partition stream side, so 750k interpreted
+    cosine folds ran in ONE task — 13.9 s of a 14.3 s query
+    (SparkListener evidence in OPTIMIZATION_r19.md). Spreading the
+    stream side first runs the same join+projection on every core;
+    results are unchanged (round-robin repartition is row-stable under
+    retries via sortBeforeRepartition, and every downstream rank window
+    carries a full deterministic tiebreaker)."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
 _SQL_DOT = (
@@ -260,11 +286,16 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
     )
+    # r19: project the cosine BEFORE the window — a raw expression in a
+    # SortOrder is re-evaluated by the sort comparator per comparison
+    # (O(n log n) 64-dim folds instead of O(n)); ordering by the
+    # projected column is value-identical.
     assign_w = Window.partitionBy("vec_id").orderBy(
-        _cos(F.col("embedding"), F.col("ce")).desc(), F.col("cid")
+        F.col("__acos").desc(), F.col("cid")
     )
-    clustered = (
+    clustered = _spread(
         e.crossJoin(F.broadcast(cent))
+        .withColumn("__acos", _cos(F.col("embedding"), F.col("ce")))
         .withColumn("rnk", F.row_number().over(assign_w))
         .filter(F.col("rnk") == 1)
         .select("vec_id", "embedding", "cid")
@@ -295,17 +326,22 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _nearest_cid(e: DataFrame, centroids: DataFrame) -> DataFrame:
-    """Assign each (vec_id, embedding) to its nearest centroid by cosine."""
+    """Assign each (vec_id, embedding) to its nearest centroid by cosine.
+
+    r19: the cosine is projected ONCE and the window orders by the
+    projected column — the old form spelled the _cos expression in both
+    the orderBy and the final select, and Catalyst does not merge
+    common subexpressions across the Window boundary, so every row paid
+    the 64-dim cosine twice. Same value, same ordering, same output."""
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy("vec_id").orderBy(
-        _cos(F.col("embedding"), F.col("ce")).desc(), F.col("cid")
-    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cid"))
     return (
         e.crossJoin(F.broadcast(centroids))
+        .withColumn("cos", _cos(F.col("embedding"), F.col("ce")))
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") == 1)
-        .select("vec_id", "embedding", "cid", _cos(F.col("embedding"), F.col("ce")).alias("cos"))
+        .select("vec_id", "embedding", "cid", "cos")
     )
 
 
@@ -537,15 +573,22 @@ def _ivf_probe2_report(e: DataFrame, cent: DataFrame) -> DataFrame:
     registered queries."""
     from pyspark.sql.window import Window
 
+    # r19: cosine projected before the window (sort comparators
+    # re-evaluate raw order expressions per comparison).
     assign_w = Window.partitionBy("vec_id").orderBy(
-        _cos(F.col("embedding"), F.col("ce")).desc(), F.col("cid")
+        F.col("__acos").desc(), F.col("cid")
     )
     assign = (
         e.crossJoin(F.broadcast(cent))
+        .withColumn("__acos", _cos(F.col("embedding"), F.col("ce")))
         .withColumn("rnk", F.row_number().over(assign_w))
         .select("vec_id", "embedding", "cid", "rnk")
     )
-    clustered = assign.filter(F.col("rnk") == 1).select("vec_id", "embedding", "cid")
+    # _spread: the scored join below fans out ~|cell| rows per probe and
+    # pays one cosine per pair — keep it parallel (see _spread docstring).
+    clustered = _spread(
+        assign.filter(F.col("rnk") == 1).select("vec_id", "embedding", "cid")
+    )
     probes = assign.filter((F.col("vec_id") >= 490) & (F.col("rnk") <= 2)).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
@@ -856,7 +899,8 @@ def _semdedup_report(e: DataFrame, centroids: DataFrame) -> DataFrame:
         F.col("ccos").alias("b_ccos"),
     )
     pairs = (
-        a.join(b, (F.col("cid") == F.col("b_cid")) & (F.col("a_id") < F.col("b_id")))
+        _spread(a)
+        .join(b, (F.col("cid") == F.col("b_cid")) & (F.col("a_id") < F.col("b_id")))
         .filter(_cos(F.col("a_emb"), F.col("b_emb")) >= _SEMDEDUP_TAU)
         .select(
             "cid",
@@ -888,6 +932,43 @@ def _semdedup_report(e: DataFrame, centroids: DataFrame) -> DataFrame:
 _KMQ_Q = 1 << 20  # centroid quantization: floor(val * 2^20) integer sums
 _KMQ_K = 8
 _KMQ_ITERS = 2
+
+
+def _materialize(df: DataFrame) -> DataFrame:
+    """Eagerly localCheckpoint a small, multiply-consumed frame (r19
+    optimization; guide §5 lineage cut). Catalyst INLINES a derived
+    frame's full subtree at every consumption point — each
+    F.broadcast(), self-join branch, or downstream join re-plans AND
+    re-executes the whole training chain. Measured before the cuts
+    (plans/r19/*_before.txt): similarity_ivfpq_residual_search carried a
+    973 KB physical plan with 802 Exchanges and 314 scans of the
+    2000-row embeddings table; similarity_opq_rotate_pq re-evaluated the
+    O(d^2)-per-row Hadamard rotation in 68 scan branches. Materializing
+    the centroid/codebook/residual frames (all training-sample- or
+    k-row-sized) computes each chain once and collapses every consumer
+    to an O(1)-node LogicalRDD read. Values are unchanged — this is pure
+    materialization, and the trainer's checkpoint-invariance is pinned
+    in tests/test_kmeans.py. At 100 TB the checkpointed frames stay
+    metadata-/sample-sized (centroids, codebooks, per-vector codes), so
+    executor-local storage is linear in the index, not the corpus."""
+    return df.localCheckpoint(eager=True)
+
+
+def _materialize_all(dfs: list) -> list:
+    """Materialize INDEPENDENT frames concurrently (r19; guide §2.6 —
+    overlap independent jobs). Each eager localCheckpoint is a blocking
+    driver action, and the PQ family trains 4 independent per-subspace
+    codebook chains whose bench-scale cost is almost entirely fixed
+    per-job scheduling latency; submitting them from a small thread
+    pool lets one chain's jobs back-fill cores the others leave idle.
+    Values are unaffected — the chains share no state and each is
+    individually deterministic."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(dfs) == 1:
+        return [_materialize(dfs[0])]
+    with ThreadPoolExecutor(max_workers=min(4, len(dfs))) as pool:
+        return list(pool.map(_materialize, dfs))
 
 
 def kmeans_centroids_quantized(
@@ -1064,7 +1145,7 @@ def _kmq_oracle() -> str:
 )
 def dedup_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    centroids = kmeans_centroids_quantized(e, _KMQ_K, _KMQ_ITERS)
+    centroids = _materialize(kmeans_centroids_quantized(e, _KMQ_K, _KMQ_ITERS))
     return _semdedup_report(e, centroids)
 
 
@@ -1119,7 +1200,7 @@ def _ivf_kmeans_oracle() -> str:
 )
 def similarity_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    cent = kmeans_centroids_quantized(e, _KMQ_K, _KMQ_ITERS)
+    cent = _materialize(kmeans_centroids_quantized(e, _KMQ_K, _KMQ_ITERS))
     return _ivf_probe2_report(e, F.broadcast(cent))
 
 
@@ -1219,21 +1300,33 @@ def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pq_adc_report(e: DataFrame) -> DataFrame:
     """The PQ-ADC pipeline over any (vec_id, embedding) frame — shared by
-    the plain-PQ query and the OPQ rotated form."""
+    the plain-PQ query and the OPQ rotated form. The input and every
+    per-subspace codebook are eager-localCheckpointed (_materialize):
+    each of the 4 training chains, 4 code assignments, and 4 LUT builds
+    would otherwise re-inline (and re-execute) the input's subtree — for
+    the OPQ caller that input is the O(d^2)-per-row rotation projection,
+    measured in 68 scan branches of the pre-r19 plan."""
     from pyspark.sql.window import Window
 
     def sub(m: int, col="embedding"):
         return F.slice(col, m * _PQ_SUB + 1, _PQ_SUB)
 
+    e = _materialize(e)
     enc = e
     luts = []
     q = e.filter(F.col("vec_id") >= 490).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    for m in range(_PQ_M):
-        cb = kmeans_centroids_quantized(
+    # r19: the 4 per-subspace codebook chains are independent — train
+    # them concurrently (guide §2.6) instead of one blocking action each.
+    cbs = _materialize_all([
+        kmeans_centroids_quantized(
             e.select("vec_id", sub(m).alias("embedding")), _KMQ_K, _KMQ_ITERS
         )
+        for m in range(_PQ_M)
+    ])
+    for m in range(_PQ_M):
+        cb = cbs[m]
         codes_m = _nearest_cid(
             e.select("vec_id", sub(m).alias("embedding")), cb
         ).select("vec_id", F.col("cid").alias(f"code{m}"))
@@ -1249,8 +1342,8 @@ def _pq_adc_report(e: DataFrame) -> DataFrame:
         luts.append(lut_m)
     pairs = (
         F.broadcast(q.select("query_id"))
-        .crossJoin(enc.select(F.col("vec_id").alias("cand_id"),
-                              *[f"code{m}" for m in range(_PQ_M)]))
+        .crossJoin(_spread(enc.select(F.col("vec_id").alias("cand_id"),
+                                      *[f"code{m}" for m in range(_PQ_M)])))
         .filter(F.col("cand_id") != F.col("query_id"))
     )
     for m in range(_PQ_M):
@@ -1846,12 +1939,17 @@ def ivfpq_raw_topk(
     def sub(m: int, col="embedding"):
         return F.slice(col, m * _PQ_SUB + 1, _PQ_SUB)
 
-    coarse = kmeans_centroids_quantized(e, _KMQ_K, _KMQ_ITERS)
+    # r19: same materialization discipline as ivfpq_residual_topk — the
+    # pre-r19 plan inlined the coarse chain + 4 codebook chains into
+    # every consumer (219 KB plan, 206 Exchanges, 82 embeddings scans).
+    e = _materialize(e)
+    coarse = _materialize(kmeans_centroids_quantized(e, _KMQ_K, _KMQ_ITERS))
     assign_w = Window.partitionBy("vec_id").orderBy(
-        _cos(F.col("embedding"), F.col("ce")).desc(), F.col("cid")
+        F.col("__acos").desc(), F.col("cid")
     )
-    vassign = (
+    vassign = _materialize(
         e.crossJoin(F.broadcast(coarse))
+        .withColumn("__acos", _cos(F.col("embedding"), F.col("ce")))
         .withColumn("rnk", F.row_number().over(assign_w))
         .select("vec_id", "cid", "rnk")
     )
@@ -1866,10 +1964,15 @@ def ivfpq_raw_topk(
     )
     enc = e.select("vec_id").join(cells, "vec_id")
     luts = []
-    for m in range(_PQ_M):
-        cb = kmeans_centroids_quantized(
+    # r19: the 4 subspace chains are independent — train concurrently.
+    cbs = _materialize_all([
+        kmeans_centroids_quantized(
             e.select("vec_id", sub(m).alias("embedding")), _KMQ_K, _KMQ_ITERS
         )
+        for m in range(_PQ_M)
+    ])
+    for m in range(_PQ_M):
+        cb = cbs[m]
         codes_m = _nearest_cid(
             e.select("vec_id", sub(m).alias("embedding")), cb
         ).select("vec_id", F.col("cid").alias(f"code{m}"))
@@ -1884,8 +1987,8 @@ def ivfpq_raw_topk(
     pairs = (
         F.broadcast(probes)
         .join(
-            enc.select(F.col("vec_id").alias("cand_id"), F.col("cell"),
-                       *[f"code{m}" for m in range(_PQ_M)]),
+            _spread(enc.select(F.col("vec_id").alias("cand_id"), F.col("cell"),
+                               *[f"code{m}" for m in range(_PQ_M)])),
             (F.col("cell") == F.col("pcell"))
             & (F.col("cand_id") != F.col("query_id")),
         )
@@ -2052,12 +2155,19 @@ def ivfpq_residual_topk(
     def sub(m: int, col="embedding"):
         return F.slice(col, m * _PQ_SUB + 1, _PQ_SUB)
 
-    coarse = kmeans_centroids_quantized(e, _KMQ_K, _KMQ_ITERS)
+    # r19: materialize every multiply-consumed stage (coarse centroids,
+    # the coarse assignment, the residual table, each residual codebook)
+    # — the pre-r19 plan inlined the coarse chain into all ~30 consumers
+    # (973 KB plan, 802 Exchanges, 314 embeddings scans; see
+    # plans/r19/similarity_ivfpq_residual_search_before.txt).
+    e = _materialize(e)
+    coarse = _materialize(kmeans_centroids_quantized(e, _KMQ_K, _KMQ_ITERS))
     assign_w = Window.partitionBy("vec_id").orderBy(
-        _cos(F.col("embedding"), F.col("ce")).desc(), F.col("cid")
+        F.col("__acos").desc(), F.col("cid")
     )
-    vassign = (
+    vassign = _materialize(
         e.crossJoin(F.broadcast(coarse))
+        .withColumn("__acos", _cos(F.col("embedding"), F.col("ce")))
         .withColumn("rnk", F.row_number().over(assign_w))
         .select("vec_id", "cid", "ce", "rnk")
     )
@@ -2067,12 +2177,14 @@ def ivfpq_residual_topk(
     probes = vassign.filter(
         (F.col("vec_id") >= probe_min_vec) & (F.col("rnk") <= 2)
     ).select(F.col("vec_id").alias("query_id"), F.col("cid").alias("pcell"))
-    resid = e.join(cells, "vec_id").select(
-        "vec_id",
-        "cell",
-        F.zip_with(
-            "embedding", "cell_ce", lambda x, c: x.cast("double") - c
-        ).alias("residual"),
+    resid = _materialize(
+        e.join(cells, "vec_id").select(
+            "vec_id",
+            "cell",
+            F.zip_with(
+                "embedding", "cell_ce", lambda x, c: x.cast("double") - c
+            ).alias("residual"),
+        )
     )
     q = e.filter(F.col("vec_id") >= probe_min_vec).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -2084,12 +2196,19 @@ def ivfpq_residual_topk(
     )
     enc = resid.select("vec_id", "cell")
     luts = []
-    for m in range(_PQ_M):
-        cb = kmeans_centroids_quantized(
+    # r19: the 4 residual-subspace chains are independent — train
+    # concurrently (the coarse chain above is their shared, already
+    # materialized input).
+    cbs = _materialize_all([
+        kmeans_centroids_quantized(
             resid.select("vec_id", sub(m, "residual").alias("embedding")),
             _KMQ_K,
             _KMQ_ITERS,
         )
+        for m in range(_PQ_M)
+    ])
+    for m in range(_PQ_M):
+        cb = cbs[m]
         codes_m = _nearest_cid(
             resid.select("vec_id", sub(m, "residual").alias("embedding")), cb
         ).select("vec_id", F.col("cid").alias(f"code{m}"))
@@ -2104,8 +2223,8 @@ def ivfpq_residual_topk(
     pairs = (
         F.broadcast(probes)
         .join(
-            enc.select(F.col("vec_id").alias("cand_id"), F.col("cell"),
-                       *[f"code{m}" for m in range(_PQ_M)]),
+            _spread(enc.select(F.col("vec_id").alias("cand_id"), F.col("cell"),
+                               *[f"code{m}" for m in range(_PQ_M)])),
             (F.col("cell") == F.col("pcell"))
             & (F.col("cand_id") != F.col("query_id")),
         )
@@ -2333,46 +2452,68 @@ def ivf_two_level_topk(
     from pyspark.sql.window import Window
 
     coarse = kmeans_centroids_quantized(e, _TL_K1, iters, checkpoint_every)
+    # r19: cosines projected before every window in this function (sort
+    # comparators re-evaluate raw order expressions per comparison).
     wv = Window.partitionBy("vec_id").orderBy(
-        _cos(F.col("embedding"), F.col("ce")).desc(), F.col("cid")
+        F.col("__acos").desc(), F.col("cid")
     )
     tlassign = (
         e.crossJoin(F.broadcast(coarse))
+        .withColumn("__acos", _cos(F.col("embedding"), F.col("ce")))
         .withColumn("rnk", F.row_number().over(wv))
         .select("vec_id", "embedding", "cid", "rnk")
         .localCheckpoint(eager=True)
     )
-    mem = tlassign.where(F.col("rnk") == 1).select(
-        F.col("vec_id").alias("orig_id"),
-        "embedding",
-        F.col("cid").alias("ccid"),
-        (
-            F.row_number().over(
-                Window.partitionBy("cid").orderBy("vec_id")
-            )
-            - 1
-        ).alias("rid"),
+    # r19: materialize the member table too — each of the k1 sub-chains
+    # (and the leaf assignment) would otherwise re-run mem's window over
+    # the checkpointed tlassign ~3x per chain derivation.
+    mem = _materialize(
+        tlassign.where(F.col("rnk") == 1).select(
+            F.col("vec_id").alias("orig_id"),
+            "embedding",
+            F.col("cid").alias("ccid"),
+            (
+                F.row_number().over(
+                    Window.partitionBy("cid").orderBy("vec_id")
+                )
+                - 1
+            ).alias("rid"),
+        )
     )
-    subs = []
-    for j in range(_TL_K1):
-        cell = mem.where(F.col("ccid") == j).select(
-            F.col("rid").alias("vec_id"), "embedding"
+    # r19: the k1 per-cell sub-chains are independent — train them
+    # concurrently (guide §2.6); each is materialized individually, so
+    # the union below is a tiny plan over LogicalRDDs and the old union
+    # checkpoint became redundant.
+    subs = _materialize_all([
+        kmeans_centroids_quantized(
+            mem.where(F.col("ccid") == j).select(
+                F.col("rid").alias("vec_id"), "embedding"
+            ),
+            _TL_K2,
+            iters,
+            checkpoint_every,
         )
-        cj = kmeans_centroids_quantized(cell, _TL_K2, iters, checkpoint_every)
-        subs.append(
-            cj.select(
-                F.lit(j).alias("ccid"), F.col("cid").alias("scid"), "ce"
-            )
-        )
+        for j in range(_TL_K1)
+    ])
+    subs = [
+        cj.select(F.lit(j).alias("ccid"), F.col("cid").alias("scid"), "ce")
+        for j, cj in enumerate(subs)
+    ]
     subcent = subs[0]
     for s in subs[1:]:
         subcent = subcent.unionByName(s)
-    subcent = subcent.localCheckpoint(eager=True)
     wl = Window.partitionBy("orig_id").orderBy(
-        _cos(F.col("embedding"), F.col("ce")).desc(), F.col("scid")
+        F.col("__lcos").desc(), F.col("scid")
     )
-    leaves = (
-        mem.join(F.broadcast(subcent), "ccid")
+    # _spread: the leaf assignment pays k2 cosines per member and the
+    # cand join below fans out a leaf list per probe pair — keep both
+    # parallel instead of inheriting mem's AQE-coalesced partitioning.
+    # The outer _spread matters too: wl's exchange is AQE-coalesced back
+    # to one partition, and the cand join below fans the probe pairs out
+    # against corpus-sized leaf lists (measured 765k pairs at sf0.1).
+    leaves = _spread(
+        _spread(mem).join(F.broadcast(subcent), "ccid")
+        .withColumn("__lcos", _cos(F.col("embedding"), F.col("ce")))
         .withColumn("rnk", F.row_number().over(wl))
         .where(F.col("rnk") == 1)
         .select("orig_id", "embedding", "ccid", "scid")
@@ -2385,10 +2526,11 @@ def ivf_two_level_topk(
         F.col("cid").alias("pccid"),
     )
     ws = Window.partitionBy("query_id", "pccid").orderBy(
-        _cos(F.col("qe"), F.col("ce")).desc(), F.col("scid")
+        F.col("__pcos").desc(), F.col("scid")
     )
     probes = (
         qprobes.join(F.broadcast(subcent), F.col("pccid") == F.col("ccid"))
+        .withColumn("__pcos", _cos(F.col("qe"), F.col("ce")))
         .withColumn("srnk", F.row_number().over(ws))
         .where(F.col("srnk") <= _TL_PROBE2)
         .select("query_id", "qe", "pccid", F.col("scid").alias("pscid"))
@@ -2400,15 +2542,16 @@ def ivf_two_level_topk(
         & (F.col("orig_id") != F.col("query_id")),
     )
     wq = Window.partitionBy("query_id").orderBy(
-        _cos(F.col("qe"), F.col("embedding")).desc(), F.col("orig_id")
+        F.col("__qcos").desc(), F.col("orig_id")
     )
     return (
-        cand.withColumn("rk", F.row_number().over(wq))
+        cand.withColumn("__qcos", _cos(F.col("qe"), F.col("embedding")))
+        .withColumn("rk", F.row_number().over(wq))
         .where(F.col("rk") <= 3)
         .select(
             "query_id",
             F.col("orig_id").alias("cand_id"),
-            F.round(_cos(F.col("qe"), F.col("embedding")), 6).alias("cosine"),
+            F.round(F.col("__qcos"), 6).alias("cosine"),
             "rk",
         )
     )

@@ -1378,14 +1378,33 @@ def _lsh_probe_dedup(
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     hi = d.agg(F.max("doc_id")).first()[0]
     step = int(hi) // n_batches + 1
+    # r19: stage all drops in ONE write job (guide §2.4 — the old loop
+    # ran n_batches filtered scans + coalesce(1) writes). partitionBy
+    # splits the drops into drop=<b>/ dirs; repartition on the drop key
+    # first keeps it one file per dir (a hash collision putting two
+    # drops in one task still writes one file per dir). Same contiguous
+    # doc_id ranges, same file schema (doc_id, text — partitionBy strips
+    # the drop column), same forced-mtime replay order; row order within
+    # a drop file may differ from the old scan order, which the drain is
+    # insensitive to (verdicts are groupBy/join products of the set).
+    stage = os.path.join(base, "stage_all")
+    d.withColumn(
+        "drop", (F.col("doc_id") / F.lit(step)).cast("int")
+    ).repartition(n_batches, "drop").write.mode("overwrite").partitionBy(
+        "drop"
+    ).parquet(stage)
     for b in range(n_batches):
-        stage = os.path.join(base, f"stage_{b}")
-        d.where(
-            (F.col("doc_id") >= b * step) & (F.col("doc_id") < (b + 1) * step)
-        ).coalesce(1).write.mode("overwrite").parquet(stage)
-        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        ddir = os.path.join(stage, f"drop={b}")
+        if not os.path.isdir(ddir):
+            # empty doc_id range: dynamic partitioning writes no dir; the
+            # old per-drop loop wrote an empty file — keep that contract
+            # (the stream still replays n_batches drops).
+            d.where(F.lit(False)).coalesce(1).write.mode("overwrite").parquet(
+                ddir
+            )
+        part = next(f for f in os.listdir(ddir) if f.endswith(".parquet"))
         dest = os.path.join(inbox, f"drop_{b}.parquet")
-        os.rename(os.path.join(stage, part), dest)
+        os.rename(os.path.join(ddir, part), dest)
         os.utime(dest, (1_600_000_000 + 60 * b, 1_600_000_000 + 60 * b))
 
     def probe_and_index(batch: DataFrame, epoch_id: int) -> None:
@@ -1728,14 +1747,33 @@ def _collapsed_probe_dedup(
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     hi = d.agg(F.max("doc_id")).first()[0]
     step = int(hi) // n_batches + 1
+    # r19: stage all drops in ONE write job (guide §2.4 — the old loop
+    # ran n_batches filtered scans + coalesce(1) writes). partitionBy
+    # splits the drops into drop=<b>/ dirs; repartition on the drop key
+    # first keeps it one file per dir (a hash collision putting two
+    # drops in one task still writes one file per dir). Same contiguous
+    # doc_id ranges, same file schema (doc_id, text — partitionBy strips
+    # the drop column), same forced-mtime replay order; row order within
+    # a drop file may differ from the old scan order, which the drain is
+    # insensitive to (verdicts are groupBy/join products of the set).
+    stage = os.path.join(base, "stage_all")
+    d.withColumn(
+        "drop", (F.col("doc_id") / F.lit(step)).cast("int")
+    ).repartition(n_batches, "drop").write.mode("overwrite").partitionBy(
+        "drop"
+    ).parquet(stage)
     for b in range(n_batches):
-        stage = os.path.join(base, f"stage_{b}")
-        d.where(
-            (F.col("doc_id") >= b * step) & (F.col("doc_id") < (b + 1) * step)
-        ).coalesce(1).write.mode("overwrite").parquet(stage)
-        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        ddir = os.path.join(stage, f"drop={b}")
+        if not os.path.isdir(ddir):
+            # empty doc_id range: dynamic partitioning writes no dir; the
+            # old per-drop loop wrote an empty file — keep that contract
+            # (the stream still replays n_batches drops).
+            d.where(F.lit(False)).coalesce(1).write.mode("overwrite").parquet(
+                ddir
+            )
+        part = next(f for f in os.listdir(ddir) if f.endswith(".parquet"))
         dest = os.path.join(inbox, f"drop_{b}.parquet")
-        os.rename(os.path.join(stage, part), dest)
+        os.rename(os.path.join(ddir, part), dest)
         os.utime(dest, (1_600_000_000 + 60 * b, 1_600_000_000 + 60 * b))
 
     gbucket = lambda c: F.pmod(F.xxhash64(F.col(c)), F.lit(store_buckets))  # noqa: E731
@@ -2794,13 +2832,16 @@ def streaming_ivf_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
         os.rename(os.path.join(stage, part), dest)
         os.utime(dest, (1_600_000_000 + 60 * b, 1_600_000_000 + 60 * b))
 
+    # r19: cosine projected before the window (sort comparators
+    # re-evaluate raw order expressions per comparison).
     assign_w = Window.partitionBy("vec_id").orderBy(
-        _cos(F.col("embedding"), F.col("ce")).desc(), F.col("cid")
+        F.col("__acos").desc(), F.col("cid")
     )
 
     def assign_and_append(batch: DataFrame, epoch_id: int) -> None:
         assigned = (
             batch.crossJoin(F.broadcast(cent))
+            .withColumn("__acos", _cos(F.col("embedding"), F.col("ce")))
             .withColumn("rnk", F.row_number().over(assign_w))
             .where(F.col("rnk") == 1)
             .select("vec_id", "embedding", F.col("cid").alias("cell"))
@@ -2828,6 +2869,7 @@ def streaming_ivf_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
     probes = (
         e.where(F.col("vec_id") >= 490)
         .crossJoin(F.broadcast(cent))
+        .withColumn("__acos", _cos(F.col("embedding"), F.col("ce")))
         .withColumn("rnk", F.row_number().over(assign_w))
         .where(F.col("rnk") <= 2)
         .select(
