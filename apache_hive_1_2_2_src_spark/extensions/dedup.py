@@ -159,6 +159,10 @@ def ngram_jaccard_pairs(
     """
     from pyspark.sql import Window
 
+    # r19 note: a repartition-before-explode here was A/B-tested and
+    # REVERTED — the explode fuses with its downstream partial work in
+    # the scan task, so shuffling the raw texts first cost more than the
+    # serial explode (dedup_minhash_lsh 2.2 s -> 2.8 s warm).
     s = d.select("doc_id", F.explode(_shingles(F.col("w"))).alias("sh"))
     if shingle_df_cap is not None:
         s = (
@@ -3739,8 +3743,15 @@ def strategy_preflight_diagnostics(d: DataFrame) -> DataFrame:
         .cast("long")
         .alias("identical_pair_mass"),
     )
+    # r19: spread the representative rows before shingling — documents
+    # arrives as one parquet file (one scan task), so the explode +
+    # partial-aggregate of ~|corpus| shingles otherwise runs serially
+    # (measured: a single 4.3 s task in a 5.9 s query). Round-robin
+    # repartition costs one tiny shuffle of the doc rows and buys a
+    # core-wide shingle pass; counts are partitioning-invariant.
     s = (
         d.join(grp.select("rep_id"), d["doc_id"] == F.col("rep_id"))
+        .repartition(d.sparkSession.sparkContext.defaultParallelism)
         .select(F.explode(_shingles(_words())).alias("sh"))
     )
     sm = (

@@ -750,6 +750,10 @@ def tfidf_cosine_pairs(
         "transform(sequence(0, size(w) - 3), x -> "
         "concat_ws(' ', w[x], w[x + 1], w[x + 2]))"
     )
+    # r19 note: repartition-before-explode and spread-before-checkpoint
+    # were A/B-tested here and REVERTED — the explode fuses with the tf
+    # partial aggregate in the scan task, so shuffling raw docs first
+    # read ~0.3 s slower per rep at sf0.1.
     tok = w0.select("doc_id", F.explode(grams3).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = (

@@ -62,6 +62,14 @@ def get_session(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # r19 note: coalescePartitions.parallelismFirst=false (the
+        # production-docs suggestion) was A/B-tested at full-bench level
+        # and REVERTED: an 8-query subset read 12% faster, but the full
+        # suite regressed 119.5 s -> 128.0 s (iterative chains and
+        # fan-out joins lose more to under-parallelized post-shuffle
+        # stages than metadata-sized shuffles save on empty tasks).
+        # Heavy-per-row stages are parallelized explicitly at the
+        # operator level instead (the _spread device in extensions).
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

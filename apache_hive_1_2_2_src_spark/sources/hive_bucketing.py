@@ -766,9 +766,13 @@ def _check_sorted_files(
     # conf, so the set+read+collect all stay under the lock — a concurrent
     # validation with a different max_len must not re-split this scan.
     with _SORTED_SCAN_LOCK:
+        # r19: no 128 MB floor — max_len+1 still guarantees no FILE ever
+        # splits across tasks (a file splits only when len > maxSplit),
+        # while letting each bucket file get its own task instead of the
+        # old floor packing all n buckets into one serial scan task
+        # (measured: the orders-layout validation ran as ONE 1.7 s task).
         iso.conf.set(
-            "spark.sql.files.maxPartitionBytes",
-            str(max(int(max_len) + 1, 128 * 1024 * 1024)),
+            "spark.sql.files.maxPartitionBytes", str(int(max_len) + 1)
         )
         df = iso.read.parquet(*files).select(
             F.col(key).alias("__k"), F.input_file_name().alias("__f")
@@ -1024,8 +1028,24 @@ def hive_smb_merge_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey", "o_orderpriority", "o_totalprice"
     )
     c = load_table(spark, sf_dir, "customer").select("c_custkey")
-    write_hive_bucketed(o, "o_custkey", n, op, kind="long", sorted_by="o_custkey")
-    write_hive_bucketed(c, "c_custkey", n, cp, kind="long", sorted_by="c_custkey")
+    # r19: the two layout writes are independent — run them concurrently
+    # (guide §2.6) so the smaller customer write back-fills cores the
+    # orders write leaves idle. Each write is internally atomic
+    # (staging + validate-before-rename), so concurrency cannot produce
+    # a partial layout.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fo = pool.submit(
+            write_hive_bucketed, o, "o_custkey", n, op,
+            kind="long", sorted_by="o_custkey",
+        )
+        fc = pool.submit(
+            write_hive_bucketed, c, "c_custkey", n, cp,
+            kind="long", sorted_by="c_custkey",
+        )
+        fo.result()
+        fc.result()
     joined = hive_smb_merge_join(
         spark, op, cp, n, "o_custkey", "c_custkey", kind="long", sub_split=2
     )

@@ -1409,6 +1409,13 @@ def _lsh_probe_dedup(
 
     def probe_and_index(batch: DataFrame, epoch_id: int) -> None:
         sp = batch.sparkSession
+        # r19: each micro-batch arrives as ONE file (one scan partition),
+        # so the shingle explode + 16-hash minhash otherwise runs as a
+        # single serial task per epoch — spread the batch across cores
+        # first (guide §2.5 input-parallelism fix; one tiny extra shuffle
+        # of |batch| doc rows; all downstream results are groupBy/join
+        # products, partitioning-invariant).
+        batch = batch.repartition(sp.sparkContext.defaultParallelism)
         sh_b = batch.select(
             "doc_id", F.explode(_shingles(_words())).alias("sh")
         ).persist()
@@ -1789,7 +1796,12 @@ def _collapsed_probe_dedup(
             .agg(F.min(F.struct("doc_id", "text")).alias("m"))
             .select("gkey", F.col("m.text").alias("text"))
         )
-        sh_b = reps_b.select(
+        # r19: spread the representatives before shingling — AQE
+        # coalesces the gkey groupBy to ~1 partition, serializing the
+        # shingle explode (guide §2.5; results partitioning-invariant).
+        sh_b = reps_b.repartition(
+            sp.sparkContext.defaultParallelism
+        ).select(
             "gkey", F.explode(_shingles(_words())).alias("sh")
         ).persist()
         n_sh_b = sh_b.groupBy("gkey").agg(F.count(F.lit(1)).alias("n_sh"))
