@@ -1446,8 +1446,14 @@ def _lsh_probe_dedup(
         )
         # Signature-store probe, PRUNED: equal sig => equal sb, so only the
         # store partitions holding the batch's own signature buckets can
-        # contain a candidate — the read lists no other sb= dirs.
-        needed_sb = [r.sb for r in buckets_b.select("sb").distinct().collect()]
+        # contain a candidate — the read lists no other sb= dirs. (r19:
+        # the distinct+collect job is skipped outright when no store
+        # exists yet — epoch 0 paid it for nothing.)
+        needed_sb = (
+            [r.sb for r in buckets_b.select("sb").distinct().collect()]
+            if os.path.isdir(sig_dir)
+            else []
+        )
         if os.path.isdir(sig_dir) and needed_sb:
             prior_sig = (
                 sp.read.parquet(sig_dir)
@@ -1479,14 +1485,18 @@ def _lsh_probe_dedup(
         # near-dup partners are few, so this reads |partner dbs| of the k
         # db= dirs instead of the whole store. Batch docs' shingles come
         # from sh_b (not yet in the store).
-        partner_dbs = [
-            r.db
-            for r in cand.select(
-                F.pmod(F.col("old_id"), F.lit(store_buckets)).alias("db")
-            )
-            .distinct()
-            .collect()
-        ]
+        partner_dbs = (
+            [
+                r.db
+                for r in cand.select(
+                    F.pmod(F.col("old_id"), F.lit(store_buckets)).alias("db")
+                )
+                .distinct()
+                .collect()
+            ]
+            if os.path.isdir(sh_dir)
+            else []
+        )
         if os.path.isdir(sh_dir) and partner_dbs:
             prior_sh = (
                 sp.read.parquet(sh_dir)
@@ -1538,15 +1548,31 @@ def _lsh_probe_dedup(
         )
         # repartition on the store key first: one file per partition dir
         # per epoch instead of |tasks| small files — the store read-side
-        # cost is file count, not bytes, at this row size
-        buckets_b.repartition(store_buckets, "sb").write.partitionBy("sb").mode(
-            "overwrite"
-        ).parquet(os.path.join(sig_dir, f"epoch={epoch_id}"))
-        sh_b.withColumn(
-            "db", F.pmod(F.col("doc_id"), F.lit(store_buckets))
-        ).repartition(store_buckets, "db").write.partitionBy("db").mode(
-            "overwrite"
-        ).parquet(os.path.join(sh_dir, f"epoch={epoch_id}"))
+        # cost is file count, not bytes, at this row size. r19: the two
+        # store appends are independent (different dirs, both reading
+        # already-persisted frames) and run AFTER the verdicts write (the
+        # verdicts job must never observe this epoch's own store append),
+        # so they overlap via a 2-thread pool (guide §2.6).
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _append_sig() -> None:
+            buckets_b.repartition(store_buckets, "sb").write.partitionBy(
+                "sb"
+            ).mode("overwrite").parquet(
+                os.path.join(sig_dir, f"epoch={epoch_id}")
+            )
+
+        def _append_sh() -> None:
+            sh_b.withColumn(
+                "db", F.pmod(F.col("doc_id"), F.lit(store_buckets))
+            ).repartition(store_buckets, "db").write.partitionBy("db").mode(
+                "overwrite"
+            ).parquet(os.path.join(sh_dir, f"epoch={epoch_id}"))
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fs_, fh_ = pool.submit(_append_sig), pool.submit(_append_sh)
+            fs_.result()
+            fh_.result()
         sh_b.unpersist()
         buckets_b.unpersist()
         cand.unpersist()
@@ -1833,7 +1859,12 @@ def _collapsed_probe_dedup(
         batch_gkeys = members_b.select("gkey").distinct()
 
         # ---- candidate GROUP pairs: batch groups vs (store ∪ batch) groups
-        needed_sb = [r.sb for r in buckets_b.select("sb").distinct().collect()]
+        # (r19: pruning collects are skipped when no store exists yet)
+        needed_sb = (
+            [r.sb for r in buckets_b.select("sb").distinct().collect()]
+            if os.path.isdir(sig_dir)
+            else []
+        )
         if os.path.isdir(sig_dir) and needed_sb:
             prior_sig = (
                 sp.read.parquet(sig_dir)
@@ -1857,10 +1888,14 @@ def _collapsed_probe_dedup(
         )
 
         # ---- exact-Jaccard verify at the representative level
-        partner_gb = [
-            r.b
-            for r in gp.select(gbucket("gb2").alias("b")).distinct().collect()
-        ]
+        partner_gb = (
+            [
+                r.b
+                for r in gp.select(gbucket("gb2").alias("b")).distinct().collect()
+            ]
+            if os.path.isdir(sh_dir)
+            else []
+        )
         if os.path.isdir(sh_dir) and partner_gb:
             # anti-join drops store rows for gkeys also in this batch —
             # re-arriving content would otherwise double its shingles
@@ -1901,12 +1936,16 @@ def _collapsed_probe_dedup(
         partners = verified.unionByName(self_pairs).distinct().persist()
 
         # ---- expansion: windowed queries ∪ events, rows never pairs
-        partner_lb = [
-            r.b
-            for r in partners.select(gbucket("gb2").alias("b"))
-            .distinct()
-            .collect()
-        ]
+        partner_lb = (
+            [
+                r.b
+                for r in partners.select(gbucket("gb2").alias("b"))
+                .distinct()
+                .collect()
+            ]
+            if os.path.isdir(led_dir)
+            else []
+        )
         if os.path.isdir(led_dir) and partner_lb:
             prior_members = (
                 sp.read.parquet(led_dir)
@@ -1949,12 +1988,16 @@ def _collapsed_probe_dedup(
         )
 
         # ---- appends: group-level state only for NEW gkeys; ledger always
-        batch_lb = [
-            r.b
-            for r in members_b.select(gbucket("gkey").alias("b"))
-            .distinct()
-            .collect()
-        ]
+        batch_lb = (
+            [
+                r.b
+                for r in members_b.select(gbucket("gkey").alias("b"))
+                .distinct()
+                .collect()
+            ]
+            if os.path.isdir(led_dir)
+            else []
+        )
         if os.path.isdir(led_dir) and batch_lb:
             existing = (
                 sp.read.parquet(led_dir)
@@ -1965,16 +2008,31 @@ def _collapsed_probe_dedup(
             new_gkeys = batch_gkeys.join(existing, "gkey", "left_anti")
         else:
             new_gkeys = batch_gkeys
-        buckets_b.join(new_gkeys, "gkey").repartition(
-            store_buckets, "sb"
-        ).write.partitionBy("sb").mode("overwrite").parquet(
-            os.path.join(sig_dir, f"epoch={epoch_id}")
-        )
-        sh_b.join(new_gkeys, "gkey").withColumn("gb", gbucket("gkey")).repartition(
-            store_buckets, "gb"
-        ).write.partitionBy("gb").mode("overwrite").parquet(
-            os.path.join(sh_dir, f"epoch={epoch_id}")
-        )
+        # r19: the sig and shingle appends are independent of each other
+        # (different dirs) and both only READ the ledger via new_gkeys —
+        # overlap them (guide §2.6); the ledger append runs strictly
+        # AFTER both, since their new_gkeys reads must not observe this
+        # epoch's own ledger contribution.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _append_sig() -> None:
+            buckets_b.join(new_gkeys, "gkey").repartition(
+                store_buckets, "sb"
+            ).write.partitionBy("sb").mode("overwrite").parquet(
+                os.path.join(sig_dir, f"epoch={epoch_id}")
+            )
+
+        def _append_sh() -> None:
+            sh_b.join(new_gkeys, "gkey").withColumn(
+                "gb", gbucket("gkey")
+            ).repartition(store_buckets, "gb").write.partitionBy("gb").mode(
+                "overwrite"
+            ).parquet(os.path.join(sh_dir, f"epoch={epoch_id}"))
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fs_, fh_ = pool.submit(_append_sig), pool.submit(_append_sh)
+            fs_.result()
+            fh_.result()
         members_b.withColumn("lb", gbucket("gkey")).repartition(
             store_buckets, "lb"
         ).write.partitionBy("lb").mode("overwrite").parquet(
