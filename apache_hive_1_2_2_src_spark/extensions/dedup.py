@@ -634,11 +634,15 @@ def connected_component_labels(
         bidir = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
         # Large-star: m(u) = min(N(u) ∪ {u}); emit (m, v) for v ∈ N(u), v > u.
         mins = bidir.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        # r19: no intermediate distinct — duplicates here cannot change
+        # the small-star step (its groupBy-min is duplicate-insensitive)
+        # and the round's final distinct removes them anyway; dropping it
+        # saves one full shuffle per round. Multiplicity is bounded by
+        # the (already-distinct) bidir edge list.
         large = (
             bidir.join(mins, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("m").alias("u"), "v")  # m <= u < v: already canonical
-            .distinct()
         )
         # Small-star over the large-star output: for each node u with smaller
         # neighbors S = {v ∈ N(u): v < u}, m = min(S); emit (m, v) for

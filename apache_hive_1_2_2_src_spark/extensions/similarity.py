@@ -1446,6 +1446,13 @@ _SQL_OPQ_ROTATE = (
 )
 def similarity_opq_rotate_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # r19 note: spread-and-materialize of the rotation in THIS builder
+    # was A/B-tested and REVERTED ([10.7, 7.1, 7.4] s without vs
+    # [11.1, 9.1, 9.4] s with, 3 reps): _pq_adc_report already
+    # materializes its input exactly once, the drift pin's vec_id < 3
+    # filter pushes below the rotation projection (3 rows rotated), and
+    # the extra repartition + double checkpoint cost more than the
+    # serial rotation stage they parallelized.
     rot = e.select("vec_id", opq_rotate(F.col("embedding")).alias("embedding"))
     # orthonormality pin (metadata-sized): rotation must preserve the
     # dot products of the first few vectors to double precision.
