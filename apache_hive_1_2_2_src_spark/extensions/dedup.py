@@ -165,6 +165,14 @@ def ngram_jaccard_pairs(
     # serial explode (dedup_minhash_lsh 2.2 s -> 2.8 s warm).
     s = d.select("doc_id", F.explode(_shingles(F.col("w"))).alias("sh"))
     if shingle_df_cap is not None:
+        # r20 note: a groupBy(sh)+semi-join df-cap (map-side partial agg,
+        # no full-stream sort) was A/B-tested here and REVERTED — the
+        # join form scans the explode TWICE (df build + probe side),
+        # measured 5 reps dedup_ngram_jaccard [5.8, 2.8, 2.1, 2.3, 2.0]
+        # window vs [6.2, 3.3, 2.7, 2.6, 2.5] join at sf0.1. At corpus
+        # scale, materialize the exploded index once and the join form
+        # wins (the window's sort is the scale hazard); here the single
+        # fused scan wins.
         s = (
             s.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("sh")))
             .filter(F.col("df") <= shingle_df_cap)
@@ -619,13 +627,18 @@ def connected_component_labels(
     import gc
 
     # Canonical (min, max) edges, self-loops dropped.
+    # r20 (VERDICT r19 item 3): lazy localCheckpoint + count — the count
+    # action itself materializes AND checkpoints the frame, so each
+    # round runs ONE job instead of an eager-checkpoint job followed by
+    # a count job over the cached blocks. Same lineage truncation, same
+    # values.
     edges = (
         pairs.select(
             F.least("doc_a", "doc_b").alias("u"), F.greatest("doc_a", "doc_b").alias("v")
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     n_edges = edges.count()
     rounds = 0
@@ -656,12 +669,13 @@ def connected_component_labels(
             .select(F.col("m").alias("u"), "v")  # m < v: canonical
             .unionByName(small_min.select(F.col("m").alias("u"), F.col("u").alias("v")))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         # Equality of the two DISTINCT edge sets without a full symmetric
         # difference: equal counts + empty (new \ old) ⟹ new ⊆ old with
-        # |new| = |old| ⟹ equal. Counts over checkpointed data are cheap;
-        # the anti-join only runs when the counts already agree.
+        # |new| = |old| ⟹ equal. The count doubles as the checkpoint's
+        # materializing action (r20 — one job per round, not two); the
+        # anti-join only runs when the counts already agree.
         n_new = new_edges.count()
         converged = (
             n_new == n_edges

@@ -1295,6 +1295,12 @@ def _pq_oracle(frm: str = "embeddings", head: str = "") -> str:
 )
 def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # r20 note: _spread(e) here was A/B-tested and REVERTED (5 reps:
+    # [11.6, 8.2, 7.2, 6.8, 6.2] spread vs [9.0, 7.2, 5.2, 5.0, 5.0]
+    # unspread): the raw-PQ folds are 16-dim sub-slices, too cheap for
+    # the 32-task scheduling the spread imposes on every one of the
+    # ~20 stages that scan the cached input. Contrast the OPQ caller,
+    # where the O(d²) rotation IS worth spreading (measured win there).
     return _pq_adc_report(e)
 
 
@@ -1305,7 +1311,15 @@ def _pq_adc_report(e: DataFrame) -> DataFrame:
     each of the 4 training chains, 4 code assignments, and 4 LUT builds
     would otherwise re-inline (and re-execute) the input's subtree — for
     the OPQ caller that input is the O(d^2)-per-row rotation projection,
-    measured in 68 scan branches of the pre-r19 plan."""
+    measured in 68 scan branches of the pre-r19 plan.
+
+    r20: the decision to _spread the input belongs to the CALLER — the
+    OPQ path spreads the RAW rows below its O(d²) rotation (measured
+    win: the rotation otherwise runs as one serial task off the 1-file
+    scan), while the raw-PQ caller passes the scan unspread (measured
+    LOSS to spread: its 16-dim sub-slice folds are too cheap for the
+    32-task scheduling a spread imposes on every stage that scans the
+    cached input)."""
     from pyspark.sql.window import Window
 
     def sub(m: int, col="embedding"):
@@ -1446,14 +1460,20 @@ _SQL_OPQ_ROTATE = (
 )
 def similarity_opq_rotate_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    # r19 note: spread-and-materialize of the rotation in THIS builder
-    # was A/B-tested and REVERTED ([10.7, 7.1, 7.4] s without vs
-    # [11.1, 9.1, 9.4] s with, 3 reps): _pq_adc_report already
-    # materializes its input exactly once, the drift pin's vec_id < 3
-    # filter pushes below the rotation projection (3 rows rotated), and
-    # the extra repartition + double checkpoint cost more than the
-    # serial rotation stage they parallelized.
-    rot = e.select("vec_id", opq_rotate(F.col("embedding")).alias("embedding"))
+    # r20: spread the RAW scan below the rotation — the embeddings table
+    # is one file → one scan partition, so the O(d²)-per-row rotation
+    # (and every fold downstream) otherwise runs as a single serial
+    # task; the repartition moves raw 2000-row tuples once and the
+    # rotation then computes core-wide inside _pq_adc_report's
+    # materialize job. This differs from the r19 REVERTED attempt
+    # ([10.7, 7.1, 7.4] s without vs [11.1, 9.1, 9.4] s with), which
+    # added a repartition + second checkpoint ABOVE the rotation —
+    # leaving the rotation itself serial and paying two extra jobs.
+    # The drift pin's vec_id < 3 filter still pushes below both the
+    # rotation and the repartition (3 rows rotated for the probe).
+    rot = _spread(e).select(
+        "vec_id", opq_rotate(F.col("embedding")).alias("embedding")
+    )
     # orthonormality pin (metadata-sized): rotation must preserve the
     # dot products of the first few vectors to double precision.
     probe = e.filter(F.col("vec_id") < 3).select("vec_id", "embedding")
@@ -2167,6 +2187,13 @@ def ivfpq_residual_topk(
     # — the pre-r19 plan inlined the coarse chain into all ~30 consumers
     # (973 KB plan, 802 Exchanges, 314 embeddings scans; see
     # plans/r19/similarity_ivfpq_residual_search_before.txt).
+    # r20 note: _spread(e) before this checkpoint was A/B-tested and
+    # REVERTED (4 reps: [14.8, 10.0, 9.7, 8.5] spread vs
+    # [14.7, 8.4, 8.1, 7.4] unspread): the 0.5-0.7 s single-task fold
+    # stages ARE real, but parallelizing them costs 32-task scheduling
+    # on every one of the ~30 stages that scan the cached input — a
+    # net loss at this corpus size. At real file counts the scan is
+    # multi-partition and the question disappears.
     e = _materialize(e)
     coarse = _materialize(kmeans_centroids_quantized(e, _KMQ_K, _KMQ_ITERS))
     assign_w = Window.partitionBy("vec_id").orderBy(

@@ -1388,8 +1388,12 @@ def _lsh_probe_dedup(
     # a drop file may differ from the old scan order, which the drain is
     # insensitive to (verdicts are groupBy/join products of the set).
     stage = os.path.join(base, "stage_all")
+    # r20 (ADVICE r19): integer `div` instead of double-divide-and-
+    # truncate — exact for every long (the old form matched the
+    # [b*step,(b+1)*step) ranges only for non-negative doc_ids within
+    # double precision; ids beyond 2^53 lose exactness at boundaries).
     d.withColumn(
-        "drop", (F.col("doc_id") / F.lit(step)).cast("int")
+        "drop", F.expr(f"CAST(doc_id DIV {int(step)} AS INT)")
     ).repartition(n_batches, "drop").write.mode("overwrite").partitionBy(
         "drop"
     ).parquet(stage)
@@ -1409,6 +1413,14 @@ def _lsh_probe_dedup(
 
     def probe_and_index(batch: DataFrame, epoch_id: int) -> None:
         sp = batch.sparkSession
+        # r20: store-present flags captured at epoch ENTRY, before this
+        # epoch's own appends (which now overlap the probe, below) can
+        # create the dirs.
+        had_sig = os.path.isdir(sig_dir)
+        had_sh = os.path.isdir(sh_dir)
+        # the verdict roster is the raw batch (one-file scan); only the
+        # shingle explode needs the spread copy below.
+        roster = batch.select("doc_id")
         # r19: each micro-batch arrives as ONE file (one scan partition),
         # so the shingle explode + 16-hash minhash otherwise runs as a
         # single serial task per epoch — spread the batch across cores
@@ -1451,109 +1463,23 @@ def _lsh_probe_dedup(
         # exists yet — epoch 0 paid it for nothing.)
         needed_sb = (
             [r.sb for r in buckets_b.select("sb").distinct().collect()]
-            if os.path.isdir(sig_dir)
+            if had_sig
             else []
         )
-        if os.path.isdir(sig_dir) and needed_sb:
-            prior_sig = (
-                sp.read.parquet(sig_dir)
-                .where(F.col("sb").isin(needed_sb))
-                .select("doc_id", "band", "sig")
-            )
-        else:
-            prior_sig = sp.createDataFrame([], "doc_id bigint, band int, sig string")
-        all_sig = prior_sig.unionByName(buckets_b.select("doc_id", "band", "sig"))
-        # Probe: batch docs vs (index ∪ batch), partner strictly earlier
-        # (smaller doc_id == earlier drop or earlier within this drop).
-        cand = (
-            buckets_b.alias("nb")
-            .join(
-                all_sig.alias("ob"),
-                (F.col("nb.band") == F.col("ob.band"))
-                & (F.col("nb.sig") == F.col("ob.sig"))
-                & (F.col("ob.doc_id") < F.col("nb.doc_id")),
-            )
-            .select(
-                F.col("nb.doc_id").alias("new_id"),
-                F.col("ob.doc_id").alias("old_id"),
-            )
-            .distinct()
-            .persist()
-        )
-        # Shingle-store verify read, PRUNED to the candidate partners' doc
-        # partitions — the big win: the shingle store is corpus-sized, but
-        # near-dup partners are few, so this reads |partner dbs| of the k
-        # db= dirs instead of the whole store. Batch docs' shingles come
-        # from sh_b (not yet in the store).
-        partner_dbs = (
-            [
-                r.db
-                for r in cand.select(
-                    F.pmod(F.col("old_id"), F.lit(store_buckets)).alias("db")
-                )
-                .distinct()
-                .collect()
-            ]
-            if os.path.isdir(sh_dir)
-            else []
-        )
-        if os.path.isdir(sh_dir) and partner_dbs:
-            prior_sh = (
-                sp.read.parquet(sh_dir)
-                .where(F.col("db").isin(partner_dbs))
-                .select("doc_id", "sh")
-            )
-        else:
-            prior_sh = sp.createDataFrame([], "doc_id bigint, sh string")
-        all_sh = prior_sh.unionByName(sh_b)
-        n_sh = all_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-        common = (
-            cand.join(all_sh.alias("sa"), F.col("new_id") == F.col("sa.doc_id"))
-            .join(
-                all_sh.alias("sb"),
-                (F.col("old_id") == F.col("sb.doc_id"))
-                & (F.col("sa.sh") == F.col("sb.sh")),
-            )
-            .groupBy("new_id", "old_id")
-            .agg(F.count(F.lit(1)).alias("n_common"))
-        )
-        jac = F.col("n_common") / (
-            F.col("na.n_sh") + F.col("nb.n_sh") - F.col("n_common")
-        )
-        dups = (
-            common.join(n_sh.alias("na"), F.col("new_id") == F.col("na.doc_id"))
-            .join(n_sh.alias("nb"), F.col("old_id") == F.col("nb.doc_id"))
-            .filter(jac >= THRESHOLD)
-            .groupBy("new_id")
-            .agg(F.count(F.lit(1)).alias("n_dup_prior"))
-            .withColumnRenamed("new_id", "doc_id")
-        )
-        verdicts = (
-            batch.select("doc_id")
-            .join(dups, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.coalesce("n_dup_prior", F.lit(0)).cast("long").alias("n_dup_prior"),
-                F.when(F.coalesce("n_dup_prior", F.lit(0)) > 0, "drop")
-                .otherwise("keep")
-                .alias("verdict"),
-            )
-        )
-        # epoch-keyed overwrite: a foreachBatch retry with the same batch_id
-        # REPLACES its own output and index contribution instead of
-        # double-appending — the exactly-once recipe the ACID delta query
-        # uses (partition-discovery dirs double as the idempotence key).
-        verdicts.write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"epoch={epoch_id}")
-        )
-        # repartition on the store key first: one file per partition dir
-        # per epoch instead of |tasks| small files — the store read-side
-        # cost is file count, not bytes, at this row size. r19: the two
-        # store appends are independent (different dirs, both reading
-        # already-persisted frames) and run AFTER the verdicts write (the
-        # verdicts job must never observe this epoch's own store append),
-        # so they overlap via a 2-thread pool (guide §2.6).
+        # r20: the two store appends start HERE — overlapping the probe,
+        # verify, and verdicts work instead of running after it (guide
+        # §2.6). This is safe because every store read below carries an
+        # `epoch < epoch_id` partition filter, so a concurrently landing
+        # epoch=<this> append is invisible to this epoch's own reads
+        # (which also makes a foreachBatch RETRY of epoch N exact: the
+        # previous attempt's own epoch=N contribution is filtered out
+        # rather than double-counted as 'prior' state). The needed_sb
+        # collect above has already materialized sh_b/buckets_b, so the
+        # append jobs write cached frames; both must still COMPLETE
+        # before the epoch returns (exactly-once: the offset commit may
+        # only cover fully-landed state).
         from concurrent.futures import ThreadPoolExecutor
+        from concurrent.futures import wait as futwait
 
         def _append_sig() -> None:
             buckets_b.repartition(store_buckets, "sb").write.partitionBy(
@@ -1569,13 +1495,139 @@ def _lsh_probe_dedup(
                 "overwrite"
             ).parquet(os.path.join(sh_dir, f"epoch={epoch_id}"))
 
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            fs_, fh_ = pool.submit(_append_sig), pool.submit(_append_sh)
-            fs_.result()
-            fh_.result()
+        pool = ThreadPoolExecutor(max_workers=2)
+        appends = [pool.submit(_append_sig), pool.submit(_append_sh)]
+        cand = None
+        try:
+            if had_sig and needed_sb:
+                prior_sig = (
+                    sp.read.parquet(sig_dir)
+                    .where(F.col("sb").isin(needed_sb))
+                    .where(F.col("epoch") < F.lit(epoch_id))
+                    .select("doc_id", "band", "sig")
+                )
+            else:
+                prior_sig = sp.createDataFrame(
+                    [], "doc_id bigint, band int, sig string"
+                )
+            all_sig = prior_sig.unionByName(
+                buckets_b.select("doc_id", "band", "sig")
+            )
+            # Probe: batch docs vs (index ∪ batch), partner strictly
+            # earlier (smaller doc_id == earlier drop or earlier within
+            # this drop).
+            cand = (
+                buckets_b.alias("nb")
+                .join(
+                    all_sig.alias("ob"),
+                    (F.col("nb.band") == F.col("ob.band"))
+                    & (F.col("nb.sig") == F.col("ob.sig"))
+                    & (F.col("ob.doc_id") < F.col("nb.doc_id")),
+                )
+                .select(
+                    F.col("nb.doc_id").alias("new_id"),
+                    F.col("ob.doc_id").alias("old_id"),
+                )
+                .distinct()
+                .persist()
+            )
+            # Shingle-store verify read, PRUNED to the candidate
+            # partners' doc partitions — the big win: the shingle store
+            # is corpus-sized, but near-dup partners are few, so this
+            # reads |partner dbs| of the k db= dirs instead of the whole
+            # store. Batch docs' shingles come from sh_b (not yet in the
+            # store).
+            partner_dbs = (
+                [
+                    r.db
+                    for r in cand.select(
+                        F.pmod(F.col("old_id"), F.lit(store_buckets)).alias(
+                            "db"
+                        )
+                    )
+                    .distinct()
+                    .collect()
+                ]
+                if had_sh
+                else []
+            )
+            if had_sh and partner_dbs:
+                prior_sh = (
+                    sp.read.parquet(sh_dir)
+                    .where(F.col("db").isin(partner_dbs))
+                    .where(F.col("epoch") < F.lit(epoch_id))
+                    .select("doc_id", "sh")
+                )
+            else:
+                prior_sh = sp.createDataFrame([], "doc_id bigint, sh string")
+            all_sh = prior_sh.unionByName(sh_b)
+            # r20: the new_id side of the verify join and its norm only
+            # ever touch BATCH docs (new_id comes from buckets_b), and
+            # doc_ids are unique across drops, so sh_b alone serves that
+            # side — the pruned store scan no longer flows into the sa
+            # join or na norm (at scale: one side of the verify drops
+            # from store-sized to batch-sized).
+            n_sh = all_sh.groupBy("doc_id").agg(
+                F.count(F.lit(1)).alias("n_sh")
+            )
+            n_sh_b = sh_b.groupBy("doc_id").agg(
+                F.count(F.lit(1)).alias("n_sh")
+            )
+            common = (
+                cand.join(
+                    sh_b.alias("sa"), F.col("new_id") == F.col("sa.doc_id")
+                )
+                .join(
+                    all_sh.alias("sb"),
+                    (F.col("old_id") == F.col("sb.doc_id"))
+                    & (F.col("sa.sh") == F.col("sb.sh")),
+                )
+                .groupBy("new_id", "old_id")
+                .agg(F.count(F.lit(1)).alias("n_common"))
+            )
+            jac = F.col("n_common") / (
+                F.col("na.n_sh") + F.col("nb.n_sh") - F.col("n_common")
+            )
+            dups = (
+                common.join(
+                    n_sh_b.alias("na"), F.col("new_id") == F.col("na.doc_id")
+                )
+                .join(n_sh.alias("nb"), F.col("old_id") == F.col("nb.doc_id"))
+                .filter(jac >= THRESHOLD)
+                .groupBy("new_id")
+                .agg(F.count(F.lit(1)).alias("n_dup_prior"))
+                .withColumnRenamed("new_id", "doc_id")
+            )
+            verdicts = roster.join(dups, "doc_id", "left").select(
+                "doc_id",
+                F.coalesce("n_dup_prior", F.lit(0))
+                .cast("long")
+                .alias("n_dup_prior"),
+                F.when(F.coalesce("n_dup_prior", F.lit(0)) > 0, "drop")
+                .otherwise("keep")
+                .alias("verdict"),
+            )
+            # epoch-keyed overwrite: a foreachBatch retry with the same
+            # batch_id REPLACES its own output and index contribution
+            # instead of double-appending — the exactly-once recipe the
+            # ACID delta query uses (partition-discovery dirs double as
+            # the idempotence key).
+            verdicts.write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"epoch={epoch_id}")
+            )
+        finally:
+            # wait in ALL paths: the epoch may only return (and the
+            # offset commit may only cover) fully-landed state, and a
+            # failed epoch's restart must never race a still-in-flight
+            # append thread from this attempt.
+            futwait(appends)
+            pool.shutdown()
+        for f_ in appends:
+            f_.result()
         sh_b.unpersist()
         buckets_b.unpersist()
-        cand.unpersist()
+        if cand is not None:
+            cand.unpersist()
 
     q = (
         spark.readStream.schema("doc_id bigint, text string")
@@ -1661,13 +1713,26 @@ def streaming_dedup_compact_store(spark: SparkSession, sf_dir: str) -> DataFrame
     sig_dir = LAST_LSH_STORES["sig"]
     sh_dir = LAST_LSH_STORES["shingle"]
     k = LAST_LSH_STORES["store_buckets"]
-    for store, part_col in ((sig_dir, "sb"), (sh_dir, "db")):
+
+    # r20: the two store compactions are independent (different dirs,
+    # each internally read→side-write→validate→swap) — overlap them
+    # (guide §2.6) instead of compacting serially.
+    def _compact(store: str, part_col: str) -> None:
         before, after = compact_partitioned_store(spark, store, part_col)
         if after > k or after >= before:
             raise AssertionError(
                 f"compaction did not collapse {store}: {before} -> {after} "
                 f"files (buckets={k})"
             )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as cpool:
+        for f_ in [
+            cpool.submit(_compact, sig_dir, "sb"),
+            cpool.submit(_compact, sh_dir, "db"),
+        ]:
+            f_.result()
 
     sig = spark.read.parquet(sig_dir).select("doc_id", "band", "sig")
     sh = spark.read.parquet(sh_dir).select("doc_id", "sh")
@@ -1790,8 +1855,9 @@ def _collapsed_probe_dedup(
     # a drop file may differ from the old scan order, which the drain is
     # insensitive to (verdicts are groupBy/join products of the set).
     stage = os.path.join(base, "stage_all")
+    # r20 (ADVICE r19): exact integer `div` — see _lsh_probe_dedup.
     d.withColumn(
-        "drop", (F.col("doc_id") / F.lit(step)).cast("int")
+        "drop", F.expr(f"CAST(doc_id DIV {int(step)} AS INT)")
     ).repartition(n_batches, "drop").write.mode("overwrite").partitionBy(
         "drop"
     ).parquet(stage)
@@ -1815,6 +1881,12 @@ def _collapsed_probe_dedup(
         if batch.isEmpty():
             return
         sp = batch.sparkSession
+        # r20: store-present flags captured at epoch ENTRY — this
+        # epoch's own appends overlap the probe below (guide §2.6) and
+        # may create the dirs mid-epoch.
+        had_sig = os.path.isdir(sig_dir)
+        had_sh = os.path.isdir(sh_dir)
+        had_led = os.path.isdir(led_dir)
         g = batch.select("doc_id", "text", F.md5("text").alias("gkey"))
         members_b = g.select("gkey", "doc_id").persist()
         reps_b = (
@@ -1858,162 +1930,70 @@ def _collapsed_probe_dedup(
         )
         batch_gkeys = members_b.select("gkey").distinct()
 
-        # ---- candidate GROUP pairs: batch groups vs (store ∪ batch) groups
-        # (r19: pruning collects are skipped when no store exists yet)
-        needed_sb = (
-            [r.sb for r in buckets_b.select("sb").distinct().collect()]
-            if os.path.isdir(sig_dir)
-            else []
-        )
-        if os.path.isdir(sig_dir) and needed_sb:
-            prior_sig = (
-                sp.read.parquet(sig_dir)
-                .where(F.col("sb").isin(needed_sb))
-                .select("gkey", "band", "sig")
-            )
-        else:
-            prior_sig = sp.createDataFrame([], "gkey string, band int, sig string")
-        all_sig = prior_sig.unionByName(buckets_b.select("gkey", "band", "sig"))
-        gp = (
-            buckets_b.alias("nb")
-            .join(
-                all_sig.alias("ob"),
-                (F.col("nb.band") == F.col("ob.band"))
-                & (F.col("nb.sig") == F.col("ob.sig"))
-                & (F.col("nb.gkey") != F.col("ob.gkey")),
-            )
-            .select(F.col("nb.gkey").alias("ga"), F.col("ob.gkey").alias("gb2"))
-            .distinct()
-            .persist()
-        )
+        # r20: the two prune collects that depend only on the BATCH
+        # (signature buckets for the probe, ledger buckets for the
+        # new-gkey anti-join) are independent — run them concurrently
+        # (guide §2.6).
+        from concurrent.futures import ThreadPoolExecutor
+        from concurrent.futures import wait as futwait
 
-        # ---- exact-Jaccard verify at the representative level
-        partner_gb = (
-            [
-                r.b
-                for r in gp.select(gbucket("gb2").alias("b")).distinct().collect()
-            ]
-            if os.path.isdir(sh_dir)
-            else []
-        )
-        if os.path.isdir(sh_dir) and partner_gb:
-            # anti-join drops store rows for gkeys also in this batch —
-            # re-arriving content would otherwise double its shingles
-            prior_sh = (
-                sp.read.parquet(sh_dir)
-                .where(F.col("gb").isin(partner_gb))
-                .select("gkey", "sh")
-                .join(batch_gkeys, "gkey", "left_anti")
-            )
-        else:
-            prior_sh = sp.createDataFrame([], "gkey string, sh string")
-        all_sh = prior_sh.unionByName(sh_b)
-        n_sh = all_sh.groupBy("gkey").agg(F.count(F.lit(1)).alias("n_sh"))
-        common = (
-            gp.join(all_sh.alias("sa"), F.col("ga") == F.col("sa.gkey"))
-            .join(
-                all_sh.alias("sb2"),
-                (F.col("gb2") == F.col("sb2.gkey"))
-                & (F.col("sa.sh") == F.col("sb2.sh")),
-            )
-            .groupBy("ga", "gb2")
-            .agg(F.count(F.lit(1)).alias("n_common"))
-        )
-        jac = F.col("n_common") / (
-            F.col("na.n_sh") + F.col("nb.n_sh") - F.col("n_common")
-        )
-        verified = (
-            common.join(n_sh.alias("na"), F.col("ga") == F.col("na.gkey"))
-            .join(n_sh.alias("nb"), F.col("gb2") == F.col("nb.gkey"))
-            .filter(jac >= THRESHOLD)
-            .select("ga", "gb2")
-        )
-        # own group is its own partner iff it has shingles (J = 1; a
-        # zero-shingle group never pairs, the collapse-algebra edge)
-        self_pairs = n_sh_b.select(
-            F.col("gkey").alias("ga"), F.col("gkey").alias("gb2")
-        )
-        partners = verified.unionByName(self_pairs).distinct().persist()
+        needed_sb: list = []
+        batch_lb: list = []
+        if had_sig or had_led:
+            with ThreadPoolExecutor(max_workers=2) as cpool:
+                f_sb = (
+                    cpool.submit(
+                        lambda: [
+                            r.sb
+                            for r in buckets_b.select("sb")
+                            .distinct()
+                            .collect()
+                        ]
+                    )
+                    if had_sig
+                    else None
+                )
+                f_lb = (
+                    cpool.submit(
+                        lambda: [
+                            r.b
+                            for r in members_b.select(
+                                gbucket("gkey").alias("b")
+                            )
+                            .distinct()
+                            .collect()
+                        ]
+                    )
+                    if had_led
+                    else None
+                )
+                if f_sb is not None:
+                    needed_sb = f_sb.result()
+                if f_lb is not None:
+                    batch_lb = f_lb.result()
 
-        # ---- expansion: windowed queries ∪ events, rows never pairs
-        partner_lb = (
-            [
-                r.b
-                for r in partners.select(gbucket("gb2").alias("b"))
-                .distinct()
-                .collect()
-            ]
-            if os.path.isdir(led_dir)
-            else []
-        )
-        if os.path.isdir(led_dir) and partner_lb:
-            prior_members = (
-                sp.read.parquet(led_dir)
-                .where(F.col("lb").isin(partner_lb))
-                .select("gkey", "doc_id")
-            )
-        else:
-            prior_members = sp.createDataFrame([], "gkey string, doc_id bigint")
-        all_members = prior_members.unionByName(members_b)
-        events = partners.join(
-            all_members.alias("m"), F.col("gb2") == F.col("m.gkey")
-        ).select(
-            F.col("ga").alias("gkey"),
-            F.col("m.doc_id").alias("doc_id"),
-            F.lit(1).alias("is_event"),
-        )
-        queries = members_b.select("gkey", "doc_id", F.lit(0).alias("is_event"))
-        wcum = (
-            Window.partitionBy("gkey")
-            .orderBy("doc_id", "is_event")
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        verdicts = (
-            queries.unionByName(events)
-            .withColumn(
-                "n_dup_prior",
-                F.coalesce(F.sum("is_event").over(wcum), F.lit(0)),
-            )
-            .filter(F.col("is_event") == 0)
-            .select(
-                "doc_id",
-                F.col("n_dup_prior").cast("long").alias("n_dup_prior"),
-                F.when(F.col("n_dup_prior") > 0, "drop")
-                .otherwise("keep")
-                .alias("verdict"),
-            )
-        )
-        verdicts.write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"epoch={epoch_id}")
-        )
-
-        # ---- appends: group-level state only for NEW gkeys; ledger always
-        batch_lb = (
-            [
-                r.b
-                for r in members_b.select(gbucket("gkey").alias("b"))
-                .distinct()
-                .collect()
-            ]
-            if os.path.isdir(led_dir)
-            else []
-        )
-        if os.path.isdir(led_dir) and batch_lb:
+        # ---- appends start HERE, overlapping the probe/verify/expansion
+        # below (guide §2.6): every store read in this epoch carries an
+        # `epoch < epoch_id` partition filter, so a concurrently landing
+        # epoch=<this> append (including the LEDGER append the new_gkeys
+        # anti-join reads around) is invisible to this epoch's own reads
+        # — which also makes a foreachBatch RETRY exact: a previous
+        # attempt's own epoch=N contribution is filtered out instead of
+        # being double-counted as 'prior' state. All three must COMPLETE
+        # before the epoch returns (exactly-once: the offset commit may
+        # only cover fully-landed state).
+        if had_led and batch_lb:
             existing = (
                 sp.read.parquet(led_dir)
                 .where(F.col("lb").isin(batch_lb))
+                .where(F.col("epoch") < F.lit(epoch_id))
                 .select("gkey")
                 .distinct()
             )
             new_gkeys = batch_gkeys.join(existing, "gkey", "left_anti")
         else:
             new_gkeys = batch_gkeys
-        # r19: the sig and shingle appends are independent of each other
-        # (different dirs) and both only READ the ledger via new_gkeys —
-        # overlap them (guide §2.6); the ledger append runs strictly
-        # AFTER both, since their new_gkeys reads must not observe this
-        # epoch's own ledger contribution.
-        from concurrent.futures import ThreadPoolExecutor
+        new_gkeys = new_gkeys.persist()
 
         def _append_sig() -> None:
             buckets_b.join(new_gkeys, "gkey").repartition(
@@ -2029,17 +2009,174 @@ def _collapsed_probe_dedup(
                 "overwrite"
             ).parquet(os.path.join(sh_dir, f"epoch={epoch_id}"))
 
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            fs_, fh_ = pool.submit(_append_sig), pool.submit(_append_sh)
-            fs_.result()
-            fh_.result()
-        members_b.withColumn("lb", gbucket("gkey")).repartition(
-            store_buckets, "lb"
-        ).write.partitionBy("lb").mode("overwrite").parquet(
-            os.path.join(led_dir, f"epoch={epoch_id}")
-        )
-        for frame in (members_b, sh_b, buckets_b, gp, partners):
-            frame.unpersist()
+        def _append_led() -> None:
+            members_b.withColumn("lb", gbucket("gkey")).repartition(
+                store_buckets, "lb"
+            ).write.partitionBy("lb").mode("overwrite").parquet(
+                os.path.join(led_dir, f"epoch={epoch_id}")
+            )
+
+        pool = ThreadPoolExecutor(max_workers=3)
+        appends = [
+            pool.submit(_append_sig),
+            pool.submit(_append_sh),
+            pool.submit(_append_led),
+        ]
+        gp = None
+        partners = None
+        try:
+            # ---- candidate GROUP pairs: batch groups vs (store ∪ batch)
+            if had_sig and needed_sb:
+                prior_sig = (
+                    sp.read.parquet(sig_dir)
+                    .where(F.col("sb").isin(needed_sb))
+                    .where(F.col("epoch") < F.lit(epoch_id))
+                    .select("gkey", "band", "sig")
+                )
+            else:
+                prior_sig = sp.createDataFrame(
+                    [], "gkey string, band int, sig string"
+                )
+            all_sig = prior_sig.unionByName(
+                buckets_b.select("gkey", "band", "sig")
+            )
+            gp = (
+                buckets_b.alias("nb")
+                .join(
+                    all_sig.alias("ob"),
+                    (F.col("nb.band") == F.col("ob.band"))
+                    & (F.col("nb.sig") == F.col("ob.sig"))
+                    & (F.col("nb.gkey") != F.col("ob.gkey")),
+                )
+                .select(
+                    F.col("nb.gkey").alias("ga"), F.col("ob.gkey").alias("gb2")
+                )
+                .distinct()
+                .persist()
+            )
+
+            # ---- exact-Jaccard verify at the representative level
+            partner_gb = (
+                [
+                    r.b
+                    for r in gp.select(gbucket("gb2").alias("b"))
+                    .distinct()
+                    .collect()
+                ]
+                if had_sh
+                else []
+            )
+            if had_sh and partner_gb:
+                # anti-join drops store rows for gkeys also in this batch
+                # — re-arriving content would otherwise double its
+                # shingles
+                prior_sh = (
+                    sp.read.parquet(sh_dir)
+                    .where(F.col("gb").isin(partner_gb))
+                    .where(F.col("epoch") < F.lit(epoch_id))
+                    .select("gkey", "sh")
+                    .join(batch_gkeys, "gkey", "left_anti")
+                )
+            else:
+                prior_sh = sp.createDataFrame([], "gkey string, sh string")
+            all_sh = prior_sh.unionByName(sh_b)
+            # r20: the ga side of the verify join and its norm only ever
+            # touch BATCH groups (ga comes from buckets_b), and the
+            # anti-join keeps batch gkeys' shingles out of prior_sh, so
+            # sh_b alone serves that side (at scale: one side of the
+            # verify drops from store-sized to batch-sized).
+            n_sh = all_sh.groupBy("gkey").agg(F.count(F.lit(1)).alias("n_sh"))
+            common = (
+                gp.join(sh_b.alias("sa"), F.col("ga") == F.col("sa.gkey"))
+                .join(
+                    all_sh.alias("sb2"),
+                    (F.col("gb2") == F.col("sb2.gkey"))
+                    & (F.col("sa.sh") == F.col("sb2.sh")),
+                )
+                .groupBy("ga", "gb2")
+                .agg(F.count(F.lit(1)).alias("n_common"))
+            )
+            jac = F.col("n_common") / (
+                F.col("na.n_sh") + F.col("nb.n_sh") - F.col("n_common")
+            )
+            verified = (
+                common.join(n_sh_b.alias("na"), F.col("ga") == F.col("na.gkey"))
+                .join(n_sh.alias("nb"), F.col("gb2") == F.col("nb.gkey"))
+                .filter(jac >= THRESHOLD)
+                .select("ga", "gb2")
+            )
+            # own group is its own partner iff it has shingles (J = 1; a
+            # zero-shingle group never pairs, the collapse-algebra edge)
+            self_pairs = n_sh_b.select(
+                F.col("gkey").alias("ga"), F.col("gkey").alias("gb2")
+            )
+            partners = verified.unionByName(self_pairs).distinct().persist()
+
+            # ---- expansion: windowed queries ∪ events, rows never pairs
+            partner_lb = (
+                [
+                    r.b
+                    for r in partners.select(gbucket("gb2").alias("b"))
+                    .distinct()
+                    .collect()
+                ]
+                if had_led
+                else []
+            )
+            if had_led and partner_lb:
+                prior_members = (
+                    sp.read.parquet(led_dir)
+                    .where(F.col("lb").isin(partner_lb))
+                    .where(F.col("epoch") < F.lit(epoch_id))
+                    .select("gkey", "doc_id")
+                )
+            else:
+                prior_members = sp.createDataFrame(
+                    [], "gkey string, doc_id bigint"
+                )
+            all_members = prior_members.unionByName(members_b)
+            events = partners.join(
+                all_members.alias("m"), F.col("gb2") == F.col("m.gkey")
+            ).select(
+                F.col("ga").alias("gkey"),
+                F.col("m.doc_id").alias("doc_id"),
+                F.lit(1).alias("is_event"),
+            )
+            queries = members_b.select(
+                "gkey", "doc_id", F.lit(0).alias("is_event")
+            )
+            wcum = (
+                Window.partitionBy("gkey")
+                .orderBy("doc_id", "is_event")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            )
+            verdicts = (
+                queries.unionByName(events)
+                .withColumn(
+                    "n_dup_prior",
+                    F.coalesce(F.sum("is_event").over(wcum), F.lit(0)),
+                )
+                .filter(F.col("is_event") == 0)
+                .select(
+                    "doc_id",
+                    F.col("n_dup_prior").cast("long").alias("n_dup_prior"),
+                    F.when(F.col("n_dup_prior") > 0, "drop")
+                    .otherwise("keep")
+                    .alias("verdict"),
+                )
+            )
+            verdicts.write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"epoch={epoch_id}")
+            )
+        finally:
+            # wait in ALL paths — see _lsh_probe_dedup.
+            futwait(appends)
+            pool.shutdown()
+        for f_ in appends:
+            f_.result()
+        for frame in (members_b, sh_b, buckets_b, gp, partners, new_gkeys):
+            if frame is not None:
+                frame.unpersist()
 
     q = (
         spark.readStream.schema("doc_id bigint, text string")

@@ -135,6 +135,14 @@ def main() -> int:
         reg[name].build(spark, sf_dir).count()
         tpch_times[name] = round(time.time() - t0, 3)
 
+    # r20 (VERDICT r19 item 2): the driver failed to parse BENCH_r18's
+    # output because its tail capture truncated the (long, still-growing)
+    # JSON line mid-object. Emit the line COMPACT (no separators
+    # whitespace, ~20% shorter) and flush both streams around it so the
+    # line is an intact final write. Keys, values, and rounding are
+    # unchanged — only serialization whitespace differs.
+    sys.stderr.flush()
+    sys.stdout.flush()
     print(
         json.dumps(
             {
@@ -145,8 +153,10 @@ def main() -> int:
                 "tpch_22_suite_sec": round(sum(tpch_times.values()), 3),
                 "tpch_22": tpch_times,
                 "sf": sf,
-            }
-        )
+            },
+            separators=(",", ":"),
+        ),
+        flush=True,
     )
     return 0
 
