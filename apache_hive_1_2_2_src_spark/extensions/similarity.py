@@ -948,9 +948,30 @@ def _materialize(df: DataFrame) -> DataFrame:
     k-row-sized) computes each chain once and collapses every consumer
     to an O(1)-node LogicalRDD read. Values are unchanged — this is pure
     materialization, and the trainer's checkpoint-invariance is pinned
-    in tests/test_kmeans.py. At 100 TB the checkpointed frames stay
+    in tests/test_kmeans.py. Most checkpointed frames are
     metadata-/sample-sized (centroids, codebooks, per-vector codes), so
-    executor-local storage is linear in the index, not the corpus."""
+    executor-local storage is linear in the index, not the corpus;
+    CORPUS-sized inputs (the full embeddings frame, the residual table,
+    the rotated input) go through _materialize_wide below, which honours
+    a reliable checkpoint dir on clusters (ADVICE r19)."""
+    return df.localCheckpoint(eager=True)
+
+
+def _materialize_wide(df: DataFrame) -> DataFrame:
+    """_materialize for CORPUS-sized frames (r20, ADVICE r19): the full
+    embeddings input, the per-vector residual table, and the OPQ-rotated
+    input are linear in the corpus, not the index — localCheckpoint
+    stores them on executors non-reliably (an executor loss makes the
+    query unrecoverable, and local storage scales with the corpus). When
+    ``spark.graft.checkpointDir`` is set (cluster deployments), these
+    frames use RELIABLE checkpoint(dir) instead; the local-mode default
+    is unchanged (same localCheckpoint, same bench behaviour — at 128 GB
+    sandbox scale the frames are MBs)."""
+    sess = df.sparkSession
+    ckdir = sess.conf.get("spark.graft.checkpointDir", None)
+    if ckdir:
+        sess.sparkContext.setCheckpointDir(ckdir)
+        return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)
 
 
@@ -1325,7 +1346,7 @@ def _pq_adc_report(e: DataFrame) -> DataFrame:
     def sub(m: int, col="embedding"):
         return F.slice(col, m * _PQ_SUB + 1, _PQ_SUB)
 
-    e = _materialize(e)
+    e = _materialize_wide(e)
     enc = e
     luts = []
     q = e.filter(F.col("vec_id") >= 490).select(
@@ -1969,12 +1990,12 @@ def ivfpq_raw_topk(
     # r19: same materialization discipline as ivfpq_residual_topk — the
     # pre-r19 plan inlined the coarse chain + 4 codebook chains into
     # every consumer (219 KB plan, 206 Exchanges, 82 embeddings scans).
-    e = _materialize(e)
+    e = _materialize_wide(e)
     coarse = _materialize(kmeans_centroids_quantized(e, _KMQ_K, _KMQ_ITERS))
     assign_w = Window.partitionBy("vec_id").orderBy(
         F.col("__acos").desc(), F.col("cid")
     )
-    vassign = _materialize(
+    vassign = _materialize_wide(
         e.crossJoin(F.broadcast(coarse))
         .withColumn("__acos", _cos(F.col("embedding"), F.col("ce")))
         .withColumn("rnk", F.row_number().over(assign_w))
@@ -2194,12 +2215,12 @@ def ivfpq_residual_topk(
     # on every one of the ~30 stages that scan the cached input — a
     # net loss at this corpus size. At real file counts the scan is
     # multi-partition and the question disappears.
-    e = _materialize(e)
+    e = _materialize_wide(e)
     coarse = _materialize(kmeans_centroids_quantized(e, _KMQ_K, _KMQ_ITERS))
     assign_w = Window.partitionBy("vec_id").orderBy(
         F.col("__acos").desc(), F.col("cid")
     )
-    vassign = _materialize(
+    vassign = _materialize_wide(
         e.crossJoin(F.broadcast(coarse))
         .withColumn("__acos", _cos(F.col("embedding"), F.col("ce")))
         .withColumn("rnk", F.row_number().over(assign_w))
@@ -2211,7 +2232,7 @@ def ivfpq_residual_topk(
     probes = vassign.filter(
         (F.col("vec_id") >= probe_min_vec) & (F.col("rnk") <= 2)
     ).select(F.col("vec_id").alias("query_id"), F.col("cid").alias("pcell"))
-    resid = _materialize(
+    resid = _materialize_wide(
         e.join(cells, "vec_id").select(
             "vec_id",
             "cell",
@@ -2491,17 +2512,16 @@ def ivf_two_level_topk(
     wv = Window.partitionBy("vec_id").orderBy(
         F.col("__acos").desc(), F.col("cid")
     )
-    tlassign = (
+    tlassign = _materialize_wide(
         e.crossJoin(F.broadcast(coarse))
         .withColumn("__acos", _cos(F.col("embedding"), F.col("ce")))
         .withColumn("rnk", F.row_number().over(wv))
         .select("vec_id", "embedding", "cid", "rnk")
-        .localCheckpoint(eager=True)
     )
     # r19: materialize the member table too — each of the k1 sub-chains
     # (and the leaf assignment) would otherwise re-run mem's window over
     # the checkpointed tlassign ~3x per chain derivation.
-    mem = _materialize(
+    mem = _materialize_wide(
         tlassign.where(F.col("rnk") == 1).select(
             F.col("vec_id").alias("orig_id"),
             "embedding",

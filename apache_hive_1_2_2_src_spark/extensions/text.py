@@ -776,6 +776,16 @@ def tfidf_cosine_pairs(
     # on a cluster this is the persisted postings-list artifact every
     # TF-IDF pipeline materializes anyway.
     w = w.localCheckpoint(eager=False)
+    # r20 note: localCheckpoint(norm) was A/B-tested and REVERTED
+    # ([6.4, 4.3, 3.9, 3.9] with vs [6.1, 4.2, 3.5, 3.4] without): the
+    # na/nb broadcast builds that each compute this aggregation run
+    # CONCURRENTLY under AQE, so caching one serializes them instead of
+    # deduplicating work.
+    # (A doc_id-keyed repartition before the aggregation — moving the
+    # decimal multiplies post-shuffle — also measured as a wash:
+    # [6.5, 4.1, 3.4, 3.5]. The row's remaining cost is the
+    # decimal-exact postings self-join, the operator's determinism
+    # floor.)
     norm = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
     a, b = w.alias("a"), w.alias("b")
     dot = (

@@ -766,13 +766,24 @@ def _check_sorted_files(
     # conf, so the set+read+collect all stay under the lock — a concurrent
     # validation with a different max_len must not re-split this scan.
     with _SORTED_SCAN_LOCK:
-        # r19: no 128 MB floor — max_len+1 still guarantees no FILE ever
-        # splits across tasks (a file splits only when len > maxSplit),
-        # while letting each bucket file get its own task instead of the
-        # old floor packing all n buckets into one serial scan task
-        # (measured: the orders-layout validation ran as ONE 1.7 s task).
+        # r19: no 128 MB floor — each bucket file gets its own task
+        # instead of the old floor packing all n buckets into one serial
+        # scan task (measured: the orders-layout validation ran as ONE
+        # 1.7 s task).
+        # r20 (ADVICE r19): setting maxPartitionBytes alone does NOT
+        # guarantee no file splits — Spark's maxSplitBytes =
+        # min(maxPartitionBytes, max(openCostInBytes, bytesPerCore)), so
+        # a bucket file larger than max(4 MB, bytesPerCore) could still
+        # straddle tasks and the per-task sorted-carry check would miss
+        # an inversion at the split boundary. Raising openCostInBytes to
+        # max_len+1 as well pins maxSplitBytes = max_len+1 >= every file
+        # (and, as a bonus, the per-file padded cost >= maxSplitBytes
+        # keeps one file per scan partition — the r19 parallelism).
         iso.conf.set(
             "spark.sql.files.maxPartitionBytes", str(int(max_len) + 1)
+        )
+        iso.conf.set(
+            "spark.sql.files.openCostInBytes", str(int(max_len) + 1)
         )
         df = iso.read.parquet(*files).select(
             F.col(key).alias("__k"), F.input_file_name().alias("__f")
